@@ -1,0 +1,144 @@
+"""Typed table catalog.
+
+Port of the reference's ``TableConfig`` dataclass
+(/root/reference/app/backend/types/table_config.py:8-25) plus loaders for the
+driver's parquet test tables (TESTDATA.md). A table is a parquet path with a
+declared schema, a designated text/vector/id column, and the typed attribute
+list the self-query compiler is allowed to filter on
+(/root/reference/app/backend/constants/myscale_tables.py:81-112).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class AttributeInfo:
+    """A column (or computed expression) the structured-filter layer may
+    reference. ``expr`` defaults to the name; computed attributes (e.g. the
+    reference's ``length(categories)``, myscale_tables.py:111) set a SQL
+    expression instead."""
+
+    name: str
+    type: str  # string | int | float | timestamp | date | list[string]
+    description: str = ""
+    expr: str | None = None
+
+    @property
+    def sql_expr(self) -> str:
+        return self.expr or self.name
+
+
+@dataclass(frozen=True)
+class TableConfig:
+    """Declarative table description (reference table_config.py:8-25)."""
+
+    name: str
+    path: str | None = None
+    id_col: str = "id"
+    text_col: str | None = None
+    vector_col: str | None = None
+    vector_dim: int | None = None
+    must_have_cols: tuple[str, ...] = ()
+    attributes: tuple[AttributeInfo, ...] = ()
+    # upsert key for ReplacingMergeTree-style keep-latest semantics
+    # (myscale_tables.py:37,65); None → append-only table.
+    upsert_key: tuple[str, ...] = ()
+    version_col: str | None = None
+    partition_cols: tuple[str, ...] = field(default=())
+
+    def load(self, spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
+        path = self.path or (f"{sf_dir}/{self.name}.parquet" if sf_dir else None)
+        if path is None:
+            raise ValueError(f"no path for table {self.name}")
+        return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> dict[str, DataFrame]:
+    """Load the driver test tables as DataFrames."""
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> None:
+    """Register each test table as a temp view so ``spark.sql`` entry points
+    (Vector SQL dialect, plain SQL) see the same names DuckDB's oracle does."""
+    for n, df in load_tables(spark, sf_dir, names).items():
+        df.createOrReplaceTempView(n)
+
+
+# --- Reference-shaped table configs (SURVEY §1.2) ---------------------------
+
+WIKIPEDIA = TableConfig(
+    name="wiki_pedia",
+    id_col="id",
+    text_col="text",
+    vector_col="emb",
+    vector_dim=768,
+    must_have_cols=("id", "title", "url", "text", "views"),
+    attributes=(
+        AttributeInfo("title", "string", "title of the wikipedia page"),
+        AttributeInfo("text", "string", "paragraph text"),
+        AttributeInfo("views", "float", "page view count"),
+    ),
+    upsert_key=("id",),
+)
+
+CHAT_ARXIV = TableConfig(
+    name="chat_arxiv",
+    id_col="id",
+    text_col="abstract",
+    vector_col="vector",
+    vector_dim=768,
+    must_have_cols=("title", "id", "categories", "abstract", "authors", "pubdate"),
+    attributes=(
+        AttributeInfo("pubdate", "timestamp", "publish date of the paper"),
+        AttributeInfo("authors", "list[string]", "list of author names"),
+        AttributeInfo("title", "string", "title of the paper"),
+        AttributeInfo("categories", "list[string]", "arxiv categories"),
+        AttributeInfo("length(categories)", "int", "length of categories list",
+                      expr="size(categories)"),
+    ),
+    upsert_key=("id",),
+)
+
+PRIVATE_KB = TableConfig(
+    name="private_kb",
+    id_col="entity_id",
+    text_col="text",
+    vector_col="vector",
+    vector_dim=768,
+    must_have_cols=("entity_id", "file_name", "text", "user_id"),
+    upsert_key=("entity_id",),
+    version_col="created_by",
+)
+
+SESSIONS = TableConfig(
+    name="sessions",
+    id_col="session_id",
+    upsert_key=("session_id",),
+    version_col="create_by",
+)
+
+CHAT_MEMORY = TableConfig(
+    name="chat_memory",
+    id_col="msg_id",
+    upsert_key=("msg_id",),
+    version_col="id",
+    partition_cols=("session_id",),
+)

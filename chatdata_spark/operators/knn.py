@@ -1,0 +1,64 @@
+"""Brute-force (exact) filtered top-k vector search.
+
+Semantics of the reference's kNN template
+(/root/reference/app/backend/vector_store/myscale_without_metadata.py:19-36):
+
+    SELECT <text>, dist, <must_have_cols>
+    FROM db.table
+    [PREWHERE <where_str>]
+    ORDER BY distance(<vector_col>, <query_vec>) AS dist ASC
+    LIMIT <k>
+
+Spark-first realization:
+
+- the filter is a plain ``.filter`` — Catalyst pushes it into the parquet
+  scan (the reference needed an explicit PREWHERE slot; we get it for free,
+  SURVEY §4 row 2);
+- ``orderBy(dist).limit(k)`` plans as ``TakeOrderedAndProject``: each
+  partition keeps a k-heap, the driver merges — no global sort, no shuffle
+  of the full table. This is the scan-side plan you want at 100 TB: cost is
+  one pass over the (pruned, filtered) scan + O(partitions · k) merge.
+- distance is JVM-side float64 (functions/vector.py); ties broken on the id
+  column so results hash-stably (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from chatdata_spark.functions.vector import cosine_distance, l2_distance
+
+_METRICS = {"cosine": cosine_distance, "l2": l2_distance}
+
+
+def knn(
+    df: DataFrame,
+    vector_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    where: Column | None = None,
+    select: Sequence[str] | None = None,
+    metric: str = "cosine",
+    id_col: str | None = None,
+    dist_col: str = "dist",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact filtered top-k by vector distance (V3 + V1 + T1, default k per
+    build_retrievers.py:102 / myscale_without_metadata.py:38 is 4-10)."""
+    dist = _METRICS[metric](F.col(vector_col), list(query_vec))
+    if round_digits is not None:
+        dist = F.round(dist, round_digits)
+    out = df
+    if where is not None:
+        out = out.filter(where)
+    out = out.withColumn(dist_col, dist)
+    order = [F.col(dist_col).asc()]
+    if id_col:
+        order.append(F.col(id_col).asc())
+    out = out.orderBy(*order).limit(k)
+    if select is not None:
+        out = out.select(*select, dist_col)
+    return out.drop(vector_col) if select is None else out

@@ -1,0 +1,107 @@
+"""Vector-search queries (SURVEY §2.6: V1-V4, T1) on the ``embeddings`` table.
+
+The query vectors are deterministic stub embeddings (functions/vector.py
+``hash_embed``) so the Spark side and the DuckDB oracle share an identical
+float64 literal. DuckDB oracle uses ``list_cosine_similarity`` over
+``DOUBLE[]`` — same sequential accumulation order as our ``aggregate``-based
+formula, so values agree bit-for-bit before the 6-digit round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chatdata_spark.functions.vector import hash_embed, vector_literal_sql
+from chatdata_spark.operators.knn import knn
+from chatdata_spark.registry import query
+
+DIM = 64
+Q1 = hash_embed("q1", DIM)
+Q2 = hash_embed("q2", DIM)
+
+
+def _duck_vec(vec) -> str:
+    return "CAST([" + ",".join(repr(float(x)) for x in vec) + "] AS DOUBLE[])"
+
+
+def _duck_cos(col: str, vec) -> str:
+    return f"ROUND(1.0 - list_cosine_similarity(CAST({col} AS DOUBLE[]), {_duck_vec(vec)}), 6)"
+
+
+_ = vector_literal_sql  # re-exported for dialect tests
+
+
+@query(
+    "knn_topk",
+    oracle=f"""
+    SELECT vec_id, label, {_duck_cos('embedding', Q1)} AS dist
+    FROM embeddings
+    ORDER BY dist ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def knn_topk(spark, sf_dir):
+    """V3/T1: unfiltered exact top-10 by cosine distance
+    (myscale_without_metadata.py:19-36 template, no PREWHERE)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn(emb, "embedding", Q1, k=10, select=["vec_id", "label"], id_col="vec_id")
+
+
+@query(
+    "knn_filtered",
+    oracle=f"""
+    SELECT vec_id, label, {_duck_cos('embedding', Q2)} AS dist
+    FROM embeddings
+    WHERE label IN (1, 3, 5) AND vec_id % 2 = 0
+    ORDER BY dist ASC, vec_id ASC
+    LIMIT 20
+    """,
+)
+def knn_filtered(spark, sf_dir):
+    """V3 + P3/P7 (PREWHERE slot, myscale_without_metadata.py:23-26):
+    filter is pushed into the parquet scan by Catalyst."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    where = F.col("label").isin(1, 3, 5) & (F.col("vec_id") % 2 == 0)
+    return knn(emb, "embedding", Q2, k=20, where=where, select=["vec_id", "label"], id_col="vec_id")
+
+
+@query(
+    "knn_l2",
+    oracle=f"""
+    SELECT vec_id, ROUND(list_distance(CAST(embedding AS DOUBLE[]), {_duck_vec(Q1)}), 6) AS dist
+    FROM embeddings
+    ORDER BY dist ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def knn_l2(spark, sf_dir):
+    """V1 variant: euclidean metric (MyScale supports L2 via index
+    metric_type; docs/vector-sql.md:217 family)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn(emb, "embedding", Q1, k=10, metric="l2", select=["vec_id"], id_col="vec_id")
+
+
+@query(
+    "vector_brute_force_scores",
+    oracle=f"""
+    SELECT label,
+           CAST(MIN({_duck_cos('embedding', Q1)}) AS DOUBLE) AS min_dist,
+           COUNT(*) AS n
+    FROM embeddings
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def vector_brute_force_scores(spark, sf_dir):
+    """Distance as a first-class expression feeding a relational agg —
+    the 'vector ops compose with SQL' property MyScale markets
+    (docs/vector-sql.md:77-93)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from chatdata_spark.functions.vector import cosine_distance
+
+    return (
+        emb.withColumn("dist", F.round(cosine_distance("embedding", Q1), 6))
+        .groupBy("label")
+        .agg(F.min("dist").cast("double").alias("min_dist"), F.count(F.lit(1)).alias("n"))
+        .orderBy("label")
+    )

@@ -1,0 +1,75 @@
+"""Shared test harness: session-scoped Spark, DuckDB oracle comparator.
+
+The comparator mirrors (and is stricter than) the driver's t2 check:
+row-count, schema width, and order-insensitive value equality with columns
+sorted by name. Strictness: exact value equality (no tolerance) — our
+determinism conventions (registry.py docstring) are supposed to make both
+sides bit-identical.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from chatdata_spark.catalog import TESTDATA_TABLES
+from chatdata_spark.session import get_spark
+
+SF_SMOKE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+SF_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="chatdata_spark_tests", shuffle_partitions=8)
+    yield s
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if hasattr(v, "isoformat"):  # datetime/date
+        return v.isoformat()
+    return v
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(out, key=repr)
+
+
+def assert_matches_oracle(spark_df, oracle: str, sf_dir: str, name: str = "?"):
+    con = duck_con(sf_dir)
+    want = con.execute(oracle)
+    want_cols = [d[0] for d in want.description]
+    want_rows = want.fetchall()
+
+    got_cols = spark_df.columns
+    got_rows = [tuple(r) for r in spark_df.collect()]
+
+    assert sorted(got_cols) == sorted(want_cols), (
+        f"[{name}] column mismatch: spark={sorted(got_cols)} duck={sorted(want_cols)}"
+    )
+    assert len(got_rows) == len(want_rows), (
+        f"[{name}] row count: spark={len(got_rows)} duck={len(want_rows)}"
+    )
+    g, w = _canon(got_rows, got_cols), _canon(want_rows, want_cols)
+    for i, (a, b) in enumerate(zip(g, w)):
+        assert a == b, f"[{name}] first differing row #{i}:\n  spark={a}\n  duck ={b}"

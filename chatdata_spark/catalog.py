@@ -70,9 +70,26 @@ class TableConfig:
         return spark.read.parquet(path)
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
+    rejects by default. Read nanos as long (runtime conf, works under any
+    session) and convert to a microsecond timestamp with exact integer
+    division — same truncation DuckDB applies reading ns→us."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> dict[str, DataFrame]:
     """Load the driver test tables as DataFrames."""
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    return {
+        n: (load_events(spark, sf_dir) if n == "events" else spark.read.parquet(f"{sf_dir}/{n}.parquet"))
+        for n in names
+    }
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=TESTDATA_TABLES) -> None:

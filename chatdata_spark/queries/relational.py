@@ -1,1 +1,614 @@
-"""Placeholder — populated by later milestones."""
+"""Relational operator coverage (SURVEY §2.1-2.5, 2.7-2.9) over the driver's
+TPC-H-ish tables.
+
+The reference's app emits only single-table SQL; joins/windows/set-ops come
+"for free from Catalyst when we expose Spark SQL" (SURVEY §2.3) — these
+queries prove that surface end-to-end against the DuckDB oracle, at TPC-H
+shapes so the bench reflects classic scan/join/agg cost.
+
+Float determinism: money aggregates are computed per-row in float64 with an
+identical expression order on both sides, cast to DECIMAL(27,6) (scale ≥ exact decimal length of every product, so the cast never rounds a tie), summed
+exactly, and cast back to DOUBLE (see registry.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from chatdata_spark.registry import query
+
+
+def _t(spark, sf_dir, name):
+    if name == "events":
+        from chatdata_spark.catalog import load_events
+
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(expr):
+    """Exact decimal sum of a float64 expression, surfaced as double."""
+    return F.sum(expr.cast("decimal(27,6)")).cast("double")
+
+
+DSUM = "CAST(SUM(CAST({e} AS DECIMAL(27,6))) AS DOUBLE)"
+
+
+# --- aggregations (A1-A4 + TPC-H Q1 shape) -----------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {DSUM.format(e='l_quantity')} AS sum_qty,
+           {DSUM.format(e='l_extendedprice')} AS sum_base_price,
+           {DSUM.format(e='l_extendedprice * (1.0 - l_discount)')} AS sum_disc_price,
+           {DSUM.format(e='l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)')} AS sum_charge,
+           {DSUM.format(e='l_quantity')} / COUNT(*) AS avg_qty,
+           {DSUM.format(e='l_extendedprice')} / COUNT(*) AS avg_price,
+           {DSUM.format(e='l_discount')} / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1: partial-agg-friendly groupBy (map-side combine, 4 groups —
+    shuffle is a few KB regardless of input size)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02")))
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    n = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / n).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / n).alias("avg_price"),
+            (_dsum(F.col("l_discount")) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "group_count_docs",
+    oracle="""
+    SELECT source, COUNT(*) AS n, CAST(MAX(length(text)) AS BIGINT) AS max_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def group_count_docs(spark, sf_dir):
+    """A1+A3+A4 (private_knowledge_base.py:73-79 file-listing shape):
+    count / max(length(text)) / distinct per group."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.length("text")).cast("bigint").alias("max_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "collect_list_sorted",
+    oracle="""
+    SELECT lang, list_sort(list(doc_id)) AS doc_ids
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def collect_list_sorted(spark, sf_dir):
+    """A2 groupArray (private_knowledge_base.py:75) — array-valued aggregate,
+    canonicalized by sort for determinism."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(F.array_sort(F.collect_list("doc_id")).alias("doc_ids")).orderBy("lang")
+
+
+@query(
+    "distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+)
+def distinct_segments(spark, sf_dir):
+    """A4 SELECT DISTINCT (private_knowledge_base.py:74)."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+
+@query(
+    "rollup_docs",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n
+    FROM documents GROUP BY ROLLUP (lang, source) ORDER BY lang, source, n
+    """,
+)
+def rollup_docs(spark, sf_dir):
+    """Grouping-set surface (absent in reference, free in Spark — SURVEY §2.4)."""
+    return _t(spark, sf_dir, "documents").rollup("lang", "source").agg(F.count(F.lit(1)).alias("n")).orderBy("lang", "source", "n")
+
+
+@query(
+    "having_filter",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3 ORDER BY o_custkey
+    """,
+)
+def having_filter(spark, sf_dir):
+    """GROUP BY + HAVING (post-aggregation predicate)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3).orderBy("o_custkey")
+    )
+
+
+# --- joins (SURVEY §2.3) ------------------------------------------------------
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {DSUM.format(e='l_extendedprice * (1.0 - l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective dim filter broadcast into two fact joins,
+    then top-k over the aggregate (broadcast(customer) — at 100 TB the
+    customer side post-filter is still << fact side)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.to_timestamp(F.lit("1998-03-15")))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.to_timestamp(F.lit("1998-03-15")))
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(revenue).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT n_name, {DSUM.format(e='l_extendedprice * (1.0 - l_discount)')} AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join — dims broadcast, single shuffle on the
+    fact join key, agg on a handful of groups."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@query(
+    "semi_join_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+    ORDER BY o_orderkey
+    """,
+)
+def semi_join_orders(spark, sf_dir):
+    """J1 (private_knowledge_base.py:140-166 two-step lookup) expressed as a
+    real LEFT SEMI join — broadcastable, no row duplication."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "MACHINERY")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "anti_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey
+    """,
+)
+def anti_join_customers(spark, sf_dir):
+    """M2/M3 delete semantics as LEFT ANTI (SURVEY §2.8: delete = anti-filter
+    rewrite of the table)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "left_join_order_counts",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey ORDER BY c_custkey
+    """,
+)
+def left_join_order_counts(spark, sf_dir):
+    """Outer join with null-aware count."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+# --- windows (SURVEY §2.5) ----------------------------------------------------
+
+@query(
+    "window_latest_event",
+    oracle="""
+    SELECT user_id, event_type, event_id, value FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) = 1
+    ORDER BY user_id, event_type
+    """,
+)
+def window_latest_event(spark, sf_dir):
+    """ReplacingMergeTree keep-latest-per-key (myscale_tables.py:37,65) as a
+    window dedup — the M1 upsert read path."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events ORDER BY user_id, event_id
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    """Analytic frame: per-user cumulative sum ordered by time (T3 replay
+    ordering shape, tools.py:77-78)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("running_value", F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double"))
+        .select("event_id", "user_id", "running_value")
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "window_top3_orders_per_cust",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
+)
+def window_top3_orders_per_cust(spark, sf_dir):
+    """Ranking window: top-N per group."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(value - lag(value, 1, 0.0) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS delta
+    FROM events ORDER BY user_id, event_id
+    """,
+)
+def window_lag_delta(spark, sf_dir):
+    """lag(): delta vs previous event per user (time-series shape)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("delta", (F.col("value") - F.lag("value", 1, 0.0).over(w)).cast("double"))
+        .select("event_id", "user_id", "delta")
+        .orderBy("user_id", "event_id")
+    )
+
+
+# --- sorts / top-k / set ops (§2.7) --------------------------------------------
+
+@query(
+    "top_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def top_orders(spark, sf_dir):
+    """T1/T2: global top-k → TakeOrderedAndProject (no full sort)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "set_ops_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id
+    """,
+)
+def set_ops_users(spark, sf_dir):
+    """T5 INTERSECT (distinct semantics in both engines)."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id")
+    b = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b).orderBy("user_id")
+
+
+@query(
+    "except_users",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    ORDER BY user_id
+    """,
+)
+def except_users(spark, sf_dir):
+    """T5 EXCEPT."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "signup").select("user_id")
+    b = e.filter(F.col("event_type") == "error").select("user_id")
+    return a.subtract(b).orderBy("user_id")
+
+
+# --- predicates / projections / scalar functions (§2.2, §2.9) ------------------
+
+@query(
+    "in_filter_parts",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand FROM part
+    WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') AND p_size >= 10
+    ORDER BY p_partkey
+    """,
+)
+def in_filter_parts(spark, sf_dir):
+    """P7 IN-list + P3 comparison (private_knowledge_base.py:137,161)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") & (F.col("p_size") >= 10))
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "ilike_docs",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE text ILIKE '%SpArK%' AND lang = 'en'
+    ORDER BY doc_id
+    """,
+)
+def ilike_docs(spark, sf_dir):
+    """P5 ILIKE (prompts.py:119 'abstract ILIKE %Mutual Information%')."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("text").ilike("%SpArK%") & (F.col("lang") == "en"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "expr_filter_docs",
+    oracle="""
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_words
+    FROM documents
+    WHERE len(string_split(text, ' ')) > 60
+    ORDER BY doc_id
+    """,
+)
+def expr_filter_docs(spark, sf_dir):
+    """P8 predicate-on-expression (prompts.py:82 'length(categories) > 2'):
+    filter over a computed value, value also projected."""
+    d = _t(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    return (
+        d.filter(n_words > 60)
+        .select("doc_id", n_words.cast("int").alias("n_words"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "array_contains_docs",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE list_contains(string_split(text, ' '), 'window') AND NOT lang = 'zh'
+    ORDER BY doc_id
+    """,
+)
+def array_contains_docs(spark, sf_dir):
+    """P6 array membership — ClickHouse has() ≡ array_contains
+    (prompts.py:100 `has(authors,'Geoffrey Hinton')`), plus P4 NOT."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.array_contains(F.split(F.col("text"), " "), "window") & ~(F.col("lang") == "zh"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS DECIMAL(27,6))) AS DOUBLE) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_extract_events(spark, sf_dir):
+    """S3 JSON flatten at read (docs/vector-sql.md:204-209
+    JSONExtractString ≡ get_json_object) feeding an aggregate."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(_dsum(k).alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "string_funcs_parts",
+    oracle="""
+    SELECT p_partkey, upper(p_name) AS uname, substr(p_type, 1, 3) AS t3,
+           concat(p_brand, '-', p_type) AS bt, CAST(length(p_name) AS INT) AS name_len
+    FROM part WHERE p_size BETWEEN 5 AND 15 ORDER BY p_partkey
+    """,
+)
+def string_funcs_parts(spark, sf_dir):
+    """§2.9 scalar string functions + BETWEEN range predicate."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_size").between(5, 15))
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("uname"),
+            F.substring("p_type", 1, 3).alias("t3"),
+            F.concat_ws("-", "p_brand", "p_type").alias("bt"),
+            F.length("p_name").cast("int").alias("name_len"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "monthly_order_stats",
+    oracle=f"""
+    SELECT date_trunc('month', o_orderdate) AS month,
+           COUNT(*) AS n,
+           {DSUM.format(e='o_totalprice')} AS total
+    FROM orders GROUP BY month ORDER BY month
+    """,
+)
+def monthly_order_stats(spark, sf_dir):
+    """§2.9 date functions: month bucketing (parseDateTimeBestEffort family
+    → to_timestamp/trunc)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("o_totalprice")).alias("total"))
+        .orderBy("month")
+    )
+
+
+@query(
+    "case_when_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(27,6)) ELSE 0 END) AS DOUBLE) AS click_value,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(27,6)) ELSE 0 END) AS DOUBLE) AS purchase_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def case_when_pivot(spark, sf_dir):
+    """Conditional aggregation (manual pivot)."""
+    e = _t(spark, sf_dir, "events")
+
+    def cond_sum(t):
+        return F.sum(
+            F.when(F.col("event_type") == t, F.col("value").cast("decimal(27,6)")).otherwise(F.lit(0).cast("decimal(27,6)"))
+        ).cast("double")
+
+    return (
+        e.groupBy("user_id")
+        .agg(cond_sum("click").alias("click_value"), cond_sum("purchase").alias("purchase_value"))
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "explode_unnest",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 20 ORDER BY doc_id, word
+    """,
+)
+def explode_unnest(spark, sf_dir):
+    """§2.9 arrayJoin ≡ explode (private_knowledge_base.py:146) — the one
+    table-generating function the reference uses."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") < 20)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .orderBy("doc_id", "word")
+    )

@@ -1,0 +1,335 @@
+"""Vector SQL dialect pre-pass: ClickHouse/MyScale SQL → Spark SQL.
+
+The reference teaches an LLM to emit MyScale-dialect SQL containing two
+fictions — ``NeuralArray(entity)`` (an embedding that doesn't exist yet,
+prompts.py:34) and ``DISTANCE(column, vector)`` (a DB-native ANN function,
+prompts.py:31-33) — then post-processes the string before execution
+(vector_sql_output_parser.py:6-23 splices the real embedding;
+:16-23 rewrites the SELECT list). MyScale executes the rest of the
+ClickHouse dialect natively.
+
+Here the whole dialect is compiled to **plain Spark SQL**, so Catalyst sees
+one ordinary plan: predicate pushdown, column pruning and
+``TakeOrderedAndProject`` all apply. ``DISTANCE`` becomes a JVM-side
+higher-order-function expression (functions/vector.py:cosine_distance_sql)
+— the hot path never leaves the JVM, no Python UDF.
+
+Rewrites, in order:
+1. ``NeuralArray(x)``    → float64 array literal via the embedder (V2).
+2. ``DISTANCE(col, v)``  → round(cosine-distance expression, 6) (V1).
+3. ``ORDER BY <expr> AS <alias>`` (ClickHouse-ism in the reference's kNN
+   template, myscale_without_metadata.py:29-34) → alias hoisted into the
+   SELECT list, ORDER BY references the alias.
+4. ``PREWHERE`` → ``WHERE`` (P9 — Catalyst pushes it into the scan anyway).
+5. ClickHouse scalar-function renames (SURVEY §2.9), including the
+   arg-order swap ``arrayMap(fn, arr)`` → ``transform(arr, fn)`` and the
+   type-aware ``length`` → ``size``/``length`` split.
+6. Optional SELECT-list rewrite to ``must_have_columns`` (P2).
+
+All rewriting is literal-aware (single-quoted strings are never scanned for
+parens/keywords), mirroring where the reference itself does string splicing.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections.abc import Callable, Sequence
+
+from chatdata_spark.functions.vector import cosine_distance_sql, hash_embed
+
+
+def _scan_balanced(sql: str, start: int) -> int:
+    """Index just past the ')' matching the '(' at ``start`` (skips 'literals')."""
+    depth = 0
+    i = start
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 2 if sql[i] == "\\" else 1
+            i += 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError(f"unbalanced parens at {start}: {sql[start:start+40]!r}")
+
+
+def _split_args(inner: str) -> list[str]:
+    """Split a call's argument text on top-level commas (literal-aware)."""
+    args, depth, buf, i, n = [], 0, [], 0, len(inner)
+    while i < n:
+        c = inner[i]
+        if c == "'":
+            j = i + 1
+            while j < n and inner[j] != "'":
+                j += 2 if inner[j] == "\\" else 1
+            buf.append(inner[i : j + 1])
+            i = j + 1
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        if c == "," and depth == 0:
+            args.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    if buf:
+        args.append("".join(buf).strip())
+    return args
+
+
+def replace_calls(sql: str, name: str, build: Callable[[list[str]], str], max_iter: int = 100) -> str:
+    """Replace every ``name(args...)`` call with ``build(args)`` output.
+
+    Case-insensitive, balanced-paren, literal-aware. ``build`` receives the
+    top-level argument strings (already-rewritten inner text)."""
+    pat = re.compile(rf"(?<![\w.])({re.escape(name)})\s*\(", re.IGNORECASE)
+    for _ in range(max_iter):
+        # find first match outside string literals
+        m = None
+        for cand in pat.finditer(sql):
+            prefix = sql[: cand.start()]
+            if prefix.count("'") % 2 == 0:  # not inside a literal
+                m = cand
+                break
+        if m is None:
+            return sql
+        open_paren = sql.index("(", m.end() - 1)
+        end = _scan_balanced(sql, open_paren)
+        args = _split_args(sql[open_paren + 1 : end - 1])
+        sql = sql[: m.start()] + build(args) + sql[end:]
+    raise ValueError(f"replace_calls({name}): too many iterations")
+
+
+def _ch_array_literal_to_floats(text: str) -> list[float] | None:
+    """Parse ``[1.0, 2.0, ...]`` / ``array(1.0, ...)`` to floats, else None."""
+    t = text.strip()
+    if t.startswith("[") and t.endswith("]"):
+        inner = t[1:-1]
+    elif t.lower().startswith("array(") and t.endswith(")"):
+        inner = t[6:-1]
+    else:
+        return None
+    try:
+        return [float(x) for x in _split_args(inner)]
+    except ValueError:
+        return None
+
+
+class VectorSQLDialect:
+    """Configurable translator (one per table family / embedder).
+
+    ``embedder`` replaces the reference's in-process sentence-transformer
+    (build_all.py:17-30); ``array_columns`` drives the ``length``→``size``
+    disambiguation; ``table_map`` renames ``db.table`` identifiers to the
+    Spark view names.
+    """
+
+    def __init__(
+        self,
+        embedder: Callable[[str], Sequence[float]] | None = None,
+        dim: int = 64,
+        array_columns: Sequence[str] = (),
+        table_map: dict[str, str] | None = None,
+        round_digits: int = 6,
+    ) -> None:
+        self.embedder = embedder or (lambda t: hash_embed(t, dim))
+        self.array_columns = set(array_columns)
+        self.table_map = table_map or {}
+        self.round_digits = round_digits
+
+    # -- step 1: NeuralArray -------------------------------------------------
+    def _splice_embeddings(self, sql: str) -> str:
+        def build(args: list[str]) -> str:
+            text = ",".join(args).strip().strip("'")
+            vec = self.embedder(text)
+            return "array(" + ",".join(repr(float(x)) for x in vec) + ")"
+
+        return replace_calls(sql, "NeuralArray", build)
+
+    # -- step 2: DISTANCE ------------------------------------------------------
+    def _rewrite_distance(self, sql: str) -> str:
+        def build(args: list[str]) -> str:
+            if len(args) != 2:
+                raise ValueError(f"DISTANCE expects 2 args, got {args}")
+            col, vec = args
+            floats = _ch_array_literal_to_floats(vec)
+            if floats is not None:
+                norm = math.sqrt(sum(x * x for x in floats))
+                vec_expr = "array(" + ",".join(repr(float(x)) for x in floats) + ")"
+                expr = cosine_distance_sql(col, vec_expr, vec_norm=norm)
+            else:
+                expr = cosine_distance_sql(col, f"CAST({vec} AS ARRAY<DOUBLE>)")
+            return f"round({expr}, {self.round_digits})"
+
+        return replace_calls(sql, "DISTANCE", build)
+
+    # -- step 3: ORDER BY ... AS alias ----------------------------------------
+    _ORDER_AS = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+
+    def _hoist_order_alias(self, sql: str) -> str:
+        m = self._ORDER_AS.search(sql)
+        if not m:
+            return sql
+        # scan the ORDER BY expression to its end (depth-0 LIMIT/ASC/DESC/end)
+        i, n = m.end(), len(sql)
+        depth = 0
+        end = n
+        stop = re.compile(r"\b(LIMIT|ASC|DESC)\b", re.IGNORECASE)
+        j = i
+        while j < n:
+            c = sql[j]
+            if c == "'":
+                j = sql.index("'", j + 1) + 1
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0:
+                s = stop.match(sql, j)
+                if s:
+                    end = j
+                    break
+            j += 1
+        expr = sql[i:end].strip()
+        am = re.search(r"\s+AS\s+(\w+)\s*$", expr, re.IGNORECASE)
+        if not am:
+            return sql
+        alias = am.group(1)
+        core = expr[: am.start()].strip()
+        sel = re.search(r"\bSELECT\s+(DISTINCT\s+)?", sql, re.IGNORECASE)
+        already_defined = re.search(
+            rf"\bAS\s+{alias}\b", sql[sel.end() : m.start()], re.IGNORECASE
+        )
+        inject = "" if already_defined else f"{core} AS {alias}, "
+        return sql[: sel.end()] + inject + sql[sel.end() : i] + f" {alias} " + sql[end:]
+
+    # -- step 5: scalar renames -------------------------------------------------
+    def _rename_functions(self, sql: str) -> str:
+        simple = {
+            "has": lambda a: f"array_contains({a[0]}, {a[1]})",
+            "arrayMax": lambda a: f"array_max({a[0]})",
+            "arrayMin": lambda a: f"array_min({a[0]})",
+            "arraySum": lambda a: f"aggregate({a[0]}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE))",
+            "arrayJoin": lambda a: f"explode({a[0]})",
+            "groupArray": lambda a: f"collect_list({a[0]})",
+            "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
+            "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
+            "splitByChar": lambda a: f"split({a[1]}, {a[0]})",
+            "parseDateTimeBestEffort": lambda a: f"to_timestamp({a[0]})",
+            "toDate": lambda a: f"to_date({a[0]})",
+            "toDateTime": lambda a: f"to_timestamp({a[0]})",
+            "toInt64": lambda a: f"CAST({a[0]} AS BIGINT)",
+            "toInt32": lambda a: f"CAST({a[0]} AS INT)",
+            "toUInt64": lambda a: f"CAST({a[0]} AS BIGINT)",
+            "toUInt32": lambda a: f"CAST({a[0]} AS INT)",
+            "toFloat64": lambda a: f"CAST({a[0]} AS DOUBLE)",
+            "toFloat32": lambda a: f"CAST({a[0]} AS FLOAT)",
+            "toString": lambda a: f"CAST({a[0]} AS STRING)",
+            "toJSONString": lambda a: f"to_json({a[0]})",
+            "empty": lambda a: f"({a[0]} IS NULL OR length({a[0]}) = 0)",
+            "notEmpty": lambda a: f"({a[0]} IS NOT NULL AND length({a[0]}) > 0)",
+            "lowerUTF8": lambda a: f"lower({a[0]})",
+            "upperUTF8": lambda a: f"upper({a[0]})",
+            "lengthUTF8": lambda a: f"char_length({a[0]})",
+        }
+
+        def json_extract(cast: str | None):
+            def build(a: list[str]) -> str:
+                obj, key = a[0], a[1].strip()
+                if key.startswith("'") and key.endswith("'"):
+                    path = f"'$.{key[1:-1]}'"
+                else:
+                    path = f"concat('$.', {key})"
+                e = f"get_json_object({obj}, {path})"
+                return f"CAST({e} AS {cast})" if cast else e
+
+            return build
+
+        sql = replace_calls(sql, "JSONExtractString", json_extract(None))
+        sql = replace_calls(sql, "JSONExtractInt", json_extract("BIGINT"))
+        sql = replace_calls(sql, "JSONExtractFloat", json_extract("DOUBLE"))
+        sql = replace_calls(
+            sql,
+            "JSONExtractArrayRaw",
+            lambda a: f"from_json(get_json_object({a[0]}, '$.{a[1].strip().strip(chr(39))}'), 'array<string>')",
+        )
+        for name, build in simple.items():
+            sql = replace_calls(sql, name, build)
+
+        # length(): ClickHouse is polymorphic (string chars / array size);
+        # Spark needs size() for arrays — disambiguate on known array columns
+        # and array-producing expressions. Strings become char_length (same
+        # semantics as length, and not re-matched by this pass).
+        array_fn_prefixes = (
+            "split(", "transform(", "collect_list(", "array(", "filter(",
+            "from_json(", "sequence(", "slice(", "array_distinct(",
+        )
+
+        def ch_length(a: list[str]) -> str:
+            arg = a[0].strip()
+            base = arg.split(".")[-1].strip("`")
+            if (
+                base in self.array_columns
+                or _ch_array_literal_to_floats(arg) is not None
+                or arg.lower().startswith(array_fn_prefixes)
+            ):
+                return f"size({arg})"
+            return f"char_length({arg})"
+
+        sql = replace_calls(sql, "length", ch_length)
+        # zero-arg forms
+        sql = re.sub(r"(?<![\w.])today\(\s*\)", "current_date()", sql, flags=re.IGNORECASE)
+        sql = re.sub(r"(?<![\w.])now\(\s*\)", "current_timestamp()", sql, flags=re.IGNORECASE)
+        sql = re.sub(r"(?<![\w.])count\(\s*\)", "count(*)", sql, flags=re.IGNORECASE)
+        return sql
+
+    # -- step 6: SELECT-list rewrite (P2) ----------------------------------------
+    def rewrite_select_list(self, sql: str, must_have_columns: Sequence[str], dist_col: str = "dist") -> str:
+        """Replace the projected columns with ``must_have_columns`` (+ the
+        distance alias if present) — the reference's
+        VectorSQLRetrieveOutputParser.parse (vector_sql_output_parser.py:16-23)."""
+        m = re.search(r"\bSELECT\s+(DISTINCT\s+)?", sql, re.IGNORECASE)
+        frm = re.search(r"\bFROM\b", sql, re.IGNORECASE)
+        if not m or not frm:
+            return sql
+        body = sql[m.end() : frm.start()]
+        cols = list(dict.fromkeys(must_have_columns))
+        if re.search(rf"\bAS\s+{dist_col}\b", body, re.IGNORECASE) or re.search(
+            rf"\b{dist_col}\b", body
+        ):
+            # keep any distance alias expression
+            for part in _split_args(body):
+                if re.search(rf"\bAS\s+{dist_col}\s*$", part.strip(), re.IGNORECASE):
+                    cols.append(part.strip())
+                    break
+            else:
+                cols.append(dist_col)
+        return sql[: m.end()] + ", ".join(cols) + " " + sql[frm.start() :]
+
+    # -- main ----------------------------------------------------------------------
+    def translate(self, sql: str, must_have_columns: Sequence[str] | None = None) -> str:
+        """ClickHouse/MyScale Vector SQL → executable Spark SQL."""
+        sql = sql.strip().rstrip(";")
+        for ch_name, spark_name in self.table_map.items():
+            sql = re.sub(rf"(?<![\w.]){re.escape(ch_name)}(?![\w.])", spark_name, sql)
+        sql = self._splice_embeddings(sql)
+        sql = self._rewrite_distance(sql)
+        sql = self._hoist_order_alias(sql)
+        sql = re.sub(r"\bPREWHERE\b", "WHERE", sql, flags=re.IGNORECASE)
+        sql = self._rename_functions(sql)
+        if must_have_columns:
+            sql = self.rewrite_select_list(sql, must_have_columns)
+        return sql

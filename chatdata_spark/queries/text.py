@@ -1,1 +1,136 @@
-"""Placeholder — populated by later milestones."""
+"""Driver queries for text analysis (langid / quality / tokens /
+fingerprints) over the documents table. DuckDB oracles re-derive the same
+arithmetic expression-for-expression (same normalization, same stopword
+lists, same operand order) so doubles match bit-for-bit before rounding."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chatdata_spark.functions.text import (
+    STOPWORDS,
+    fingerprint_rolling64,
+    fingerprint_sha256,
+    predict_lang,
+    quality_score,
+    token_count_bpe,
+    token_count_ws,
+)
+from chatdata_spark.registry import query
+
+# ---- DuckDB building blocks (mirror functions/text.py) ----------------------
+
+_D_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_D_WORDS = f"string_split({_D_NORM}, ' ')"
+_D_NW = f"len({_D_WORDS})"
+_D_BPE = "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))"
+
+
+def _d_hits(lang: str) -> str:
+    lst = ",".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_intersect(list_distinct({_D_WORDS}), [{lst}]))"
+
+
+def _d_predict_lang() -> str:
+    langs = list(STOPWORDS)
+    conds = []
+    for i, lang in enumerate(langs):
+        cond = f"{_d_hits(lang)} > 0"
+        for later in langs[i + 1 :]:
+            cond += f" AND {_d_hits(lang)} >= {_d_hits(later)}"
+        conds.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(conds) + " ELSE 'unknown' END"
+
+
+_ALL_STOPS = ",".join(f"'{w}'" for w in sorted({w for ws in STOPWORDS.values() for w in ws}))
+_D_STOP_RATIO = f"len(list_filter({_D_WORDS}, w -> list_contains([{_ALL_STOPS}], w))) / {_D_NW}"
+_D_PUNCT = (
+    "CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g'))) / length(text) ELSE 0.0 END"
+)
+_D_DIGIT = (
+    "CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / length(text) ELSE 0.0 END"
+)
+_D_QUALITY = (
+    f"CASE WHEN {_D_NORM} != '' THEN "
+    f"ROUND(least(CAST({_D_NW} AS DOUBLE) / 100.0, 1.0) * 0.3"
+    f" + least(({_D_STOP_RATIO}) * 4.0, 1.0) * 0.4"
+    f" + (1.0 - ({_D_PUNCT})) * 0.2"
+    f" + (1.0 - ({_D_DIGIT})) * 0.1, 6) ELSE 0.0 END"
+)
+
+
+@query(
+    "text_profile",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_D_NW} AS INT) AS n_words,
+           CAST({_D_BPE} AS INT) AS n_tokens,
+           {_d_predict_lang()} AS pred_lang,
+           {_D_QUALITY} AS quality,
+           sha256({_D_NORM}) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_profile(spark, sf_dir):
+    """Per-document profile: whitespace + BPE-ish token counts, heuristic
+    language ID, composite quality score, sha256 content fingerprint — the
+    narrow-projection scan-stage shape a 100 TB curation pass uses."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        token_count_ws("text").cast("int").alias("n_words"),
+        token_count_bpe("text").cast("int").alias("n_tokens"),
+        predict_lang("text").alias("pred_lang"),
+        quality_score("text").alias("quality"),
+        fingerprint_sha256("text").alias("fp"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_lang_distribution",
+    oracle=f"""
+    SELECT {_d_predict_lang()} AS pred_lang, COUNT(*) AS n
+    FROM documents GROUP BY pred_lang ORDER BY pred_lang
+    """,
+)
+def text_lang_distribution(spark, sf_dir):
+    """Predicted-language histogram (langid feeding an aggregate)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.groupBy(predict_lang("text").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("pred_lang")
+    )
+
+
+@query(
+    "text_quality_by_source",
+    oracle=f"""
+    SELECT source,
+           CAST(SUM(CAST({_D_QUALITY} AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_quality,
+           CAST(SUM(CAST({_D_BPE} AS DECIMAL(27,6))) AS DOUBLE) AS total_tokens
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def text_quality_by_source(spark, sf_dir):
+    """Corpus curation roll-up: mean quality + token budget per source."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        d.groupBy("source")
+        .agg(
+            (
+                F.sum(quality_score("text").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_quality"),
+            F.sum(token_count_bpe("text").cast("decimal(27,6)")).cast("double").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("text_fingerprint_rolling")  # rows-only: xxhash64 not in DuckDB
+def text_fingerprint_rolling(spark, sf_dir):
+    """Order-sensitive 64-bit rolling fingerprint (FNV-1a over word
+    hashes); duplicate-fingerprint groups = exact-duplicate candidates."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", fingerprint_rolling64("text").alias("fp64")).orderBy("doc_id")

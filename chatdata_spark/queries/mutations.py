@@ -1,1 +1,86 @@
-"""Placeholder — populated by later milestones."""
+"""Driver queries for the mutation conventions (SURVEY §2.8 M1/M2/M4),
+expressed over the read-only driver tables by constructing the mutation
+inputs in-query (the store layer itself is exercised in tests/test_stores.py
+since driver queries must not write)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chatdata_spark.catalog import load_events
+from chatdata_spark.operators.upsert import delete_where, update_where, upsert
+from chatdata_spark.registry import query
+
+
+@query(
+    "mutation_upsert_keep_latest",
+    oracle="""
+    WITH updates AS (
+        SELECT event_id, ts + INTERVAL 1000 SECOND AS ts, user_id, event_type,
+               value * 2.0 AS value, props
+        FROM events WHERE event_id % 7 = 0
+    ),
+    unioned AS (
+        SELECT event_id, ts, user_id, event_type, value, props FROM events
+        UNION ALL SELECT * FROM updates
+    )
+    SELECT event_id, CAST(value AS DOUBLE) AS value FROM unioned
+    QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts DESC) = 1
+    ORDER BY event_id
+    """,
+)
+def mutation_upsert_keep_latest(spark, sf_dir):
+    """M1 eager upsert: re-insert 1/7 of events with later ts and doubled
+    value — keep-latest must surface exactly the updated rows."""
+    e = load_events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    updates = e.filter(F.col("event_id") % 7 == 0).select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 1000 SECOND")).alias("ts"),
+        "user_id",
+        "event_type",
+        (F.col("value") * 2.0).alias("value"),
+        "props",
+    )
+    return (
+        upsert(e, updates, ["event_id"], "ts")
+        .select("event_id", F.col("value").cast("double").alias("value"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "mutation_delete_anti",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events
+    WHERE NOT (event_type = 'error' OR (user_id % 10 = 3 AND value < 5.0))
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def mutation_delete_anti(spark, sf_dir):
+    """M2 delete-as-anti-filter with a compound predicate."""
+    e = load_events(spark, sf_dir)
+    cond = (F.col("event_type") == "error") | ((F.col("user_id") % 10 == 3) & (F.col("value") < 5.0))
+    return (
+        delete_where(e, cond)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "mutation_update_conditional",
+    oracle="""
+    SELECT CASE WHEN o_totalprice > 300000.0 THEN '0-URGENT' ELSE o_orderpriority END AS o_orderpriority,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1 ORDER BY o_orderpriority
+    """,
+)
+def mutation_update_conditional(spark, sf_dir):
+    """M4 UPDATE ... SET ... WHERE as conditional projection
+    (session_manager.py:70-78 shape)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    updated = update_where(
+        o, F.col("o_totalprice") > 300000.0, {"o_orderpriority": F.lit("0-URGENT")}
+    )
+    return updated.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).orderBy("o_orderpriority")

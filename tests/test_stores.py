@@ -1,0 +1,111 @@
+"""State-store lifecycle tests — the FIXTURES.md canonical queries 5-8:
+session CRUD + cascade delete, chat-memory replay order, private-KB
+upsert/tenancy/semi-join, versioned-store atomicity."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from chatdata_spark.functions.vector import hash_embed
+from chatdata_spark.stores.state import (
+    ChatMemoryStore,
+    PrivateKBStore,
+    SessionStore,
+    VersionedParquetStore,
+)
+
+TS = datetime.datetime(2023, 1, 1)
+
+
+def _ts(i):
+    return TS + datetime.timedelta(minutes=i)
+
+
+def test_versioned_store_swap_and_time_travel(spark, tmp_path):
+    s = VersionedParquetStore(spark, str(tmp_path / "t"))
+    s.write(spark.createDataFrame([(1, "a")], "id int, v string"))
+    s.append(spark.createDataFrame([(2, "b")], "id int, v string"))
+    assert s.current_version() == 2
+    assert s.read().count() == 2
+    # prior version still readable (time travel)
+    old = spark.read.parquet(s._version_dir(1))
+    assert old.count() == 1
+
+
+def test_versioned_store_read_before_write_raises(spark, tmp_path):
+    s = VersionedParquetStore(spark, str(tmp_path / "t"))
+    with pytest.raises(FileNotFoundError):
+        s.read()
+
+
+def test_session_lifecycle_and_cascade_delete(spark, tmp_path):
+    sess = SessionStore(spark, str(tmp_path / "sessions"))
+    mem = ChatMemoryStore(spark, str(tmp_path / "memory"))
+    sess.add_session("u1", "u1?default", "be helpful", create_by=_ts(0))
+    sess.add_session("u1", "u1?work", "be terse", create_by=_ts(1))
+    sess.add_session("u2", "u2?default", "x", create_by=_ts(2))
+
+    listed = [r.session_id for r in sess.list_sessions("u1").collect()]
+    assert listed == ["u1?work", "u1?default"]  # create_by DESC (T2)
+
+    sess.update_system_prompt("u1?default", "be brief")
+    prompts = {r.session_id: r.system_prompt for r in sess.store.read().collect()}
+    assert prompts["u1?default"] == "be brief" and prompts["u1?work"] == "be terse"
+
+    for i, (t, m) in enumerate([("human", "hi"), ("ai", "hello"), ("human", "bye")]):
+        mem.append_message("u1?default", t, m, ts=1000.0 + i)
+    mem.append_message("u2?default", "human", "other", ts=2000.0)
+
+    hist = [r.message for r in mem.history("u1?default").collect()]
+    assert hist == ["hi", "hello", "bye"]  # (id, msg_id) replay order (T3)
+
+    # M3 cascade
+    sess.delete_session("u1?default", memory=mem)
+    assert sess.store.read().filter(F.col("session_id") == "u1?default").count() == 0
+    assert mem.store.read().filter(F.col("session_id") == "u1?default").count() == 0
+    assert mem.store.read().filter(F.col("session_id") == "u2?default").count() == 1
+
+
+def test_chat_memory_append_idempotent(spark, tmp_path):
+    mem = ChatMemoryStore(spark, str(tmp_path / "m"))
+    mem.append_message("u?s", "human", "same", ts=5.0)
+    mem.append_message("u?s", "human", "same", ts=5.0)  # same msg_id
+    assert mem.store.read().count() == 1
+
+
+def test_private_kb_upsert_tenancy_semijoin(spark, tmp_path):
+    kb = PrivateKBStore(spark, str(tmp_path / "kb"), str(tmp_path / "tools"))
+    embed = lambda t: hash_embed(t, 8)  # noqa: E731
+    kb.add_paragraphs("u1", "a.pdf", ["one two three lorem", "four five six lorem"], embed, created_by=_ts(0))
+    kb.add_paragraphs("u1", "b.pdf", ["seven eight nine lorem"], embed, created_by=_ts(1))
+    kb.add_paragraphs("u2", "c.pdf", ["other user text here"], embed, created_by=_ts(2))
+    # M1: re-upload of a.pdf (same entity_ids) must not duplicate
+    kb.add_paragraphs("u1", "a.pdf", ["one two three lorem", "four five six lorem"], embed, created_by=_ts(3))
+
+    files = {r.file_name: r.num_paragraph for r in kb.user_files("u1").collect()}
+    assert files == {"a.pdf": 2, "b.pdf": 1}
+
+    kb.create_tool("u1", "t1", ["a.pdf"], "tool one", created_by=_ts(4))
+    paras = kb.tool_paragraphs("u1", "t1")
+    assert paras.count() == 2
+    assert {r.file_name for r in paras.collect()} == {"a.pdf"}
+    # P10: no cross-tenant leakage even with same file name
+    kb.create_tool("u2", "t1", ["a.pdf"], "evil twin", created_by=_ts(5))
+    assert kb.tool_paragraphs("u2", "t1").count() == 0
+
+    # M2 user wipe
+    kb.delete_user("u2")
+    assert kb.kb.read().filter(F.col("user_id") == "u2").count() == 0
+    assert kb.tools.read().filter(F.col("user_id") == "u2").count() == 0
+    assert kb.kb.read().filter(F.col("user_id") == "u1").count() == 3
+
+
+def test_vector_dim_constraint_on_kb(spark, tmp_path):
+    """§1.3 CHECK length(vector)=DIM as ingest-time validation."""
+    kb = PrivateKBStore(spark, str(tmp_path / "kb2"), str(tmp_path / "tools2"))
+    kb.add_paragraphs("u1", "a.pdf", ["text one here now"], lambda t: hash_embed(t, 8), created_by=_ts(0))
+    bad = kb.kb.read().filter(F.size("vector") != 8).count()
+    assert bad == 0

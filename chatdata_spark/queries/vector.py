@@ -81,6 +81,40 @@ def knn_l2(spark, sf_dir):
     return knn(emb, "embedding", Q1, k=10, metric="l2", select=["vec_id"], id_col="vec_id")
 
 
+def _ivf_index(spark, sf_dir, n_clusters=8):
+    from chatdata_spark.operators.ivf import build_or_load_ivf
+
+    safe = sf_dir.strip("/").replace("/", "_")
+    path = f"/tmp/chatdata_spark_ivf/{safe}_k{n_clusters}"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return build_or_load_ivf(spark, emb, path, "vec_id", "embedding", n_clusters=n_clusters)
+
+
+@query(
+    "ann_ivf_full_probe",
+    oracle=f"""
+    SELECT vec_id, label, {_duck_cos('embedding', Q2)} AS dist
+    FROM embeddings
+    ORDER BY dist ASC, vec_id ASC
+    LIMIT 15
+    """,
+)
+def ann_ivf_full_probe(spark, sf_dir):
+    """V6/S6 (MSTG index role): IVF layout searched with n_probe=all —
+    must equal the exact scan (the oracle-checkable configuration)."""
+    idx = _ivf_index(spark, sf_dir)
+    return idx.search(Q2, k=15, n_probe=idx.n_clusters, select=["vec_id", "label"])
+
+
+@query("ann_ivf_pruned")  # approximate by design → rows-only + tests/test_ivf.py
+def ann_ivf_pruned(spark, sf_dir):
+    """IVF pruned search (n_probe=4/8): reads only probed cluster
+    partitions from disk; returned distances are exact (soundness checked
+    in tests), recall traded for scan fraction like MSTG's nprobe."""
+    idx = _ivf_index(spark, sf_dir)
+    return idx.search(Q2, k=15, n_probe=4, select=["vec_id", "label"])
+
+
 @query(
     "vector_brute_force_scores",
     oracle=f"""

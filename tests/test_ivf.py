@@ -1,0 +1,85 @@
+"""IVF index tests: full-probe exactness, pruned-probe soundness, layout."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from chatdata_spark.functions.vector import hash_embed
+from chatdata_spark.operators.ivf import build_or_load_ivf
+from chatdata_spark.operators.knn import knn
+from tests.conftest import SF_ORACLE
+
+Q = hash_embed("ivf query", 64)
+
+
+def _index(spark, tmp_path, n_clusters=8):
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    return build_or_load_ivf(
+        spark, emb, str(tmp_path / "ivf"), "vec_id", "embedding", n_clusters=n_clusters
+    )
+
+
+def test_full_probe_equals_exact(spark, tmp_path):
+    idx = _index(spark, tmp_path)
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    exact = [
+        (r.vec_id, r.dist)
+        for r in knn(emb, "embedding", Q, k=12, select=["vec_id"], id_col="vec_id").collect()
+    ]
+    ivf = [
+        (r.vec_id, r.dist)
+        for r in idx.search(Q, k=12, n_probe=idx.n_clusters, select=["vec_id"]).collect()
+    ]
+    assert ivf == exact
+
+
+def test_pruned_probe_is_sound_subset(spark, tmp_path):
+    """Pruned search may miss neighbors (recall < 1) but every returned row
+    must carry its true exact distance and appear in the exact ranking."""
+    idx = _index(spark, tmp_path)
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    exact = {
+        r.vec_id: r.dist
+        for r in knn(emb, "embedding", Q, k=500, select=["vec_id"], id_col="vec_id").collect()
+    }
+    pruned = idx.search(Q, k=10, n_probe=2, select=["vec_id"]).collect()
+    assert len(pruned) == 10
+    for r in pruned:
+        assert exact[r.vec_id] == r.dist
+
+
+def test_pruned_recall_reasonable(spark, tmp_path):
+    idx = _index(spark, tmp_path)
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    exact_top = [
+        r.vec_id for r in knn(emb, "embedding", Q, k=10, select=["vec_id"], id_col="vec_id").collect()
+    ]
+    got = {r.vec_id for r in idx.search(Q, k=10, n_probe=4, select=["vec_id"]).collect()}
+    recall = len(got & set(exact_top)) / 10
+    assert recall >= 0.5, f"recall@10 with n_probe=4/8 unexpectedly low: {recall}"
+
+
+def test_partitioned_layout_on_disk(spark, tmp_path):
+    idx = _index(spark, tmp_path)
+    dirs = sorted(
+        d for d in os.listdir(os.path.join(idx.path, "data")) if d.startswith("cluster_id=")
+    )
+    assert len(dirs) == idx.n_clusters
+
+
+def test_filtered_ivf_search(spark, tmp_path):
+    idx = _index(spark, tmp_path)
+    rows = idx.search(
+        Q, k=8, n_probe=idx.n_clusters, where=F.col("label").isin(1, 2, 3), select=["vec_id", "label"]
+    ).collect()
+    assert len(rows) == 8
+    assert all(r.label in (1, 2, 3) for r in rows)
+
+
+def test_build_is_idempotent(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    idx1 = build_or_load_ivf(spark, emb, str(tmp_path / "ivf"), "vec_id", "embedding", 8)
+    idx2 = build_or_load_ivf(spark, emb, str(tmp_path / "ivf"), "vec_id", "embedding", 8)
+    assert (idx1.centroids == idx2.centroids).all()

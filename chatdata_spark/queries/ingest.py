@@ -1,0 +1,160 @@
+"""Driver queries for ingestion flatten (S3) and multimodal columns.
+
+The ingest query builds a JSON metadata blob in-query (driver tables are
+read-only) and round-trips it through the flatten path — exactly the
+reference's JSON→typed-columns ingest (docs/vector-sql.md:201-216). The
+multimodal query runs the stubbed decode whose arithmetic the oracle
+recomputes in SQL (operators/multimodal.py constants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chatdata_spark.operators.multimodal import (
+    FEAT_MULTS,
+    H_BASE,
+    H_MOD,
+    H_MULT,
+    W_BASE,
+    W_MOD,
+    W_MULT,
+    decode_metadata,
+    docs_as_media,
+    extract_features,
+)
+from chatdata_spark.registry import query
+from chatdata_spark.sources.ingest import flatten_arxiv_metadata, validate_vector_dim
+
+
+@query(
+    "ingest_flatten_json",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               to_json(struct_pack(
+                   title := source,
+                   authors := list_transform(string_split(text, ' ')[1:3], w -> concat(' ', w, ' ')),
+                   pubdate := concat('20', lpad(CAST(10 + doc_id % 14 AS VARCHAR), 2, '0'), '-03-01 00:00:00')
+               )) AS metadata
+        FROM documents
+    )
+    SELECT doc_id,
+           json_extract_string(metadata, '$.title') AS title,
+           list_transform(CAST(json_extract(metadata, '$.authors') AS VARCHAR[]), x -> trim(x)) AS authors,
+           CAST(json_extract_string(metadata, '$.pubdate') AS TIMESTAMP) AS pubdate
+    FROM raw ORDER BY doc_id
+    """,
+)
+def ingest_flatten_json(spark, sf_dir):
+    """S3 ingest flatten round-trip: build a metadata JSON (string field,
+    array field with padding whitespace, datetime string), then flatten to
+    typed columns via get_json_object/from_json+trim/to_timestamp."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = d.select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.col("source").alias("title"),
+                F.transform(
+                    F.slice(F.split("text", " "), 1, 3), lambda w: F.concat(F.lit(" "), w, F.lit(" "))
+                ).alias("authors"),
+                F.concat(
+                    F.lit("20"),
+                    F.lpad((F.lit(10) + F.col("doc_id") % 14).cast("string"), 2, "0"),
+                    F.lit("-03-01 00:00:00"),
+                ).alias("pubdate"),
+            )
+        ).alias("metadata"),
+    )
+    return flatten_arxiv_metadata(raw, "metadata").select("doc_id", "title", "authors", "pubdate").orderBy("doc_id")
+
+
+@query(
+    "ingest_validate_dim",
+    oracle="""
+    WITH planted AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id + 100000, embedding[1:32] FROM embeddings WHERE vec_id < 10
+    )
+    SELECT CAST(len(embedding) = 64 AS VARCHAR) AS valid, COUNT(*) AS n
+    FROM planted GROUP BY valid ORDER BY valid
+    """,
+)
+def ingest_validate_dim(spark, sf_dir):
+    """§1.3 CHECK length(v)=DIM as ingest-time split: plant truncated
+    vectors, count valid vs rejected."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    bad = (
+        e.filter(F.col("vec_id") < 10)
+        .select((F.col("vec_id") + 100000).alias("vec_id"), F.slice("embedding", 1, 32).alias("embedding"))
+    )
+    planted = e.unionByName(bad)
+    valid, rejected = validate_vector_dim(planted, "embedding", 64)
+    return (
+        valid.withColumn("valid", F.lit("true"))
+        .unionByName(rejected.withColumn("valid", F.lit("false")))
+        .groupBy("valid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("valid")
+    )
+
+
+@query(
+    "multimodal_profile",
+    oracle=f"""
+    WITH media AS (
+        SELECT doc_id AS media_id, encode(text) AS content,
+               CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'image' END AS media_type,
+               octet_length(encode(text)) AS n
+        FROM documents
+    )
+    SELECT media_type,
+           COUNT(*) AS n_media,
+           CAST(SUM({W_BASE} + (n * {W_MULT}) % {W_MOD}) AS BIGINT) AS total_width,
+           CAST(SUM({H_BASE} + (n * {H_MULT}) % {H_MOD}) AS BIGINT) AS total_height,
+           CAST(SUM(CASE WHEN media_type = 'video' THEN 1 + n % 30 ELSE 1 END) AS BIGINT) AS total_frames
+    FROM media GROUP BY media_type ORDER BY media_type
+    """,
+)
+def multimodal_profile(spark, sf_dir):
+    """Multimodal decode plumbing end-to-end: binary column → mapInPandas
+    metadata decode (stubbed arithmetic) → relational roll-up."""
+    media = docs_as_media(spark, sf_dir)
+    meta = decode_metadata(media)
+    return (
+        meta.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("width").cast("bigint").alias("total_width"),
+            F.sum("height").cast("bigint").alias("total_height"),
+            F.sum("n_frames").cast("bigint").alias("total_frames"),
+        )
+        .orderBy("media_type")
+    )
+
+
+@query(
+    "multimodal_feature_knn",
+    oracle=f"""
+    WITH media AS (
+        SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents
+    ),
+    feats AS (
+        SELECT media_id,
+               [{", ".join(f"CAST((n * {m}) % 1000 AS DOUBLE) / 1000.0" for m in FEAT_MULTS)}] AS f
+        FROM media
+    )
+    SELECT media_id,
+           ROUND(1.0 - list_cosine_similarity(f, [0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5]), 6) AS dist
+    FROM feats
+    ORDER BY dist ASC, media_id ASC LIMIT 10
+    """,
+)
+def multimodal_feature_knn(spark, sf_dir):
+    """Extracted media features feeding the standard kNN operator — the
+    'media table is just another (id, vector) table' property."""
+    from chatdata_spark.operators.knn import knn
+
+    media = docs_as_media(spark, sf_dir)
+    feats = extract_features(media)
+    return knn(feats, "features", [0.5] * 8, k=10, select=["media_id"], id_col="media_id")

@@ -51,6 +51,7 @@ def _load_all() -> None:
     from chatdata_spark.queries import (  # noqa: F401
         dedup,
         dialect,
+        ingest,
         mutations,
         relational,
         text,

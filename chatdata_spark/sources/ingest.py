@@ -1,0 +1,118 @@
+"""Batch ingestion (SURVEY §2.1 S2/S3/S8 + §1.3 constraint validation).
+
+The reference bulk-loads zstd JSONEachRow from S3 with an inline schema and
+flattens the JSON ``metadata`` object into typed columns at ingest
+(docs/vector-sql.md:200-218: ``JSONExtractString``, ``JSONExtractArrayRaw``
++ ``arrayMap(trim)``, ``parseDateTimeBestEffort``), and parses uploaded
+files via the Unstructured API keeping NarrativeText elements > 10 words
+(tools.py:13-50, filter at :42).
+
+Spark-first: ``spark.read.schema(...).json`` handles S3 globs + zstd
+natively with predicate/column pruning; flattening is ``from_json`` /
+``get_json_object`` / ``to_timestamp`` projections; the upload parser is a
+``mapInPandas`` over binary file contents (the Unstructured HTTP call is
+stubbed — not in this container — behind a deterministic fake with the
+real batch plumbing).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_json_bulk(spark: SparkSession, path_glob: str, schema: str) -> DataFrame:
+    """S2: bulk JSON(EachRow) load with explicit schema (no sampling pass —
+    at 100 TB schema inference would read everything twice). Compressed
+    inputs (.zst/.gz) decode transparently."""
+    return spark.read.schema(schema).json(path_glob)
+
+
+def flatten_arxiv_metadata(df: DataFrame, json_col: str = "metadata") -> DataFrame:
+    """S3: the reference's exact flatten (docs/vector-sql.md:204-209) —
+    string field, trimmed string array, best-effort timestamp — as typed
+    projections. Schema-on-write: downstream queries touch native columns,
+    never JSON."""
+    j = F.col(json_col)
+    return df.withColumns(
+        {
+            "title": F.get_json_object(j, "$.title"),
+            "authors": F.transform(
+                F.from_json(F.get_json_object(j, "$.authors"), "array<string>"),
+                lambda x: F.trim(x),
+            ),
+            "pubdate": F.to_timestamp(F.get_json_object(j, "$.pubdate")),
+        }
+    )
+
+
+def validate_vector_dim(df: DataFrame, vector_col: str, dim: int) -> tuple[DataFrame, DataFrame]:
+    """§1.3: ``CONSTRAINT CHECK length(v) = dim`` (myscale_tables.py:36,64)
+    as ingest-time split — (valid rows, rejected rows). Parquet has no table
+    constraints; rejects are returned for a quarantine sink + metric."""
+    ok = F.col(vector_col).isNotNull() & (F.size(vector_col) == dim)
+    return df.filter(ok), df.filter(~ok | F.col(vector_col).isNull())
+
+
+# --- S8: upload → parse → filter → id → embed --------------------------------
+
+def parse_elements_stub(content: bytes, file_name: str) -> list[dict]:
+    """Deterministic stand-in for the Unstructured API file parse
+    (tools.py:27-33). Splits on blank lines; alternates element types so the
+    NarrativeText filter has something to drop. Swap for the real HTTP call
+    in deployment — same (bytes, name) -> elements contract."""
+    text = content.decode("utf-8", errors="replace")
+    out = []
+    for i, para in enumerate(p.strip() for p in text.split("\n\n")):
+        if para:
+            out.append({"type": "NarrativeText" if i % 3 != 2 else "Title", "text": para})
+    return out
+
+
+def parse_uploads(
+    files_df: DataFrame,
+    parser: Callable[[bytes, str], list[dict]] = parse_elements_stub,
+    min_words: int = 10,
+) -> DataFrame:
+    """S8 pipeline over a binary-file DataFrame (``spark.read.format(
+    "binaryFile")`` shape: path, content). mapInPandas replaces the
+    reference's ThreadPool(8) fan-out (tools.py:46-50) — parallelism is
+    partition count, not a thread knob. Keeps ``type == 'NarrativeText' AND
+    words > min_words`` (tools.py:42) and derives the upsert key
+    ``entity_id = sha256(file + text)`` (tools.py:35-37)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                name = r["path"].rsplit("/", 1)[-1]
+                for el in parser(bytes(r["content"]), name):
+                    rows.append((name, el["type"], el["text"]))
+            yield pd.DataFrame(rows, columns=["file_name", "el_type", "text"])
+
+    parsed = files_df.mapInPandas(gen, "file_name string, el_type string, text string")
+    return (
+        parsed.filter(
+            (F.col("el_type") == "NarrativeText")
+            & (F.size(F.split(F.col("text"), " ")) > min_words)
+        )
+        .withColumn("entity_id", F.sha2(F.concat(F.col("file_name"), F.col("text")), 256))
+        .drop("el_type")
+    )
+
+
+def embed_and_validate(df: DataFrame, text_col: str, dim: int, vector_col: str = "vector") -> DataFrame:
+    """V5 batch embedding + dim constraint in one pass (broadcastable model
+    inside the pandas UDF; deterministic hash embedder by default)."""
+    from chatdata_spark.functions.vector import make_embed_text_udf
+
+    out = df.withColumn(vector_col, make_embed_text_udf(dim)(F.col(text_col)))
+    valid, _rejected = validate_vector_dim(out, vector_col, dim)
+    return valid
+
+
+def sha256_hex(s: str) -> str:
+    return hashlib.sha256(s.encode("utf-8")).hexdigest()

@@ -1,0 +1,72 @@
+"""Incremental embedding / index refresh via Structured Streaming
+(SURVEY §7 step 9 — the reference re-runs batch INSERT...SELECT for new
+data; here arrival is incremental and exactly-once).
+
+Pattern: file-source stream over an ingest directory → validate → embed
+(Arrow UDF) → sink. Checkpointing makes re-runs process only unseen files;
+``Trigger.AvailableNow`` drains the backlog then stops, which is both the
+deterministic test mode and the sane production batch-cadence mode (cron a
+drain instead of keeping executors hot). A watermarked windowed count
+shows the late-data-tolerant stats path for event streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chatdata_spark.functions.vector import make_embed_text_udf
+
+
+def incremental_embed(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id bigint, text string",
+    dim: int = 64,
+) -> None:
+    """Drain new document files from ``input_dir`` into an embedded parquet
+    sink, exactly-once per file via the checkpoint."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    embedded = stream.filter(F.col("text").isNotNull()).withColumn(
+        "vector", make_embed_text_udf(dim)(F.col("text"))
+    )
+    (
+        embedded.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: str = "event_id bigint, ts timestamp, event_type string, value double",
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> None:
+    """Watermarked tumbling-window aggregation over an event stream —
+    late rows inside the watermark still land in their window; older ones
+    are dropped and state is bounded (the 100 TB streaming-state story)."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+    )
+    (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

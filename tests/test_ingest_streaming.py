@@ -1,0 +1,99 @@
+"""Ingestion pipeline (S2/S8) and Structured Streaming tests."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from chatdata_spark.sources.ingest import (
+    embed_and_validate,
+    parse_uploads,
+    read_json_bulk,
+    validate_vector_dim,
+)
+from chatdata_spark.streaming.incremental import incremental_embed, windowed_event_counts
+
+
+def test_read_json_bulk_with_schema_and_compression(spark, tmp_path):
+    import gzip
+    import json
+
+    p = tmp_path / "in"
+    p.mkdir()
+    rows = [{"id": i, "t": f"text {i}"} for i in range(20)]
+    with gzip.open(p / "part0.json.gz", "wt") as f:
+        for r in rows[:10]:
+            f.write(json.dumps(r) + "\n")
+    with open(p / "part1.json", "w") as f:
+        for r in rows[10:]:
+            f.write(json.dumps(r) + "\n")
+    df = read_json_bulk(spark, str(p / "part*"), "id bigint, t string")
+    assert df.count() == 20 and dict(df.dtypes) == {"id": "bigint", "t": "string"}
+
+
+def test_upload_pipeline_end_to_end(spark, tmp_path):
+    """S8: binary files → parse (stub) → NarrativeText>10w filter →
+    entity_id → embed → dim-valid rows."""
+    p = tmp_path / "files"
+    p.mkdir()
+    long_para = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    (p / "doc1.txt").write_text(f"{long_para}\n\nshort one\n\ntitle line that is long enough to pass ten words easily")
+    (p / "doc2.txt").write_text(f"{long_para} extra tokens here\n\n{long_para}")
+    files = spark.read.format("binaryFile").load(str(p))
+    parsed = parse_uploads(files)
+    rows = parsed.collect()
+    assert all(len(r.text.split(" ")) > 10 for r in rows)
+    assert all(len(r.entity_id) == 64 for r in rows)
+    embedded = embed_and_validate(parsed, "text", dim=16)
+    out = embedded.collect()
+    assert len(out) == len(rows) and all(len(r.vector) == 16 for r in out)
+    # re-parse is deterministic → same entity_ids (upsert-stable)
+    again = {r.entity_id for r in parse_uploads(files).collect()}
+    assert again == {r.entity_id for r in rows}
+
+
+def test_validate_vector_dim_split(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0]), (3, None)], "id int, v array<float>"
+    )
+    ok, bad = validate_vector_dim(df, "v", 2)
+    assert [r.id for r in ok.collect()] == [1]
+    assert sorted(r.id for r in bad.collect()) == [2, 3]
+
+
+def test_incremental_embed_exactly_once(spark, tmp_path):
+    ind, outd, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    os.makedirs(ind)
+    spark.createDataFrame([(1, "first doc"), (2, "second doc")], "doc_id bigint, text string").write.mode(
+        "append"
+    ).parquet(ind)
+    incremental_embed(spark, ind, outd, ckpt, dim=8)
+    assert spark.read.parquet(outd).count() == 2
+    # new arrivals only — old files are not reprocessed (checkpoint)
+    spark.createDataFrame([(3, "third doc")], "doc_id bigint, text string").write.mode("append").parquet(ind)
+    incremental_embed(spark, ind, outd, ckpt, dim=8)
+    out = spark.read.parquet(outd)
+    assert out.count() == 3  # would be 5 if batch 1 were re-embedded
+    assert out.filter(F.size("vector") != 8).count() == 0
+
+
+def test_windowed_event_counts_with_watermark(spark, tmp_path):
+    import datetime
+
+    ind, outd, ckpt = str(tmp_path / "ev"), str(tmp_path / "agg"), str(tmp_path / "ck2")
+    os.makedirs(ind)
+    base = datetime.datetime(2023, 1, 1, 12, 0, 0)
+
+    def ev(i, mins, typ, v):
+        return (i, base + datetime.timedelta(minutes=mins), typ, v)
+
+    spark.createDataFrame(
+        [ev(1, 0, "click", 1.0), ev(2, 1, "click", 2.0), ev(3, 6, "view", 3.0), ev(4, 30, "click", 4.0)],
+        "event_id bigint, ts timestamp, event_type string, value double",
+    ).write.mode("append").parquet(ind)
+    windowed_event_counts(spark, ind, outd, ckpt, window="5 minutes", watermark="10 minutes")
+    got = {(r.window_start.isoformat(), r.event_type): (r.n, r.total) for r in spark.read.parquet(outd).collect()}
+    # the 12:00 and 12:05 windows are closed by the 12:30 event's watermark
+    assert got[("2023-01-01T12:00:00", "click")] == (2, 3.0)
+    assert got[("2023-01-01T12:05:00", "view")] == (1, 3.0)

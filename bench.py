@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line to stdout:
+  {"metric": "suite_seconds", "value": <total>, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": <float>}
+
+Execution model: each query plan is forced end-to-end into the noop sink
+(full computation, no driver-collect skew for large results). One JVM
+warmup action runs first; the IVF index build is done outside timing (it
+is a one-time batch job, like the reference's ALTER TABLE ADD VECTOR
+INDEX)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from chatdata_spark.registry import queries  # noqa: E402
+from chatdata_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",       # scan + partial agg
+    "q3_shipping_priority",     # broadcast joins + top-k agg
+    "q5_region_revenue",        # star join
+    "window_latest_event",      # window dedup (upsert read path)
+    "top_orders",               # global top-k
+    "knn_topk",                 # exact vector search
+    "ann_ivf_pruned",           # partition-pruned ANN
+    "dedup_minhash_lsh",        # LSH near-dup pipeline
+    "dedup_jaccard_exact",      # inverted-index similarity join
+    "text_profile",             # scan-stage text analytics
+    "dialect_knn",              # Vector SQL dialect end-to-end
+    "mutation_upsert_keep_latest",  # upsert convention
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="chatdata_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    # JVM/codegen warmup + IVF index build outside timing
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    qs["ann_ivf_pruned"](spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

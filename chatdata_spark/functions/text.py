@@ -63,13 +63,18 @@ def stopword_hits(col, lang: str) -> Column:
     )
 
 
-def predict_lang(col) -> Column:
-    """Argmax of stopword hits with fixed tie-break priority; 'unknown' when
-    no list scores > 0. A forward CASE chain where branch k only requires
-    ``s_k > 0 AND s_k >= s_j`` for every later language j picks exactly the
-    earliest-priority maximum (earlier branches lose only when strictly
-    beaten by a later language, whose branch then fires)."""
-    scores = [(lang, stopword_hits(col, lang)) for lang in LANG_PRIORITY]
+def predict_lang_from_scores(scores: list[tuple[str, Column]]) -> Column:
+    """Argmax with fixed tie-break priority from precomputed per-language
+    score columns; 'unknown' when no score > 0. A forward CASE chain where
+    branch k only requires ``s_k > 0 AND s_k >= s_j`` for every later
+    language j picks exactly the earliest-priority maximum (earlier
+    branches lose only when strictly beaten by a later language, whose
+    branch then fires).
+
+    Pass MATERIALIZED score columns (projected in a previous select) when
+    profiling at scale — inline score expressions are re-evaluated at every
+    reference in the chain (O(langs²) recomputes of split+distinct+
+    intersect)."""
     expr = None
     for idx, (lang, s) in enumerate(scores):
         cond = s > 0
@@ -77,6 +82,16 @@ def predict_lang(col) -> Column:
             cond = cond & (s >= s_later)
         expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
     return expr.otherwise(F.lit("unknown"))
+
+
+def predict_lang(col) -> Column:
+    """Convenience inline form of :func:`predict_lang_from_scores`."""
+    return predict_lang_from_scores([(lang, stopword_hits(col, lang)) for lang in LANG_PRIORITY])
+
+
+def stopword_hits_from_dwords(dwords: Column, lang: str) -> Column:
+    """Stopword hits from a materialized distinct-words array column."""
+    return F.size(F.array_intersect(dwords, F.array(*[F.lit(w) for w in STOPWORDS[lang]])))
 
 
 def punct_ratio(col) -> Column:

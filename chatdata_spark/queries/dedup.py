@@ -74,12 +74,11 @@ def dedup_jaccard_exact(spark, sf_dir):
 
 @query("dedup_minhash_lsh", oracle=_DUCK_JACCARD_PAIRS)
 def dedup_minhash_lsh(spark, sf_dir):
-    """MinHash(128) + 64-band LSH candidates, exact-Jaccard verified — same
-    result set as the exact join at recall ≈ 1 (see module docstring)."""
+    """MinHash(126) + 42-band LSH candidates, exact-Jaccard verified — same
+    result set as the exact join at recall ≈ 1 for this corpus (all its
+    ≥0.4 pairs are ≥0.9; see operator docstring for the banding math)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(
-        d, "doc_id", "text", k=3, num_hashes=128, rows_per_band=2, threshold=0.4
-    ).orderBy("i", "j")
+    return minhash_lsh_pairs(d, "doc_id", "text", k=3, threshold=0.4).orderBy("i", "j")
 
 
 @query("dedup_simhash")  # no oracle: DuckDB lacks xxhash64 (rows-only check)

@@ -8,15 +8,62 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from chatdata_spark.functions.text import (
+    BPE_PATTERN,
+    PUNCT_CLASS,
     STOPWORDS,
     fingerprint_rolling64,
-    fingerprint_sha256,
-    predict_lang,
-    quality_score,
-    token_count_bpe,
-    token_count_ws,
+    norm_text,
+    predict_lang_from_scores,
+    stopword_hits_from_dwords,
 )
 from chatdata_spark.registry import query
+
+
+def _profile_frame(spark, sf_dir):
+    """Layered projections: normalize once, split once, distinct once, then
+    every feature reads materialized columns — inline expressions would be
+    re-evaluated per reference in the langid CASE chain / quality formula
+    (same O(n²)-inlining trap as dedup shingling). Also spreads the
+    single-file local read across cores."""
+    from chatdata_spark.operators.dedup import _spread
+
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source", "text"))
+    prep = (
+        d.withColumn("__norm", norm_text("text"))
+        .withColumn("__w", F.split("__norm", " "))
+        .withColumn("__dw", F.array_distinct("__w"))
+        .withColumn("__nw", F.size("__w"))
+    )
+    all_stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+    feats = prep.withColumns(
+        {
+            **{f"__s_{lang}": stopword_hits_from_dwords(F.col("__dw"), lang) for lang in STOPWORDS},
+            "__stop_hits": F.size(F.filter("__w", lambda w: w.isin(*all_stops))),
+            "__bpe": F.regexp_count("text", F.lit(BPE_PATTERN)),
+            "__punct": F.when(
+                F.length("text") > 0,
+                (F.length("text") - F.length(F.regexp_replace("text", PUNCT_CLASS, ""))) / F.length("text"),
+            ).otherwise(F.lit(0.0)),
+            "__digit": F.when(
+                F.length("text") > 0,
+                (F.length("text") - F.length(F.regexp_replace("text", r"[0-9]", ""))) / F.length("text"),
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+    quality = (
+        F.least(F.col("__nw").cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.3)
+        + F.least((F.col("__stop_hits") / F.col("__nw")) * F.lit(4.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.lit(1.0) - F.col("__punct")) * F.lit(0.2)
+        + (F.lit(1.0) - F.col("__digit")) * F.lit(0.1)
+    )
+    return feats.withColumns(
+        {
+            "pred_lang": predict_lang_from_scores(
+                [(lang, F.col(f"__s_{lang}")) for lang in STOPWORDS]
+            ),
+            "quality": F.when(F.col("__norm") != "", F.round(quality, 6)).otherwise(F.lit(0.0)),
+        }
+    )
 
 # ---- DuckDB building blocks (mirror functions/text.py) ----------------------
 
@@ -75,14 +122,13 @@ def text_profile(spark, sf_dir):
     """Per-document profile: whitespace + BPE-ish token counts, heuristic
     language ID, composite quality score, sha256 content fingerprint — the
     narrow-projection scan-stage shape a 100 TB curation pass uses."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select(
+    return _profile_frame(spark, sf_dir).select(
         "doc_id",
-        token_count_ws("text").cast("int").alias("n_words"),
-        token_count_bpe("text").cast("int").alias("n_tokens"),
-        predict_lang("text").alias("pred_lang"),
-        quality_score("text").alias("quality"),
-        fingerprint_sha256("text").alias("fp"),
+        F.col("__nw").cast("int").alias("n_words"),
+        F.col("__bpe").cast("int").alias("n_tokens"),
+        "pred_lang",
+        "quality",
+        F.sha2("__norm", 256).alias("fp"),
     ).orderBy("doc_id")
 
 
@@ -95,9 +141,9 @@ def text_profile(spark, sf_dir):
 )
 def text_lang_distribution(spark, sf_dir):
     """Predicted-language histogram (langid feeding an aggregate)."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
-        d.groupBy(predict_lang("text").alias("pred_lang"))
+        _profile_frame(spark, sf_dir)
+        .groupBy("pred_lang")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("pred_lang")
     )
@@ -114,15 +160,14 @@ def text_lang_distribution(spark, sf_dir):
 )
 def text_quality_by_source(spark, sf_dir):
     """Corpus curation roll-up: mean quality + token budget per source."""
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
-        d.groupBy("source")
+        _profile_frame(spark, sf_dir)
+        .groupBy("source")
         .agg(
-            (
-                F.sum(quality_score("text").cast("decimal(27,6)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("avg_quality"),
-            F.sum(token_count_bpe("text").cast("decimal(27,6)")).cast("double").alias("total_tokens"),
+            (F.sum(F.col("quality").cast("decimal(27,6)")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_quality"
+            ),
+            F.sum(F.col("__bpe").cast("decimal(27,6)")).cast("double").alias("total_tokens"),
         )
         .orderBy("source")
     )

@@ -612,3 +612,120 @@ def explode_unnest(spark, sf_dir):
         .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
         .orderBy("doc_id", "word")
     )
+
+
+@query(
+    "row_to_document",
+    oracle="""
+    SELECT text AS page_content,
+           to_json(struct_pack(id := doc_id, lang := lang, source := source, n_chars := n_chars)) AS metadata
+    FROM documents WHERE n_chars >= 400 ORDER BY doc_id
+    """,
+)
+def row_to_document(spark, sf_dir):
+    """S9 row→Document sink projection (myscale_without_metadata.py:42-48):
+    page_content = text column, metadata = must-have columns (serialized to
+    JSON here so the oracle comparison is representation-stable)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("n_chars") >= 400)
+        .select(
+            F.col("text").alias("page_content"),
+            F.to_json(
+                F.struct(
+                    F.col("doc_id").alias("id"), "lang", "source", "n_chars"
+                )
+            ).alias("metadata"),
+        )
+        .orderBy(F.get_json_object("metadata", "$.id").cast("long"))
+    )
+
+
+@query(
+    "cube_docs",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents WHERE source IN ('src0', 'src1', 'src2')
+    GROUP BY CUBE (lang, source) ORDER BY lang, source, n
+    """,
+)
+def cube_docs(spark, sf_dir):
+    """CUBE grouping sets (free Spark surface, SURVEY §2.4)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("source").isin("src0", "src1", "src2"))
+    return (
+        d.cube("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").cast("bigint").alias("chars"))
+        .orderBy("lang", "source", "n")
+    )
+
+
+@query(
+    "correlated_subquery",
+    oracle="""
+    SELECT c_custkey, c_name,
+           (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey
+             AND o.o_totalprice > 200000.0) AS n_big_orders
+    FROM customer c
+    WHERE c_acctbal > 3000.0
+    ORDER BY c_custkey
+    """,
+)
+def correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery through spark.sql — Catalyst decorrelates
+    to an aggregate + outer join (SURVEY §4 'subquery decorrelation')."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name,
+               (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey
+                 AND o.o_totalprice > 200000.0) AS n_big_orders
+        FROM customer c
+        WHERE c_acctbal > 3000.0
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query(
+    "union_all_counts",
+    oracle="""
+    SELECT kind, COUNT(*) AS n FROM (
+        SELECT 'order' AS kind FROM orders WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT 'event' AS kind FROM events WHERE event_type = 'purchase'
+    ) GROUP BY kind ORDER BY kind
+    """,
+)
+def union_all_counts(spark, sf_dir):
+    """T5 UNION ALL across heterogeneous sources."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(F.lit("order").alias("kind"))
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").select(F.lit("event").alias("kind"))
+    return o.unionByName(e).groupBy("kind").agg(F.count(F.lit(1)).alias("n")).orderBy("kind")
+
+
+@query("approx_distinct_users")  # rows-only: HLL++ sketches are engine-specific
+def approx_distinct_users(spark, sf_dir):
+    """approx_count_distinct (HLL++): the constant-memory distinct-count
+    for 100 TB cardinality estimation. Sketches differ across engines, so
+    no value oracle; the companion exact query is oracle-checked and the
+    unit test bounds the relative error."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "exact_distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def exact_distinct_users(spark, sf_dir):
+    """Exact companion to approx_distinct_users."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users")).orderBy("event_type")

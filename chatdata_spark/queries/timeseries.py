@@ -1,0 +1,115 @@
+"""Driver queries for the time-series operators (as-of join, sessionize)
+plus percentile stats — all oracle-checked (DuckDB 1.0 has native ASOF
+JOIN to validate the window formulation against)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chatdata_spark.catalog import load_events
+from chatdata_spark.operators.timeseries import asof_join, sessionize
+from chatdata_spark.registry import query
+
+
+@query(
+    "asof_join_purchase_click",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ),
+    purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id,
+           c.event_id AS asof_event_id,
+           CAST(c.value AS DOUBLE) AS asof_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join_purchase_click(spark, sf_dir):
+    """As-of join: each purchase paired with the user's latest prior (or
+    simultaneous) click — single-shuffle union+window merge formulation,
+    validated against DuckDB's native ASOF JOIN."""
+    e = load_events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id", "value")
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts_col="ts",
+        payload_cols=["event_id", "value"],
+        tie_break="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id"),
+        F.col("asof_value").cast("double"),
+    ).orderBy("event_id")
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT) AS session_idx
+        FROM marked
+    )
+    SELECT user_id, session_idx, COUNT(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Gap sessionization (30-min): per-session event count + bounds —
+    the batch twin of a streaming session window."""
+    e = load_events(spark, sf_dir)
+    s = sessionize(e, "user_id", "ts", gap_minutes=30.0, order_tiebreak="event_id")
+    return (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+@query(
+    "percentile_stats",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95,
+           CAST(MIN(value) AS DOUBLE) AS vmin,
+           CAST(MAX(value) AS DOUBLE) AS vmax
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def percentile_stats(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`), rounded to absorb interpolation-order ulps."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+            F.min("value").cast("double").alias("vmin"),
+            F.max("value").cast("double").alias("vmax"),
+        )
+        .orderBy("event_type")
+    )

@@ -42,6 +42,41 @@ def incremental_embed(
     )
 
 
+def stream_upsert_into_store(
+    spark: SparkSession,
+    input_dir: str,
+    store,
+    key_cols: list[str],
+    version_col: str,
+    checkpoint_dir: str,
+    schema: str,
+) -> None:
+    """Stream → state-store upsert via foreachBatch: each micro-batch is
+    merged with keep-latest semantics into a VersionedParquetStore (the
+    streaming twin of M1 — at warehouse scale the body becomes a Delta
+    MERGE; the stream topology is unchanged). Checkpoint + versioned swap
+    give effectively-once application of each batch."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if store.exists():
+            store.upsert(batch_df, key_cols, version_col)
+        else:
+            from chatdata_spark.operators.upsert import keep_latest
+
+            store.write(keep_latest(batch_df, key_cols, version_col))
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def windowed_event_counts(
     spark: SparkSession,
     input_dir: str,

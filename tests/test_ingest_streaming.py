@@ -97,3 +97,23 @@ def test_windowed_event_counts_with_watermark(spark, tmp_path):
     # the 12:00 and 12:05 windows are closed by the 12:30 event's watermark
     assert got[("2023-01-01T12:00:00", "click")] == (2, 3.0)
     assert got[("2023-01-01T12:05:00", "view")] == (1, 3.0)
+
+
+def test_stream_upsert_into_store(spark, tmp_path):
+    """foreachBatch streaming upsert: later batches overwrite same-key rows
+    (keep-latest), new keys append, reprocessing is checkpoint-guarded."""
+    from chatdata_spark.stores.state import VersionedParquetStore
+    from chatdata_spark.streaming.incremental import stream_upsert_into_store
+
+    ind, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    os.makedirs(ind)
+    store = VersionedParquetStore(spark, str(tmp_path / "store"))
+    schema = "entity_id string, text string, version bigint"
+    spark.createDataFrame([("a", "v1", 1), ("b", "v1", 1)], schema).write.mode("append").parquet(ind)
+    stream_upsert_into_store(spark, ind, store, ["entity_id"], "version", ckpt, schema)
+    assert {(r.entity_id, r.text) for r in store.read().collect()} == {("a", "v1"), ("b", "v1")}
+
+    spark.createDataFrame([("a", "v2", 2), ("c", "v1", 1)], schema).write.mode("append").parquet(ind)
+    stream_upsert_into_store(spark, ind, store, ["entity_id"], "version", ckpt, schema)
+    got = {(r.entity_id, r.text) for r in store.read().collect()}
+    assert got == {("a", "v2"), ("b", "v1"), ("c", "v1")}

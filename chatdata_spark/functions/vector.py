@@ -124,6 +124,34 @@ def cosine_distance_pandas(col, query_vec: Sequence[float]) -> Column:
     return make_cosine_distance_pandas(query_vec)(col)
 
 
+# --- Storage quantization -----------------------------------------------------
+
+def with_quantized_vector(df, vec_col: str, prefix: str = "q_"):
+    """Symmetric int8 quantization of a vector column: per-row
+    ``scale = max|x|/127``, ``q[i] = round(x[i]/scale)`` — 4× smaller than
+    float32 at ≤0.4% per-element error, the role of the reference index's
+    ``fp16_storage=1`` (myscale_tables.py:35: store compressed, compute on
+    reconstruction).
+
+    Output keeps ``{prefix}scale`` as a real column — it is referenced both
+    as output and inside the dequant lambda, which stops CollapseProject
+    from inlining the array_max back into the per-element loop."""
+    amax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    out = df.withColumn(f"{prefix}scale", scale)
+    return out.withColumn(
+        f"{prefix}vec",
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") / F.col(f"{prefix}scale")).cast("tinyint")
+        ),
+    )
+
+
+def dequantized(qvec_col: str, scale_col: str) -> Column:
+    """Reconstruct array<double> from int8 codes + scale."""
+    return F.transform(F.col(qvec_col), lambda q: q.cast("double") * F.col(scale_col))
+
+
 # --- Deterministic stub embedder ---------------------------------------------
 
 def hash_embed(text: str, dim: int = 64) -> list[float]:

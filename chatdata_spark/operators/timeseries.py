@@ -77,6 +77,73 @@ def asof_join(
     return out
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    right_val_col: str,
+    equi_keys: list[str] | None = None,
+    bucket_width: float = 3600.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join: pairs where ``right.val ∈ [left.lo, left.hi]``
+    (+ optional equi keys) via **bucketized equi-join** — the scalable
+    alternative to the nested-loop plan Spark picks for raw inequality
+    joins.
+
+    Left intervals explode to the bucket ids they overlap; right rows get
+    one bucket; the join is a plain hash join on (equi_keys..., bucket)
+    filtered by the exact range predicate. Each qualifying pair appears
+    exactly once (a right row has exactly one bucket). Cost scales with
+    interval_width/bucket_width per left row instead of |L|×|R|.
+    ``lo/hi/val`` are numeric (pass epoch seconds for timestamps).
+    Inner semantics only — use :func:`range_join_left` for LEFT (a post-join
+    range filter on an outer join would silently drop NULL matches, and
+    exploded left rows would duplicate them per bucket)."""
+    equi_keys = equi_keys or []
+    if how != "inner":
+        raise ValueError(f"range_join is inner-only (see range_join_left), got {how}")
+
+    lb = F.explode(
+        F.sequence(
+            F.floor(F.col(lo_col) / bucket_width).cast("long"),
+            F.floor(F.col(hi_col) / bucket_width).cast("long"),
+        )
+    ).alias("__bucket")
+    l = left.select("*", lb)
+    r = right.withColumn("__bucket", F.floor(F.col(right_val_col) / bucket_width).cast("long"))
+    cond = [l["__bucket"] == r["__bucket"]] + [l[k] == r[k] for k in equi_keys]
+    inner = l.join(r, cond, "inner").filter(
+        (r[right_val_col] >= l[lo_col]) & (r[right_val_col] <= l[hi_col])
+    )
+    for c in [l["__bucket"], r["__bucket"]] + [r[k] for k in equi_keys]:
+        inner = inner.drop(c)
+    return inner
+
+
+def range_join_left(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    lo_col: str,
+    hi_col: str,
+    right_val_col: str,
+    equi_keys: list[str] | None = None,
+    bucket_width: float = 3600.0,
+) -> DataFrame:
+    """LEFT interval join: inner :func:`range_join` + anti-join restore of
+    unmatched left rows (right columns NULL). ``left_id`` must be unique."""
+    inner = range_join(
+        left, right, lo_col, hi_col, right_val_col, equi_keys, bucket_width, how="inner"
+    )
+    right_only = [c for c in inner.columns if c not in left.columns]
+    unmatched = left.join(inner.select(left_id).distinct(), left_id, "left_anti")
+    for c in right_only:
+        unmatched = unmatched.withColumn(c, F.lit(None).cast(inner.schema[c].dataType))
+    return inner.unionByName(unmatched)
+
+
 def sessionize(
     df: DataFrame,
     user_col: str,

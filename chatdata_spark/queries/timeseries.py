@@ -113,3 +113,48 @@ def percentile_stats(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "range_join_click_window",
+    oracle="""
+    WITH purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    clicks AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT p.event_id, COUNT(c.ts) AS n_clicks,
+           CAST(COALESCE(SUM(CAST(c.value AS DECIMAL(27,6))), 0) AS DOUBLE) AS click_value
+    FROM purchases p
+    LEFT JOIN clicks c
+      ON p.user_id = c.user_id
+     AND epoch(c.ts) >= epoch(p.ts) - 86400 AND epoch(c.ts) <= epoch(p.ts)
+    GROUP BY p.event_id ORDER BY p.event_id
+    """,
+)
+def range_join_click_window(spark, sf_dir):
+    """Interval join via bucketized equi-join (operators/timeseries.py::
+    range_join): same-user clicks within the 24h window before each
+    purchase — no nested-loop plan, cost ∝ window/bucket per row."""
+    from chatdata_spark.operators.timeseries import range_join_left
+
+    e = load_events(spark, sf_dir)
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.unix_timestamp("ts").alias("p_ts"))
+        .withColumn("lo", F.col("p_ts") - 86400)
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_timestamp("ts").alias("c_ts"), "value"
+    )
+    joined = range_join_left(
+        purchases, clicks, left_id="event_id", lo_col="lo", hi_col="p_ts",
+        right_val_col="c_ts", equi_keys=["user_id"], bucket_width=86400.0,
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(
+            F.count("c_ts").alias("n_clicks"),
+            F.coalesce(F.sum(F.col("value").cast("decimal(27,6)")), F.lit(0).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("click_value"),
+        )
+        .orderBy("event_id")
+    )

@@ -83,3 +83,30 @@ def test_build_is_idempotent(spark, tmp_path):
     idx1 = build_or_load_ivf(spark, emb, str(tmp_path / "ivf"), "vec_id", "embedding", 8)
     idx2 = build_or_load_ivf(spark, emb, str(tmp_path / "ivf"), "vec_id", "embedding", 8)
     assert (idx1.centroids == idx2.centroids).all()
+
+
+def test_int8_quantization_error_bound_and_knn(spark):
+    """fp16_storage-style compressed vectors: per-element reconstruction
+    error ≤ scale/2; kNN over dequantized vectors finds nearly the exact
+    top-k (storage compression must not wreck retrieval)."""
+    from chatdata_spark.functions.vector import dequantized, with_quantized_vector
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qdf = with_quantized_vector(emb, "embedding")
+    err = qdf.select(
+        F.array_max(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                dequantized("q_vec", "q_scale"),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("max_err"),
+        (F.col("q_scale") / 2 + F.lit(1e-12)).alias("bound"),
+    )
+    assert err.filter(F.col("max_err") > F.col("bound")).count() == 0
+
+    exact = [r.vec_id for r in knn(emb, "embedding", Q, k=10, select=["vec_id"], id_col="vec_id").collect()]
+    deq = qdf.select("vec_id", dequantized("q_vec", "q_scale").alias("embedding"))
+    approx = [r.vec_id for r in knn(deq, "embedding", Q, k=10, select=["vec_id"], id_col="vec_id").collect()]
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.8, f"quantized kNN overlap too low: {overlap}"

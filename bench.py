@@ -38,6 +38,10 @@ HEADLINE = [
     "text_profile",             # scan-stage text analytics
     "dialect_knn",              # Vector SQL dialect end-to-end
     "mutation_upsert_keep_latest",  # upsert convention
+    "asof_join_purchase_click",  # as-of join (union+window merge)
+    "range_join_click_window",  # interval join (bucketized)
+    "sessionize_events",        # gap sessionization
+    "text_lang_distribution",   # langid feeding an aggregate
 ]
 
 

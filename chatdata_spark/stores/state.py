@@ -90,6 +90,22 @@ class VersionedParquetStore:
     def update_where(self, cond, assignments) -> int:
         return self.write(update_where(self.read(), cond, assignments))
 
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop version directories older than the newest ``keep_last``
+        (time travel window). Never touches the current version; safe to run
+        while readers hold the resolved pointer (they already opened their
+        files). Returns the removed version numbers."""
+        import shutil
+
+        current = self.current_version()
+        removed = []
+        for v in range(1, max(1, current - keep_last + 1)):
+            d = self._version_dir(v)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+                removed.append(v)
+        return removed
+
 
 def _sha256(*parts: str) -> str:
     return hashlib.sha256("".join(parts).encode("utf-8")).hexdigest()

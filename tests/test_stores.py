@@ -109,3 +109,13 @@ def test_vector_dim_constraint_on_kb(spark, tmp_path):
     kb.add_paragraphs("u1", "a.pdf", ["text one here now"], lambda t: hash_embed(t, 8), created_by=_ts(0))
     bad = kb.kb.read().filter(F.size("vector") != 8).count()
     assert bad == 0
+
+
+def test_vacuum_keeps_current_and_window(spark, tmp_path):
+    s = VersionedParquetStore(spark, str(tmp_path / "t"))
+    for i in range(4):
+        s.write(spark.createDataFrame([(i,)], "v int"))
+    assert s.current_version() == 4
+    removed = s.vacuum(keep_last=2)
+    assert removed == [1, 2]
+    assert s.read().collect()[0].v == 3  # version 4 holds the 4th write (v=3)

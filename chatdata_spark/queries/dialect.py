@@ -180,3 +180,29 @@ def self_query_knn(spark, sf_dir):
     ast = and_(gte("n_chars", 100), lte("n_chars", 400), in_("lang", ("en", "de")))
     where = SelfQueryCompiler(attrs).compile(ast)
     return knn(df, "embedding", Q1, k=12, where=where, select=["doc_id", "lang"], id_col="doc_id")
+
+
+@query(
+    "dialect_array_functions",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(lower(text), ' '), w -> length(w) > 5)) AS INT) AS n_long_words,
+           ROUND(list_sum(list_transform(string_split(lower(text), ' '), w -> CAST(length(w) AS DOUBLE))), 6) AS total_chars,
+           CAST(length(text) > 0 AS BOOLEAN) AS has_text,
+           CAST(n_chars AS DOUBLE) AS n_chars_f
+    FROM documents WHERE doc_id < 25 ORDER BY doc_id
+    """,
+)
+def dialect_array_functions(spark, sf_dir):
+    """§2.9 parity sweep: arrayFilter, arraySum, lowerUTF8, notEmpty,
+    toFloat64 — one canned ClickHouse query through the rename pass."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    ch_sql = """
+    SELECT doc_id,
+           toInt32(length(arrayFilter(w -> length(w) > 5, splitByChar(' ', lowerUTF8(text))))) AS n_long_words,
+           round(arraySum(arrayMap(w -> toFloat64(length(w)), splitByChar(' ', lowerUTF8(text)))), 6) AS total_chars,
+           notEmpty(text) AS has_text,
+           toFloat64(n_chars) AS n_chars_f
+    FROM documents PREWHERE doc_id < 25 ORDER BY doc_id
+    """
+    return spark.sql(DIALECT.translate(ch_sql))

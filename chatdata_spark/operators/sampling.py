@@ -1,0 +1,58 @@
+"""Deterministic sampling / splitting for training-data curation
+(north-star extension).
+
+All sampling here is **hash-based, not RNG-based**: membership of a row
+depends only on (salt, key), so samples are reproducible across reruns,
+engines, partitionings and cluster sizes — the property a 100 TB curation
+pipeline actually needs (``df.sample()`` draws differ per partition
+layout). The hash is md5 (hex → uint32 bucket) because every SQL engine
+agrees on it, making the operators oracle-checkable.
+
+- ``hash_sample``: keep ≈fraction of rows (exact membership function).
+- ``train_val_test_split``: disjoint split assignment by bucket ranges.
+- ``stratified_quota``: top-N rows per stratum in hash order — balanced
+  quotas without a global sort (one window per stratum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+BUCKETS = 1 << 32  # md5 prefix is parsed as a uint32
+
+
+def hash_bucket(key, salt: str = "") -> Column:
+    """Deterministic uniform bucket in [0, 2^32) from md5(salt || key)."""
+    k = F.col(key) if isinstance(key, str) else key
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), k.cast("string"))), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "s") -> DataFrame:
+    """Keep rows whose bucket falls below fraction·2³² — same rows every
+    run, any engine, any partitioning."""
+    return df.filter(hash_bucket(key_col, salt) < int(fraction * BUCKETS))
+
+
+def train_val_test_split(
+    df: DataFrame, key_col: str, val_fraction: float = 0.1, test_fraction: float = 0.1, salt: str = "split"
+) -> DataFrame:
+    """Disjoint deterministic split assignment as a ``split`` column."""
+    b = hash_bucket(key_col, salt)
+    val_hi = int(val_fraction * BUCKETS)
+    test_hi = val_hi + int(test_fraction * BUCKETS)
+    return df.withColumn(
+        "split",
+        F.when(b < val_hi, "val").when(b < test_hi, "test").otherwise("train"),
+    )
+
+
+def stratified_quota(
+    df: DataFrame, strata_cols: list[str], n_per_stratum: int, key_col: str, salt: str = "q"
+) -> DataFrame:
+    """First ``n_per_stratum`` rows per stratum in hash order — a balanced
+    deterministic subsample (per-language / per-source quotas)."""
+    w = Window.partitionBy(*strata_cols).orderBy(hash_bucket(key_col, salt).asc(), F.col(key_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= n_per_stratum).drop("__rn")

@@ -1,0 +1,94 @@
+"""Driver queries for deterministic sampling + vector analytics. Oracles
+mirror the md5-bucket arithmetic exactly (both engines agree on md5 hex and
+hex→int parsing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chatdata_spark.operators.sampling import hash_sample, stratified_quota, train_val_test_split
+from chatdata_spark.registry import query
+
+_D_BUCKET = "CAST(('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+@query(
+    "sample_hash_20pct",
+    oracle=f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_D_BUCKET.format(salt='s', key='doc_id')} < CAST(0.2 * 4294967296 AS BIGINT)
+    ORDER BY doc_id
+    """,
+)
+def sample_hash_20pct(spark, sf_dir):
+    """Deterministic 20% sample: same membership any run/engine/layout
+    (hash-based, not RNG — the reproducible curation primitive)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_sample(d, "doc_id", 0.2, salt="s").select("doc_id", "lang").orderBy("doc_id")
+
+
+@query(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT CASE WHEN {_D_BUCKET.format(salt='split', key='doc_id')} < CAST(0.1 * 4294967296 AS BIGINT) THEN 'val'
+                WHEN {_D_BUCKET.format(salt='split', key='doc_id')} < CAST(0.1 * 4294967296 AS BIGINT) + CAST(0.1 * 4294967296 AS BIGINT) THEN 'test'
+                ELSE 'train' END AS split,
+           COUNT(*) AS n
+    FROM documents GROUP BY split ORDER BY split
+    """,
+)
+def split_train_val_test(spark, sf_dir):
+    """Deterministic disjoint train/val/test assignment (salted so it is
+    independent of the sampling hash)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        train_val_test_split(d, "doc_id", 0.1, 0.1)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split")
+    )
+
+
+@query(
+    "stratified_quota_by_lang",
+    oracle=f"""
+    SELECT lang, doc_id FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY lang
+        ORDER BY {_D_BUCKET.format(salt='q', key='doc_id')} ASC, doc_id ASC) <= 10
+    ORDER BY lang, doc_id
+    """,
+)
+def stratified_quota_by_lang(spark, sf_dir):
+    """Balanced per-language quota (10 docs each) in hash order — corpus
+    balancing without a global sort."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_quota(d, ["lang"], 10, "doc_id").select("lang", "doc_id").orderBy("lang", "doc_id")
+
+
+@query(
+    "vector_centroids_by_label",
+    oracle="""
+    WITH flat AS (
+        SELECT label, u.dim, u.x FROM embeddings,
+        LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+                        generate_subscripts(embedding, 1) AS dim) u
+    )
+    SELECT label, dim,
+           CAST(SUM(CAST(x AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*) AS c
+    FROM flat GROUP BY label, dim ORDER BY label, dim
+    """,
+)
+def vector_centroids_by_label(spark, sf_dir):
+    """Per-group embedding centroids (posexplode → per-dimension exact
+    decimal mean): group-level vector analytics beyond search — the
+    building block of IVF retraining and per-class drift monitoring."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        e.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "x"))
+        .withColumn("dim", F.col("dim0") + 1)  # 1-based like generate_subscripts
+        .groupBy("label", "dim")
+        .agg((F.sum(F.col("x").cast("decimal(27,9)")).cast("double") / F.count(F.lit(1))).alias("c"))
+        .orderBy("label", "dim")
+        .select("label", "dim", "c")
+    )

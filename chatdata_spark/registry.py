@@ -54,6 +54,7 @@ def _load_all() -> None:
         ingest,
         mutations,
         relational,
+        sampling,
         text,
         timeseries,
         vector,

@@ -92,3 +92,51 @@ def vector_centroids_by_label(spark, sf_dir):
         .orderBy("label", "dim")
         .select("label", "dim", "c")
     )
+
+
+@query(
+    "pack_documents",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS tokens,
+               {_D_BUCKET.format(salt='pack', key='doc_id')} AS hb
+        FROM documents
+    ),
+    cum AS (
+        SELECT lang, doc_id, tokens,
+               SUM(tokens) OVER (PARTITION BY lang ORDER BY hb, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        FROM toks
+    )
+    SELECT lang, CAST(FLOOR((cum_tokens - tokens) / 2048) AS INT) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens
+    FROM cum GROUP BY lang, bin ORDER BY lang, bin
+    """,
+)
+def pack_documents(spark, sf_dir):
+    """Context-window packing: documents greedily packed into ~2048-token
+    bins in deterministic hash order, independently per language partition
+    (one window per group — at 100 TB each pack group is a partition, no
+    global sort). The training-data step that turns a corpus into
+    fixed-budget training sequences."""
+    from chatdata_spark.operators.sampling import hash_bucket
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).alias("tokens"),
+        hash_bucket("doc_id", "pack").alias("hb"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("hb", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_tokens", F.sum("tokens").over(w))
+    return (
+        cum.withColumn("bin", F.floor((F.col("cum_tokens") - F.col("tokens")) / 2048).cast("int"))
+        .groupBy("lang", "bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tokens").cast("bigint").alias("total_tokens"))
+        .orderBy("lang", "bin")
+    )

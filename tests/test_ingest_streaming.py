@@ -117,3 +117,26 @@ def test_stream_upsert_into_store(spark, tmp_path):
     stream_upsert_into_store(spark, ind, store, ["entity_id"], "version", ckpt, schema)
     got = {(r.entity_id, r.text) for r in store.read().collect()}
     assert got == {("a", "v2"), ("b", "v1"), ("c", "v1")}
+
+
+def test_stream_distinct_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState first-arrival dedup: duplicates dropped within
+    a batch AND across separate drains (state survives via checkpoint)."""
+    from chatdata_spark.streaming.stateful import stream_distinct
+
+    ind, outd, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(ind)
+    schema = "entity_id string, text string"
+    spark.createDataFrame(
+        [("a", "first-a"), ("b", "first-b"), ("a", "dup-a")], schema
+    ).write.mode("append").parquet(ind)
+    stream_distinct(spark, ind, outd, ckpt, "entity_id", schema)
+    got1 = {(r.entity_id, r.text) for r in spark.read.parquet(outd).collect()}
+    assert {e for e, _ in got1} == {"a", "b"} and len(got1) == 2
+
+    # second drain: 'b' already seen in checkpointed state → only 'c' emits
+    spark.createDataFrame([("b", "dup-b"), ("c", "first-c")], schema).write.mode("append").parquet(ind)
+    stream_distinct(spark, ind, outd, ckpt, "entity_id", schema)
+    got2 = {r.entity_id for r in spark.read.parquet(outd).collect()}
+    assert got2 == {"a", "b", "c"}
+    assert spark.read.parquet(outd).count() == 3

@@ -244,7 +244,26 @@ class VectorSQLDialect:
             "lowerUTF8": lambda a: f"lower({a[0]})",
             "upperUTF8": lambda a: f"upper({a[0]})",
             "lengthUTF8": lambda a: f"char_length({a[0]})",
+            "toYear": lambda a: f"year({a[0]})",
+            "toMonth": lambda a: f"month({a[0]})",
+            "toDayOfMonth": lambda a: f"day({a[0]})",
+            "toHour": lambda a: f"hour({a[0]})",
+            "toStartOfDay": lambda a: f"date_trunc('DAY', {a[0]})",
+            "toStartOfMonth": lambda a: f"trunc({a[0]}, 'month')",
+            "toStartOfYear": lambda a: f"trunc({a[0]}, 'year')",
+            "dateDiff": lambda a: f"timestampdiff({a[0].strip().strip(chr(39)).upper()}, {a[1]}, {a[2]})",
+            "intDiv": lambda a: f"({a[0]} div {a[1]})",
+            "modulo": lambda a: f"({a[0]} % {a[1]})",
         }
+
+        def multi_if(a: list[str]) -> str:
+            # multiIf(c1, v1, c2, v2, ..., else) → CASE chain
+            parts = []
+            for i in range(0, len(a) - 1, 2):
+                parts.append(f"WHEN {a[i]} THEN {a[i + 1]}")
+            return "(CASE " + " ".join(parts) + f" ELSE {a[-1]} END)"
+
+        sql = replace_calls(sql, "multiIf", multi_if)
 
         def json_extract(cast: str | None):
             def build(a: list[str]) -> str:

@@ -206,3 +206,37 @@ def dialect_array_functions(spark, sf_dir):
     FROM documents PREWHERE doc_id < 25 ORDER BY doc_id
     """
     return spark.sql(DIALECT.translate(ch_sql))
+
+
+@query(
+    "routed_index_knn",
+    oracle=f"""
+    SELECT vec_id, label,
+           ROUND(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_duck_vec(hash_embed('routed query', DIM))}), 6) AS dist
+    FROM embeddings
+    WHERE label <> 5
+    ORDER BY dist ASC, vec_id ASC
+    LIMIT 9
+    """,
+)
+def routed_index_knn(spark, sf_dir):
+    """§4.3.3 transparent index routing: the kNN template over an indexed
+    table executes through the IVF partition-pruned scan (full probe here,
+    so routed ≡ exact and the oracle checks it)."""
+    from chatdata_spark.operators.ivf import build_or_load_ivf
+    from chatdata_spark.plans.router import VectorQueryRouter
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.createOrReplaceTempView("embeddings")
+    safe = sf_dir.strip("/").replace("/", "_")
+    idx = build_or_load_ivf(spark, emb, f"/tmp/chatdata_spark_ivf/{safe}_k8", "vec_id", "embedding", 8)
+    router = VectorQueryRouter(DIALECT, {"embeddings": idx})
+    return router.execute(
+        spark,
+        """
+        SELECT vec_id, label FROM embeddings
+        PREWHERE label != 5
+        ORDER BY DISTANCE(embedding, NeuralArray(routed query)) AS dist ASC, vec_id ASC
+        LIMIT 9
+        """,
+    )

@@ -92,3 +92,13 @@ def test_table_map():
 def test_unbalanced_raises():
     with pytest.raises(ValueError):
         D.translate("SELECT has(a, b FROM t")
+
+
+def test_date_and_conditional_renames():
+    out = D.translate(
+        "SELECT toYear(ts), toStartOfMonth(ts), multiIf(x > 1, 'a', x > 0, 'b', 'c'), intDiv(a, b) FROM t"
+    )
+    assert "year(ts)" in out
+    assert "trunc(ts, 'month')" in out
+    assert "(CASE WHEN x > 1 THEN 'a' WHEN x > 0 THEN 'b' ELSE 'c' END)" in out
+    assert "(a div b)" in out

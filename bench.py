@@ -42,6 +42,7 @@ HEADLINE = [
     "range_join_click_window",  # interval join (bucketized)
     "sessionize_events",        # gap sessionization
     "text_lang_distribution",   # langid feeding an aggregate
+    "embed_documents_batch",    # Arrow batch embedding throughput
 ]
 
 

@@ -172,11 +172,22 @@ def hash_embed(text: str, dim: int = 64) -> list[float]:
 def make_embed_text_udf(dim: int = 64):
     """Distributed batch embedding (V5, tools.py:53-59 shape): an Arrow
     pandas UDF; a real deployment swaps ``hash_embed`` for a broadcast
-    sentence-transformers model, the Spark plumbing is identical."""
+    sentence-transformers model, the Spark plumbing is identical.
+
+    The hashing logic is INLINED (not a call to the module-level
+    ``hash_embed``): closures pickle by value, but their references to
+    importable-module globals pickle by name — a ``hash_embed`` reference
+    would require ``chatdata_spark`` on every Python worker's path."""
 
     @F.pandas_udf("array<float>")
     def _embed(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: hash_embed(t if t is not None else "", dim))
+        def he(text: str) -> list[float]:
+            seed = int.from_bytes(hashlib.sha256(text.encode("utf-8")).digest()[:4], "big")
+            v = np.random.RandomState(seed).standard_normal(dim)
+            v = v / np.linalg.norm(v)
+            return [float(x) for x in v]
+
+        return texts.map(lambda t: he(t if t is not None else ""))
 
     return _embed
 

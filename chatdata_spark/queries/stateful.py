@@ -1,0 +1,73 @@
+"""Driver-visible (rows-only) queries for the state-store and streaming
+surfaces. These write to fresh temp dirs per invocation — the driver's
+check is rows+schema, and the outputs are fully deterministic (fixed
+timestamps, deterministic embedder), so repeated runs agree."""
+
+from __future__ import annotations
+
+import datetime
+import tempfile
+
+from pyspark.sql import functions as F
+
+from chatdata_spark.registry import query
+
+_TS = datetime.datetime(2023, 6, 1)
+
+
+def _t(i):
+    return _TS + datetime.timedelta(minutes=i)
+
+
+@query("store_session_lifecycle")  # rows-only: writes state, not SQL-expressible
+def store_session_lifecycle(spark, sf_dir):
+    """M1-M5 through the versioned stores: create sessions, update a prompt,
+    append chat messages, cascade-delete one session — returns the final
+    per-session message summary (deterministic fixed timestamps)."""
+    from chatdata_spark.stores.state import ChatMemoryStore, SessionStore
+
+    root = tempfile.mkdtemp(prefix="chatdata_store_q_")
+    sess = SessionStore(spark, f"{root}/sessions")
+    mem = ChatMemoryStore(spark, f"{root}/memory")
+    sess.add_session("u1", "u1?default", "be helpful", create_by=_t(0))
+    sess.add_session("u1", "u1?work", "be terse", create_by=_t(1))
+    sess.add_session("u2", "u2?default", "hi", create_by=_t(2))
+    sess.update_system_prompt("u1?work", "be very terse")
+    for i, (typ, msg) in enumerate([("human", "hello"), ("ai", "hi there"), ("human", "bye")]):
+        mem.append_message("u1?work", typ, msg, ts=100.0 + i)
+    mem.append_message("u2?default", "human", "other", ts=200.0)
+    sess.delete_session("u1?default", memory=mem)
+
+    sessions = sess.store.read().select("session_id", "user_id", "system_prompt")
+    msgs = mem.store.read().groupBy("session_id").agg(
+        F.count(F.lit(1)).alias("n_msgs"), F.min("id").alias("first_id")
+    )
+    return (
+        sessions.join(msgs, "session_id", "left")
+        .select("session_id", "user_id", "system_prompt", F.coalesce("n_msgs", F.lit(0)).alias("n_msgs"))
+        .orderBy("session_id")
+    )
+
+
+@query("streaming_incremental_embed")  # rows-only: streaming side effects
+def streaming_incremental_embed(spark, sf_dir):
+    """§2.10 extension surface, driver-visible: two availableNow drains over
+    a file stream (second sees only the new file), deterministic embedder —
+    returns per-batch-file embedded counts + a vector checksum."""
+    import os
+
+    from chatdata_spark.streaming.incremental import incremental_embed
+
+    root = tempfile.mkdtemp(prefix="chatdata_stream_q_")
+    ind, outd, ckpt = f"{root}/in", f"{root}/out", f"{root}/ck"
+    os.makedirs(ind)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs.filter(F.col("doc_id") < 40).write.mode("append").parquet(ind)
+    incremental_embed(spark, ind, outd, ckpt, dim=16)
+    docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 60)).write.mode("append").parquet(ind)
+    incremental_embed(spark, ind, outd, ckpt, dim=16)
+    out = spark.read.parquet(outd)
+    return (
+        out.select("doc_id", F.round(F.aggregate(F.col("vector").cast("array<double>"), F.lit(0.0), lambda a, x: a + x), 6).alias("vec_sum"))
+        .orderBy("doc_id")
+    )

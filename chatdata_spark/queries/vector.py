@@ -139,3 +139,30 @@ def vector_brute_force_scores(spark, sf_dir):
         .agg(F.min("dist").cast("double").alias("min_dist"), F.count(F.lit(1)).alias("n"))
         .orderBy("label")
     )
+
+
+@query("embed_documents_batch")  # rows-only: embedder not SQL-expressible
+def embed_documents_batch(spark, sf_dir):
+    """V5 batch embedding throughput surface: Arrow-batched embedder over
+    the documents table (deterministic hash embedder standing in for the
+    sentence-transformer; identical Spark plumbing), rolled up per lang
+    with a checksum so repeated runs verify byte-stable output."""
+    from chatdata_spark.functions.vector import make_embed_text_udf
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from chatdata_spark.operators.dedup import _spread
+
+    embedded = _spread(d.select("doc_id", "lang", "text")).withColumn(
+        "vector", make_embed_text_udf(DIM)(F.col("text"))
+    )
+    return (
+        embedded.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.aggregate(F.col("vector").cast("array<double>"), F.lit(0.0), lambda a, x: a + x).cast("decimal(27,6)")).cast("double"),
+                4,
+            ).alias("vec_checksum"),
+        )
+        .orderBy("lang")
+    )

@@ -55,6 +55,7 @@ def _load_all() -> None:
         mutations,
         relational,
         sampling,
+        stateful,
         text,
         timeseries,
         vector,

@@ -75,7 +75,7 @@ def parse_elements_stub(content: bytes, file_name: str) -> list[dict]:
 
 def parse_uploads(
     files_df: DataFrame,
-    parser: Callable[[bytes, str], list[dict]] = parse_elements_stub,
+    parser: Callable[[bytes, str], list[dict]] | None = None,
     min_words: int = 10,
 ) -> DataFrame:
     """S8 pipeline over a binary-file DataFrame (``spark.read.format(
@@ -83,7 +83,21 @@ def parse_uploads(
     reference's ThreadPool(8) fan-out (tools.py:46-50) — parallelism is
     partition count, not a thread knob. Keeps ``type == 'NarrativeText' AND
     words > min_words`` (tools.py:42) and derives the upsert key
-    ``entity_id = sha256(file + text)`` (tools.py:35-37)."""
+    ``entity_id = sha256(file + text)`` (tools.py:35-37).
+
+    Default parser is an inline copy of :func:`parse_elements_stub` —
+    passing the module-level function as a default would pickle it by
+    reference and require the package on worker paths."""
+    if parser is None:
+
+        def parser(content: bytes, file_name: str) -> list[dict]:
+            text = content.decode("utf-8", errors="replace")
+            out = []
+            for i, para in enumerate(p.strip() for p in text.split("\n\n")):
+                if para:
+                    out.append({"type": "NarrativeText" if i % 3 != 2 else "Title", "text": para})
+            return out
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []

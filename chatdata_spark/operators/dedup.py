@@ -335,6 +335,32 @@ def simhash_pairs(
 
 # --- embedding near-dup -----------------------------------------------------------
 
+def embedding_near_dup_clustered(
+    ivf_index,
+    threshold: float = 0.4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Scale path for embedding near-dup: compare only pairs sharing an IVF
+    cluster (join keyed on cluster_id — O(Σ cluster²) instead of O(n²)).
+    Recall = fraction of true pairs whose members land in the same cluster;
+    high-similarity pairs almost always do (their vectors are close to the
+    same centroid), and more clusters trade recall for cost exactly like
+    n_probe does for search."""
+    from chatdata_spark.functions.vector import cosine_distance
+
+    df = ivf_index.spark.read.parquet(f"{ivf_index.path}/data")
+    a = df.select(F.col("cluster_id"), F.col(ivf_index.id_col).alias("i"), F.col(ivf_index.vector_col).alias("v_i"))
+    b = df.select(F.col("cluster_id"), F.col(ivf_index.id_col).alias("j"), F.col(ivf_index.vector_col).alias("v_j"))
+    sim = F.lit(1.0) - cosine_distance(F.col("v_i"), F.col("v_j"))
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("i") < F.col("j"))
+        .withColumn("cos_sim", F.round(sim, round_digits))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("i", "j", "cos_sim")
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     id_col: str,

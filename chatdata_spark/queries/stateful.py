@@ -71,3 +71,38 @@ def streaming_incremental_embed(spark, sf_dir):
         out.select("doc_id", F.round(F.aggregate(F.col("vector").cast("array<double>"), F.lit(0.0), lambda a, x: a + x), 6).alias("vec_sum"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "rollup_incremental_refresh",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total,
+           MIN(value) AS vmin, MAX(value) AS vmax
+    FROM events GROUP BY bucket, event_type ORDER BY bucket, event_type
+    """,
+)
+def rollup_incremental_refresh(spark, sf_dir):
+    """Hypertable-style continuous aggregate: two incremental refreshes
+    (split at the event-id watermark) must materialize exactly the full
+    recompute — which is what the oracle checks."""
+    import tempfile
+
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.rollup import IncrementalRollup
+    from chatdata_spark.stores.state import VersionedParquetStore
+
+    e = load_events(spark, sf_dir)
+    store = VersionedParquetStore(spark, tempfile.mkdtemp(prefix="chatdata_rollup_q_"))
+    r = IncrementalRollup(
+        store,
+        bucket_expr=F.date_trunc("day", F.col("ts")),
+        group_cols=["event_type"],
+        value_col="value",
+        watermark_col="event_id",
+    )
+    half = e.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    r.refresh(e.filter(F.col("event_id") <= half))
+    r.refresh(e)
+    return r.read().select("bucket", "event_type", "n", "total", "vmin", "vmax").orderBy("bucket", "event_type")

@@ -74,7 +74,7 @@ def stratified_quota_by_lang(spark, sf_dir):
         LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
                         generate_subscripts(embedding, 1) AS dim) u
     )
-    SELECT label, dim,
+    SELECT label, CAST(dim AS INT) AS dim,
            CAST(SUM(CAST(x AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*) AS c
     FROM flat GROUP BY label, dim ORDER BY label, dim
     """,

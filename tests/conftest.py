@@ -55,8 +55,35 @@ def _canon(rows, cols):
     return sorted(out, key=repr)
 
 
+_DUCK_TYPE_FAMILY = {
+    "BIGINT": "bigint", "HUGEINT": "bigint", "INTEGER": "int", "SMALLINT": "int",
+    "TINYINT": "int", "DOUBLE": "double", "FLOAT": "float", "VARCHAR": "string",
+    "JSON": "string", "TIMESTAMP": "timestamp", "TIMESTAMP_NS": "timestamp",
+    "DATE": "date", "BOOLEAN": "boolean",
+}
+
+
+def _duck_family(t) -> str:
+    t = str(t)
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t.endswith("[]"):
+        return "array"
+    return _DUCK_TYPE_FAMILY.get(t, t.lower())
+
+
+def _spark_family(t: str) -> str:
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith("array"):
+        return "array"
+    return "timestamp" if t == "timestamp_ntz" else t
+
+
 def assert_matches_oracle(spark_df, oracle: str, sf_dir: str, name: str = "?"):
     con = duck_con(sf_dir)
+    rel = con.sql(oracle)
+    duck_types = dict(zip(rel.columns, rel.types))
     want = con.execute(oracle)
     want_cols = [d[0] for d in want.description]
     want_rows = want.fetchall()
@@ -67,6 +94,12 @@ def assert_matches_oracle(spark_df, oracle: str, sf_dir: str, name: str = "?"):
     assert sorted(got_cols) == sorted(want_cols), (
         f"[{name}] column mismatch: spark={sorted(got_cols)} duck={sorted(want_cols)}"
     )
+    # type-family agreement (the driver records schema matches, not just values)
+    for c, spark_t in spark_df.dtypes:
+        if c in duck_types:
+            assert _spark_family(spark_t) == _duck_family(duck_types[c]), (
+                f"[{name}] dtype mismatch on {c}: spark={spark_t} duck={duck_types[c]}"
+            )
     assert len(got_rows) == len(want_rows), (
         f"[{name}] row count: spark={len(got_rows)} duck={len(want_rows)}"
     )

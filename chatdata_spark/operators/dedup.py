@@ -26,6 +26,8 @@ Scale design (the 100 TB story):
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -154,14 +156,24 @@ def minhash_band_keys_udf(num_hashes: int = 128, rows_per_band: int = 2):
     return _bands
 
 
-def simhash64_expr(hashes_col: str) -> Column:
-    """64-bit SimHash from a pre-hashed token array column: bit j = sign of
-    Σ±1 over token hashes' bit j. Pure SQL expr because the Python
+def md5_hash60(t) -> Column:
+    """60-bit token hash from the first 15 hex chars of md5 — ~2× the cost
+    of xxhash64 but computable bit-identically in DuckDB
+    (``CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)``), which makes the
+    SimHash pipeline oracle-checkable end-to-end. 60 bits so the value fits
+    BIGINT without ANSI overflow on either engine."""
+    t = F.col(t) if isinstance(t, str) else t
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash64_expr(hashes_col: str, n_bits: int = 64) -> Column:
+    """SimHash fingerprint from a pre-hashed token array column: bit j =
+    sign of Σ±1 over token hashes' bit j. Pure SQL expr because the Python
     ``shiftleft`` wrapper only takes int shift amounts (the SQL function
-    accepts the lambda-bound ``j``). O(64·n) JVM-side per row."""
+    accepts the lambda-bound ``j``). O(n_bits·n) JVM-side per row."""
     return F.expr(
         f"""
-        aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, j) -> acc +
+        aggregate(sequence(0, {n_bits - 1}), CAST(0 AS BIGINT), (acc, j) -> acc +
           CASE WHEN aggregate({hashes_col}, CAST(0 AS BIGINT),
                  (a, h) -> a + CASE WHEN (h & shiftleft(CAST(1 AS BIGINT), j)) != 0
                                    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END) > 0
@@ -170,14 +182,21 @@ def simhash64_expr(hashes_col: str) -> Column:
     )
 
 
-def with_simhash64(df: DataFrame, text_col: str, out_col: str = "sh64") -> DataFrame:
-    """Attach a 64-bit SimHash of the (lowercased, whitespace-tokenized,
-    distinct) tokens of ``text_col``."""
+def with_simhash64(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "sh64",
+    token_hash: Callable[[Column], Column] | None = None,
+    n_bits: int = 64,
+) -> DataFrame:
+    """Attach an ``n_bits``-wide SimHash of the (lowercased,
+    whitespace-tokenized, distinct) tokens of ``text_col``. ``token_hash``
+    defaults to xxhash64 (cheapest); pass :func:`md5_hash60` with
+    ``n_bits=60`` for the oracle-reproducible variant."""
+    th = token_hash or (lambda t: F.xxhash64(t))
     return (
-        df.withColumn(
-            "__hashes", F.transform(F.array_distinct(words_col(text_col)), lambda t: F.xxhash64(t))
-        )
-        .withColumn(out_col, simhash64_expr("__hashes"))
+        df.withColumn("__hashes", F.transform(F.array_distinct(words_col(text_col)), th))
+        .withColumn(out_col, simhash64_expr("__hashes", n_bits))
         .drop("__hashes")
     )
 
@@ -196,35 +215,64 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str, keep: str = 
 
 # --- exact similarity join (inverted-index / token join) ------------------------
 
+def _stop_shingles(tokens: DataFrame, max_df: int | float):
+    """Shingles whose document frequency exceeds ``max_df`` (absolute int,
+    or fraction of the corpus if float). Returns a 1-column DF of shingle
+    hashes — SMALL by construction (heavy hitters only), so it broadcasts;
+    the survivors (≈ the whole vocabulary) are never collected anywhere."""
+    freq = tokens.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if isinstance(max_df, float):
+        # lazy scalar: 1-row doc count broadcast-joined, no driver action
+        n_docs = tokens.select("id").distinct().agg(F.count(F.lit(1)).alias("__n_docs"))
+        limit = F.greatest(F.ceil(F.lit(max_df) * F.col("__n_docs")), F.lit(2))
+        return (
+            freq.crossJoin(F.broadcast(n_docs)).filter(F.col("df") > limit).select("shingle")
+        )
+    return freq.filter(F.col("df") > max_df).select("shingle")
+
+
 def jaccard_similarity_join(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.4,
-    max_df: int | None = None,
+    max_df: int | float | None = 0.01,
     round_digits: int = 6,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs (i < j, jac ≥ threshold).
 
     Plan: explode distinct shingles → self-join on shingle (inverted index)
-    → count common shingles per pair → jaccard from set sizes. Shuffle key
-    is the shingle string; no all-pairs compare ever materializes.
-    ``max_df`` drops shingles appearing in more than that many docs
-    (stop-shingle skew guard; exact iff threshold guarantees a surviving
-    common shingle)."""
+    → candidate (i, j) pairs → verify with the FULL shingle arrays
+    (array_intersect on the persisted signatures). The shuffle key is the
+    shingle hash; no all-pairs compare ever materializes.
+
+    ``max_df`` (default: 1% of the corpus, min 2 docs; int = absolute;
+    ``None`` = off) drops stop-shingles from CANDIDATE GENERATION only — a
+    shingle shared by f docs produces an f² join bucket, so one common
+    trigram ("of the and") otherwise quadratic-bombs the join at corpus
+    scale. Verification always uses full arrays, so pruning never perturbs
+    a reported jaccard value; a true pair is missed only if EVERY shingle
+    it shares is a stop-shingle, which at jaccard ≥ 0.4 means both docs are
+    composed almost entirely of corpus-wide boilerplate (and at 1%·n that
+    bucket is already ~(0.01n)² — the exactness/robustness trade is
+    documented, pass None to force exhaustive)."""
     base = _with_shingle_hashes(df, id_col, text_col, k, persist=True)
-    tokens = base.select("id", "sz", F.explode("shh").alias("shingle"))
+    tokens = base.select("id", F.explode("shh").alias("shingle"))
     if max_df is not None:
-        freq = tokens.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        tokens = tokens.join(F.broadcast(freq.filter(F.col("df") <= max_df)), "shingle")
-    a = tokens.select(F.col("id").alias("i"), F.col("sz").alias("sz_i"), "shingle")
-    b = tokens.select(F.col("id").alias("j"), F.col("sz").alias("sz_j"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("i") < F.col("j"))
-        .groupBy("i", "j", "sz_i", "sz_j")
-        .agg(F.count(F.lit(1)).alias("common"))
+        stop = _stop_shingles(tokens, max_df)
+        tokens = tokens.join(F.broadcast(stop), "shingle", "left_anti")
+    a = tokens.select(F.col("id").alias("i"), "shingle")
+    b = tokens.select(F.col("id").alias("j"), "shingle")
+    candidates = (
+        a.join(b, "shingle").filter(F.col("i") < F.col("j")).select("i", "j").distinct()
+    )
+    lhs = base.select(F.col("id").alias("i"), F.col("shh").alias("sh_i"), F.col("sz").alias("sz_i"))
+    rhs = base.select(F.col("id").alias("j"), F.col("shh").alias("sh_j"), F.col("sz").alias("sz_j"))
+    return (
+        candidates.join(lhs, "i")
+        .join(rhs, "j")
+        .withColumn("common", F.size(F.array_intersect("sh_i", "sh_j")))
         .withColumn(
             "jaccard",
             F.round(
@@ -234,7 +282,6 @@ def jaccard_similarity_join(
         .filter(F.col("jaccard") >= threshold)
         .select("i", "j", "jaccard")
     )
-    return pairs
 
 
 # --- MinHash LSH near-dup pairs --------------------------------------------------
@@ -295,16 +342,23 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     n_chunks: int = 4,
+    token_hash: Callable[[Column], Column] | None = None,
+    n_bits: int = 64,
 ) -> DataFrame:
     """SimHash near-dup pairs (hamming(simhash_i, simhash_j) ≤ max_hamming).
 
-    Pigeonhole candidates: split 64 bits into ``n_chunks`` 16-bit chunks —
+    Pigeonhole candidates: split ``n_bits`` bits into ``n_chunks`` chunks —
     hamming ≤ n_chunks-1 guarantees an exact match on ≥1 chunk, so the
     self-join key is (chunk_idx, chunk_value). Verification is one
     bit_count(a ^ b). Requires max_hamming < n_chunks for exactness."""
-    bits_per = 64 // n_chunks
+    bits_per = n_bits // n_chunks
     mask = (1 << bits_per) - 1
-    base = with_simhash64(_spread(df.select(F.col(id_col).alias("id"), text_col)), text_col)
+    base = with_simhash64(
+        _spread(df.select(F.col(id_col).alias("id"), text_col)),
+        text_col,
+        token_hash=token_hash,
+        n_bits=n_bits,
+    )
     chunks = base.select(
         "id",
         "sh64",
@@ -335,30 +389,81 @@ def simhash_pairs(
 
 # --- embedding near-dup -----------------------------------------------------------
 
+def _probe_clusters_udf(centroids: np.ndarray, n_probe: int):
+    """array<float> embedding → array<int> of its n_probe nearest centroid
+    ids (cosine), Arrow-batched: one (batch, k) matmul per batch. The
+    centroid matrix is captured by VALUE in the closure (a numpy constant —
+    safe under the repo's no-module-global-refs pickling rule)."""
+    c = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(c, axis=1)
+    p = int(n_probe)
+
+    @F.pandas_udf("array<int>")
+    def _probes(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        sims = (m @ c.T) / (np.linalg.norm(m, axis=1)[:, None] * cn[None, :])
+        top = np.argsort(-sims, axis=1)[:, :p]
+        return pd.Series([row.tolist() for row in top])
+
+    return _probes
+
+
 def embedding_near_dup_clustered(
     ivf_index,
     threshold: float = 0.4,
     round_digits: int = 6,
+    n_probe: int = 1,
 ) -> DataFrame:
     """Scale path for embedding near-dup: compare only pairs sharing an IVF
-    cluster (join keyed on cluster_id — O(Σ cluster²) instead of O(n²)).
-    Recall = fraction of true pairs whose members land in the same cluster;
-    high-similarity pairs almost always do (their vectors are close to the
-    same centroid), and more clusters trade recall for cost exactly like
-    n_probe does for search."""
-    from chatdata_spark.functions.vector import cosine_distance
+    cluster — an EQUI-join keyed on cluster_id (shuffle-partitioned,
+    O(Σ cluster·probe) compare, never a cartesian/nested-loop product).
+
+    ``n_probe`` multi-assigns each left-side point to its n_probe nearest
+    centroids, recovering pairs that straddle a cluster boundary — the same
+    recall/cost knob as IVF search's n_probe. ``n_probe = n_clusters`` is
+    EXACT (every point probes every cluster, so each pair meets in the
+    right member's home cluster) while the plan stays the same equi-join;
+    that is the oracle-checkable configuration. At 100 TB use small
+    n_probe: work is Σ_c |c|·|probed into c| ≈ n_probe/k of the full n²."""
+    from chatdata_spark.functions.vector import cosine_similarity
 
     df = ivf_index.spark.read.parquet(f"{ivf_index.path}/data")
-    a = df.select(F.col("cluster_id"), F.col(ivf_index.id_col).alias("i"), F.col(ivf_index.vector_col).alias("v_i"))
-    b = df.select(F.col("cluster_id"), F.col(ivf_index.id_col).alias("j"), F.col(ivf_index.vector_col).alias("v_j"))
-    sim = F.lit(1.0) - cosine_distance(F.col("v_i"), F.col("v_j"))
-    return (
+    b = df.select(
+        F.col("cluster_id"),
+        F.col(ivf_index.id_col).alias("j"),
+        F.col(ivf_index.vector_col).alias("v_j"),
+    )
+    if n_probe <= 1:
+        a = df.select(
+            F.col("cluster_id"),
+            F.col(ivf_index.id_col).alias("i"),
+            F.col(ivf_index.vector_col).alias("v_i"),
+        )
+    elif n_probe >= ivf_index.n_clusters:
+        # full probe: explode a constant cluster-id array, all-JVM
+        all_clusters = F.array(*[F.lit(c) for c in range(ivf_index.n_clusters)])
+        a = df.select(
+            F.col(ivf_index.id_col).alias("i"),
+            F.col(ivf_index.vector_col).alias("v_i"),
+            F.explode(all_clusters).alias("cluster_id"),
+        )
+    else:
+        probes = _probe_clusters_udf(ivf_index.centroids, n_probe)
+        a = df.select(
+            F.col(ivf_index.id_col).alias("i"),
+            F.col(ivf_index.vector_col).alias("v_i"),
+            F.explode(probes(F.col(ivf_index.vector_col))).alias("cluster_id"),
+        )
+    pairs = (
         a.join(b, "cluster_id")
         .filter(F.col("i") < F.col("j"))
-        .withColumn("cos_sim", F.round(sim, round_digits))
+        .withColumn("cos_sim", F.round(cosine_similarity(F.col("v_i"), F.col("v_j")), round_digits))
         .filter(F.col("cos_sim") >= threshold)
         .select("i", "j", "cos_sim")
     )
+    # multi-probe can meet the same pair in >1 cluster; sim is identical, so
+    # a distinct on the output tuple dedupes without a second shuffle key
+    return pairs.distinct() if n_probe > 1 else pairs
 
 
 def embedding_near_dup(
@@ -371,13 +476,13 @@ def embedding_near_dup(
     """Exact cosine near-duplicate pairs over an embedding column.
 
     This is the verification-grade O(n²) compare (range self-join on id to
-    halve work); at 100 TB run it per-IVF-cluster (operators/ivf.py) so n is
-    a cluster's population, not the corpus."""
-    from chatdata_spark.functions.vector import cosine_distance
+    halve work); at 100 TB run :func:`embedding_near_dup_clustered` so the
+    compare is partitioned by cluster, not a single nested-loop product."""
+    from chatdata_spark.functions.vector import cosine_similarity
 
     a = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v_i"))
     b = df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("v_j"))
-    sim = F.lit(1.0) - cosine_distance(F.col("v_i"), F.col("v_j"))
+    sim = cosine_similarity(F.col("v_i"), F.col("v_j"))
     return (
         a.join(b, F.col("i") < F.col("j"))
         .withColumn("cos_sim", F.round(sim, round_digits))

@@ -227,6 +227,9 @@ class VectorSQLDialect:
             "groupArray": lambda a: f"collect_list({a[0]})",
             "arrayMap": lambda a: f"transform({a[1]}, {a[0]})",
             "arrayFilter": lambda a: f"filter({a[1]}, {a[0]})",
+            "arrayStringConcat": lambda a: (
+                f"array_join({a[0]}, {a[1]})" if len(a) > 1 else f"array_join({a[0]}, '')"
+            ),
             "splitByChar": lambda a: f"split({a[1]}, {a[0]})",
             "parseDateTimeBestEffort": lambda a: f"to_timestamp({a[0]})",
             "toDate": lambda a: f"to_date({a[0]})",

@@ -1,18 +1,19 @@
 """Driver queries for the dedup operator family (north-star extension).
 
-DuckDB oracles recompute shingles/jaccard/cosine from scratch with plain
-SQL; the MinHash-LSH entry is intentionally given the **exact** join's
-oracle — at the default parameters its recall at the 0.4 threshold is
-1 - O(1e-5), and the data is fixed, so verified-LSH output ≡ exact output
-(asserted in tests/test_dedup.py too). SimHash has no oracle (DuckDB lacks
-xxhash64) — rows-only check + unit tests."""
+DuckDB oracles recompute shingles/jaccard/simhash/cosine from scratch with
+plain SQL; the MinHash-LSH entry is intentionally given the **exact**
+join's oracle — at the default parameters its recall at the 0.4 threshold
+is 1 - O(1e-5), and the data is fixed, so verified-LSH output ≡ exact
+output (asserted in tests/test_dedup.py too). SimHash's oracle re-derives
+the fingerprint in DuckDB from the md5-prefix token hash both engines
+share (the xxhash64 default isn't DuckDB-computable)."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from chatdata_spark.operators.dedup import (
-    embedding_near_dup,
+    embedding_near_dup_clustered,
     exact_dedup,
     jaccard_similarity_join,
     minhash_lsh_pairs,
@@ -81,12 +82,44 @@ def dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(d, "doc_id", "text", k=3, threshold=0.4).orderBy("i", "j")
 
 
-@query("dedup_simhash")  # no oracle: DuckDB lacks xxhash64 (rows-only check)
+@query(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               [CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)
+                for t in list_distinct(regexp_split_to_array(lower(text), '\\s+'))] AS hs
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_sum([
+                   CASE WHEN list_sum([CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END
+                                       for h in hs]) > 0
+                        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+                   for j in generate_series(0, 59)]) AS sh
+        FROM toks
+    )
+    SELECT a.doc_id AS i, b.doc_id AS j,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
+    ORDER BY i, j
+    """,
+)
 def dedup_simhash(spark, sf_dir):
-    """SimHash-64 near-dup pairs (hamming ≤ 3) via 4×16-bit chunk pigeonhole.
-    Verified against a planted near-dup pair and monotonicity in tests."""
+    """SimHash near-dup pairs (hamming ≤ 3) via 4×15-bit chunk pigeonhole.
+
+    Uses the 60-bit md5-prefix token hash (operators/dedup.py:md5_hash60) so
+    DuckDB recomputes the identical fingerprint — the xxhash64 default stays
+    the production path (tests cover it); pigeonhole exactness means both
+    configurations return ALL pairs at hamming ≤ 3 for their hash."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_pairs(d, "doc_id", "text", max_hamming=3).orderBy("i", "j")
+    from chatdata_spark.operators.dedup import md5_hash60
+
+    return simhash_pairs(
+        d, "doc_id", "text", max_hamming=3, token_hash=md5_hash60, n_bits=60
+    ).orderBy("i", "j")
 
 
 @query(
@@ -101,7 +134,19 @@ def dedup_simhash(spark, sf_dir):
     """,
 )
 def dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (exact); at scale runs per IVF
-    cluster instead of globally."""
+    """Embedding-cosine near-dup pairs via the CLUSTERED scale operator in
+    its exact configuration (n_probe = n_clusters): the compare is an
+    equi-join partitioned on cluster_id — no cartesian/nested-loop product
+    in the plan — and full probing makes it provably equal to the all-pairs
+    oracle. The O(n²) ``embedding_near_dup`` remains the verification
+    operator in tests/test_dedup.py; small-n_probe recall is tested there."""
+    from chatdata_spark.operators.ivf import build_or_load_ivf
+
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dup(e, "vec_id", "embedding", threshold=0.4).orderBy("i", "j")
+    safe = sf_dir.strip("/").replace("/", "_")
+    idx = build_or_load_ivf(
+        spark, e, f"/tmp/chatdata_spark_ivf/{safe}_k8", "vec_id", "embedding", n_clusters=8
+    )
+    return embedding_near_dup_clustered(
+        idx, threshold=0.4, n_probe=idx.n_clusters
+    ).orderBy("i", "j")

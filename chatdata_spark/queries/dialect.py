@@ -120,18 +120,21 @@ def dialect_scalar_parity(spark, sf_dir):
     "dialect_array_map",
     oracle="""
     SELECT doc_id,
-           list_transform(string_split(text, ' '), w -> upper(w)) AS words_up,
+           array_to_string(list_transform(string_split(text, ' '), w -> upper(w)), ' ') AS words_up,
            CAST(len(string_split(text, ' ')) AS INT) AS n_words
     FROM documents WHERE doc_id < 10 ORDER BY doc_id
     """,
 )
 def dialect_array_map(spark, sf_dir):
     """S3 ingest-flatten shape (docs/vector-sql.md:204-209): arrayMap lambda
-    (arg-order swapped to transform) + splitByChar + polymorphic length."""
+    (arg-order swapped to transform) + splitByChar + polymorphic length +
+    arrayStringConcat. The final arrayStringConcat keeps the driver output
+    list-free (its canonicalizer can't sort array cells); the raw arrayMap
+    output is asserted in tests/test_vector_sql_dialect.py."""
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
     ch_sql = """
     SELECT doc_id,
-           arrayMap(w -> upper(w), splitByChar(' ', text)) AS words_up,
+           arrayStringConcat(arrayMap(w -> upper(w), splitByChar(' ', text)), ' ') AS words_up,
            toInt32(length(splitByChar(' ', text))) AS n_words
     FROM documents WHERE doc_id < 10 ORDER BY doc_id
     """

@@ -40,7 +40,8 @@ from chatdata_spark.sources.ingest import flatten_arxiv_metadata, validate_vecto
     )
     SELECT doc_id,
            json_extract_string(metadata, '$.title') AS title,
-           list_transform(CAST(json_extract(metadata, '$.authors') AS VARCHAR[]), x -> trim(x)) AS authors,
+           array_to_string(list_transform(CAST(json_extract(metadata, '$.authors') AS VARCHAR[]),
+                                          x -> trim(x)), '|') AS authors,
            CAST(json_extract_string(metadata, '$.pubdate') AS TIMESTAMP) AS pubdate
     FROM raw ORDER BY doc_id
     """,
@@ -48,7 +49,10 @@ from chatdata_spark.sources.ingest import flatten_arxiv_metadata, validate_vecto
 def ingest_flatten_json(spark, sf_dir):
     """S3 ingest flatten round-trip: build a metadata JSON (string field,
     array field with padding whitespace, datetime string), then flatten to
-    typed columns via get_json_object/from_json+trim/to_timestamp."""
+    typed columns via get_json_object/from_json+trim/to_timestamp. The
+    driver-facing projection joins the authors array to a '|' string (the
+    driver canonicalizer can't sort list cells); the typed-array flatten
+    itself is asserted in tests/test_ingest_streaming.py."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     raw = d.select(
         "doc_id",
@@ -66,7 +70,11 @@ def ingest_flatten_json(spark, sf_dir):
             )
         ).alias("metadata"),
     )
-    return flatten_arxiv_metadata(raw, "metadata").select("doc_id", "title", "authors", "pubdate").orderBy("doc_id")
+    return (
+        flatten_arxiv_metadata(raw, "metadata")
+        .select("doc_id", "title", F.array_join("authors", "|").alias("authors"), "pubdate")
+        .orderBy("doc_id")
+    )
 
 
 @query(

@@ -104,15 +104,28 @@ def group_count_docs(spark, sf_dir):
 @query(
     "collect_list_sorted",
     oracle="""
-    SELECT lang, list_sort(list(doc_id)) AS doc_ids
+    SELECT lang,
+           array_to_string(list_transform(list_sort(list(doc_id)),
+                                          x -> CAST(x AS VARCHAR)), ',') AS doc_ids
     FROM documents GROUP BY lang ORDER BY lang
     """,
 )
 def collect_list_sorted(spark, sf_dir):
     """A2 groupArray (private_knowledge_base.py:75) — array-valued aggregate,
-    canonicalized by sort for determinism."""
+    canonicalized by sort for determinism. The driver-facing projection
+    serializes the array to a CSV string (the driver's row canonicalizer
+    can't sort list cells); the raw-array form is asserted in unit tests."""
     d = _t(spark, sf_dir, "documents")
-    return d.groupBy("lang").agg(F.array_sort(F.collect_list("doc_id")).alias("doc_ids")).orderBy("lang")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("doc_id")), lambda x: x.cast("string")),
+                ",",
+            ).alias("doc_ids")
+        )
+        .orderBy("lang")
+    )
 
 
 @query(

@@ -7,8 +7,13 @@ import pyspark.sql.functions as F
 import pytest
 
 from chatdata_spark.operators.dedup import (
+    _stop_shingles,
+    _with_shingle_hashes,
+    embedding_near_dup,
+    embedding_near_dup_clustered,
     exact_dedup,
     jaccard_similarity_join,
+    md5_hash60,
     minhash_lsh_pairs,
     simhash_pairs,
 )
@@ -77,3 +82,91 @@ def test_jaccard_join_max_df_pruning_keeps_high_pairs(spark):
     }
     assert full <= pruned | full  # pruning never invents pairs
     assert full == pruned  # high-sim pairs share rare shingles → survive
+
+
+def _skewed_corpus(spark, n=200):
+    """One boilerplate sentence in EVERY doc (the adversarial stop-shingle:
+    an f=n shingle makes an n² join bucket) + unique tails; docs 0/1 are a
+    planted near-dup pair through their unique content."""
+    rows = []
+    for i in range(n):
+        boiler = "terms of service apply to all users of this site"
+        uniq = f"unique{i} payload{i} content{i} token{i}a token{i}b token{i}c"
+        if i == 1:
+            uniq = "unique0 payload0 content0 token0a token0b token0c extra"
+        rows.append((i, f"{boiler} {uniq}"))
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_jaccard_default_skew_guard_bounds_buckets(spark):
+    """Default max_df must (a) classify the corpus-wide shingles as stop
+    shingles — bounding the inverted-index bucket the hot key would
+    otherwise blow up to n² — and (b) still report the planted pair with
+    the SAME jaccard as the exhaustive join (verification uses full
+    arrays, pruning only gates candidate generation)."""
+    d = _skewed_corpus(spark)
+    base = _with_shingle_hashes(d, "doc_id", "text", k=3, persist=False)
+    tokens = base.select("id", F.explode("shh").alias("shingle"))
+    n_stop = _stop_shingles(tokens, 0.01).count()
+    assert n_stop >= 7, "corpus-wide boilerplate shingles must be stop-listed"
+    surviving_max_df = (
+        tokens.join(F.broadcast(_stop_shingles(tokens, 0.01)), "shingle", "left_anti")
+        .groupBy("shingle")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert surviving_max_df <= 2, f"surviving bucket too large: {surviving_max_df}"
+
+    guarded = {(r.i, r.j): r.jaccard for r in jaccard_similarity_join(d, "doc_id").collect()}
+    exhaustive = {
+        (r.i, r.j): r.jaccard
+        for r in jaccard_similarity_join(d, "doc_id", max_df=None).collect()
+    }
+    assert (0, 1) in guarded
+    assert guarded[(0, 1)] == exhaustive[(0, 1)]
+
+
+def test_simhash_md5_variant_same_pipeline(spark):
+    """The oracle-reproducible md5-60-bit config must keep the pigeonhole
+    guarantees: exact copies at hamming 0, monotonicity in max_hamming."""
+    d = _docs(spark, SF_SMOKE).select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") < 20).withColumn("doc_id", F.col("doc_id") + 100000)
+    u = d.unionByName(copies)
+    kw = dict(token_hash=md5_hash60, n_bits=60)
+    p0 = {(r.i, r.j) for r in simhash_pairs(u, "doc_id", max_hamming=0, **kw).collect()}
+    p3 = {(r.i, r.j) for r in simhash_pairs(u, "doc_id", max_hamming=3, **kw).collect()}
+    assert {(i, i + 100000) for i in range(20)} <= p0
+    assert p0 <= p3
+
+
+def _ivf(spark, path, k):
+    from chatdata_spark.operators.ivf import build_or_load_ivf
+
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    return e, build_or_load_ivf(spark, e, path, "vec_id", "embedding", n_clusters=k)
+
+
+def test_clustered_near_dup_full_probe_is_exact(spark, tmp_path):
+    """n_probe = n_clusters must reproduce the all-pairs operator exactly
+    (values included) while the plan stays an equi-join on cluster_id."""
+    e, idx = _ivf(spark, str(tmp_path / "ivf"), 8)
+    exact = {
+        (r.i, r.j): r.cos_sim
+        for r in embedding_near_dup(e, "vec_id", "embedding", 0.4).collect()
+    }
+    clustered_df = embedding_near_dup_clustered(idx, 0.4, n_probe=idx.n_clusters)
+    clustered = {(r.i, r.j): r.cos_sim for r in clustered_df.collect()}
+    assert clustered == exact
+    plan = clustered_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_clustered_near_dup_probe_recall_monotonic(spark, tmp_path):
+    """More probes → more pairs recovered, never false pairs."""
+    e, idx = _ivf(spark, str(tmp_path / "ivf"), 8)
+    exact = {(r.i, r.j) for r in embedding_near_dup(e, "vec_id", "embedding", 0.4).collect()}
+    p1 = {(r.i, r.j) for r in embedding_near_dup_clustered(idx, 0.4, n_probe=1).collect()}
+    p3 = {(r.i, r.j) for r in embedding_near_dup_clustered(idx, 0.4, n_probe=3).collect()}
+    assert p1 <= p3 <= exact
+    assert len(p3) > len(p1), "multi-probe should recover boundary pairs"

@@ -10,18 +10,44 @@ table's history; at 100 TB that is the difference between a minutes-long
 incremental job and a full recompute.
 
 State = a VersionedParquetStore holding
-``(bucket, group..., n, total, vmin, vmax)`` + a ``_WATERMARK`` scalar
-(max ingest id seen), committed together via the store's atomic swap."""
+``(bucket, group..., n, total, vmin, vmax)``; the high-watermark scalar
+rides in the version directory's ``_META.json`` sidecar, so state and
+watermark commit atomically via the store's single ``_LATEST`` pointer
+swap — a crash can never leave merged state with a stale watermark (which
+would re-merge and double-count rows on the next refresh)."""
 
 from __future__ import annotations
 
-import json
-import os
+import datetime
+import decimal
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from chatdata_spark.stores.state import VersionedParquetStore
+
+
+def _encode_wm(v):
+    """JSON-safe watermark encoding with a type tag so timestamp / date /
+    decimal watermark columns round-trip exactly."""
+    if isinstance(v, datetime.datetime):
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, datetime.date):
+        return {"t": "date", "v": v.isoformat()}
+    if isinstance(v, decimal.Decimal):
+        return {"t": "dec", "v": str(v)}
+    return {"t": "raw", "v": v}
+
+
+def _decode_wm(d):
+    t, v = d["t"], d["v"]
+    if t == "ts":
+        return datetime.datetime.fromisoformat(v)
+    if t == "date":
+        return datetime.date.fromisoformat(v)
+    if t == "dec":
+        return decimal.Decimal(v)
+    return v
 
 
 class IncrementalRollup:
@@ -39,15 +65,9 @@ class IncrementalRollup:
         self.value_col = value_col
         self.watermark_col = watermark_col
 
-    def _wm_file(self) -> str:
-        return os.path.join(self.store.path, "_WATERMARK")
-
     def watermark(self):
-        try:
-            with open(self._wm_file()) as f:
-                return json.load(f)["wm"]
-        except FileNotFoundError:
-            return None
+        meta = self.store.read_meta()
+        return _decode_wm(meta["wm"]) if "wm" in meta else None
 
     def _aggregate(self, rows: DataFrame) -> DataFrame:
         v = F.col(self.value_col)
@@ -82,11 +102,7 @@ class IncrementalRollup:
         else:
             merged = partial
         new_wm = fresh.agg(F.max(self.watermark_col)).collect()[0][0]
-        self.store.write(merged)
-        tmp = self._wm_file() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"wm": new_wm}, f)
-        os.replace(tmp, self._wm_file())
+        self.store.write(merged, meta={"wm": _encode_wm(new_wm)})
         return n_new
 
     def read(self) -> DataFrame:

@@ -89,6 +89,24 @@ def _split_args(inner: str) -> list[str]:
     return args
 
 
+def _literal_spans(sql: str) -> list[tuple[int, int]]:
+    """[start, end) spans of single-quoted literals, using the SAME
+    backslash-escape rule as _scan_balanced/_split_args — one scanner
+    definition of 'inside a string', so an escaped quote (``'it\\'s'``)
+    can't desynchronize one pass against another."""
+    spans, i, n = [], 0, len(sql)
+    while i < n:
+        if sql[i] == "'":
+            j = i + 1
+            while j < n and sql[j] != "'":
+                j += 2 if sql[j] == "\\" else 1
+            spans.append((i, min(j + 1, n)))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
 def replace_calls(sql: str, name: str, build: Callable[[list[str]], str], max_iter: int = 100) -> str:
     """Replace every ``name(args...)`` call with ``build(args)`` output.
 
@@ -97,12 +115,15 @@ def replace_calls(sql: str, name: str, build: Callable[[list[str]], str], max_it
     pat = re.compile(rf"(?<![\w.])({re.escape(name)})\s*\(", re.IGNORECASE)
     for _ in range(max_iter):
         # find first match outside string literals
-        m = None
-        for cand in pat.finditer(sql):
-            prefix = sql[: cand.start()]
-            if prefix.count("'") % 2 == 0:  # not inside a literal
-                m = cand
-                break
+        spans = _literal_spans(sql)
+        m = next(
+            (
+                cand
+                for cand in pat.finditer(sql)
+                if not any(s <= cand.start() < e for s, e in spans)
+            ),
+            None,
+        )
         if m is None:
             return sql
         open_paren = sql.index("(", m.end() - 1)

@@ -62,13 +62,35 @@ class VersionedParquetStore:
             raise FileNotFoundError(f"store {self.path} is empty — write() first")
         return self.spark.read.parquet(self._version_dir(v))
 
-    def write(self, df: DataFrame) -> int:
-        """Materialize ``df`` as the next version and swap the pointer."""
+    def read_meta(self) -> dict:
+        """Sidecar metadata of the CURRENT version ({} when none): committed
+        by the same pointer swap as the data, so data+meta are atomic — a
+        crash can never pair new state with an old watermark or vice versa."""
+        import json
+
+        v = self.current_version()
+        if v == 0:
+            return {}
+        try:
+            with open(os.path.join(self._version_dir(v), "_META.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def write(self, df: DataFrame, meta: dict | None = None) -> int:
+        """Materialize ``df`` (plus optional sidecar ``meta``) as the next
+        version, then swap the pointer. Readers see data and meta together
+        or not at all."""
+        import json
+
         v = self.current_version() + 1
         writer = df.write.mode("overwrite")
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(self._version_dir(v))
+        if meta is not None:
+            with open(os.path.join(self._version_dir(v), "_META.json"), "w") as f:
+                json.dump(meta, f)
         tmp = self._latest_file() + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(v))

@@ -29,6 +29,15 @@ def test_replace_calls_skips_string_literals():
     assert out == "g(x) = 'f(y)'"
 
 
+def test_replace_calls_escaped_quote_in_literal():
+    """A backslash-escaped quote inside a literal must not desync the
+    inside-a-string tracking: the f(y) inside the literal stays untouched,
+    the real f(z) after it is still rewritten."""
+    sql = r"SELECT 'it\'s f(y)' AS note, f(z)"
+    out = replace_calls(sql, "f", lambda a: f"g({a[0]})")
+    assert out == r"SELECT 'it\'s f(y)' AS note, g(z)"
+
+
 def test_neural_array_splice_deterministic():
     out = D.translate("SELECT DISTANCE(vector, NeuralArray(hello world)) FROM t")
     v = hash_embed("hello world", 8)

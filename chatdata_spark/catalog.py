@@ -62,12 +62,24 @@ class TableConfig:
     upsert_key: tuple[str, ...] = ()
     version_col: str | None = None
     partition_cols: tuple[str, ...] = field(default=())
+    # named embedding model for text_col → vector_col (the reference's
+    # per-table model binding, myscale_tables.py:90-92,117-120); resolved
+    # through functions/embedders.py — the hash stub unless a real factory
+    # was registered under this name.
+    embed_model: str = "hash"
 
     def load(self, spark: SparkSession, sf_dir: str | None = None) -> DataFrame:
         path = self.path or (f"{sf_dir}/{self.name}.parquet" if sf_dir else None)
         if path is None:
             raise ValueError(f"no path for table {self.name}")
         return spark.read.parquet(path)
+
+    def embed_udf(self):
+        """The table's embedding UDF (text → array<float>), resolved by
+        model name at call time so late registration wins."""
+        from chatdata_spark.functions.embedders import embedder_udf
+
+        return embedder_udf(self.embed_model, self.vector_dim or 64)
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,6 +126,7 @@ WIKIPEDIA = TableConfig(
         AttributeInfo("views", "float", "page view count"),
     ),
     upsert_key=("id",),
+    embed_model="paraphrase-multilingual-mpnet-base-v2",  # myscale_tables.py:90-92
 )
 
 CHAT_ARXIV = TableConfig(
@@ -132,6 +145,7 @@ CHAT_ARXIV = TableConfig(
                       expr="size(categories)"),
     ),
     upsert_key=("id",),
+    embed_model="hkunlp/instructor-xl",  # myscale_tables.py:117-120 (instruction prefix)
 )
 
 PRIVATE_KB = TableConfig(

@@ -11,12 +11,32 @@ Both are **single-shuffle window formulations** — no join explosion:
   within partition — the merge-join shape, robust to arbitrarily many
   right rows per left row (a range-condition join would explode).
 - sessionize: lag + running sum of gap-breaks. One window, no join at all.
+
+Skew: window functions hash-partition on the key alone, and AQE's skew
+handling does NOT apply to window exchanges — one hot key (a user with 10⁸
+events) serializes onto a single task. Both operators therefore take an
+optional ``slice_width`` (seconds): the partition key becomes
+(key, time-slice) so a hot key spreads over history/slice_width tasks, and
+a boundary pass over the per-(key, slice) summary table (one row per
+non-empty slice — trivially small) stitches results across slice edges:
+the as-of carry-in for a slice is the latest right payload of any earlier
+slice; a session whose first intra-slice event is within ``gap`` of the
+previous slice's last event merges, with session indices shifted by the
+running merged-session offset. Identical output to the unsalted path
+(asserted in tests), at the cost of one extra small shuffle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _numeric_ts(df: DataFrame, ts_col: str) -> Column:
+    """Seconds-valued numeric view of a ts column for slice bucketing."""
+    if dict(df.dtypes).get(ts_col, "").startswith("timestamp"):
+        return F.unix_timestamp(F.col(ts_col))
+    return F.col(ts_col)
 
 
 def asof_join(
@@ -28,13 +48,20 @@ def asof_join(
     payload_cols: list[str] | None = None,
     prefix: str = "asof_",
     tie_break: str | None = None,
+    slice_width: float | None = None,
 ) -> DataFrame:
     """For each left row: columns of the latest right row with
     ``right.ts <= left.ts`` and equal ``on`` key (NULLs when none).
 
     ``tie_break``: right column used to pick deterministically among right
     rows sharing (key, ts) — highest wins. Required for oracle-stable
-    results when right timestamps can collide."""
+    results when right timestamps can collide.
+
+    ``slice_width`` (seconds): hot-key mitigation — window-partition on
+    (key, time-slice) instead of key, then fill each slice's pre-first-match
+    rows from the latest earlier-slice right payload (module docstring).
+    ``None`` keeps the single-partition-per-key plan (fine when no key
+    exceeds one task's worth of rows)."""
     rts = right_ts_col or ts_col
     payload_cols = payload_cols or [c for c in right.columns if c not in (on, rts)]
 
@@ -63,12 +90,45 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged.withColumn("__left", F.lit(None).cast(l_tagged.schema["__left"].dataType)))
     # right rows sort before left rows at equal ts → inclusive (<=) semantics
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    if slice_width is None:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    else:
+        unioned = unioned.withColumn(
+            "__slice", F.floor(_numeric_ts(unioned, "__ts") / F.lit(float(slice_width))).cast("long")
+        )
+        w = (
+            Window.partitionBy("__k", "__slice")
+            .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        within = unioned.withColumn("__match0", F.last("__payload", ignorenulls=True).over(w))
+        # boundary pass over the tiny per-(key, slice) summary table:
+        # carry-in = latest right payload of any EARLIER slice
+        right_last = (
+            unioned.filter(F.col("__side") == 0)
+            .groupBy("__k", "__slice")
+            .agg(F.max_by("__payload", "__ts").alias("__slice_last"))
+        )
+        w_prev = (
+            Window.partitionBy("__k")
+            .orderBy("__slice")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry = (
+            unioned.select("__k", "__slice")
+            .distinct()
+            .join(right_last, ["__k", "__slice"], "left")
+            .withColumn("__carry_in", F.last("__slice_last", ignorenulls=True).over(w_prev))
+            .select("__k", "__slice", "__carry_in")
+        )
+        carried = within.join(carry, ["__k", "__slice"]).withColumn(
+            "__match", F.coalesce("__match0", "__carry_in")
+        )
     out = carried.filter(F.col("__side") == 1).select(
         *[F.col(f"__left.{c}").alias(c) for c in left.columns],
         F.col(f"__match.{rts}").alias(f"{prefix}{rts}"),
@@ -150,18 +210,65 @@ def sessionize(
     ts_col: str = "ts",
     gap_minutes: float = 30.0,
     order_tiebreak: str | None = None,
+    slice_width: float | None = None,
 ) -> DataFrame:
     """Gap-based session assignment: a new session starts when the gap to
     the previous event of the same user exceeds ``gap_minutes``. Adds
-    ``session_idx`` (0-based per user) — one window pass."""
-    order = [F.col(ts_col).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
-    w = Window.partitionBy(user_col).orderBy(*order)
+    ``session_idx`` (0-based per user) — one window pass.
+
+    ``slice_width`` (seconds): hot-key mitigation — sessions are computed
+    per (user, time-slice), then a boundary pass over the per-slice summary
+    merges sessions spanning a slice edge and shifts indices by the running
+    merged-session count (module docstring). Output is identical to the
+    unsalted path; pick slice_width ≫ gap so merges stay rare."""
     gap_sec = gap_minutes * 60.0
-    prev = F.lag(ts_col).over(w)
-    is_new = F.when(
-        prev.isNull() | (F.unix_timestamp(ts_col) - F.unix_timestamp(prev) > gap_sec), 1
-    ).otherwise(0)
-    running = Window.partitionBy(user_col).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return df.withColumn("__new", is_new).withColumn(
-        "session_idx", (F.sum("__new").over(running) - 1).cast("int")
-    ).drop("__new")
+    if slice_width is None:
+        order = [F.col(ts_col).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
+        w = Window.partitionBy(user_col).orderBy(*order)
+        prev = F.lag(ts_col).over(w)
+        is_new = F.when(
+            prev.isNull() | (F.unix_timestamp(ts_col) - F.unix_timestamp(prev) > gap_sec), 1
+        ).otherwise(0)
+        running = Window.partitionBy(user_col).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return df.withColumn("__new", is_new).withColumn(
+            "session_idx", (F.sum("__new").over(running) - 1).cast("int")
+        ).drop("__new")
+
+    tsn = _numeric_ts(df, ts_col)
+    sliced = df.withColumn("__tsn", tsn).withColumn(
+        "__slice", F.floor(F.col("__tsn") / F.lit(float(slice_width))).cast("long")
+    )
+    order = [F.col(ts_col).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
+    w_local = Window.partitionBy(user_col, "__slice").orderBy(*order)
+    prev = F.lag("__tsn").over(w_local)
+    is_new = F.when(prev.isNull() | (F.col("__tsn") - prev > gap_sec), 1).otherwise(0)
+    running = w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = sliced.withColumn("__new", is_new).withColumn(
+        "__local_idx", (F.sum("__new").over(running) - 1).cast("int")
+    )
+    # per-(user, slice) summary (tiny): does this slice's first session
+    # continue the previous slice's last one, and how many global sessions
+    # started before this slice?
+    summ = local.groupBy(user_col, "__slice").agg(
+        F.min("__tsn").alias("__first"),
+        F.max("__tsn").alias("__last"),
+        (F.max("__local_idx") + 1).alias("__n_local"),
+    )
+    w_s = Window.partitionBy(user_col).orderBy("__slice")
+    prev_last = F.lag("__last").over(w_s)
+    merged = F.when(prev_last.isNotNull() & (F.col("__first") - prev_last <= gap_sec), 1).otherwise(0)
+    adj = summ.withColumn("__merged", merged).withColumn(
+        "__adj", F.col("__n_local") - F.col("__merged")
+    )
+    offset = F.coalesce(
+        F.sum("__adj").over(w_s.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    fixes = adj.withColumn("__offset", offset).select(user_col, "__slice", "__merged", "__offset")
+    return (
+        local.join(fixes, [user_col, "__slice"])
+        .withColumn(
+            "session_idx",
+            (F.col("__offset") + F.col("__local_idx") - F.col("__merged")).cast("int"),
+        )
+        .drop("__tsn", "__slice", "__new", "__local_idx", "__merged", "__offset")
+    )

@@ -118,12 +118,20 @@ def parse_uploads(
     )
 
 
-def embed_and_validate(df: DataFrame, text_col: str, dim: int, vector_col: str = "vector") -> DataFrame:
-    """V5 batch embedding + dim constraint in one pass (broadcastable model
-    inside the pandas UDF; deterministic hash embedder by default)."""
-    from chatdata_spark.functions.vector import make_embed_text_udf
+def embed_and_validate(
+    df: DataFrame,
+    text_col: str,
+    dim: int,
+    vector_col: str = "vector",
+    embed_model: str = "hash",
+) -> DataFrame:
+    """V5 batch embedding + dim constraint in one pass. ``embed_model`` is
+    a name resolved through the embedder registry
+    (functions/embedders.py) — hash stub unless a real factory is
+    registered under that name."""
+    from chatdata_spark.functions.embedders import embedder_udf
 
-    out = df.withColumn(vector_col, make_embed_text_udf(dim)(F.col(text_col)))
+    out = df.withColumn(vector_col, embedder_udf(embed_model, dim)(F.col(text_col)))
     valid, _rejected = validate_vector_dim(out, vector_col, dim)
     return valid
 

@@ -1,0 +1,107 @@
+"""Injection-seam tests: every container-constrained stub (embedding
+model, upload parser, media decoder) must be swappable by config, with the
+reference-shaped pipeline unchanged around it — the stubs are defaults,
+not hardcoded paths (round-1 gap items 1/2 + multimodal seam)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from chatdata_spark.catalog import CHAT_ARXIV
+from chatdata_spark.functions.embedders import (
+    embedder_udf,
+    register_embedder,
+    unregister_embedder,
+)
+from chatdata_spark.operators.multimodal import (
+    decode_metadata,
+    docs_as_media,
+    extract_features,
+)
+from chatdata_spark.sources.ingest import embed_and_validate, parse_uploads
+from tests.conftest import SF_SMOKE
+
+
+def _const_factory(dim):
+    @F.pandas_udf("array<float>")
+    def _f(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: [float(len(t or ""))] * dim)
+
+    return _f
+
+
+def test_embedder_registry_per_table_binding(spark):
+    """Registering a factory under the model name a TableConfig declares
+    must route that table's embed_udf through it — the reference's
+    per-table model binding (myscale_tables.py:90-92,117-120)."""
+    register_embedder("hkunlp/instructor-xl", _const_factory)
+    try:
+        df = spark.createDataFrame([("abcd",), ("xy",)], "abstract string")
+        out = df.withColumn("v", CHAT_ARXIV.embed_udf()(F.col("abstract"))).collect()
+        vecs = {r.abstract: r.v for r in out}
+        assert vecs["abcd"][0] == 4.0 and vecs["xy"][0] == 2.0
+        assert len(vecs["abcd"]) == CHAT_ARXIV.vector_dim
+    finally:
+        unregister_embedder("hkunlp/instructor-xl")
+    # after unregistration the name falls back to the deterministic stub
+    v1 = spark.range(1).select(embedder_udf("hkunlp/instructor-xl", 8)(F.lit("x"))).collect()
+    v2 = spark.range(1).select(embedder_udf("hash", 8)(F.lit("x"))).collect()
+    assert v1[0][0] == v2[0][0]
+
+
+def test_embed_and_validate_uses_named_model(spark):
+    register_embedder("fake-test-model", _const_factory)
+    try:
+        d = spark.createDataFrame([("hello world",)], "text string")
+        out = embed_and_validate(d, "text", dim=4, embed_model="fake-test-model").collect()
+        assert out[0].vector == [11.0, 11.0, 11.0, 11.0]
+    finally:
+        unregister_embedder("fake-test-model")
+
+
+def test_parser_injection_through_parse_uploads(spark):
+    files = spark.createDataFrame(
+        [("/up/a.txt", bytearray(b"ignored bytes"))], "path string, content binary"
+    )
+
+    def parser(content: bytes, file_name: str):
+        body = f"from {file_name}: " + " ".join(["w"] * 15)
+        return [
+            {"type": "NarrativeText", "text": body},
+            {"type": "Title", "text": "dropped because title"},
+            {"type": "NarrativeText", "text": "too short"},
+        ]
+
+    rows = parse_uploads(files, parser=parser).collect()
+    assert len(rows) == 1
+    assert rows[0].file_name == "a.txt" and rows[0].text.startswith("from a.txt")
+    assert len(rows[0].entity_id) == 64
+
+
+def test_multimodal_injected_decoder_end_to_end(spark):
+    media = docs_as_media(spark, SF_SMOKE)
+
+    def decoder(content: bytes, media_type: str):
+        return (len(content) % 100 + 1, 42, 3 if media_type == "video" else 1)
+
+    meta = decode_metadata(media, decoder=decoder)
+    got = meta.limit(20).collect()
+    assert got and all(r.height == 42 for r in got)
+    assert all(r.width == r.n_bytes % 100 + 1 for r in got)
+    assert all((r.n_frames == 3) == (r.media_type == "video") for r in got)
+
+
+def test_multimodal_injected_featurizer_feeds_knn(spark):
+    from chatdata_spark.operators.knn import knn
+
+    media = docs_as_media(spark, SF_SMOKE)
+
+    def featurizer(content: bytes):
+        return [float(len(content) % 7 + 1)] * 8
+
+    feats = extract_features(media, featurizer=featurizer)
+    top = knn(feats, "features", [1.0] * 8, k=10, select=["media_id"], id_col="media_id")
+    rows = top.collect()
+    assert len(rows) == 10
+    assert all(r.dist is not None for r in rows)

@@ -45,7 +45,55 @@ HEADLINE = [
     "sessionize_events",        # gap sessionization
     "text_lang_distribution",   # langid feeding an aggregate
     "embed_documents_batch",    # Arrow batch embedding throughput
+    "dedup_embedding",          # clustered (equi-join) embedding near-dup
 ]
+
+
+def _replicate(df, key_cols, reps=10):
+    """reps× fact-table scale-up with disjoint join keys per replica —
+    measures the same physical plan at 10× rows without new test data
+    (dims stay fixed, the realistic scale-up shape)."""
+    import pyspark.sql.functions as F
+
+    rep = F.explode(F.array(*[F.lit(i) for i in range(reps)])).alias("__rep")
+    out = df.select("*", rep)
+    for k in key_cols:
+        out = out.withColumn(k, F.col(k) + F.col("__rep").cast("long") * F.lit(2**33))
+    return out.drop("__rep")
+
+
+def bench_q5_x10(spark, sf_dir):
+    """The q5 star join over 10×-replicated fact tables (≈ sf1 facts): one
+    order of magnitude above the headline runs, catching plans that only
+    look fine at sf0.1."""
+    import pyspark.sql.functions as F
+
+    li = _replicate(spark.read.parquet(f"{sf_dir}/lineitem.parquet"), ["l_orderkey"])
+    o = _replicate(
+        spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+            & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+        ),
+        ["o_orderkey"],
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+EXTRA = {"q5_x10_star_join": bench_q5_x10}
 
 
 def main() -> None:
@@ -60,9 +108,10 @@ def main() -> None:
     qs["ann_ivf_pruned"](spark, sf_dir).count()
 
     per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-        df = qs[name](spark, sf_dir)
+    plans = [(name, qs[name]) for name in HEADLINE] + list(EXTRA.items())
+    for name, fn in plans:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        df = fn(spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         per_query[name] = round(time.perf_counter() - t0, 3)

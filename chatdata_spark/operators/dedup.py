@@ -215,18 +215,21 @@ def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str, keep: str = 
 
 # --- exact similarity join (inverted-index / token join) ------------------------
 
-def _stop_shingles(tokens: DataFrame, max_df: int | float):
+def _stop_shingles(tokens: DataFrame, max_df: int | float, n_docs_df: DataFrame | None = None):
     """Shingles whose document frequency exceeds ``max_df`` (absolute int,
     or fraction of the corpus if float). Returns a 1-column DF of shingle
     hashes — SMALL by construction (heavy hitters only), so it broadcasts;
-    the survivors (≈ the whole vocabulary) are never collected anywhere."""
+    the survivors (≈ the whole vocabulary) are never collected anywhere.
+    ``n_docs_df``: optional pre-computed 1-row ``__n_docs`` count (cheaper
+    than re-deriving it from the exploded token stream)."""
     freq = tokens.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     if isinstance(max_df, float):
         # lazy scalar: 1-row doc count broadcast-joined, no driver action
-        n_docs = tokens.select("id").distinct().agg(F.count(F.lit(1)).alias("__n_docs"))
+        if n_docs_df is None:
+            n_docs_df = tokens.select("id").distinct().agg(F.count(F.lit(1)).alias("__n_docs"))
         limit = F.greatest(F.ceil(F.lit(max_df) * F.col("__n_docs")), F.lit(2))
         return (
-            freq.crossJoin(F.broadcast(n_docs)).filter(F.col("df") > limit).select("shingle")
+            freq.crossJoin(F.broadcast(n_docs_df)).filter(F.col("df") > limit).select("shingle")
         )
     return freq.filter(F.col("df") > max_df).select("shingle")
 
@@ -243,37 +246,52 @@ def jaccard_similarity_join(
     """Exact n-gram-Jaccard near-duplicate pairs (i < j, jac ≥ threshold).
 
     Plan: explode distinct shingles → self-join on shingle (inverted index)
-    → candidate (i, j) pairs → verify with the FULL shingle arrays
-    (array_intersect on the persisted signatures). The shuffle key is the
-    shingle hash; no all-pairs compare ever materializes.
+    → count common shingles per pair → jaccard from set sizes. The shuffle
+    key is the shingle hash; no all-pairs compare ever materializes.
 
     ``max_df`` (default: 1% of the corpus, min 2 docs; int = absolute;
-    ``None`` = off) drops stop-shingles from CANDIDATE GENERATION only — a
-    shingle shared by f docs produces an f² join bucket, so one common
-    trigram ("of the and") otherwise quadratic-bombs the join at corpus
-    scale. Verification always uses full arrays, so pruning never perturbs
-    a reported jaccard value; a true pair is missed only if EVERY shingle
-    it shares is a stop-shingle, which at jaccard ≥ 0.4 means both docs are
-    composed almost entirely of corpus-wide boilerplate (and at 1%·n that
-    bucket is already ~(0.01n)² — the exactness/robustness trade is
-    documented, pass None to force exhaustive)."""
+    ``None`` = off) drops stop-shingles from the INVERTED INDEX — a shingle
+    shared by f docs produces an f² join bucket, so one common trigram
+    ("of the and") otherwise quadratic-bombs the join at corpus scale.
+    Reported jaccard values stay exact: each pair's common count is
+    ``pruned-index common + |stop_i ∩ stop_j|``, where stop_i is doc i's
+    (tiny) stop-shingle subset carried through a broadcast join — only the
+    CANDIDATE condition weakens, to "shares ≥1 non-stop shingle". A true
+    pair is missed only if every shingle it shares is corpus-wide
+    boilerplate; pass ``None`` to force the exhaustive index."""
     base = _with_shingle_hashes(df, id_col, text_col, k, persist=True)
-    tokens = base.select("id", F.explode("shh").alias("shingle"))
+    tokens = base.select("id", "sz", F.explode("shh").alias("shingle"))
+    stop_sh = None
     if max_df is not None:
-        stop = _stop_shingles(tokens, max_df)
+        n_docs_df = base.agg(F.count(F.lit(1)).alias("__n_docs"))
+        stop = _stop_shingles(tokens.select("id", "shingle"), max_df, n_docs_df)
+        stop_sh = (
+            tokens.join(F.broadcast(stop), "shingle")
+            .groupBy("id")
+            .agg(F.collect_list("shingle").alias("stop_sh"))
+        )
         tokens = tokens.join(F.broadcast(stop), "shingle", "left_anti")
-    a = tokens.select(F.col("id").alias("i"), "shingle")
-    b = tokens.select(F.col("id").alias("j"), "shingle")
-    candidates = (
-        a.join(b, "shingle").filter(F.col("i") < F.col("j")).select("i", "j").distinct()
+    a = tokens.select(F.col("id").alias("i"), F.col("sz").alias("sz_i"), "shingle")
+    b = tokens.select(F.col("id").alias("j"), F.col("sz").alias("sz_j"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j", "sz_i", "sz_j")
+        .agg(F.count(F.lit(1)).alias("common"))
     )
-    lhs = base.select(F.col("id").alias("i"), F.col("shh").alias("sh_i"), F.col("sz").alias("sz_i"))
-    rhs = base.select(F.col("id").alias("j"), F.col("shh").alias("sh_j"), F.col("sz").alias("sz_j"))
+    if stop_sh is not None:
+        empty = F.array().cast("array<bigint>")
+        pairs = (
+            pairs.join(stop_sh.withColumnRenamed("id", "i").withColumnRenamed("stop_sh", "stop_i"), "i", "left")
+            .join(stop_sh.withColumnRenamed("id", "j").withColumnRenamed("stop_sh", "stop_j"), "j", "left")
+            .withColumn(
+                "common",
+                F.col("common")
+                + F.size(F.array_intersect(F.coalesce("stop_i", empty), F.coalesce("stop_j", empty))),
+            )
+        )
     return (
-        candidates.join(lhs, "i")
-        .join(rhs, "j")
-        .withColumn("common", F.size(F.array_intersect("sh_i", "sh_j")))
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.round(
                 F.col("common") / (F.col("sz_i") + F.col("sz_j") - F.col("common")), round_digits
@@ -413,6 +431,7 @@ def embedding_near_dup_clustered(
     threshold: float = 0.4,
     round_digits: int = 6,
     n_probe: int = 1,
+    n_salt: int = 8,
 ) -> DataFrame:
     """Scale path for embedding near-dup: compare only pairs sharing an IVF
     cluster — an EQUI-join keyed on cluster_id (shuffle-partitioned,
@@ -424,40 +443,89 @@ def embedding_near_dup_clustered(
     EXACT (every point probes every cluster, so each pair meets in the
     right member's home cluster) while the plan stays the same equi-join;
     that is the oracle-checkable configuration. At 100 TB use small
-    n_probe: work is Σ_c |c|·|probed into c| ≈ n_probe/k of the full n²."""
-    from chatdata_spark.functions.vector import cosine_similarity
+    n_probe: work is Σ_c |c|·|probed into c| ≈ n_probe/k of the full n².
 
+    ``n_salt``: cluster_id alone is a LOW-CARDINALITY join key (k values →
+    at most k active shuffle partitions regardless of cluster size), so the
+    probe side also carries ``hash(id) % n_salt`` and the home side is
+    replicated across all salts — k·n_salt partitions, each pair still
+    meets exactly once (the probing row's salt is a function of its id).
+    The home side shuffles n_salt× more vector bytes; that is the price of
+    intra-cluster parallelism."""
+    from chatdata_spark.functions.vector import dot_product, vector_norm
+
+    # per-point norms are materialized ONCE below the join (a layered
+    # select under the explode/generate barrier, so CollapseProject can't
+    # inline the aggregate back into the per-pair expression — the O(n²·d)
+    # trap this repo has hit before): the per-pair work is one dot product.
+    # dot/(n_i·n_j) is bit-identical to the oracle's direct cosine (same
+    # accumulation order, float multiply is commutative).
     df = ivf_index.spark.read.parquet(f"{ivf_index.path}/data")
-    b = df.select(
-        F.col("cluster_id"),
-        F.col(ivf_index.id_col).alias("j"),
-        F.col(ivf_index.vector_col).alias("v_j"),
+    pts = df.select(
+        F.col(ivf_index.id_col).alias("id"),
+        F.col(ivf_index.vector_col).alias("v"),
+        F.col("cluster_id").alias("home"),
+    ).select("id", "v", "home", vector_norm("v").alias("nrm"))
+    salts = F.array(*[F.lit(s) for s in range(n_salt)])
+    b = pts.select(
+        F.col("home").alias("cluster_id"),
+        F.col("id").alias("j"),
+        F.col("v").alias("v_j"),
+        F.col("nrm").alias("n_j"),
+        F.explode(salts).alias("__salt"),
     )
-    if n_probe <= 1:
-        a = df.select(
-            F.col("cluster_id"),
-            F.col(ivf_index.id_col).alias("i"),
-            F.col(ivf_index.vector_col).alias("v_i"),
+    join_key = ["cluster_id", "__salt"]
+    a_salt = F.pmod(F.xxhash64(F.col("id")), F.lit(n_salt)).cast("int").alias("__salt")
+    sim = F.round(
+        dot_product(F.col("v_i"), F.col("v_j")) / (F.col("n_i") * F.col("n_j")), round_digits
+    )
+    if n_probe >= ivf_index.n_clusters:
+        # exact config, triangular probe: each point probes only clusters
+        # ≤ its own home, so pair (a,b) with homes h_a < h_b meets exactly
+        # once (b probing down into h_a); same-home pairs are ordered by
+        # id. Every pair compared exactly once — half the join volume of a
+        # naive full probe and no distinct pass.
+        a = pts.select(
+            F.col("id").alias("i"),
+            F.col("v").alias("v_i"),
+            F.col("nrm").alias("n_i"),
+            F.col("home").alias("__home_i"),
+            a_salt,
+            F.explode(F.sequence(F.lit(0), F.col("home"))).alias("cluster_id"),
         )
-    elif n_probe >= ivf_index.n_clusters:
-        # full probe: explode a constant cluster-id array, all-JVM
-        all_clusters = F.array(*[F.lit(c) for c in range(ivf_index.n_clusters)])
-        a = df.select(
-            F.col(ivf_index.id_col).alias("i"),
-            F.col(ivf_index.vector_col).alias("v_i"),
-            F.explode(all_clusters).alias("cluster_id"),
+        meets_once = (
+            (F.col("__home_i") == F.col("cluster_id")) & (F.col("i") < F.col("j"))
+        ) | (F.col("__home_i") > F.col("cluster_id"))
+        return (
+            a.join(b, join_key)
+            .filter(meets_once)
+            .withColumn("cos_sim", sim)
+            .filter(F.col("cos_sim") >= threshold)
+            .select(
+                F.least("i", "j").alias("i"), F.greatest("i", "j").alias("j"), "cos_sim"
+            )
+        )
+    if n_probe <= 1:
+        a = pts.select(
+            F.col("home").alias("cluster_id"),
+            F.col("id").alias("i"),
+            F.col("v").alias("v_i"),
+            F.col("nrm").alias("n_i"),
+            a_salt,
         )
     else:
         probes = _probe_clusters_udf(ivf_index.centroids, n_probe)
-        a = df.select(
-            F.col(ivf_index.id_col).alias("i"),
-            F.col(ivf_index.vector_col).alias("v_i"),
-            F.explode(probes(F.col(ivf_index.vector_col))).alias("cluster_id"),
+        a = pts.select(
+            F.col("id").alias("i"),
+            F.col("v").alias("v_i"),
+            F.col("nrm").alias("n_i"),
+            a_salt,
+            F.explode(probes(F.col("v"))).alias("cluster_id"),
         )
     pairs = (
-        a.join(b, "cluster_id")
+        a.join(b, join_key)
         .filter(F.col("i") < F.col("j"))
-        .withColumn("cos_sim", F.round(cosine_similarity(F.col("v_i"), F.col("v_j")), round_digits))
+        .withColumn("cos_sim", sim)
         .filter(F.col("cos_sim") >= threshold)
         .select("i", "j", "cos_sim")
     )
@@ -478,11 +546,14 @@ def embedding_near_dup(
     This is the verification-grade O(n²) compare (range self-join on id to
     halve work); at 100 TB run :func:`embedding_near_dup_clustered` so the
     compare is partitioned by cluster, not a single nested-loop product."""
-    from chatdata_spark.functions.vector import cosine_similarity
+    from chatdata_spark.functions.vector import dot_product, vector_norm
 
-    a = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v_i"))
-    b = df.select(F.col(id_col).alias("j"), F.col(vec_col).alias("v_j"))
-    sim = cosine_similarity(F.col("v_i"), F.col("v_j"))
+    pts = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).select(
+        "id", "v", vector_norm("v").alias("nrm")
+    )
+    a = pts.select(F.col("id").alias("i"), F.col("v").alias("v_i"), F.col("nrm").alias("n_i"))
+    b = pts.select(F.col("id").alias("j"), F.col("v").alias("v_j"), F.col("nrm").alias("n_j"))
+    sim = dot_product(F.col("v_i"), F.col("v_j")) / (F.col("n_i") * F.col("n_j"))
     return (
         a.join(b, F.col("i") < F.col("j"))
         .withColumn("cos_sim", F.round(sim, round_digits))

@@ -480,30 +480,79 @@ def embedding_near_dup_clustered(
         dot_product(F.col("v_i"), F.col("v_j")) / (F.col("n_i") * F.col("n_j")), round_digits
     )
     if n_probe >= ivf_index.n_clusters:
-        # exact config, triangular probe: each point probes only clusters
-        # ≤ its own home, so pair (a,b) with homes h_a < h_b meets exactly
-        # once (b probing down into h_a); same-home pairs are ordered by
-        # id. Every pair compared exactly once — half the join volume of a
-        # naive full probe and no distinct pass.
-        a = pts.select(
-            F.col("id").alias("i"),
-            F.col("v").alias("v_i"),
-            F.col("nrm").alias("n_i"),
-            F.col("home").alias("__home_i"),
-            a_salt,
-            F.explode(F.sequence(F.lit(0), F.col("home"))).alias("cluster_id"),
+        # Exact config, triangular probe: pair (a,b) with homes h_a ≤ h_b
+        # meets exactly once, in h_a (same-home pairs de-duped by id order).
+        # Candidate GENERATION runs as one numpy GEMM per (cluster, salt)
+        # group — a per-pair JVM dot product here is O(pairs·d) interpreted
+        # lambda frames (~1 µs each), which is the whole runtime at n²/2
+        # pairs. The GEMM screens at (threshold − 1e-5): a raw value down to
+        # threshold − 5e-7 still rounds UP into the result set, and numpy's
+        # blocked float64 summation differs from sequential by ≪ 1e-9, so no
+        # true pair can be screened out. Survivors (tiny by construction)
+        # are then re-scored with the SAME-operand-order JVM expression the
+        # oracle uses — candidate search is approximate-fast, reported
+        # values stay bit-exact.
+        owners = pts.select(
+            F.col("home").alias("cluster_id"),
+            F.explode(salts).alias("__salt"),
+            F.lit(0).alias("role"),
+            "id",
+            "v",
         )
-        meets_once = (
-            (F.col("__home_i") == F.col("cluster_id")) & (F.col("i") < F.col("j"))
-        ) | (F.col("__home_i") > F.col("cluster_id"))
+        visitors = pts.filter(F.col("home") > 0).select(
+            F.explode(F.sequence(F.lit(0), F.col("home") - 1)).alias("cluster_id"),
+            a_salt,
+            F.lit(1).alias("role"),
+            "id",
+            "v",
+        )
+        margin = threshold - 10.0 ** (-round_digits + 1)
+
+        def _gemm_candidates(key, pdf):
+            # Inlined per the repo's worker-closure rule (no module-global
+            # function refs); captures only constants + numpy/pandas.
+            m = np.array(pdf["v"].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(m, axis=1)
+            nrm[nrm == 0.0] = 1.0
+            m = m / nrm[:, None]
+            ids = pdf["id"].to_numpy()
+            own = (pdf["role"].to_numpy() == 0)
+            omat, vmat = m[own], m[~own]
+            oid, vid = ids[own], ids[~own]
+            lo, hi = [], []
+            if int(key[1]) == 0 and len(oid) > 1:
+                s = omat @ omat.T
+                ii, jj = np.nonzero(np.triu(s >= margin, k=1))
+                lo.append(np.minimum(oid[ii], oid[jj]))
+                hi.append(np.maximum(oid[ii], oid[jj]))
+            if len(oid) and len(vid):
+                s = vmat @ omat.T
+                ii, jj = np.nonzero(s >= margin)
+                lo.append(np.minimum(vid[ii], oid[jj]))
+                hi.append(np.maximum(vid[ii], oid[jj]))
+            if not lo:
+                return pd.DataFrame({"i": [], "j": []}).astype("int64")
+            return pd.DataFrame(
+                {"i": np.concatenate(lo), "j": np.concatenate(hi)}
+            )
+
+        cand = (
+            owners.unionByName(visitors)
+            .groupBy("cluster_id", "__salt")
+            .applyInPandas(_gemm_candidates, "i long, j long")
+        )
+        p_i = pts.select(
+            F.col("id").alias("i"), F.col("v").alias("v_i"), F.col("nrm").alias("n_i")
+        )
+        p_j = pts.select(
+            F.col("id").alias("j"), F.col("v").alias("v_j"), F.col("nrm").alias("n_j")
+        )
         return (
-            a.join(b, join_key)
-            .filter(meets_once)
+            cand.join(p_i, "i")
+            .join(p_j, "j")
             .withColumn("cos_sim", sim)
             .filter(F.col("cos_sim") >= threshold)
-            .select(
-                F.least("i", "j").alias("i"), F.greatest("i", "j").alias("j"), "cos_sim"
-            )
+            .select("i", "j", "cos_sim")
         )
     if n_probe <= 1:
         a = pts.select(

@@ -82,6 +82,40 @@ class TableConfig:
         return embedder_udf(self.embed_model, self.vector_dim or 64)
 
 
+def to_documents(
+    df: DataFrame,
+    text_col: str,
+    must_have_cols,
+    max_string_length: int | None = None,
+) -> DataFrame:
+    """S9 row→Document sink projection (reference
+    myscale_without_metadata.py:42-48): ``page_content`` = the text column,
+    ``metadata`` = the must-have columns serialized to JSON (representation-
+    stable for comparisons). ``max_string_length`` mirrors the reference's
+    ``SQLDatabase(..., max_string_length=1024)`` truncation
+    (build_retrievers.py:109): string values longer than the limit are cut —
+    applied to ``page_content`` and to string-typed metadata columns given
+    by name (computed Column entries pass through untruncated)."""
+    from pyspark.sql import functions as F
+
+    dtypes = dict(df.dtypes)
+    text = F.col(text_col)
+    if max_string_length is not None:
+        text = F.substring(text, 1, max_string_length)
+    meta = []
+    for c in must_have_cols:
+        if isinstance(c, str):
+            col = F.col(c)
+            if max_string_length is not None and dtypes.get(c) == "string":
+                col = F.substring(col, 1, max_string_length).alias(c)
+            meta.append(col)
+        else:
+            meta.append(c)
+    return df.select(
+        text.alias("page_content"), F.to_json(F.struct(*meta)).alias("metadata")
+    )
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
     rejects by default. Read nanos as long (runtime conf, works under any

@@ -639,19 +639,14 @@ def row_to_document(spark, sf_dir):
     """S9 row→Document sink projection (myscale_without_metadata.py:42-48):
     page_content = text column, metadata = must-have columns (serialized to
     JSON here so the oracle comparison is representation-stable)."""
+    from chatdata_spark.catalog import to_documents
+
     d = _t(spark, sf_dir, "documents")
-    return (
-        d.filter(F.col("n_chars") >= 400)
-        .select(
-            F.col("text").alias("page_content"),
-            F.to_json(
-                F.struct(
-                    F.col("doc_id").alias("id"), "lang", "source", "n_chars"
-                )
-            ).alias("metadata"),
-        )
-        .orderBy(F.get_json_object("metadata", "$.id").cast("long"))
-    )
+    return to_documents(
+        d.filter(F.col("n_chars") >= 400),
+        "text",
+        [F.col("doc_id").alias("id"), "lang", "source", "n_chars"],
+    ).orderBy(F.get_json_object("metadata", "$.id").cast("long"))
 
 
 @query(

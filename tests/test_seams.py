@@ -105,3 +105,27 @@ def test_multimodal_injected_featurizer_feeds_knn(spark):
     rows = top.collect()
     assert len(rows) == 10
     assert all(r.dist is not None for r in rows)
+
+
+def test_to_documents_max_string_length(spark):
+    """S9 + the reference's SQLDatabase(max_string_length=1024) truncation
+    (build_retrievers.py:109) as an explicit projection option."""
+    import json
+
+    from chatdata_spark.catalog import to_documents
+
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    docs = to_documents(
+        d, "text", ["doc_id", "lang", "source"], max_string_length=16
+    ).limit(50)
+    rows = docs.collect()
+    assert rows and docs.columns == ["page_content", "metadata"]
+    assert all(len(r.page_content) <= 16 for r in rows)
+    # string metadata truncated too; non-string (doc_id) untouched
+    for r in rows:
+        m = json.loads(r.metadata)
+        assert isinstance(m["doc_id"], int)
+        assert len(m["lang"]) <= 16 and len(m["source"]) <= 16
+    # no limit -> full text, identical row count
+    full = to_documents(d, "text", ["doc_id"]).limit(50).collect()
+    assert any(len(r.page_content) > 16 for r in full)

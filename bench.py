@@ -46,6 +46,7 @@ HEADLINE = [
     "text_lang_distribution",   # langid feeding an aggregate
     "embed_documents_batch",    # Arrow batch embedding throughput
     "dedup_embedding",          # clustered (equi-join) embedding near-dup
+    "hybrid_rrf_search",        # BM25 + kNN reciprocal-rank fusion
 ]
 
 

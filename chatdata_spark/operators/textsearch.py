@@ -1,0 +1,142 @@
+"""Full-text search operators: BM25 ranking and reciprocal-rank fusion.
+
+Extension beyond the reference's surface (its MyScale backend offers hybrid
+text+vector search as a platform feature; the app itself only uses vector
+retrieval — /root/reference/app/backend/retrievers/vector_sql_query.py:16-94).
+Here BM25 is a pure DataFrame pipeline and hybrid search = RRF over a BM25
+ranking and a kNN ranking, so a ChatData-style "retrieve by meaning OR by
+keyword" flow runs on Spark with no extra infrastructure.
+
+Scale design (100 TB posture):
+- The token stream is aggregated ONCE per document (`groupBy(id)`) with the
+  query-term frequencies pivoted into fixed columns — one corpus shuffle on
+  compact (id, dl, tf...) rows; document frequencies then come from a second
+  aggregation over that per-doc table (one narrow row per doc). No join
+  keyed on a term (a hot term would be a skewed bucket); the per-term
+  corpus stats travel as a broadcast 1-row crossJoin.
+- The BM25 score is a FIXED-ORDER sum of per-term expressions (not a float
+  aggregation), so results are deterministic and oracle-comparable; the
+  only library call is ln(), which pytest pins bit-identical to DuckDB's
+  over the live df domain.
+- For repeated querying at scale, materialize `per_doc_stats` (id, dl) and
+  term df counts once and reuse; `bm25_topk` recomputes them inline so a
+  single call is self-contained.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term) token stream: lowercase alphanumeric runs — the same
+    extraction `regexp_extract_all(lower(text), '[a-z0-9]+')` on the DuckDB
+    oracle side, sidestepping split-boundary semantics differences."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+    idf: str = "okapi",
+) -> DataFrame:
+    """BM25 top-k: ``idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``
+    summed over query terms.
+
+    ``idf='okapi'`` (default): ``ln(1 + (N-df+0.5)/(df+0.5))`` — standard
+    Okapi. ``idf='rational'``: the same quantity WITHOUT the log — Java's
+    Math.log and DuckDB's ln disagree by 1 ulp on ~8% of arguments
+    (tests/test_textsearch.py pins this), so the log-free config is the one
+    registered for driver hash-match oracles; it preserves single-term
+    ranking order (monotone in df) with more aggressively idf-weighted
+    multi-term sums.
+
+    Output: (id_col, score) ordered by score DESC, id ASC, limited to k —
+    plans as TakeOrderedAndProject, never a global sort.
+    """
+    toks = tokenize(df, id_col, text_col)
+    aggs = [F.count(F.lit(1)).alias("dl")]
+    for i, t in enumerate(terms):
+        aggs.append(F.count(F.when(F.col("term") == t, 1)).alias(f"tf{i}"))
+    per_doc = toks.groupBy("id").agg(*aggs)
+
+    stat_aggs = [
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    ]
+    for i in range(len(terms)):
+        stat_aggs.append(
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).cast("double").alias(f"df{i}")
+        )
+    stats = per_doc.agg(*stat_aggs)
+
+    joined = per_doc.crossJoin(F.broadcast(stats))
+    score: Column | None = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}").cast("double")
+        dfi = F.col(f"df{i}")
+        ratio = (F.col("n") - dfi + F.lit(0.5)) / (dfi + F.lit(0.5))
+        w = ratio if idf == "rational" else F.log(F.lit(1.0) + ratio)
+        denom = tf + F.lit(k1) * (
+            F.lit(1.0 - b) + (F.lit(b) * F.col("dl")) / F.col("avgdl")
+        )
+        s_i = F.when(
+            F.col(f"tf{i}") > 0, (w * (tf * F.lit(k1 + 1.0))) / denom
+        ).otherwise(F.lit(0.0))
+        score = s_i if score is None else score + s_i
+
+    return (
+        joined.withColumn("score", F.round(score, round_digits))
+        .filter(F.col("score") > 0)
+        .select(F.col("id").alias(id_col), "score")
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def with_rank(df: DataFrame, order_cols: list[Column]) -> DataFrame:
+    """Add a 1-based ``rank`` column over a GLOBAL ordering. Single-partition
+    window — only ever apply to an already top-n-limited result (n ≈ 10²),
+    never to a corpus-sized DataFrame."""
+    return df.withColumn("rank", F.row_number().over(Window.orderBy(*order_cols)))
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str,
+    k0: int = 60,
+    k: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion: ``sum_i 1/(k0 + rank_i)`` over result lists
+    that each carry (id_col, rank). Missing membership contributes 0. The
+    fused score is a fixed-order sum of exact-rational doubles — bit-stable
+    across engines with no library-function dependence."""
+    out: DataFrame | None = None
+    for i, rdf in enumerate(ranked):
+        r = rdf.select(F.col(id_col), F.col("rank").alias(f"__r{i}"))
+        out = r if out is None else out.join(r, id_col, "full_outer")
+    expr: Column | None = None
+    for i in range(len(ranked)):
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k0)) + F.col(f"__r{i}")), F.lit(0.0)
+        )
+        expr = term if expr is None else expr + term
+    res = (
+        out.withColumn("rrf", F.round(expr, round_digits))
+        .select(id_col, "rrf")
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+    )
+    return res.limit(k) if k is not None else res

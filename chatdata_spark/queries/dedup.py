@@ -150,3 +150,45 @@ def dedup_embedding(spark, sf_dir):
     return embedding_near_dup_clustered(
         idx, threshold=0.4, n_probe=idx.n_clusters
     ).orderBy("i", "j")
+
+
+_DUCK_COMPONENTS = f"""
+WITH RECURSIVE sh AS ({_DUCK_SHINGLES}),
+pairs AS (
+    SELECT a.doc_id AS i, b.doc_id AS j
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4
+),
+edges AS (
+    SELECT i AS a, j AS b FROM pairs
+    UNION
+    SELECT j AS a, i AS b FROM pairs
+),
+reach(v, c) AS (
+    SELECT a AS v, a AS c FROM edges
+    UNION
+    SELECT e.b AS v, r.c AS c FROM reach r JOIN edges e ON r.v = e.a
+),
+comp AS (SELECT v, MIN(c) AS c FROM reach GROUP BY v)
+SELECT d.doc_id,
+       COALESCE(comp.c, d.doc_id) AS canonical_id,
+       COALESCE(comp.c, d.doc_id) = d.doc_id AS keep
+FROM documents d LEFT JOIN comp ON d.doc_id = comp.v
+ORDER BY doc_id
+"""
+
+
+@query("dedup_components", oracle=_DUCK_COMPONENTS)
+def dedup_components(spark, sf_dir):
+    """Near-dup pairs → connected components → canonical assignment: the
+    transitive-closure stage of corpus dedup (A~B, B~C collapse to one
+    canonical doc even when A~C was never emitted). Pairs from the exact
+    Jaccard join; components via distributed min-label propagation
+    (operators/components.py); oracle via DuckDB recursive-CTE closure."""
+    from chatdata_spark.operators.components import canonical_assignment
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = jaccard_similarity_join(d, "doc_id", "text", k=3, threshold=0.4)
+    return canonical_assignment(d, "doc_id", pairs).orderBy("doc_id")

@@ -1,0 +1,134 @@
+"""Full-text + hybrid search queries on the ``documents`` table.
+
+BM25 determinism: the score is a fixed-order sum of per-term expressions
+whose literals are generated from the SAME Python floats on both sides.
+The registered queries use the ``idf='rational'`` (log-free) configuration:
+Java Math.log and DuckDB ln disagree by 1 ulp on ~8% of idf arguments
+(pinned by tests/test_textsearch.py), so the standard Okapi-ln scoring is
+the operator default but not hash-oracle-able; rational idf is exact
+arithmetic end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chatdata_spark.functions.vector import hash_embed
+from chatdata_spark.operators.knn import knn
+from chatdata_spark.operators.textsearch import bm25_topk, rrf_fuse, with_rank
+from chatdata_spark.registry import query
+
+TERMS = ["vector", "join", "stream"]
+K1, B = 1.2, 0.75
+DIM = 64
+QH = hash_embed("hybrid", DIM)
+
+
+def _bm25_oracle_ctes(terms: list[str], k1: float, b: float, limit: int) -> str:
+    """CTE chain computing BM25 over ``documents`` with the exact operand
+    order of operators/textsearch.py::bm25_topk. Ends with CTE ``bm`` =
+    (doc_id, score) top-``limit``."""
+    tfs = ",\n               ".join(
+        f"COUNT(*) FILTER (term = '{t}') AS tf{i}" for i, t in enumerate(terms)
+    )
+    dfs = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(terms))
+    )
+    terms_sql = []
+    for i in range(len(terms)):
+        idf = f"((n - df{i} + 0.5) / (df{i} + 0.5))"
+        denom = (
+            f"(CAST(tf{i} AS DOUBLE) + {k1!r} * ({1.0 - b!r} + ({b!r} * dl) / avgdl))"
+        )
+        terms_sql.append(
+            f"CASE WHEN tf{i} > 0 THEN ({idf} * (CAST(tf{i} AS DOUBLE) * {k1 + 1.0!r}))"
+            f" / {denom} ELSE 0.0 END"
+        )
+    score = " + ".join(terms_sql)
+    return f"""
+    tok AS (
+        SELECT doc_id AS id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT id, COUNT(*) AS dl,
+               {tfs}
+        FROM tok GROUP BY id
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+               {dfs}
+        FROM per_doc
+    ),
+    bm AS (
+        SELECT id AS doc_id, score FROM (
+            SELECT id, ROUND({score}, 6) AS score
+            FROM per_doc CROSS JOIN stats
+        ) WHERE score > 0
+        ORDER BY score DESC, id ASC LIMIT {limit}
+    )"""
+
+
+@query(
+    "bm25_text_search",
+    oracle=f"""
+    WITH {_bm25_oracle_ctes(TERMS, K1, B, 20)}
+    SELECT doc_id, score FROM bm ORDER BY score DESC, doc_id ASC
+    """,
+)
+def bm25_text_search(spark, sf_dir):
+    """BM25 keyword top-20 over documents (rational-idf oracle config) —
+    the keyword half of hybrid retrieval (the reference's MyScale backend
+    exposes text+vector hybrid as a platform feature; the engine-side
+    ranking lives here)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_topk(d, "doc_id", "text", TERMS, k=20, k1=K1, b=B, idf="rational")
+
+
+def _duck_vec(vec) -> str:
+    return "CAST([" + ",".join(repr(float(x)) for x in vec) + "] AS DOUBLE[])"
+
+
+@query(
+    "hybrid_rrf_search",
+    oracle=f"""
+    WITH {_bm25_oracle_ctes(TERMS, K1, B, 50)},
+    bmr AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r0
+        FROM bm
+    ),
+    kn AS (
+        SELECT vec_id AS doc_id,
+               ROUND(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_duck_vec(QH)}), 6) AS dist
+        FROM embeddings ORDER BY dist ASC, vec_id ASC LIMIT 50
+    ),
+    knr AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY dist ASC, doc_id ASC) AS r1
+        FROM kn
+    )
+    SELECT COALESCE(bmr.doc_id, knr.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / (60.0 + r0), 0.0) + COALESCE(1.0 / (60.0 + r1), 0.0), 6) AS rrf
+    FROM bmr FULL OUTER JOIN knr ON bmr.doc_id = knr.doc_id
+    ORDER BY rrf DESC, doc_id ASC LIMIT 20
+    """,
+)
+def hybrid_rrf_search(spark, sf_dir):
+    """Hybrid search: reciprocal-rank fusion of the BM25 keyword ranking
+    (documents) and the kNN cosine ranking (embeddings; vec_id ≡ doc_id in
+    the driver tables). RRF scores are fixed-order sums of exact rationals
+    — no float-aggregation nondeterminism."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bm = with_rank(
+        bm25_topk(d, "doc_id", "text", TERMS, k=50, k1=K1, b=B, idf="rational"),
+        [F.desc("score"), F.asc("doc_id")],
+    )
+    kn = with_rank(
+        knn(emb, "embedding", QH, k=50, select=["vec_id"], id_col="vec_id").select(
+            F.col("vec_id").alias("doc_id"), "dist"
+        ),
+        [F.asc("dist"), F.asc("doc_id")],
+    )
+    return rrf_fuse([bm, kn], "doc_id", k0=60, k=20)

@@ -57,6 +57,7 @@ def _load_all() -> None:
         sampling,
         stateful,
         text,
+        textsearch,
         timeseries,
         vector,
     )
@@ -78,8 +79,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # dialect + self-query compilers (P2-P9, §2.9, §3.2, §4.3.3)
     "dialect_knn", "dialect_order_alias", "self_query_filter",
     "self_query_knn", "routed_index_knn",
-    # text analysis family
+    # text analysis + full-text/hybrid search family
     "text_profile", "text_lang_distribution", "text_quality_by_source",
+    "bm25_text_search", "hybrid_rrf_search",
     # timeseries family
     "asof_join_purchase_click", "sessionize_events",
     "range_join_click_window", "percentile_stats",
@@ -88,7 +90,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "vector_centroids_by_label", "pack_documents",
     # dedup family
     "dedup_exact", "dedup_jaccard_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding",
+    "dedup_simhash", "dedup_embedding", "dedup_components",
     # ClickHouse scalar parity sweeps
     "dialect_scalar_parity", "dialect_array_map", "dialect_array_functions",
     # ingest + multimodal
@@ -103,8 +105,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     # representative relational operator classes
     "collect_list_sorted", "window_latest_event",
-    "window_top3_orders_per_cust", "top_orders", "row_to_document",
-    "cube_docs", "correlated_subquery", "explode_unnest",
+    "top_orders", "row_to_document",
+    "correlated_subquery",
 )
 
 

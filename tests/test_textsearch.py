@@ -1,0 +1,85 @@
+"""BM25 + hybrid RRF search: determinism pins and ranking properties.
+
+The registry-driven oracle comparison (tests/test_correctness.py) covers
+full result equality; these tests pin the cross-engine determinism
+assumptions and the ranking semantics individually.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from chatdata_spark.operators.textsearch import bm25_topk, rrf_fuse, with_rank
+from tests.conftest import SF_ORACLE, duck_con
+
+
+def test_ln_not_bit_portable_pins_rational_idf_choice(spark):
+    """WHY the registered BM25 queries use idf='rational': Java Math.log
+    and DuckDB ln disagree by 1 ulp on ~8% of the idf argument domain
+    (1 + (N-df+0.5)/(df+0.5), df in 1..N), so Okapi-ln scores are not
+    hash-oracle-able. If this test ever FAILS (the engines converged),
+    the registered queries can move back to standard Okapi scoring."""
+    n = 500
+    args = [1.0 + (n - df + 0.5) / (df + 0.5) for df in range(1, n + 1)]
+    sdf = spark.createDataFrame([(a,) for a in args], "x double")
+    got = [r.y for r in sdf.select(F.log(F.col("x")).alias("y")).collect()]
+    con = duck_con(SF_ORACLE)
+    want = [
+        con.execute("SELECT ln(CAST(? AS DOUBLE))", [a]).fetchone()[0] for a in args
+    ]
+    ndiff = sum(1 for g, w in zip(got, want) if g != w)
+    assert ndiff > 0, "ln is now bit-portable: okapi idf can be oracle-backed"
+    # and every disagreement is a single ulp, not a real numeric bug
+    assert all(abs(g - w) / w < 1e-15 for g, w in zip(got, want))
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    d = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    top = bm25_topk(d, "doc_id", "text", ["vector", "join"], k=10).collect()
+    assert len(top) == 10
+    scores = [r.score for r in top]
+    assert scores == sorted(scores, reverse=True)
+    texts = {
+        r.doc_id: r.text
+        for r in d.filter(F.col("doc_id").isin([t.doc_id for t in top])).collect()
+    }
+    for r in top:
+        t = texts[r.doc_id].lower()
+        assert "vector" in t or "join" in t
+
+
+def test_bm25_topk_prefix_stable(spark):
+    """Monotonicity: top-5 is a prefix of top-15 (same ordering)."""
+    d = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    t5 = [r.doc_id for r in bm25_topk(d, "doc_id", "text", ["stream"], k=5).collect()]
+    t15 = [r.doc_id for r in bm25_topk(d, "doc_id", "text", ["stream"], k=15).collect()]
+    assert t15[:5] == t5
+
+
+def test_bm25_plans_top_k_not_global_sort(spark):
+    d = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = bm25_topk(d, "doc_id", "text", ["vector"], k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_rrf_fusion_semantics(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "id long, rank int")
+    b = spark.createDataFrame([(3, 1), (4, 2)], "id long, rank int")
+    out = {r.id: r.rrf for r in rrf_fuse([a, b], "id", k0=60).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 3: rank 3 + rank 1; both-list membership dominates
+    assert out[3] == round(1.0 / 63 + 1.0 / 61, 6)
+    assert out[3] > out[1] > out[2]
+    assert out[4] == round(1.0 / 62, 6)
+
+
+def test_with_rank_orders_and_numbers_from_one(spark):
+    df = spark.createDataFrame(
+        [(10, 0.5), (11, 0.1), (12, 0.5)], "id long, score double"
+    )
+    ranked = with_rank(df, [F.desc("score"), F.asc("id")]).collect()
+    by_id = {r.id: r.rank for r in ranked}
+    assert by_id == {10: 1, 12: 2, 11: 3}

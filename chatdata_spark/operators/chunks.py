@@ -1,0 +1,98 @@
+"""Document chunking and chunk-level (paragraph-level) deduplication
+(north-star extension). The reference chunks uploads into retriever
+passages via its parse pipeline (app/backend/chat_bot/tools.py:13-50, the
+NarrativeText elements ARE its chunks); this module gives the same
+capability a declarative, corpus-scale form: fixed-width word chunking for
+RAG/packing, plus cross-corpus dedup at chunk granularity (the
+"paragraph dedup" pass of C4/RefinedWeb-style cleaning, here applied to
+word-window chunks since the corpus has no line structure).
+
+Scale design (the 100 TB story):
+- chunking is a scan-stage transform + posexplode — no shuffle; chunk ids
+  are (doc_id, chunk_idx), never a global sequence.
+- dedup keys are sha256 digests of the chunk text (fixed-width shuffle
+  key, never raw text); keep-first is one window over the digest — the
+  same single-shuffle shape as operators/dedup.py:exact_dedup.
+- reassembly groups by doc_id with an order-by-idx sorted aggregation —
+  one shuffle on the (already fixed-width) doc id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 12,
+) -> DataFrame:
+    """Split each document into consecutive ``chunk_words``-word chunks:
+    ``(id_col, chunk_idx, chunk_text)``, chunk_idx 0-based. The final
+    chunk may be short; empty/blank docs produce one empty chunk."""
+    w = F.split(F.lower(F.col(text_col)), r"\s+")
+    n_chunks = F.greatest(F.ceil(F.size(w) / F.lit(chunk_words)).cast("int"), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(w, i * chunk_words + 1, chunk_words), " "),
+    )
+    return df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+
+
+def chunk_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 12,
+) -> DataFrame:
+    """Cross-corpus chunk-level dedup: chunk every document, keep the first
+    occurrence of each distinct chunk (min (doc_id, chunk_idx)), drop the
+    rest. Returns surviving ``(id_col, chunk_idx, chunk_text)`` rows."""
+    c = chunk_documents(df, id_col, text_col, chunk_words)
+    win = Window.partitionBy(F.sha2(F.col("chunk_text"), 256)).orderBy(
+        F.col(id_col).asc(), F.col("chunk_idx").asc()
+    )
+    return (
+        c.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def chunk_dedup_reassemble(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 12,
+) -> DataFrame:
+    """Chunk-dedup then rebuild each document from its surviving chunks in
+    chunk order: ``(id_col, n_chunks_kept, cleaned_text)``. Documents whose
+    every chunk was seen earlier survive with 0 chunks and empty text (so
+    the output is total over input docs — callers filter as policy)."""
+    kept = chunk_dedup(df, id_col, text_col, chunk_words)
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("chunk_idx"), F.col("chunk_text")))
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+    all_ids = df.select(F.col(id_col)).distinct()
+    return (
+        all_ids.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks_kept", F.lit(0)).cast("int").alias("n_chunks_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )

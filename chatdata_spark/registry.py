@@ -49,6 +49,7 @@ def query(name: str, oracle: str | None = None):
 def _load_all() -> None:
     # Import for registration side effects; keep cheap (no Spark work at import).
     from chatdata_spark.queries import (  # noqa: F401
+        cleaning,
         dedup,
         dialect,
         ingest,
@@ -75,16 +76,18 @@ def _load_all() -> None:
 DRIVER_WINDOW: tuple[str, ...] = (
     # vector search core (S1/V1-V6/T1)
     "knn_topk", "knn_filtered", "knn_l2", "ann_ivf_full_probe",
-    "vector_brute_force_scores",
     # dialect + self-query compilers (P2-P9, §2.9, §3.2, §4.3.3)
     "dialect_knn", "dialect_order_alias", "self_query_filter",
     "self_query_knn", "routed_index_knn",
     # text analysis + full-text/hybrid search family
     "text_profile", "text_lang_distribution", "text_quality_by_source",
     "bm25_text_search", "hybrid_rrf_search",
+    # corpus cleaning family (PII / repetition / decontamination / chunk dedup)
+    "pii_redaction", "text_repetition_signals", "decontam_docs",
+    "chunk_dedup_docs",
     # timeseries family
     "asof_join_purchase_click", "sessionize_events",
-    "range_join_click_window", "percentile_stats",
+    "range_join_click_window",
     # sampling / split family
     "sample_hash_20pct", "split_train_val_test", "stratified_quota_by_lang",
     "vector_centroids_by_label", "pack_documents",
@@ -92,7 +95,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_exact", "dedup_jaccard_exact", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding", "dedup_components",
     # ClickHouse scalar parity sweeps
-    "dialect_scalar_parity", "dialect_array_map", "dialect_array_functions",
+    "dialect_scalar_parity", "dialect_array_map",
     # ingest + multimodal
     "ingest_flatten_json", "ingest_validate_dim",
     "multimodal_profile", "multimodal_feature_knn",
@@ -106,7 +109,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # representative relational operator classes
     "collect_list_sorted", "window_latest_event",
     "top_orders", "row_to_document",
-    "correlated_subquery",
 )
 
 

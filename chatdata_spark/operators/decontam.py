@@ -22,19 +22,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from chatdata_spark.operators.dedup import _with_shingle_hashes, shingle_hashes_col
+from chatdata_spark.operators.dedup import _with_shingle_hashes, shingle_hashes_udf
 
 
 def benchmark_ngram_set(bench: DataFrame, text_col: str = "text", n: int = 13) -> DataFrame:
     """Distinct n-gram hashes of the benchmark set: one column ``sh``.
-    Small by construction — safe to broadcast."""
+    Small by construction — safe to broadcast. Same Arrow mix as the corpus
+    side (hash values must agree exactly for the overlap join)."""
     return (
         bench.select(
             F.transform(
                 F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: F.xxhash64(t)
             ).alias("__wh")
         )
-        .select(F.explode(shingle_hashes_col("__wh", n)).alias("sh"))
+        .select(F.explode(shingle_hashes_udf(n)(F.col("__wh"))).alias("sh"))
         .distinct()
     )
 

@@ -79,14 +79,57 @@ def shingle_hashes_col(word_hashes, k: int = 3) -> Column:
     )
 
 
+_SHINGLE_UDFS: dict[int, object] = {}
+
+
+def shingle_hashes_udf(k: int):
+    """Arrow-vectorized twin of :func:`shingle_hashes_col`: array<bigint>
+    word hashes → array<bigint> DISTINCT shingle hashes, bit-identical to
+    the JVM xor-rotate mix (asserted in tests/test_dedup.py). One numpy
+    pass per batch replaces O(k·S) interpreted lambda frames per row, and —
+    as important — the Python eval node is a hard optimizer barrier: a
+    downstream ``explode`` can't re-inline the word-hash array into every
+    element access (the O(n²) trap; Generate-node inlining bypasses the
+    multi-reference guard that protects plain projections).
+
+    Closure captures only ``k`` and third-party modules (worker-pickling
+    rule: no package-global references). Memoized per ``k`` — identical
+    UDF objects keep repeated plans equal, so CacheManager can serve a
+    persisted signature table to later invocations."""
+    if k in _SHINGLE_UDFS:
+        return _SHINGLE_UDFS[k]
+
+    @F.pandas_udf("array<bigint>")
+    def _sh(word_hashes: pd.Series) -> pd.Series:
+        kk = k
+        out = []
+        for h in word_hashes:
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+            n = hv.size
+            m = max(n - (kk - 1), 1)
+            acc = hv[:m].copy()
+            for j in range(1, kk):
+                nxt = np.zeros(m, dtype=np.uint64)
+                avail = max(min(m, n - j), 0)
+                if avail:
+                    nxt[:avail] = hv[j : j + avail]
+                acc = ((acc << np.uint64(7)) | (acc >> np.uint64(57))) ^ nxt
+            out.append(np.unique(acc.view(np.int64)).tolist())
+        return pd.Series(out)
+
+    _SHINGLE_UDFS[k] = _sh
+    return _sh
+
+
 def _with_shingle_hashes(df: DataFrame, id_col: str, text_col: str, k: int, persist: bool) -> DataFrame:
-    """(id, shh, sz) signature table: spread partitions, hash words once in
-    its own projection, mix shingles from the materialized hash array.
+    """(id, shh, sz) signature table: spread partitions, hash words JVM-side
+    in its own projection, mix shingles from the hash array in one Arrow
+    pass (:func:`shingle_hashes_udf` — values identical to the JVM mix).
     Persisted when consumed by multiple joins (bands + verify sides)."""
     base = (
         _spread(df.select(F.col(id_col).alias("id"), text_col))
         .select("id", F.transform(words_col(text_col), lambda t: F.xxhash64(t)).alias("__wh"))
-        .select("id", shingle_hashes_col("__wh", k).alias("shh"))
+        .select("id", shingle_hashes_udf(k)(F.col("__wh")).alias("shh"))
         .withColumn("sz", F.size("shh"))
     )
     if persist:
@@ -245,53 +288,79 @@ def jaccard_similarity_join(
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs (i < j, jac ≥ threshold).
 
-    Plan: explode distinct shingles → self-join on shingle (inverted index)
-    → count common shingles per pair → jaccard from set sizes. The shuffle
-    key is the shingle hash; no all-pairs compare ever materializes.
+    Plan: explode distinct shingles → prefix-filtered inverted-index
+    self-join for candidates → exact array-intersection verification. The
+    shuffle key is the shingle hash; no all-pairs compare ever
+    materializes.
 
     ``max_df`` (default: 1% of the corpus, min 2 docs; int = absolute;
     ``None`` = off) drops stop-shingles from the INVERTED INDEX — a shingle
     shared by f docs produces an f² join bucket, so one common trigram
     ("of the and") otherwise quadratic-bombs the join at corpus scale.
     Reported jaccard values stay exact: each pair's common count is
-    ``pruned-index common + |stop_i ∩ stop_j|``, where stop_i is doc i's
-    (tiny) stop-shingle subset carried through a broadcast join — only the
-    CANDIDATE condition weakens, to "shares ≥1 non-stop shingle". A true
-    pair is missed only if every shingle it shares is corpus-wide
-    boilerplate; pass ``None`` to force the exhaustive index."""
+    the exact ``size(array_intersect(sh_i, sh_j))`` over the full cached
+    signature arrays — only CANDIDATE generation weakens, to "shares ≥1
+    non-stop prefix shingle". A true pair is missed only if every shingle
+    it shares is corpus-wide boilerplate; pass ``None`` to force the
+    exhaustive index.
+
+    Candidate generation is AllPairs/PPJoin-style **prefix filtering**: per
+    doc, index only the ``sz - floor(t·sz) + 1`` shingles that sort first
+    by (global document frequency asc, hash) — any pair with jaccard ≥ t
+    must share a prefix entry under that order (overlap ≥ ceil(t·|S|) on
+    both sides; one extra entry over the tight ceil() bound keeps integer
+    t·sz cases safe). Length filtering (t·sz_i ≤ sz_j ∧ t·sz_j ≤ sz_i) is
+    applied inside the join condition so pruned pairs are never emitted.
+    Prefix entries have LOW df by construction, so inverted-index buckets
+    stay small even before the ``max_df`` stop-shingle guard; verification
+    touches only surviving candidates."""
     base = _with_shingle_hashes(df, id_col, text_col, k, persist=True)
     tokens = base.select("id", "sz", F.explode("shh").alias("shingle"))
-    stop_sh = None
+    freq = tokens.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
-        n_docs_df = base.agg(F.count(F.lit(1)).alias("__n_docs"))
-        stop = _stop_shingles(tokens.select("id", "shingle"), max_df, n_docs_df)
-        stop_sh = (
-            tokens.join(F.broadcast(stop), "shingle")
-            .groupBy("id")
-            .agg(F.collect_list("shingle").alias("stop_sh"))
-        )
-        tokens = tokens.join(F.broadcast(stop), "shingle", "left_anti")
-    a = tokens.select(F.col("id").alias("i"), F.col("sz").alias("sz_i"), "shingle")
-    b = tokens.select(F.col("id").alias("j"), F.col("sz").alias("sz_j"), "shingle")
-    pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("i") < F.col("j"))
-        .groupBy("i", "j", "sz_i", "sz_j")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    if stop_sh is not None:
-        empty = F.array().cast("array<bigint>")
-        pairs = (
-            pairs.join(stop_sh.withColumnRenamed("id", "i").withColumnRenamed("stop_sh", "stop_i"), "i", "left")
-            .join(stop_sh.withColumnRenamed("id", "j").withColumnRenamed("stop_sh", "stop_j"), "j", "left")
-            .withColumn(
-                "common",
-                F.col("common")
-                + F.size(F.array_intersect(F.coalesce("stop_i", empty), F.coalesce("stop_j", empty))),
+        if isinstance(max_df, float):
+            n_docs_df = base.agg(F.count(F.lit(1)).alias("__n_docs"))
+            limit = F.greatest(F.ceil(F.lit(max_df) * F.col("__n_docs")), F.lit(2))
+            freq = (
+                freq.crossJoin(F.broadcast(n_docs_df))
+                .filter(F.col("df") <= limit)
+                .select("shingle", "df")
             )
+        else:
+            freq = freq.filter(F.col("df") <= max_df)
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    prefix = (
+        tokens.join(freq, "shingle")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "sz", "shingle")
+    )
+    # both sides of the self-join consume the prefix index; without this the
+    # whole freq-join + window DAG executes twice
+    from pyspark import StorageLevel
+
+    prefix = prefix.persist(StorageLevel.MEMORY_AND_DISK)
+    tl = F.lit(float(threshold))
+    a = prefix.select(F.col("id").alias("i"), F.col("sz").alias("sz_i"), "shingle")
+    b = prefix.select(F.col("id").alias("j"), F.col("sz").alias("sz_j"), "shingle")
+    candidates = (
+        a.join(
+            b,
+            (a["shingle"] == b["shingle"])
+            & (a["i"] < b["j"])
+            & (b["sz_j"] >= tl * a["sz_i"])
+            & (a["sz_i"] >= tl * b["sz_j"]),
         )
+        .select("i", "j")
+        .distinct()
+    )
+    lhs = base.select(F.col("id").alias("i"), F.col("shh").alias("sh_i"), F.col("sz").alias("sz_i"))
+    rhs = base.select(F.col("id").alias("j"), F.col("shh").alias("sh_j"), F.col("sz").alias("sz_j"))
     return (
-        pairs.withColumn(
+        candidates.join(lhs, "i")
+        .join(rhs, "j")
+        .withColumn("common", F.size(F.array_intersect("sh_i", "sh_j")))
+        .withColumn(
             "jaccard",
             F.round(
                 F.col("common") / (F.col("sz_i") + F.col("sz_j") - F.col("common")), round_digits

@@ -278,6 +278,33 @@ class VectorSQLDialect:
             "dateDiff": lambda a: f"timestampdiff({a[0].strip().strip(chr(39)).upper()}, {a[1]}, {a[2]})",
             "intDiv": lambda a: f"({a[0]} div {a[1]})",
             "modulo": lambda a: f"({a[0]} % {a[1]})",
+            # higher-order predicates (ClickHouse puts the lambda FIRST)
+            "arrayExists": lambda a: f"exists({a[1]}, {a[0]})",
+            "arrayAll": lambda a: f"forall({a[1]}, {a[0]})",
+            "arrayCount": lambda a: f"size(filter({a[1]}, {a[0]}))",
+            # array utilities
+            "arrayConcat": lambda a: f"concat({', '.join(a)})",
+            "arrayDistinct": lambda a: f"array_distinct({a[0]})",
+            "arraySort": lambda a: f"array_sort({a[0]})",
+            "arrayReverse": lambda a: f"reverse({a[0]})",
+            "arraySlice": lambda a: f"slice({a[0]}, {a[1]}, {a[2]})",
+            "indexOf": lambda a: f"array_position({a[0]}, {a[1]})",
+            # conditional aggregates
+            "countIf": lambda a: f"count_if({a[0]})",
+            "sumIf": lambda a: f"sum(CASE WHEN {a[1]} THEN {a[0]} END)",
+            "avgIf": lambda a: f"avg(CASE WHEN {a[1]} THEN {a[0]} END)",
+            # null handling / strings
+            "ifNull": lambda a: f"coalesce({a[0]}, {a[1]})",
+            "assumeNotNull": lambda a: f"({a[0]})",
+            "position": lambda a: f"instr({a[0]}, {a[1]})",
+            "replaceAll": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
+            # NB: can't emit Spark's own startswith/endswith — replace_calls
+            # is case-insensitive, so the output would re-match forever.
+            "startsWith": lambda a: f"(substring({a[0]}, 1, char_length({a[1]})) = {a[1]})",
+            "endsWith": lambda a: f"(right({a[0]}, char_length({a[1]})) = {a[1]})",
+            "toMinute": lambda a: f"minute({a[0]})",
+            "toSecond": lambda a: f"second({a[0]})",
+            "toDecimal64": lambda a: f"CAST({a[0]} AS DECIMAL(27,{a[1].strip()}))",
         }
 
         def multi_if(a: list[str]) -> str:

@@ -212,6 +212,62 @@ def dialect_array_functions(spark, sf_dir):
 
 
 @query(
+    "dialect_parity_extended",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), w -> starts_with(w, 't'))) AS INT) AS n_t_words,
+           len(list_filter(string_split(text, ' '), w -> w = 'table')) > 0 AS has_table,
+           CAST(COALESCE(list_position(list_sort(list_distinct(string_split(text, ' '))), 'table'), 0) AS BIGINT) AS pos_table,
+           CAST(instr(text, 'table') AS BIGINT) AS pos_in_text,
+           replace(substring(text, 1, 20), ' ', '_') AS head_snake,
+           CAST(len(string_split(text, ' ')[1:5]) AS INT) AS n_head
+    FROM documents WHERE doc_id < 30 ORDER BY doc_id
+    """,
+)
+def dialect_parity_extended(spark, sf_dir):
+    """§2.9 parity sweep #2: arrayCount/arrayExists (lambda-first arg
+    order), arraySort/arrayDistinct/arraySlice, indexOf, position,
+    replaceAll, startsWith — through the rename pass."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    ch_sql = """
+    SELECT doc_id,
+           toInt32(arrayCount(w -> startsWith(w, 't'), splitByChar(' ', text))) AS n_t_words,
+           arrayExists(w -> w = 'table', splitByChar(' ', text)) AS has_table,
+           toInt64(indexOf(arraySort(arrayDistinct(splitByChar(' ', text))), 'table')) AS pos_table,
+           toInt64(position(text, 'table')) AS pos_in_text,
+           replaceAll(substring(text, 1, 20), ' ', '_') AS head_snake,
+           toInt32(length(arraySlice(splitByChar(' ', text), 1, 5))) AS n_head
+    FROM documents PREWHERE doc_id < 30 ORDER BY doc_id
+    """
+    return spark.sql(DIALECT.translate(ch_sql))
+
+
+@query(
+    "dialect_conditional_aggs",
+    oracle="""
+    SELECT event_type,
+           count(*) FILTER (WHERE value > 50.0) AS n_big,
+           CAST(SUM(CASE WHEN value > 50.0 THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE) AS sum_big,
+           COALESCE(CAST(COUNT(CASE WHEN value <= 50.0 THEN 1 END) AS BIGINT), 0) AS n_small
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def dialect_conditional_aggs(spark, sf_dir):
+    """§2.9 parity sweep #3: countIf / sumIf / ifNull through the rename
+    pass (sumIf through the exact-decimal convention so both engines sum
+    identically)."""
+    load_events(spark, sf_dir).createOrReplaceTempView("events")
+    ch_sql = """
+    SELECT event_type,
+           countIf(value > 50.0) AS n_big,
+           toFloat64(sumIf(toDecimal64(value, 6), value > 50.0)) AS sum_big,
+           ifNull(toInt64(count(multiIf(value <= 50.0, 1, NULL))), 0) AS n_small
+    FROM events GROUP BY event_type ORDER BY event_type
+    """
+    return spark.sql(DIALECT.translate(ch_sql))
+
+
+@query(
     "routed_index_knn",
     oracle=f"""
     SELECT vec_id, label,

@@ -238,6 +238,70 @@ def q5_region_revenue(spark, sf_dir):
 
 
 @query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {DSUM.format(e='l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan + selective filter + scalar agg — every
+    predicate is scan-pushable, the shuffle is one partial-agg row per
+    task (plan pinned in tests/test_plans.py)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
+    "q18_large_volume_customer",
+    oracle=f"""
+    WITH lag AS (
+        SELECT l_orderkey, {DSUM.format(e='l_quantity')} AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM lag
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    WHERE sum_qty > 250
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered aggregate driving a join. The
+    lineitem roll-up happens once (map-side combinable, one shuffle on
+    l_orderkey); the >250 survivors are selective, so that side broadcasts
+    into orders and only matching orders reach the customer join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    lag = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        o.join(F.broadcast(lag), o.o_orderkey == lag.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
     "semi_join_orders",
     oracle="""
     SELECT o_orderkey, o_totalprice

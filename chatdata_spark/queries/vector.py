@@ -141,6 +141,46 @@ def vector_brute_force_scores(spark, sf_dir):
     )
 
 
+def _lsh_indexed(spark, sf_dir, n_tables, n_bits):
+    from chatdata_spark.operators.dedup import _spread
+    from chatdata_spark.operators.lsh import with_lsh_keys
+
+    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return with_lsh_keys(emb, "embedding", DIM, n_tables=n_tables, n_bits=n_bits)
+
+
+@query(
+    "ann_lsh_exact",
+    oracle=f"""
+    SELECT vec_id, label, {_duck_cos('embedding', Q1)} AS dist
+    FROM embeddings
+    ORDER BY dist ASC, vec_id ASC
+    LIMIT 12
+    """,
+)
+def ann_lsh_exact(spark, sf_dir):
+    """Hyperplane-LSH ANN in its oracle-checkable configuration (n_bits=0:
+    every row collides with the query in every table, so probe + rerank
+    must equal the exact scan — the full end-to-end plumbing of
+    operators/lsh.py under an exact contract, mirroring
+    ann_ivf_full_probe)."""
+    from chatdata_spark.operators.lsh import lsh_search
+
+    idx = _lsh_indexed(spark, sf_dir, n_tables=4, n_bits=0)
+    return lsh_search(idx, "embedding", Q1, k=12, n_tables=4, n_bits=0, select=["vec_id", "label"])
+
+
+@query("ann_lsh_probe")  # approximate by design → rows-only + tests/test_lsh.py
+def ann_lsh_probe(spark, sf_dir):
+    """LSH bucket-probe ANN at a real operating point (8 tables × 10 bits):
+    scan-stage arrays_overlap candidate filter, exact rerank; recall vs
+    the brute-force scan is pinned in tests/test_lsh.py."""
+    from chatdata_spark.operators.lsh import lsh_search
+
+    idx = _lsh_indexed(spark, sf_dir, n_tables=8, n_bits=10)
+    return lsh_search(idx, "embedding", Q1, k=12, n_tables=8, n_bits=10, select=["vec_id", "label"])
+
+
 @query("embed_documents_batch")  # rows-only: embedder not SQL-expressible
 def embed_documents_batch(spark, sf_dir):
     """V5 batch embedding throughput surface: Arrow-batched embedder over

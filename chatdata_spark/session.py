@@ -46,7 +46,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[32] single-JVM: storage+execution share this heap; 8g made
+        # persisted signature tables thrash against 32 concurrent shuffle
+        # tasks (observed: cached-plan queries 3× slower under bench load).
+        # The box has 128 GiB; at cluster scale executor memory governs.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -170,3 +170,25 @@ def test_clustered_near_dup_probe_recall_monotonic(spark, tmp_path):
     p3 = {(r.i, r.j) for r in embedding_near_dup_clustered(idx, 0.4, n_probe=3).collect()}
     assert p1 <= p3 <= exact
     assert len(p3) > len(p1), "multi-probe should recover boundary pairs"
+
+
+def test_shingle_udf_matches_jvm_mix(spark):
+    """The Arrow shingle mix must be bit-identical to the JVM expression
+    (the dedup family's join keys and the decontam broadcast set both
+    assume interchangeability)."""
+    from chatdata_spark.operators.dedup import shingle_hashes_col, shingle_hashes_udf, words_col
+    import pyspark.sql.functions as F
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    base = d.select(
+        "doc_id", F.transform(words_col("text"), lambda t: F.xxhash64(t)).alias("wh")
+    ).persist()
+    for k in (3, 5):
+        rows = base.select(
+            "doc_id",
+            F.array_sort(shingle_hashes_col("wh", k)).alias("jvm"),
+            F.array_sort(shingle_hashes_udf(k)(F.col("wh"))).alias("arrow"),
+        ).collect()
+        for r in rows:
+            assert r["jvm"] == r["arrow"], f"k={k} doc={r['doc_id']}"
+    base.unpersist()

@@ -76,3 +76,47 @@ def test_distance_expression_stays_jvm(spark):
     emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
     p = _plan(knn(emb, "embedding", hash_embed("q", 64), k=5, id_col="vec_id"))
     assert "EvalPython" not in p
+
+
+def test_q6_filters_pushed_and_partial_agg(spark):
+    """Q6's predicates must reach the parquet scan (PushedFilters) and the
+    aggregate must be partial (map-side combine) — the scan+filter+scalar
+    agg plan whose shuffle is one row per task at any scale."""
+    p = _plan(_QS["q6_forecast_revenue"](spark, SF_ORACLE))
+    # the PushedFilters list is elided in toString; the leading entries
+    # prove the predicates reached the scan, ReadSchema proves pruning
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)" in p
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate" in p
+    assert "partial_sum" in p
+
+
+def test_q18_broadcasts_having_survivors(spark):
+    """The HAVING>250 survivor set must broadcast into orders — a shuffle
+    join there would move the whole orders table for a tiny filter."""
+    p = _plan(_QS["q18_large_volume_customer"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in p
+
+
+def test_lsh_probe_is_scan_stage_predicate(spark):
+    """The LSH bucket probe must stay a scan-stage filter + top-k heap —
+    no shuffle, no sort before the rerank's TakeOrderedAndProject."""
+    p = _plan(_QS["ann_lsh_probe"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in p
+    assert "arrays_overlap" in p
+
+
+def test_decontam_bench_set_is_broadcast(spark):
+    """The benchmark n-gram set must reach the corpus as a broadcast hash
+    join — shuffling the corpus against it would move the whole corpus for
+    a set that is tiny by definition."""
+    p = _plan(_QS["decontam_docs"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_jaccard_verify_has_no_groupby_on_pairs(spark):
+    """Prefix-filter design: common counts come from array_intersect over
+    the cached signature arrays, not a count-aggregation over exploded
+    pair rows (the old shape whose shuffle grows with candidate count)."""
+    p = _plan(_QS["dedup_jaccard_exact"](spark, SF_ORACLE))
+    assert "array_intersect" in p

@@ -140,3 +140,44 @@ def test_stream_distinct_stateful_across_batches(spark, tmp_path):
     got2 = {r.entity_id for r in spark.read.parquet(outd).collect()}
     assert got2 == {"a", "b", "c"}
     assert spark.read.parquet(outd).count() == 3
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join (clicks x purchases within a 10-min
+    attribution window) drained with availableNow must produce exactly the
+    batch join's rows — and the streaming plan must carry watermarks on
+    both sides (bounded state: the unbounded-stream survival property)."""
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.streaming.joins import purchase_click_attribution_join
+    from tests.conftest import SF_ORACLE
+
+    e = load_events(spark, SF_ORACLE).select("event_id", "ts", "user_id", "event_type")
+    clicks_dir, purch_dir = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    e.filter(F.col("event_type") == "click").write.parquet(clicks_dir)
+    e.filter(F.col("event_type") == "purchase").write.parquet(purch_dir)
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    sc = spark.readStream.schema(schema).parquet(clicks_dir)
+    sp = spark.readStream.schema(schema).parquet(purch_dir)
+    joined = purchase_click_attribution_join(sc, sp)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.table("attrib").collect()
+    }
+
+    batch = purchase_click_attribution_join(
+        spark.read.parquet(clicks_dir), spark.read.parquet(purch_dir)
+    )
+    want = {(r.user_id, r.click_id, r.purchase_id) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+    # bounded-state proof: watermarks present on the streaming plan
+    assert "EventTimeWatermark" in joined._jdf.queryExecution().analyzed().toString()

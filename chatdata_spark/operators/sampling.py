@@ -56,3 +56,27 @@ def stratified_quota(
     deterministic subsample (per-language / per-source quotas)."""
     w = Window.partitionBy(*strata_cols).orderBy(hash_bucket(key_col, salt).asc(), F.col(key_col).asc())
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= n_per_stratum).drop("__rn")
+
+
+def domain_mixture(
+    df: DataFrame,
+    domain_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Weighted domain mixing: keep each domain's rows at its own sampling
+    rate (the 'data mixture' step of training-corpus assembly — e.g. keep
+    100% of books, 30% of web, 5% of logs). Deterministic hash membership
+    per row, so the mixture is reproducible and composable with splits that
+    use a different salt; domains absent from ``rates`` get
+    ``default_rate``. One scan, no shuffle: the rate lookup is a literal
+    CASE chain and membership a scan-stage filter."""
+    d = F.col(domain_col)
+    rate = None
+    for dom, r in sorted(rates.items()):
+        rate = (F.when(d == dom, F.lit(float(r))) if rate is None else rate.when(d == dom, F.lit(float(r))))
+    rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(F.lit(float(default_rate)))
+    threshold = (rate * F.lit(float(BUCKETS))).cast("bigint")
+    return df.filter(hash_bucket(key_col, salt) < threshold)

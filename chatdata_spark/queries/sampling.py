@@ -140,3 +140,33 @@ def pack_documents(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("tokens").cast("bigint").alias("total_tokens"))
         .orderBy("lang", "bin")
     )
+
+
+@query(
+    "domain_mixture_sample",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, source,
+               CASE WHEN source = 'src0' THEN 1.0
+                    WHEN source = 'src1' THEN 0.5
+                    WHEN source = 'src2' THEN 0.25
+                    ELSE 0.05 END AS rate
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_kept
+    FROM r
+    WHERE {_D_BUCKET.format(salt='mix', key='doc_id')} < CAST(rate * 4294967296.0 AS BIGINT)
+    GROUP BY source ORDER BY source
+    """,
+)
+def domain_mixture_sample(spark, sf_dir):
+    """Weighted domain mixing (training-mixture assembly): keep 100% of
+    src0, 50% of src1, 25% of src2, 5% of everything else — one scan-stage
+    deterministic filter, reproducible at any scale or layout."""
+    from chatdata_spark.operators.sampling import domain_mixture
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mixed = domain_mixture(
+        d, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25}, "doc_id", default_rate=0.05
+    )
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("source")

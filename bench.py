@@ -98,7 +98,21 @@ def bench_q5_x10(spark, sf_dir):
     )
 
 
-EXTRA = {"q5_x10_star_join": bench_q5_x10}
+def bench_decontam_x10(spark, sf_dir):
+    """Benchmark decontamination over a 10×-replicated corpus (~50k docs at
+    sf0.1): the broadcast-set design must scale linearly with corpus rows —
+    a super-linear time here means the bench set stopped broadcasting."""
+    import pyspark.sql.functions as F
+
+    from chatdata_spark.operators.decontam import decontaminate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d10 = _replicate(d, ["doc_id"])
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(d10, bench, n=5)
+
+
+EXTRA = {"q5_x10_star_join": bench_q5_x10, "decontam_x10": bench_decontam_x10}
 
 
 def main() -> None:

@@ -16,9 +16,9 @@ Scale design (the 100 TB story):
   (and a frequent-shingle cap, ``max_df``, guards adversarial skew).
 - simhash: 64-bit fingerprint, candidates via 4×16-bit chunk pigeonhole
   (hamming ≤ 3 ⇒ ≥ 1 exact chunk match), verify with bit_count(a ^ b).
-- jaccard verify / similarity join: token join on shingle (shuffle on
-  shingle string), counts common shingles per pair — the classic
-  inverted-index join; doc-frequency pruning drops stop-shingles.
+- jaccard verify / similarity join: count-from-the-inverted-index (one
+  shuffle on the shingle hash, bounded f² buckets, exact stop-shingle
+  correction from a driver-collected, provably small stop set).
 - embedding near-dup: exact O(n²) block compare here; the IVF layout
   (operators/ivf.py) is the scale path — compare only within probed
   clusters.
@@ -288,78 +288,103 @@ def jaccard_similarity_join(
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-duplicate pairs (i < j, jac ≥ threshold).
 
-    Plan: explode distinct shingles → prefix-filtered inverted-index
-    self-join for candidates → exact array-intersection verification. The
-    shuffle key is the shingle hash; no all-pairs compare ever
-    materializes.
+    Plan — **count-from-the-index** (GroupJoin / V-SMART-join shape), no
+    per-pair array scans:
 
-    ``max_df`` (default: 1% of the corpus, min 2 docs; int = absolute;
-    ``None`` = off) drops stop-shingles from the INVERTED INDEX — a shingle
-    shared by f docs produces an f² join bucket, so one common trigram
-    ("of the and") otherwise quadratic-bombs the join at corpus scale.
-    Reported jaccard values stay exact: each pair's common count is
-    the exact ``size(array_intersect(sh_i, sh_j))`` over the full cached
-    signature arrays — only CANDIDATE generation weakens, to "shares ≥1
-    non-stop prefix shingle". A true pair is missed only if every shingle
-    it shares is corpus-wide boilerplate; pass ``None`` to force the
-    exhaustive index.
+    1. split shingles into STOP (document frequency > ``max_df``) and
+       non-stop. The stop set is bounded by construction at ANY corpus
+       size: Σdf ≤ total tokens T, so |stop| ≤ T/(max_df·n) =
+       avg_doc_size/max_df docs-independent (~5 200 entries at the 1%
+       default) — always broadcastable, even at 100 TB.
+    2. non-stop inverted index → per-shingle buckets (each ≤ ``max_df``
+       rows, so the f² expansion is capped) → pairs via two chained JVM
+       Generate nodes → ``groupBy (i,j) count`` = EXACT common non-stop
+       shingles. No candidate re-verification: the count IS the answer.
+    3. per-doc stop-shingle arrays are tiny (≤ |stop|, typically a
+       handful); an upper-bound prune ``common_ns + min(n_stop)`` runs
+       before any array work, and survivors get the exact correction
+       ``size(array_intersect(stop_i, stop_j))`` on those tiny arrays.
 
-    Candidate generation is AllPairs/PPJoin-style **prefix filtering**: per
-    doc, index only the ``sz - floor(t·sz) + 1`` shingles that sort first
-    by (global document frequency asc, hash) — any pair with jaccard ≥ t
-    must share a prefix entry under that order (overlap ≥ ceil(t·|S|) on
-    both sides; one extra entry over the tight ceil() bound keeps integer
-    t·sz cases safe). Length filtering (t·sz_i ≤ sz_j ∧ t·sz_j ≤ sz_i) is
-    applied inside the join condition so pruned pairs are never emitted.
-    Prefix entries have LOW df by construction, so inverted-index buckets
-    stay small even before the ``max_df`` stop-shingle guard; verification
-    touches only surviving candidates."""
+    Values are exact: common = common_nonstop + common_stop over the full
+    distinct-shingle sets. Only candidate COMPLETENESS weakens, to
+    "the pair shares ≥1 non-stop shingle" — a true pair is missed only
+    if every single shingle it shares sits in >``max_df`` of the corpus
+    (pure boilerplate overlap). ``max_df`` (default 1% of the corpus,
+    min 2 docs; int = absolute) set to ``None`` disables the split: the
+    exhaustive index is fully exact but one hot shingle then costs f².
+
+    The stop SET is collected driver-side at plan-construction time (a
+    bounded statistics pass, like the IVF index build or the rollup
+    watermark — NOT a per-row collect) and compiled into the plan as an
+    ``InSet`` filter, so the executed DAG carries no freq join, no
+    anti-join, and no per-doc stop shuffle: its only shuffles are
+    tokens→buckets (by shingle hash) and the pair count (by (i,j)), both
+    on fixed-width longs. When the stop set is empty — the common case
+    for non-boilerplate corpora — the plan collapses to index → pair
+    count → size join → filter."""
     base = _with_shingle_hashes(df, id_col, text_col, k, persist=True)
-    tokens = base.select("id", "sz", F.explode("shh").alias("shingle"))
-    freq = tokens.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    tokens = base.select("id", F.explode("shh").alias("shingle"))
+    tl = F.lit(float(threshold))
+    stops: list[int] = []
     if max_df is not None:
         if isinstance(max_df, float):
-            n_docs_df = base.agg(F.count(F.lit(1)).alias("__n_docs"))
-            limit = F.greatest(F.ceil(F.lit(max_df) * F.col("__n_docs")), F.lit(2))
-            freq = (
-                freq.crossJoin(F.broadcast(n_docs_df))
-                .filter(F.col("df") <= limit)
-                .select("shingle", "df")
-            )
+            cap = max(int(-(-max_df * base.count() // 1)), 2)  # ceil, min 2
         else:
-            freq = freq.filter(F.col("df") <= max_df)
-    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
-    prefix = (
-        tokens.join(freq, "shingle")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= F.col("sz") - F.floor(F.lit(threshold) * F.col("sz")) + 1)
-        .select("id", "sz", "shingle")
+            cap = max_df
+        stops = [
+            r[0]
+            for r in tokens.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > cap)
+            .select("shingle")
+            .collect()
+        ]
+    if stops:
+        nonstop = tokens.filter(~F.col("shingle").isin(stops))
+        # per-row stop projection: InSet lookup per element, no shuffle
+        docs = base.select(
+            "id", "sz", F.filter("shh", lambda x: x.isin(stops)).alias("stop_arr")
+        ).withColumn("n_stop", F.size("stop_arr"))
+    else:
+        nonstop = tokens
+        docs = base.select(
+            "id", "sz", F.array().cast("array<bigint>").alias("stop_arr")
+        ).withColumn("n_stop", F.lit(0))
+    # f² pair expansion inside bounded buckets via chained Generates
+    # (codegen row expansion, not interpreted lambdas, not a self-join —
+    # the token index is shuffled by shingle exactly once)
+    buckets = (
+        nonstop.groupBy("shingle")
+        .agg(F.collect_list("id").alias("docs"))
+        .filter(F.size("docs") >= 2)
     )
-    # both sides of the self-join consume the prefix index; without this the
-    # whole freq-join + window DAG executes twice
-    from pyspark import StorageLevel
-
-    prefix = prefix.persist(StorageLevel.MEMORY_AND_DISK)
-    tl = F.lit(float(threshold))
-    a = prefix.select(F.col("id").alias("i"), F.col("sz").alias("sz_i"), "shingle")
-    b = prefix.select(F.col("id").alias("j"), F.col("sz").alias("sz_j"), "shingle")
-    candidates = (
-        a.join(
-            b,
-            (a["shingle"] == b["shingle"])
-            & (a["i"] < b["j"])
-            & (b["sz_j"] >= tl * a["sz_i"])
-            & (a["sz_i"] >= tl * b["sz_j"]),
-        )
-        .select("i", "j")
-        .distinct()
+    pairs = (
+        buckets.select("docs", F.posexplode("docs").alias("pa", "a"))
+        .select("a", F.expr("slice(docs, pa + 2, size(docs) - pa - 1)").alias("rest"))
+        .select("a", F.explode("rest").alias("b"))
+        .select(F.least("a", "b").alias("i"), F.greatest("a", "b").alias("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("common_ns"))
     )
-    lhs = base.select(F.col("id").alias("i"), F.col("shh").alias("sh_i"), F.col("sz").alias("sz_i"))
-    rhs = base.select(F.col("id").alias("j"), F.col("shh").alias("sh_j"), F.col("sz").alias("sz_j"))
+    a = docs.select(
+        F.col("id").alias("i"), F.col("sz").alias("sz_i"),
+        F.col("n_stop").alias("ns_i"), F.col("stop_arr").alias("stop_i"),
+    )
+    b = docs.select(
+        F.col("id").alias("j"), F.col("sz").alias("sz_j"),
+        F.col("n_stop").alias("ns_j"), F.col("stop_arr").alias("stop_j"),
+    )
+    ub = F.col("common_ns") + F.least("ns_i", "ns_j")
     return (
-        candidates.join(lhs, "i")
-        .join(rhs, "j")
-        .withColumn("common", F.size(F.array_intersect("sh_i", "sh_j")))
+        pairs.join(a, "i")
+        .join(b, "j")
+        # upper-bound prune BEFORE the array intersect: rounding matches
+        # the final filter, and jac_true ≤ jac_ub ⇒ round(jac_true) ≤
+        # round(jac_ub), so no true pair is dropped
+        .filter(F.round(ub / (F.col("sz_i") + F.col("sz_j") - ub), round_digits) >= tl)
+        .withColumn(
+            "common", F.col("common_ns") + F.size(F.array_intersect("stop_i", "stop_j"))
+        )
         .withColumn(
             "jaccard",
             F.round(

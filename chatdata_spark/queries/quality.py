@@ -1,0 +1,66 @@
+"""Driver query for the data-quality validation family: row rules in one
+aggregation pass + uniqueness + referential integrity, unioned into one
+violations report (operators/quality.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chatdata_spark.operators.quality import (
+    quality_report,
+    referential_violations,
+    row_rule_violations,
+    uniqueness_violations,
+)
+from chatdata_spark.registry import query
+
+
+@query(
+    "data_quality_report",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'li_quantity_range' AS rule,
+               SUM(CASE WHEN l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END) AS n_violations
+        FROM lineitem
+        UNION ALL
+        SELECT 'li_discount_range',
+               SUM(CASE WHEN l_discount < 0 OR l_discount > 0.06 THEN 1 ELSE 0 END)
+        FROM lineitem
+        UNION ALL
+        SELECT 'li_shipdate_null', SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        FROM lineitem
+        UNION ALL
+        SELECT 'doc_text_too_short', SUM(CASE WHEN n_chars < 120 THEN 1 ELSE 0 END)
+        FROM documents
+        UNION ALL
+        SELECT 'unique_o_orderkey', COUNT(*) - COUNT(DISTINCT CAST(o_orderkey AS VARCHAR))
+        FROM orders
+        UNION ALL
+        SELECT 'ref_l_orderkey_in_o_orderkey', COUNT(*)
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    ) ORDER BY rule
+    """,
+)
+def data_quality_report(spark, sf_dir):
+    """Expectations-style validation: 4 row rules compiled into ONE scan
+    each per table (sum-of-CASE partial aggregation), a key-uniqueness
+    check, and a referential orphan count — unioned into a long-format
+    (rule, n_violations) report. The range rules fire on real rows; the
+    integrity rules prove zero on this dataset."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    parts = [
+        row_rule_violations(
+            li,
+            {
+                "li_quantity_range": (F.col("l_quantity") < 1) | (F.col("l_quantity") > 45),
+                "li_discount_range": (F.col("l_discount") < 0) | (F.col("l_discount") > 0.06),
+                "li_shipdate_null": F.col("l_shipdate").isNull(),
+            },
+        ),
+        row_rule_violations(d, {"doc_text_too_short": F.col("n_chars") < 120}),
+        uniqueness_violations(o, ["o_orderkey"]),
+        referential_violations(li, o, "l_orderkey", "o_orderkey"),
+    ]
+    return quality_report(parts).orderBy("rule")

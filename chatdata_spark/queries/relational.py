@@ -631,7 +631,7 @@ def string_funcs_parts(spark, sf_dir):
 @query(
     "monthly_order_stats",
     oracle=f"""
-    SELECT date_trunc('month', o_orderdate) AS month,
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
            COUNT(*) AS n,
            {DSUM.format(e='o_totalprice')} AS total
     FROM orders GROUP BY month ORDER BY month
@@ -642,7 +642,7 @@ def monthly_order_stats(spark, sf_dir):
     → to_timestamp/trunc)."""
     o = _t(spark, sf_dir, "orders")
     return (
-        o.groupBy(F.trunc("o_orderdate", "month").alias("month"))
+        o.groupBy(F.date_format(F.trunc("o_orderdate", "month"), "yyyy-MM-dd").alias("month"))
         .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("o_totalprice")).alias("total"))
         .orderBy("month")
     )

@@ -54,6 +54,7 @@ def _load_all() -> None:
         dialect,
         ingest,
         mutations,
+        quality,
         relational,
         sampling,
         stateful,

@@ -114,9 +114,14 @@ def test_decontam_bench_set_is_broadcast(spark):
     assert "SortMergeJoin" not in p
 
 
-def test_jaccard_verify_has_no_groupby_on_pairs(spark):
-    """Prefix-filter design: common counts come from array_intersect over
-    the cached signature arrays, not a count-aggregation over exploded
-    pair rows (the old shape whose shuffle grows with candidate count)."""
+def test_jaccard_counts_from_index_without_window_or_self_join(spark):
+    """Count-from-the-index design: exact common counts come from a hash
+    aggregate over Generate-expanded bucket pairs — so the plan must carry
+    no window (no row_number prefix ranking), no sort-merge self-join of
+    the token index, and the only array_intersect is the bounded
+    stop-shingle correction."""
     p = _plan(_QS["dedup_jaccard_exact"](spark, SF_ORACLE))
-    assert "array_intersect" in p
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p
+    assert "Generate" in p  # posexplode pair expansion, not a join
+    assert "array_intersect" in p  # stop-array exactness correction

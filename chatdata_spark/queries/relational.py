@@ -801,3 +801,149 @@ def exact_distinct_users(spark, sf_dir):
     """Exact companion to approx_distinct_users."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users")).orderBy("event_type")
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS decorrelated into a LEFT SEMI join — the
+    fact side never duplicates (no post-join dedup), the date filter is
+    scan-pushed on orders, and the semi-join shuffles only the two key
+    columns of lineitem. (Adapted predicate: the synthetic lineitem has no
+    l_commitdate/l_receiptdate, so "late line" is l_shipdate >
+    o_orderdate.)"""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-07-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {DSUM.format(e='l_extendedprice * (1.0 - l_discount)')} AS revenue,
+           n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: selective fact filters (date window + returnflag,
+    both scan-pushed), one shuffle join orders↔lineitem, dims broadcast,
+    top-20 via TakeOrderedAndProject (never a global sort)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1996-07-01")))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dsum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "n_name")
+    )
+
+
+@query(
+    "q11_important_parts",
+    oracle=f"""
+    WITH pr AS (
+        SELECT l_partkey, {DSUM.format(e='l_extendedprice * l_quantity')} AS value
+        FROM lineitem GROUP BY l_partkey
+    ),
+    total AS (SELECT {DSUM.format(e='l_extendedprice * l_quantity')} AS tv FROM lineitem)
+    SELECT l_partkey, value FROM pr, total
+    WHERE value > 0.0005 * tv
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: HAVING against a GLOBAL scalar (fraction of total
+    value). The total is a one-row aggregate broadcast into the per-part
+    rollup (BroadcastNestedLoopJoin on a single row — constant-size, never
+    a real cartesian); the lineitem scan is shared by both branches and
+    aggregated map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    value = F.col("l_extendedprice") * F.col("l_quantity")
+    pr = li.groupBy("l_partkey").agg(_dsum(value).alias("value"))
+    total = li.agg(_dsum(value).alias("tv"))
+    return (
+        pr.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 0.0005 * F.col("tv"))
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), F.asc("l_partkey"))
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT CAST(ROUND(
+             100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))
+                       ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))) AS DOUBLE),
+           6) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio over a broadcast
+    dimension join; both decimal sums ride the same partial aggregation,
+    division and rounding happen once on the driver-side single row."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-02-01")))
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(
+        "decimal(27,6)"
+    )
+    zero = F.lit(0).cast("decimal(27,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.00)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )

@@ -206,3 +206,60 @@ def embed_documents_batch(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "knn_join_exact",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    b AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings),
+    p AS (
+        SELECT q_id, b_id,
+               ROUND(1.0 - list_cosine_similarity(qv, bv), 6) AS dist
+        FROM q, b
+    ),
+    r AS (
+        SELECT q_id, b_id, dist,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, b_id) AS rn
+        FROM p
+    )
+    SELECT q_id, b_id, dist FROM r WHERE rn <= 5 ORDER BY q_id, dist, b_id
+    """,
+)
+def knn_join_exact(spark, sf_dir):
+    """Batch kNN join (top-5 base neighbors for every 10th embedding row)
+    in the provably exact configuration: n_probe = n_clusters, so every
+    (query, base) pair meets in exactly one co-located (cluster, salt)
+    group — same IVF layout and GEMM-screen/exact-rescore plan as the
+    pruned scale path, checked pair-for-pair against the brute-force
+    window oracle."""
+    from chatdata_spark.operators.knnjoin import knn_join
+
+    idx = _ivf_index(spark, sf_dir)
+    queries = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % 10 == 0)
+    )
+    return knn_join(
+        queries, idx, "vec_id", "embedding", k=5, n_probe=idx.n_clusters
+    ).orderBy("q_id", "dist", "b_id")
+
+
+@query("knn_join_pruned")  # approximate by design (n_probe < n_clusters) → rows-only
+def knn_join_pruned(spark, sf_dir):
+    """Batch kNN join at a real IVF operating point (n_probe=2 of 8): each
+    query scans ~1/4 of the corpus; recall vs the exact join is pinned in
+    tests/test_knnjoin.py."""
+    from chatdata_spark.operators.knnjoin import knn_join
+
+    idx = _ivf_index(spark, sf_dir)
+    queries = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % 10 == 0)
+    )
+    return knn_join(queries, idx, "vec_id", "embedding", k=5, n_probe=2).orderBy(
+        "q_id", "dist", "b_id"
+    )

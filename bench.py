@@ -49,6 +49,7 @@ HEADLINE = [
     "hybrid_rrf_search",        # BM25 + kNN reciprocal-rank fusion
     "q6_forecast_revenue",      # pushdown-heavy scan + scalar agg
     "knn_join_pruned",          # batch kNN join (IVF cogroup + GEMM screen)
+    "ann_pq_adc",               # PQ/ADC compressed-scan ANN
     "pii_redaction",            # scan-stage regex scrub throughput
     "decontam_docs",            # broadcast n-gram decontamination
     "chunk_dedup_docs",         # chunk dedup + ordered reassembly

@@ -1,0 +1,200 @@
+"""Product-quantization (PQ) compressed vector scan (north-star
+extension; the reference's MSTG index exposes the same trade through
+``fp16_storage=1`` / ``disk_mode=3``, myscale_tables.py:35,63 — compress
+the stored vectors, rerank survivors exactly).
+
+Why this matters at 100 TB: a 64-dim float32 vector is 256 B; its PQ code
+at m=8 subspaces × 8 bits is 8 B — 32×. The ANN scan then reads ONLY the
+code column (Parquet column pruning) and scores a row with m table
+lookups instead of d multiplies, so the whole corpus's codes fit in
+cluster memory and the scan is bandwidth-, not FLOP-, bound.
+
+Build (one batch job):
+  1. sample ≤ ``train_rows`` vectors to the driver, L2-normalize (PQ over
+     normalized vectors makes squared-L2 ≡ 2·cosine-distance, so ADC
+     ranks by the engine's Cosine metric);
+  2. per subspace, Lloyd k-means (numpy, fixed seed, deterministic) for a
+     256-entry codebook — the codebook is m·256·(d/m) floats ≈ 64 KB,
+     a driver-side constant like the IVF centroids;
+  3. Arrow-encode every row: per subspace argmin — ONE (batch, 256) GEMM
+     per subspace per batch — giving ``codes array<smallint>``; written
+     next to the id so the search scan never touches the raw vector.
+
+Search (asymmetric distance computation, ADC):
+  1. driver builds the query's m×256 lookup table (exact distances from
+     the un-quantized query to every codebook entry — the "asymmetric"
+     half that keeps recall high);
+  2. Arrow scan over codes: dist ≈ Σ_j table[j, code_j] — numpy fancy
+     indexing over the whole batch, no per-row Python;
+  3. top ``k·refine`` candidates rerank EXACTLY on their original
+     vectors (tiny semi-join back to the table), tie-broken on id.
+
+Approximate by design (recall pinned in tests/test_pq.py); there is no
+exact configuration, so the registered query is rows-only, like
+``ann_lsh_probe``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chatdata_spark.functions.vector import cosine_distance
+
+
+def _kmeans_1d(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Plain Lloyd k-means (numpy, deterministic): x (n, d) → (k, d)."""
+    rng = np.random.RandomState(seed)
+    k = min(k, x.shape[0])
+    cent = x[rng.choice(x.shape[0], size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                cent[c] = x[mask].mean(axis=0)
+    return cent
+
+
+class PQIndex:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "pq_meta.json")) as f:
+            meta = json.load(f)
+        self.id_col = meta["id_col"]
+        self.vector_col = meta["vector_col"]
+        self.m = meta["m"]
+        self.dsub = meta["dsub"]
+        # (m, 256, dsub) float64
+        self.codebooks = np.array(meta["codebooks"], dtype=np.float64)
+
+    @staticmethod
+    def build(
+        df: DataFrame,
+        path: str,
+        id_col: str,
+        vector_col: str,
+        m: int = 8,
+        train_rows: int = 4096,
+        iters: int = 12,
+        seed: int = 42,
+    ) -> "PQIndex":
+        sample = np.array(
+            [r[0] for r in df.select(vector_col).limit(train_rows).collect()],
+            dtype=np.float64,
+        )
+        sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+        d = sample.shape[1]
+        assert d % m == 0, f"dim {d} not divisible by m={m}"
+        dsub = d // m
+        books = np.stack(
+            [
+                _kmeans_1d(sample[:, j * dsub : (j + 1) * dsub], 256, iters, seed + j)
+                for j in range(m)
+            ]
+        )  # (m, k, dsub); k may be < 256 on tiny corpora — pad for a fixed shape
+        if books.shape[1] < 256:
+            pad = np.repeat(books[:, :1, :], 256 - books.shape[1], axis=1)
+            books = np.concatenate([books, pad], axis=1)
+
+        bks, mm, dd = books, m, dsub
+
+        @F.pandas_udf("array<smallint>")
+        def _encode(vecs: pd.Series) -> pd.Series:
+            x = np.array(vecs.tolist(), dtype=np.float64)
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            codes = np.empty((x.shape[0], mm), dtype=np.int64)
+            for j in range(mm):
+                sub = x[:, j * dd : (j + 1) * dd]
+                # ||sub - c||² = ||sub||² - 2 sub·c + ||c||²; row term constant
+                cb = bks[j]
+                d2 = -2.0 * (sub @ cb.T) + (cb**2).sum(axis=1)[None, :]
+                codes[:, j] = d2.argmin(axis=1)
+            return pd.Series([row.tolist() for row in codes])
+
+        (
+            df.select(F.col(id_col), _encode(F.col(vector_col).cast("array<float>")).alias("codes"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "codes"))
+        )
+        meta = {
+            "id_col": id_col,
+            "vector_col": vector_col,
+            "m": m,
+            "dsub": dsub,
+            "codebooks": [[list(map(float, c)) for c in book] for book in books],
+        }
+        tmp = os.path.join(path, "pq_meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(path, "pq_meta.json"))
+        return PQIndex(df.sparkSession, path)
+
+    def search(
+        self,
+        source_df: DataFrame,
+        query_vec,
+        k: int = 10,
+        refine: int = 4,
+        select=None,
+    ) -> DataFrame:
+        """ADC scan over codes → top k·refine candidates → exact cosine
+        rerank against ``source_df``'s raw vectors (semi-joined by id)."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        # asymmetric table: exact distance of the query subvector to every
+        # codebook entry; Σ_j table[j, code_j] ≈ ||q - x̂||² = 2·cos_dist
+        table = np.stack(
+            [
+                ((q[j * self.dsub : (j + 1) * self.dsub][None, :] - self.codebooks[j]) ** 2).sum(
+                    axis=1
+                )
+                for j in range(self.m)
+            ]
+        )  # (m, 256)
+        tab, mm = table, self.m
+
+        @F.pandas_udf("double")
+        def _adc(codes: pd.Series) -> pd.Series:
+            c = np.array(codes.tolist(), dtype=np.int64)
+            return pd.Series(tab[np.arange(mm)[None, :], c].sum(axis=1))
+
+        codes = self.spark.read.parquet(os.path.join(self.path, "codes"))
+        cand = (
+            codes.select(self.id_col, _adc("codes").alias("__adc"))
+            .orderBy(F.col("__adc").asc(), F.col(self.id_col).asc())
+            .limit(int(k) * int(refine))
+            .select(self.id_col)
+        )
+        rerank = source_df.join(F.broadcast(cand), self.id_col, "left_semi")
+        out = rerank.withColumn(
+            "dist", F.round(cosine_distance(F.col(self.vector_col), [float(v) for v in q]), 6)
+        )
+        cols = list(select) if select is not None else [self.id_col]
+        return (
+            out.orderBy(F.col("dist").asc(), F.col(self.id_col).asc())
+            .limit(int(k))
+            .select(*cols, "dist")
+        )
+
+
+def build_or_load_pq(
+    spark: SparkSession,
+    source_df: DataFrame,
+    path: str,
+    id_col: str,
+    vector_col: str,
+    m: int = 8,
+) -> PQIndex:
+    """Idempotent build, same convention as build_or_load_ivf."""
+    if os.path.exists(os.path.join(path, "pq_meta.json")):
+        return PQIndex(spark, path)
+    os.makedirs(path, exist_ok=True)
+    return PQIndex.build(source_df, path, id_col, vector_col, m=m)

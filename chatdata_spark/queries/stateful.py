@@ -106,3 +106,34 @@ def rollup_incremental_refresh(spark, sf_dir):
     r.refresh(e.filter(F.col("event_id") <= half))
     r.refresh(e)
     return r.read().select("bucket", "event_type", "n", "total", "vmin", "vmax").orderBy("bucket", "event_type")
+
+
+@query("streaming_sessionize")  # rows-only: streaming side effects
+def streaming_sessionize(spark, sf_dir):
+    """§2.10 extension surface, driver-visible: gap sessionization over a
+    file stream of real events (applyInPandasWithState, EventTimeTimeout)
+    — emits each closed session exactly once; returns the emitted sessions
+    plus a count so the driver sees a deterministic frame. Batch parity is
+    asserted in tests/test_ingest_streaming.py."""
+    import os
+
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.streaming.stateful import stream_sessionize
+
+    root = tempfile.mkdtemp(prefix="chatdata_sess_q_")
+    ind, outd, ckpt = f"{root}/in", f"{root}/out", f"{root}/ck"
+    os.makedirs(ind)
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "ts")
+    )
+    # two chronological drops so sessions span micro-batches
+    mid = ev.agg(F.percentile_approx("ts", 0.5).alias("m")).first()["m"]
+    ev.filter(F.col("ts") <= mid).coalesce(1).write.mode("append").parquet(ind)
+    ev.filter(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(ind)
+    stream_sessionize(
+        spark, ind, outd, ckpt, "user_id", "ts", "user_id long, ts timestamp",
+        gap_minutes=30.0,
+    )
+    return spark.read.parquet(outd).orderBy("user_id", "session_start")

@@ -263,3 +263,20 @@ def knn_join_pruned(spark, sf_dir):
     return knn_join(queries, idx, "vec_id", "embedding", k=5, n_probe=2).orderBy(
         "q_id", "dist", "b_id"
     )
+
+
+@query("ann_pq_adc")  # approximate by design (quantized codes) → rows-only
+def ann_pq_adc(spark, sf_dir):
+    """PQ/ADC compressed-scan ANN: 8-byte codes replace 256-byte vectors
+    (the scan reads ONLY the code column), distance = m table lookups per
+    row via one Arrow fancy-index pass, exact cosine rerank of the top
+    k·4 survivors. Recall and the 32x compression ratio are pinned in
+    tests/test_pq.py."""
+    from chatdata_spark.operators.pq import build_or_load_pq
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    safe = sf_dir.strip("/").replace("/", "_")
+    idx = build_or_load_pq(
+        spark, e, f"/tmp/chatdata_spark_pq/{safe}_m8", "vec_id", "embedding", m=8
+    )
+    return idx.search(e, Q1, k=10, refine=4, select=["vec_id", "label"])

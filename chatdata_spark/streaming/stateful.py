@@ -14,6 +14,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -57,6 +58,105 @@ def stream_distinct(
     )
     (
         deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    user_col: str,
+    ts_col: str,
+    schema: str,
+    gap_minutes: float = 30.0,
+    watermark: str = "1 seconds",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streaming gap sessionization — the infinite-stream twin of
+    ``operators/timeseries.sessionize`` (same 30-min-gap semantics,
+    asserted against it in tests/test_ingest_streaming.py).
+
+    Per user, state holds the OPEN session (start_us, last_us, n) as three
+    longs. A new event within ``gap`` extends it; a later event closes it
+    (the closed session is emitted and a new one opens); when the event-time
+    watermark passes last + gap with no new data, ``EventTimeTimeout``
+    fires and the session is emitted from the timeout path. Sessions
+    therefore emit exactly once, in "append" mode, with state bounded by
+    one row per ACTIVE user — the 100 TB-stream shape (compare: a batch
+    window over all history re-reads everything per refresh).
+
+    Closure-only state fn (worker-pickling rule); timestamps ride as epoch
+    microseconds inside state to keep the state row fixed-width."""
+    gap_us = int(gap_minutes * 60_000_000)
+
+    def update(key, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        def emit(start_us: int, last_us: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([key[0]], dtype="int64"),
+                    "session_start": pd.Series([pd.Timestamp(start_us, unit="us")]),
+                    "session_end": pd.Series([pd.Timestamp(last_us, unit="us")]),
+                    "n_events": pd.Series([n], dtype="int64"),
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield emit(start_us, last_us, n)
+            return
+        ts_all = []
+        for pdf in batches:
+            if len(pdf):
+                ts_all.append(pdf["__ts_us"])
+        if not ts_all:
+            return
+        ts = pd.concat(ts_all).sort_values().to_numpy()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us, last_us, n = None, None, 0
+        out = []
+        for t in ts:
+            t = int(t)
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us <= gap_us:
+                last_us, n = t, n + 1
+            else:
+                out.append(emit(start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000 + 1)
+        for o in out:
+            yield o
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .withWatermark(ts_col, watermark)
+        .withColumn(
+            "__ts_us",
+            (F.unix_micros(F.col(ts_col))).cast("long"),
+        )
+    )
+    sessions = stream.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType="user_id long, session_start timestamp, session_end timestamp, n_events long",
+        stateStructType="start_us long, last_us long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    (
+        sessions.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

@@ -181,3 +181,50 @@ def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
 
     # bounded-state proof: watermarks present on the streaming plan
     assert "EventTimeWatermark" in joined._jdf.queryExecution().analyzed().toString()
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Streaming gap sessionization emits exactly the sessions the batch
+    operator computes, once each, as they close (next event beyond gap or
+    event-time timeout); the still-open tail session stays unemitted."""
+    from datetime import datetime
+
+    from chatdata_spark.operators.timeseries import sessionize
+    from chatdata_spark.streaming.stateful import stream_sessionize
+
+    ind, outd, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(ind)
+    schema = "user_id long, ts timestamp"
+
+    def t(minute):
+        return datetime(2024, 1, 1, minute // 60, minute % 60)
+
+    # user 1: sessions [0,10], [60,65], and [200] — the last closes via
+    # EventTimeTimeout once user 2's t(300) event pushes the watermark past
+    # 200+gap; user 2's [300] tail stays open (nothing advances past it)
+    batch1 = [(1, t(0)), (1, t(10)), (2, t(5))]
+    batch2 = [(1, t(60)), (1, t(65))]
+    batch3 = [(1, t(200)), (2, t(300))]  # sentinels close all prior sessions
+    for rows in (batch1, batch2, batch3):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(ind)
+    stream_sessionize(spark, ind, outd, ckpt, "user_id", "ts", schema, gap_minutes=30.0)
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.read.parquet(outd).collect()
+    }
+    events = spark.createDataFrame(batch1 + batch2 + batch3, schema)
+    s = sessionize(events, "user_id", "ts", gap_minutes=30.0)
+    closed = (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        # closed = gap fully elapsed before the final watermark (t(300)-1s)
+        .filter(F.col("session_end") + F.expr("INTERVAL 30 MINUTES") < F.lit(t(300)))
+        .collect()
+    )
+    want = {(r.user_id, r.session_start, r.session_end, r.n_events) for r in closed}
+    assert got == want and len(got) == 4

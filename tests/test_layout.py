@@ -33,3 +33,55 @@ def test_point_lookup_reads_one_file_worth(spark, tmp_path):
     assert got == want
     plan = sorted_tbl.filter(F.col("o_orderkey").between(100, 120))._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_orderkey), GreaterThanOrEqual(o_orderkey,100)" in plan
+
+
+def _files_hit(path, column, lo, hi):
+    """Files whose footer [min,max] intersects [lo,hi] — what the reader
+    would actually open for that predicate."""
+    ranges = file_key_ranges(path, column)
+    return sum(1 for (fmin, fmax) in ranges if not (fmax < lo or fmin > hi)), len(ranges)
+
+
+def test_zorder_prunes_on_both_columns(spark, tmp_path):
+    """Z-ORDER layout: a selective range on EITHER z-column intersects a
+    bounded fraction of files; a single-column sort prunes only its own
+    column (the control)."""
+    from chatdata_spark.operators.layout import write_zorder
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    zpath = str(tmp_path / "li_z")
+    spath = str(tmp_path / "li_s")
+    write_zorder(li, zpath, ["l_orderkey", "l_partkey"], num_files=16)
+    write_sorted(li, spath, ["l_orderkey"], num_files=16)
+
+    ok_lo, ok_hi = 100, 200
+    pk_lo, pk_hi = 100, 150
+
+    z_ok, z_n = _files_hit(zpath, "l_orderkey", ok_lo, ok_hi)
+    z_pk, _ = _files_hit(zpath, "l_partkey", pk_lo, pk_hi)
+    s_ok, s_n = _files_hit(spath, "l_orderkey", ok_lo, ok_hi)
+    s_pk, _ = _files_hit(spath, "l_partkey", pk_lo, pk_hi)
+
+    # the sorted control: perfect on its key, useless on the other
+    assert s_ok <= 2
+    assert s_pk == s_n
+    # z-order: BOTH selective predicates skip at least half the files
+    assert z_ok <= z_n // 2, f"l_orderkey hit {z_ok}/{z_n}"
+    assert z_pk <= z_n // 2, f"l_partkey hit {z_pk}/{z_n}"
+
+
+def test_zorder_preserves_rows_and_values(spark, tmp_path):
+    from chatdata_spark.operators.layout import write_zorder
+
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    path = str(tmp_path / "orders_z")
+    write_zorder(o, path, ["o_orderkey", "o_custkey"], num_files=8)
+    z = spark.read.parquet(path)
+    assert z.count() == o.count()
+    want = o.filter((F.col("o_orderkey") % 97 == 0)).agg(
+        F.sum("o_orderkey"), F.sum("o_custkey")
+    ).collect()
+    got = z.filter((F.col("o_orderkey") % 97 == 0)).agg(
+        F.sum("o_orderkey"), F.sum("o_custkey")
+    ).collect()
+    assert got == want

@@ -50,6 +50,8 @@ HEADLINE = [
     "q6_forecast_revenue",      # pushdown-heavy scan + scalar agg
     "knn_join_pruned",          # batch kNN join (IVF cogroup + GEMM screen)
     "ann_pq_adc",               # PQ/ADC compressed-scan ANN
+    "maxsim_late_interaction",  # multi-vector late-interaction scoring
+    "scd2_history_events",      # SCD2 history build (windowed compression)
     "pii_redaction",            # scan-stage regex scrub throughput
     "decontam_docs",            # broadcast n-gram decontamination
     "chunk_dedup_docs",         # chunk dedup + ordered reassembly

@@ -69,6 +69,41 @@ def mutation_delete_anti(spark, sf_dir):
 
 
 @query(
+    "scd2_history_events",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER w AS rn,
+               lag(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type, event_id, ts AS valid_from
+        FROM ordered WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type, event_id, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           (lead(valid_from) OVER w2 IS NULL) AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def scd2_history_events(spark, sf_dir):
+    """SCD2 history build: the events changelog compressed into
+    [valid_from, valid_to) validity intervals per user (consecutive
+    same-event_type rows collapse; the open interval is is_current).
+    Incremental merge ≡ this full rebuild is pinned in tests/test_scd.py."""
+    from chatdata_spark.operators.scd import scd2_from_changelog
+
+    e = load_events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    return scd2_from_changelog(
+        e, ["user_id"], "ts", ["event_type"], order_cols=["event_id"]
+    ).orderBy("user_id", "valid_from", "event_id")
+
+
+@query(
     "mutation_update_conditional",
     oracle="""
     SELECT CASE WHEN o_totalprice > 300000.0 THEN '0-URGENT' ELSE o_orderpriority END AS o_orderpriority,

@@ -280,3 +280,30 @@ def ann_pq_adc(spark, sf_dir):
         spark, e, f"/tmp/chatdata_spark_pq/{safe}_m8", "vec_id", "embedding", m=8
     )
     return idx.search(e, Q1, k=10, refine=4, select=["vec_id", "label"])
+
+
+MQ = [hash_embed(f"mq{i}", DIM) for i in range(3)]
+
+
+@query(
+    "maxsim_late_interaction",
+    oracle=f"""
+    SELECT label, ROUND(MAX(s0) + MAX(s1) + MAX(s2), 6) AS score
+    FROM (
+        SELECT label,
+               list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_duck_vec(MQ[0])}) AS s0,
+               list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_duck_vec(MQ[1])}) AS s1,
+               list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_duck_vec(MQ[2])}) AS s2
+        FROM embeddings
+    )
+    GROUP BY label ORDER BY score DESC, label ASC LIMIT 5
+    """,
+)
+def maxsim_late_interaction(spark, sf_dir):
+    """ColBERT-style multi-vector retrieval: a 3-vector query scored
+    against each label's vector SET by Σ_i max_j cos — one decomposable
+    aggregation, shuffle carries 3 doubles per group (operators/maxsim.py)."""
+    from chatdata_spark.operators.maxsim import maxsim_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return maxsim_topk(emb, "label", "embedding", MQ, k=5)

@@ -52,6 +52,8 @@ HEADLINE = [
     "ann_pq_adc",               # PQ/ADC compressed-scan ANN
     "maxsim_late_interaction",  # multi-vector late-interaction scoring
     "scd2_history_events",      # SCD2 history build (windowed compression)
+    "heavy_hitter_tokens",      # Misra-Gries candidates + exact recount
+    "weighted_sample_by_length",  # A-ES weighted top-n sample
     "pii_redaction",            # scan-stage regex scrub throughput
     "decontam_docs",            # broadcast n-gram decontamination
     "chunk_dedup_docs",         # chunk dedup + ordered reassembly

@@ -1,0 +1,81 @@
+"""Exact heavy hitters (frequent items) with bounded memory — the
+vocabulary / hot-key / frequent-n-gram profiling step of corpus curation,
+done the way it has to be done at 100 TB: a naive
+``GROUP BY item HAVING count >= T`` shuffles EVERY distinct item (the
+token vocabulary of a web corpus is billions of keys); this operator
+shuffles only the candidate set.
+
+Two passes, exact result:
+
+1. **Candidate generation** (mapInPandas): each partition runs a
+   Misra-Gries summary with ``k_counters`` slots over its items —
+   ``Counter.update`` per Arrow batch (C-speed), and whenever the table
+   overflows, the classic MG compression: subtract the (k+1)-th largest
+   count from everything, drop the non-positive. MG guarantees any item
+   with partition count > n_p/(k+1) survives its partition, so summing
+   over partitions: every item with TOTAL count > N/(k+1) appears in the
+   union of candidates. With ``min_count > N/(k+1)`` the candidate set is
+   a superset of the true answer — the exactness condition (asserted in
+   tests; at 100 TB pick k ≈ N/min_count with headroom).
+2. **Exact recount**: broadcast semi-join the (tiny) candidate set back
+   onto the item stream, one partial-aggregated groupBy over candidates
+   only, filter ``>= min_count``. Counts in the output are exact, not MG
+   lower bounds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str = "item",
+    min_count: int = 1000,
+    k_counters: int = 4096,
+) -> DataFrame:
+    """All items with exact frequency >= min_count, from a one-column (or
+    wider) DataFrame of item occurrences. Exact iff
+    ``min_count > total_items / (k_counters + 1)`` (Misra-Gries bound)."""
+    k = int(k_counters)
+
+    def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Closure-only logic (worker-pickling rule): Counter-based MG,
+        # compressed whenever the table exceeds 4k slots.
+        from collections import Counter
+
+        def compress(counts: Counter, slots: int) -> Counter:
+            if len(counts) <= slots:
+                return counts
+            vals = sorted(counts.values(), reverse=True)
+            m = vals[slots]  # (slots+1)-th largest
+            return Counter({it: c - m for it, c in counts.items() if c - m > 0})
+
+        counts: Counter = Counter()
+        for pdf in batches:
+            counts.update(pdf[item_col].tolist())
+            if len(counts) > 4 * k:
+                counts = compress(counts, k)
+        counts = compress(counts, k)
+        yield pd.DataFrame({item_col: list(counts.keys())})
+
+    toks = items.select(item_col)
+    cands = toks.mapInPandas(mg_partition, f"{item_col} string").distinct()
+    return (
+        toks.join(F.broadcast(cands), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= int(min_count))
+    )
+
+
+def token_stream(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized whitespace tokens of a text column as an item stream
+    (functions/text.py conventions), empty tokens dropped scan-side."""
+    from chatdata_spark.functions.text import words
+
+    return df.select(F.explode(words(text_col)).alias("item")).filter(F.col("item") != "")

@@ -31,6 +31,7 @@ import os
 from collections.abc import Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -90,6 +91,40 @@ class IVFIndex:
             json.dump(meta, f)
         os.replace(tmp, os.path.join(path, "ivf_meta.json"))
         return IVFIndex(df.sparkSession, path)
+
+    # -- incremental maintenance ------------------------------------------------
+    def append(self, new_df: DataFrame) -> None:
+        """Incremental index maintenance: assign new vectors to their
+        nearest EXISTING centroid (same euclidean rule as the build's
+        KMeans assignment) and append them to the cluster layout — new
+        parquet files land inside existing ``cluster_id=`` directories, so
+        searches see old+new rows with no rebuild and no rewrite of prior
+        data (append-only, never read-transform-overwrite).
+
+        Assignment is one Arrow GEMM per batch against the broadcast
+        (k, d) centroid matrix — O(rows·k·d) with no shuffle before the
+        partitioned write. Centroids drift as data grows; like any IVF,
+        rebuild when appended volume ≫ built volume (recall soundness is
+        unaffected — assignment and search use the same centroids)."""
+        cents = self.centroids  # (k, d) float64
+        c_sq = (cents**2).sum(axis=1)
+
+        @F.pandas_udf("int")
+        def _assign(vecs: pd.Series) -> pd.Series:
+            x = np.array(vecs.tolist(), dtype=np.float64)
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; row term constant per row
+            d2 = -2.0 * (x @ cents.T) + c_sq[None, :]
+            return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+        (
+            new_df.withColumn(
+                "cluster_id", _assign(F.col(self.vector_col).cast("array<double>"))
+            )
+            .repartition("cluster_id")
+            .write.mode("append")
+            .partitionBy("cluster_id")
+            .parquet(os.path.join(self.path, "data"))
+        )
 
     # -- search ----------------------------------------------------------------
     def rank_centroids(self, query_vec: Sequence[float]) -> list[int]:

@@ -80,3 +80,32 @@ def domain_mixture(
     rate = F.lit(float(default_rate)) if rate is None else rate.otherwise(F.lit(float(default_rate)))
     threshold = (rate * F.lit(float(BUCKETS))).cast("bigint")
     return df.filter(hash_bucket(key_col, salt) < threshold)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column | str,
+    n: int,
+    salt: str = "w",
+    strata_cols: list[str] | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-ES):
+    row i gets exponential key ``e_i = -ln(u_i)/w_i`` with ``u_i``
+    deterministic from md5(salt||key); the n smallest e_i are a weighted
+    sample without replacement (inclusion probability proportional to
+    weight, the quality-score-weighted corpus-selection primitive).
+
+    Deterministic like every sampler here — same rows any run, engine, or
+    partition layout. Global form is a top-n (TakeOrderedAndProject: each
+    partition keeps its local n, never a global sort); stratified form is
+    one window per stratum. Rows with weight <= 0 are excluded (they have
+    no valid key)."""
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast("double")
+    u = (hash_bucket(key_col, salt) + 1).cast("double") / F.lit(float(BUCKETS))
+    e = -F.log(u) / w
+    pos = df.filter(w > 0).withColumn("__e", e)
+    if strata_cols:
+        win = Window.partitionBy(*strata_cols).orderBy(F.col("__e").asc(), F.col(key_col).asc())
+        return pos.withColumn("__rn", F.row_number().over(win)).filter(F.col("__rn") <= n).drop("__rn", "__e")
+    return pos.orderBy(F.col("__e").asc(), F.col(key_col).asc()).limit(int(n)).drop("__e")

@@ -170,3 +170,27 @@ def domain_mixture_sample(spark, sf_dir):
         d, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25}, "doc_id", default_rate=0.05
     )
     return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("source")
+
+
+@query(
+    "weighted_sample_by_length",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE CAST(n_chars AS DOUBLE) > 0
+    ORDER BY -ln((CAST({_D_BUCKET.format(salt='w', key='doc_id')} + 1 AS DOUBLE)) / 4294967296.0)
+                 / CAST(n_chars AS DOUBLE) ASC,
+             doc_id ASC
+    LIMIT 100
+    """,
+)
+def weighted_sample_by_length(spark, sf_dir):
+    """Weighted sampling without replacement (A-ES exponential keys):
+    100 docs with inclusion probability ∝ n_chars — the quality/length-
+    weighted corpus-selection primitive, deterministic across engines
+    (md5-derived uniforms), executed as a TakeOrderedAndProject."""
+    from chatdata_spark.operators.sampling import weighted_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(d, "doc_id", "n_chars", 100, salt="w").select(
+        "doc_id", "lang", "n_chars"
+    )

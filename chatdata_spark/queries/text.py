@@ -179,3 +179,28 @@ def text_fingerprint_rolling(spark, sf_dir):
     hashes); duplicate-fingerprint groups = exact-duplicate candidates."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return d.select("doc_id", fingerprint_rolling64("text").alias("fp64")).orderBy("doc_id")
+
+
+@query(
+    "heavy_hitter_tokens",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split({_D_NORM}, ' ')) AS item FROM documents
+    )
+    SELECT item, COUNT(*) AS n FROM toks WHERE item <> ''
+    GROUP BY item HAVING COUNT(*) >= 300
+    ORDER BY n DESC, item
+    """,
+)
+def heavy_hitter_tokens(spark, sf_dir):
+    """Frequent-token profiling via bounded-memory two-pass heavy hitters
+    (per-partition Misra-Gries candidates + exact broadcast recount) —
+    shuffles only candidates, never the vocabulary; counts are exact
+    (operators/heavyhitters.py, exactness condition documented there)."""
+    from chatdata_spark.operators.heavyhitters import heavy_hitters, token_stream
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = token_stream(d, "text")
+    return heavy_hitters(toks, "item", min_count=300, k_counters=1024).orderBy(
+        F.desc("n"), "item"
+    )

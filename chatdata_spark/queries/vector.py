@@ -307,3 +307,31 @@ def maxsim_late_interaction(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return maxsim_topk(emb, "label", "embedding", MQ, k=5)
+
+
+@query(
+    "ann_ivf_append_search",
+    oracle=f"""
+    SELECT vec_id, label, {_duck_cos('embedding', Q1)} AS dist
+    FROM embeddings
+    ORDER BY dist ASC, vec_id ASC
+    LIMIT 12
+    """,
+)
+def ann_ivf_append_search(spark, sf_dir):
+    """Incremental index maintenance (the ALTER TABLE ... ADD VECTOR INDEX
+    lifecycle under continuous ingest): build IVF on 2/3 of the corpus,
+    append the remaining 1/3 via centroid assignment (no rebuild), then a
+    full-probe search over the merged layout must equal the exact scan of
+    the WHOLE corpus — proving appended rows are searchable and exact."""
+    import tempfile
+
+    from chatdata_spark.operators.ivf import IVFIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    root = tempfile.mkdtemp(prefix="chatdata_ivf_append_")
+    idx = IVFIndex.build(
+        emb.filter(F.col("vec_id") % 3 != 0), root, "vec_id", "embedding", n_clusters=8
+    )
+    idx.append(emb.filter(F.col("vec_id") % 3 == 0))
+    return idx.search(Q1, k=12, n_probe=idx.n_clusters, select=["vec_id", "label"])

@@ -110,3 +110,35 @@ def test_int8_quantization_error_bound_and_knn(spark):
     approx = [r.vec_id for r in knn(deq, "embedding", Q, k=10, select=["vec_id"], id_col="vec_id").collect()]
     overlap = len(set(exact) & set(approx)) / 10
     assert overlap >= 0.8, f"quantized kNN overlap too low: {overlap}"
+
+
+def test_ivf_append_rows_land_in_existing_layout_and_search_exact(spark, tmp_path):
+    """Appended vectors become searchable with no rebuild: full-probe
+    search over (build ∪ append) ≡ exact kNN over the union; appended
+    files reuse the existing cluster_id= directories."""
+    import os
+
+    from chatdata_spark.operators.ivf import IVFIndex
+    from chatdata_spark.operators.knn import knn
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    extra = emb.filter(F.col("vec_id") % 4 == 0)
+    path = str(tmp_path / "ivf")
+    idx = IVFIndex.build(base, path, "vec_id", "embedding", n_clusters=8)
+    dirs_before = {d for d in os.listdir(f"{path}/data") if d.startswith("cluster_id=")}
+    idx.append(extra)
+    dirs_after = {d for d in os.listdir(f"{path}/data") if d.startswith("cluster_id=")}
+    assert dirs_after == dirs_before  # no new cluster dirs, files appended inside
+
+    q = hash_embed("append-q", 64)
+    got = [(r.vec_id, r.dist) for r in idx.search(q, k=15, n_probe=8, select=["vec_id"]).collect()]
+    want = [
+        (r.vec_id, r.dist)
+        for r in knn(emb, "embedding", q, k=15, select=["vec_id"], id_col="vec_id").collect()
+    ]
+    assert got == want
+
+    # count integrity: every appended row is in the layout exactly once
+    total = spark.read.parquet(f"{path}/data").count()
+    assert total == emb.count()

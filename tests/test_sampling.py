@@ -22,3 +22,51 @@ def test_domain_mixture_rates_and_determinism(spark):
         for r in domain_mixture(d.repartition(17), "source", rates, "doc_id").select("doc_id").collect()
     }
     assert ids_a == ids_b
+
+
+def test_weighted_sample_favors_heavy_rows_and_is_layout_independent(spark):
+    import pyspark.sql.functions as F
+
+    from chatdata_spark.operators.sampling import weighted_sample
+    from tests.conftest import SF_ORACLE
+
+    d = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    s = weighted_sample(d, "doc_id", "n_chars", 200, salt="w")
+    rows = s.select("doc_id", "n_chars").collect()
+    assert len(rows) == 200
+    # inclusion ∝ weight: the sample's mean length must exceed the corpus's
+    corpus_mean = d.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+    # deterministic under re-layout
+    ids_a = {r["doc_id"] for r in rows}
+    ids_b = {
+        r["doc_id"]
+        for r in weighted_sample(d.repartition(23), "doc_id", "n_chars", 200, salt="w").collect()
+    }
+    assert ids_a == ids_b
+
+
+def test_weighted_sample_stratified_quota(spark):
+    import pyspark.sql.functions as F
+
+    from chatdata_spark.operators.sampling import weighted_sample
+    from tests.conftest import SF_ORACLE
+
+    d = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    s = weighted_sample(d, "doc_id", "n_chars", 5, salt="w", strata_cols=["lang"])
+    per = {r["lang"]: r["n"] for r in s.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_langs = d.select("lang").distinct().count()
+    assert len(per) == n_langs and all(v <= 5 for v in per.values())
+
+
+def test_weighted_sample_topn_plan_no_global_sort(spark):
+    from chatdata_spark.operators.sampling import weighted_sample
+    from tests.conftest import SF_ORACLE
+
+    d = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = (
+        weighted_sample(d, "doc_id", "n_chars", 100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan

@@ -54,6 +54,7 @@ HEADLINE = [
     "scd2_history_events",      # SCD2 history build (windowed compression)
     "heavy_hitter_tokens",      # Misra-Gries candidates + exact recount
     "weighted_sample_by_length",  # A-ES weighted top-n sample
+    "bloom_semi_join_lineitem", # bloom pre-filtered semi-join
     "pii_redaction",            # scan-stage regex scrub throughput
     "decontam_docs",            # broadcast n-gram decontamination
     "chunk_dedup_docs",         # chunk dedup + ordered reassembly

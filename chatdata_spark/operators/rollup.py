@@ -58,12 +58,21 @@ class IncrementalRollup:
         group_cols: list[str],
         value_col: str,
         watermark_col: str,
+        distinct_col: str | None = None,
     ) -> None:
         self.store = store
         self.bucket_expr = bucket_expr
         self.group_cols = group_cols
         self.value_col = value_col
         self.watermark_col = watermark_col
+        # Optional approx-distinct dimension: state carries a mergeable
+        # HyperLogLog sketch per bucket (Spark's hll_sketch_agg, ~4 KB
+        # binary). COUNT(DISTINCT) is NOT decomposable — the sketch is the
+        # only way a distinct count can ride an incremental rollup without
+        # reprocessing history; union of sketches is order-independent, so
+        # incremental refreshes estimate EXACTLY what a one-shot build
+        # would (pinned in tests/test_rollup.py).
+        self.distinct_col = distinct_col
 
     def watermark(self):
         meta = self.store.read_meta()
@@ -71,12 +80,15 @@ class IncrementalRollup:
 
     def _aggregate(self, rows: DataFrame) -> DataFrame:
         v = F.col(self.value_col)
-        return rows.groupBy(self.bucket_expr.alias("bucket"), *self.group_cols).agg(
+        aggs = [
             F.count(F.lit(1)).alias("n"),
             F.sum(v.cast("decimal(27,6)")).alias("total"),
             F.min(v).alias("vmin"),
             F.max(v).alias("vmax"),
-        )
+        ]
+        if self.distinct_col:
+            aggs.append(F.expr(f"hll_sketch_agg({self.distinct_col})").alias("dv_sketch"))
+        return rows.groupBy(self.bucket_expr.alias("bucket"), *self.group_cols).agg(*aggs)
 
     def refresh(self, source: DataFrame) -> int:
         """Process rows with watermark_col > stored watermark; merge partial
@@ -88,16 +100,19 @@ class IncrementalRollup:
             return 0
         partial = self._aggregate(fresh)
         if self.store.exists():
+            merge_aggs = [
+                F.sum("n").alias("n"),
+                F.sum("total").alias("total"),
+                F.min("vmin").alias("vmin"),
+                F.max("vmax").alias("vmax"),
+            ]
+            if self.distinct_col:
+                merge_aggs.append(F.expr("hll_union_agg(dv_sketch)").alias("dv_sketch"))
             merged = (
                 self.store.read()
                 .unionByName(partial)
                 .groupBy("bucket", *self.group_cols)
-                .agg(
-                    F.sum("n").alias("n"),
-                    F.sum("total").alias("total"),
-                    F.min("vmin").alias("vmin"),
-                    F.max("vmax").alias("vmax"),
-                )
+                .agg(*merge_aggs)
             )
         else:
             merged = partial
@@ -106,4 +121,9 @@ class IncrementalRollup:
         return n_new
 
     def read(self) -> DataFrame:
-        return self.store.read().withColumn("total", F.col("total").cast("double"))
+        out = self.store.read().withColumn("total", F.col("total").cast("double"))
+        if self.distinct_col:
+            out = out.withColumn(
+                "approx_distinct", F.expr("hll_sketch_estimate(dv_sketch)")
+            ).drop("dv_sketch")
+        return out

@@ -947,3 +947,37 @@ def q14_promo_revenue(spark, sf_dir):
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@query(
+    "bloom_semi_join_lineitem",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def bloom_semi_join_lineitem(spark, sf_dir):
+    """Semi-join with a bloom pre-filter in the scan stage (the 100 TB
+    shuffle-avoidance pattern for non-broadcastable filter sides): result
+    is exactly the plain semi-join — false positives die in the final
+    join (operators/bloomjoin.py)."""
+    from chatdata_spark.operators.bloomjoin import bloom_semi_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    hot = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_totalprice") > 400000.0)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        bloom_semi_join(li, hot, "l_orderkey", n_bits=1 << 17)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double").alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -137,3 +137,35 @@ def streaming_sessionize(spark, sf_dir):
         gap_minutes=30.0,
     )
     return spark.read.parquet(outd).orderBy("user_id", "session_start")
+
+
+@query("rollup_distinct_approx")  # rows-only: HLL estimates have no SQL oracle
+def rollup_distinct_approx(spark, sf_dir):
+    """Incremental rollup with a mergeable approx-distinct dimension:
+    per-day distinct users via HyperLogLog sketches that merge across
+    refreshes (COUNT(DISTINCT) is not decomposable — the sketch is what
+    makes a distinct count incrementally maintainable). Two refreshes here
+    estimate EXACTLY what a one-shot build would (tests/test_rollup.py);
+    estimate-vs-exact error bound is pinned there too."""
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.rollup import IncrementalRollup
+    from chatdata_spark.stores.state import VersionedParquetStore
+
+    e = load_events(spark, sf_dir)
+    store = VersionedParquetStore(spark, tempfile.mkdtemp(prefix="chatdata_rollup_dv_"))
+    r = IncrementalRollup(
+        store,
+        bucket_expr=F.date_trunc("day", F.col("ts")),
+        group_cols=["event_type"],
+        value_col="value",
+        watermark_col="event_id",
+        distinct_col="user_id",
+    )
+    half = e.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    r.refresh(e.filter(F.col("event_id") <= half))
+    r.refresh(e)
+    return (
+        r.read()
+        .select("bucket", "event_type", "n", "approx_distinct")
+        .orderBy("bucket", "event_type")
+    )

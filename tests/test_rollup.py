@@ -66,3 +66,47 @@ def test_clustered_near_dup_recall(spark, tmp_path):
     assert clustered <= exact  # soundness: never invents pairs
     recall = len(clustered) / len(exact)
     assert recall >= 0.5, f"clustered near-dup recall too low: {recall}"
+
+
+def test_rollup_hll_incremental_equals_oneshot_and_error_bounded(spark, tmp_path):
+    """The HLL distinct dimension merges across refreshes with NO drift:
+    two-step incremental build estimates exactly the one-shot build's
+    estimates (sketch union is order-independent), and the estimate is
+    within 5% of the exact distinct count."""
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.rollup import IncrementalRollup
+    from chatdata_spark.stores.state import VersionedParquetStore
+
+    e = load_events(spark, SF_ORACLE)
+
+    def build(path, steps):
+        r = IncrementalRollup(
+            VersionedParquetStore(spark, path),
+            bucket_expr=F.date_trunc("day", F.col("ts")),
+            group_cols=["event_type"],
+            value_col="value",
+            watermark_col="event_id",
+            distinct_col="user_id",
+        )
+        bounds = [e.approxQuantile("event_id", [i / steps], 0.0)[0] for i in range(1, steps)]
+        for b in bounds:
+            r.refresh(e.filter(F.col("event_id") <= b))
+        r.refresh(e)
+        return {
+            (r_.bucket, r_.event_type): r_.approx_distinct
+            for r_ in r.read().select("bucket", "event_type", "approx_distinct").collect()
+        }
+
+    inc = build(str(tmp_path / "inc"), 3)
+    one = build(str(tmp_path / "one"), 1)
+    assert inc == one
+
+    exact = {
+        (r.bucket, r.event_type): r.dv
+        for r in e.groupBy(F.date_trunc("day", F.col("ts")).alias("bucket"), "event_type")
+        .agg(F.countDistinct("user_id").alias("dv"))
+        .collect()
+    }
+    assert set(inc) == set(exact)
+    for k, est in inc.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])

@@ -55,6 +55,7 @@ HEADLINE = [
     "heavy_hitter_tokens",      # Misra-Gries candidates + exact recount
     "weighted_sample_by_length",  # A-ES weighted top-n sample
     "bloom_semi_join_lineitem", # bloom pre-filtered semi-join
+    "fuzzy_join_part_names",    # deletion-signature edit-distance join
     "pii_redaction",            # scan-stage regex scrub throughput
     "decontam_docs",            # broadcast n-gram decontamination
     "chunk_dedup_docs",         # chunk dedup + ordered reassembly

@@ -192,3 +192,28 @@ def dedup_components(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = jaccard_similarity_join(d, "doc_id", "text", k=3, threshold=0.4)
     return canonical_assignment(d, "doc_id", pairs).orderBy("doc_id")
+
+
+@query(
+    "fuzzy_join_part_names",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS left_p_name, b.p_name AS right_p_name,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name AND levenshtein(a.p_name, b.p_name) <= 1
+    ORDER BY left_p_name, right_p_name
+    """,
+)
+def fuzzy_join_part_names(spark, sf_dir):
+    """Edit-distance self-join via deletion-neighborhood signatures (exact
+    for d=1, no cross product — operators/fuzzyjoin.py); the oracle is the
+    O(n²) DuckDB join, viable only at test scale."""
+    from chatdata_spark.operators.fuzzyjoin import fuzzy_self_join
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        fuzzy_self_join(p, "p_name", max_dist=1)
+        .withColumn("dist", F.col("dist").cast("long"))
+        .orderBy("left_p_name", "right_p_name")
+    )

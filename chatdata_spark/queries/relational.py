@@ -981,3 +981,69 @@ def bloom_semi_join_lineitem(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "unpivot_part_measures",
+    oracle="""
+    WITH long AS (
+        SELECT 'retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS val FROM part
+        UNION ALL
+        SELECT 'size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
+    )
+    SELECT measure, COUNT(*) AS n, ROUND(AVG(val), 6) AS avg_val,
+           CAST(MIN(val) AS DOUBLE) AS vmin, CAST(MAX(val) AS DOUBLE) AS vmax
+    FROM long GROUP BY measure ORDER BY measure
+    """,
+)
+def unpivot_part_measures(spark, sf_dir):
+    """UNPIVOT/melt (wide→long): per-measure profile via the native
+    unpivot operator (Expand node — one scan, rows×measures, no join)."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    long = p.select(
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    ).unpivot([], ["retailprice", "size"], "measure", "val")
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("val"), 6).alias("avg_val"),
+            F.min("val").alias("vmin"),
+            F.max("val").alias("vmax"),
+        )
+        .orderBy("measure")
+    )
+
+
+@query(
+    "window_rank_family",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS prank,
+           ROUND(cume_dist() OVER w, 6) AS cdist
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_rank_family(spark, sf_dir):
+    """The full ranking-function family in one windowed pass (rank /
+    dense_rank / ntile / percent_rank / cume_dist share one sort)."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    ).orderBy("o_custkey", "o_orderkey")

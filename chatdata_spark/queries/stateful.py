@@ -169,3 +169,46 @@ def rollup_distinct_approx(spark, sf_dir):
         .select("bucket", "event_type", "n", "approx_distinct")
         .orderBy("bucket", "event_type")
     )
+
+
+@query(
+    "streaming_windowed_counts",
+    oracle="""
+    WITH src AS (
+        SELECT ts, event_type, value FROM events WHERE user_id < 50
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM src)
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total
+    FROM src
+    GROUP BY window_start, event_type
+    HAVING window_start + INTERVAL 5 MINUTE <= (SELECT w FROM wm)
+    ORDER BY window_start, event_type
+    """,
+)
+def streaming_windowed_counts(spark, sf_dir):
+    """§2.10 watermark semantics, ORACLE-checked: availableNow over real
+    events emits exactly the tumbling 5-min windows whose end the final
+    event-time watermark (max ts - 10 min) has passed — i.e. the closed
+    windows the equivalent batch GROUP BY would produce under the same
+    cutoff (epoch-aligned buckets agree between Spark window() and DuckDB
+    time_bucket). Append-mode emission = closed-exactly-once."""
+    import os
+
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.streaming.incremental import windowed_event_counts
+
+    root = tempfile.mkdtemp(prefix="chatdata_winq_")
+    ind, outd, ckpt = f"{root}/in", f"{root}/out", f"{root}/ck"
+    os.makedirs(ind)
+    (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id") < 50)
+        .select("event_id", "ts", "event_type", "value")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(ind)
+    )
+    windowed_event_counts(spark, ind, outd, ckpt, window="5 minutes", watermark="10 minutes")
+    return spark.read.parquet(outd).orderBy("window_start", "event_type")

@@ -56,6 +56,9 @@ HEADLINE = [
     "weighted_sample_by_length",  # A-ES weighted top-n sample
     "bloom_semi_join_lineitem", # bloom pre-filtered semi-join
     "fuzzy_join_part_names",    # deletion-signature edit-distance join
+    "merge_into_orders",        # full MERGE (update/delete/insert) pass
+    "funnel_view_click_purchase",  # staged-min funnel chain
+    "q7_volume_shipping",       # 6-way join, two broadcast dims
     "pii_redaction",            # scan-stage regex scrub throughput
     "decontam_docs",            # broadcast n-gram decontamination
     "chunk_dedup_docs",         # chunk dedup + ordered reassembly

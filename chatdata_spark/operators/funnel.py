@@ -1,0 +1,79 @@
+"""Event-sequence analytics: funnel steps and cohort retention — the
+ClickHouse ``windowFunnel`` / ``retention`` capability family
+(/root/reference runs on a ClickHouse-family engine where these are
+native aggregate combinators), re-expressed as plain relational plans so
+Catalyst owns the physical strategy.
+
+``funnel_steps`` uses the *earliest-entry* deterministic formulation:
+t1 = first step-1 event, t_k = first step-k event after t_{k-1} within
+``window`` of t1. Each stage is one filtered groupBy-min joined back on
+the user key — k small shuffles on (user, timestamp) pairs, never a
+per-user event collect; at 100 TB the stage frames are |users| rows, and
+every join key is the same (user) hash, so AQE coalesces the exchanges.
+(ClickHouse's windowFunnel scans per-user sorted arrays in memory — the
+join formulation is the shuffle-native equivalent with identical results
+for the earliest-entry chain.)
+
+``cohort_retention`` buckets each user by first-seen period and counts
+distinct returning users per (cohort, offset) — two aggregations, both
+decomposable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    step_conds: list[Column],
+    window: str = "INTERVAL 7 DAYS",
+) -> DataFrame:
+    """Per-user funnel progress: (user, t1..tk, step) where step = depth
+    of the earliest-entry chain completed within ``window`` of t1."""
+    u, ts = F.col(user_col), F.col(ts_col)
+    stage = (
+        events.filter(step_conds[0])
+        .groupBy(user_col)
+        .agg(F.min(ts).alias("t1"))
+    )
+    deadline = F.col("t1") + F.expr(window)
+    for i, cond in enumerate(step_conds[1:], start=2):
+        prev = F.col(f"t{i-1}")
+        nxt = (
+            events.filter(cond)
+            .select(u.alias(user_col), ts.alias("__ts"))
+            .join(stage, user_col)
+            .filter((F.col("__ts") > prev) & (F.col("__ts") <= deadline))
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias(f"t{i}"))
+        )
+        stage = stage.join(nxt, user_col, "left")
+    k = len(step_conds)
+    step = F.lit(0)
+    for i in range(1, k + 1):
+        step = F.when(F.col(f"t{i}").isNotNull(), i).otherwise(step)
+    return stage.withColumn("step", step.cast("long"))
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """(cohort_day, offset_days, n_users): distinct users from each
+    first-seen-day cohort active again ``offset_days`` later (offset 0 =
+    cohort size)."""
+    day = F.date_trunc("day", F.col(ts_col))
+    cohorts = events.groupBy(user_col).agg(F.min(day).alias("cohort_day"))
+    return (
+        events.select(F.col(user_col), day.alias("__day"))
+        .distinct()
+        .join(cohorts, user_col)
+        .withColumn("offset_days", F.datediff(F.col("__day"), F.col("cohort_day")).cast("long"))
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )

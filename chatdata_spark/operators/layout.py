@@ -17,6 +17,8 @@ tests/test_layout.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 
 
@@ -103,8 +105,6 @@ def write_zorder(
     fixed-width ints, raw skewed values would collapse most rows onto a
     few z-prefixes. The only shuffle is the final repartitionByRange on
     the z-key — the same write-time cost as any sorted layout."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import functions as F
 
     n_bins = 1 << bits

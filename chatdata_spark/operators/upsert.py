@@ -49,3 +49,50 @@ def update_where(df: DataFrame, cond: Column, assignments: Mapping[str, Column])
     for col_name, value in assignments.items():
         out = out.withColumn(col_name, F.when(cond, value).otherwise(F.col(col_name)))
     return out
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    when_matched_update: Mapping[str, Column] | None = None,
+    when_matched_delete: Column | None = None,
+    insert_not_matched: bool = True,
+) -> DataFrame:
+    """Full MERGE INTO (Delta/Iceberg `MERGE` semantics) as one
+    DataFrame transform over immutable inputs:
+
+    - matched + ``when_matched_delete`` cond → row dropped;
+    - matched otherwise → ``when_matched_update`` assignments applied
+      (columns not assigned keep the TARGET's value);
+    - unmatched target rows → unchanged;
+    - source rows with no target match → inserted (when
+      ``insert_not_matched``).
+
+    One outer-join shuffle on the key; assignments may reference source
+    columns as ``F.col("__src_<name>")``. Assumes source has at most one
+    row per key (enforce upstream with keep_latest — same contract as
+    SQL MERGE, which errors on multiple matches)."""
+    src = source.select(
+        *[F.col(k) for k in key_cols],
+        *[F.col(c).alias(f"__src_{c}") for c in source.columns if c not in key_cols],
+        F.lit(True).alias("__src_present"),
+    )
+    joined = target.withColumn("__tgt_present", F.lit(True)).join(src, key_cols, "full_outer")
+    matched = F.col("__tgt_present").isNotNull() & F.col("__src_present").isNotNull()
+
+    out = joined
+    if when_matched_delete is not None:
+        out = out.filter(~(matched & when_matched_delete) | (matched & when_matched_delete).isNull())
+    upd = when_matched_update or {}
+    for col_name, value in upd.items():
+        out = out.withColumn(col_name, F.when(matched, value).otherwise(F.col(col_name)))
+    if insert_not_matched:
+        insert_only = F.col("__tgt_present").isNull()
+        for c in target.columns:
+            src_c = f"__src_{c}"
+            if c not in key_cols and src_c in out.columns:
+                out = out.withColumn(c, F.when(insert_only, F.col(src_c)).otherwise(F.col(c)))
+    else:
+        out = out.filter(F.col("__tgt_present").isNotNull())
+    return out.select(*target.columns)

@@ -119,3 +119,62 @@ def mutation_update_conditional(spark, sf_dir):
         o, F.col("o_totalprice") > 300000.0, {"o_orderpriority": F.lit("0-URGENT")}
     )
     return updated.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).orderBy("o_orderpriority")
+
+
+@query(
+    "merge_into_orders",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey, o_totalprice + 1000.0 AS new_price FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 50000.0 FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    merged AS (
+        SELECT t.o_orderstatus,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.new_price ELSE t.o_totalprice END AS price
+        FROM orders t LEFT JOIN src s USING (o_orderkey)
+        WHERE NOT (s.o_orderkey IS NOT NULL AND t.o_orderstatus = 'F' AND t.o_orderkey % 15 = 0)
+        UNION ALL
+        SELECT 'N' AS o_orderstatus, s.new_price AS price
+        FROM src s LEFT JOIN orders t USING (o_orderkey) WHERE t.o_orderkey IS NULL
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(price AS DECIMAL(27,6))) AS DOUBLE) AS total
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def merge_into_orders(spark, sf_dir):
+    """Full MERGE INTO in one transform (operators/upsert.py::merge_into):
+    matched-update (+1000 price on keys %5), matched-delete ('F' rows on
+    keys %15), and not-matched-insert (synthetic +10M keys) — one
+    full-outer shuffle, Delta/Iceberg MERGE semantics on plain parquet."""
+    from chatdata_spark.operators.upsert import merge_into
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    ins = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit(50000.0).alias("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    merged = merge_into(
+        o,
+        upd.unionByName(ins),
+        ["o_orderkey"],
+        when_matched_update={"o_totalprice": F.col("__src_o_totalprice")},
+        when_matched_delete=(F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 15 == 0),
+    )
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -1047,3 +1047,263 @@ def window_rank_family(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("prank"),
         F.round(F.cume_dist().over(w), 6).alias("cdist"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS st_f,
+           COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS st_o,
+           COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS st_p,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(27,6)) END) AS DOUBLE) AS rev_f
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark, sf_dir):
+    """Native pivot (wide crosstab): Spark's groupBy().pivot() with pinned
+    pivot values — one Expand-free aggregation (pivot values pinned =
+    single pass, no value-discovery job)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("rev"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.col("F_n").alias("st_f"),
+        F.col("O_n").alias("st_o"),
+        F.col("P_n").alias("st_p"),
+        F.col("F_rev").cast("double").alias("rev_f"),
+    ).orderBy("o_orderpriority")
+
+
+_REV_DEC = "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(27,6))"
+
+
+def _rev_dec():
+    return (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(27,6)")
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(rev) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year, {_REV_DEC} AS rev
+        FROM supplier, lineitem, orders, customer, nation n1, nation n2
+        WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bidirectional two-nation trade volume by year —
+    two broadcast nation joins under one fact-side aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q9_profit_by_nation_year",
+    oracle=f"""
+    SELECT nation, l_year, CAST(SUM(rev) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS l_year, {_REV_DEC} AS rev
+        FROM lineitem, supplier, nation, part
+        WHERE s_suppkey = l_suppkey AND s_nationkey = n_nationkey
+          AND p_partkey = l_partkey AND p_name LIKE '%red%'
+    )
+    GROUP BY nation, l_year ORDER BY nation, l_year
+    """,
+)
+def q9_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: no partsupp table in the test schema, so
+    profit = revenue): per-nation-per-year revenue on a name-filtered part
+    subset — the filter lands on the part scan and prunes the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
+        .orderBy("nation", "l_year")
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: order-count distribution including zero-order
+    customers (conditional LEFT join preserved through two aggregations)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0, 6) AS DOUBLE)
+             AS avg_yearly
+    FROM lineitem, part, pa
+    WHERE p_partkey = lineitem.l_partkey AND pa.l_partkey = lineitem.l_partkey
+      AND p_brand = 'Brand#3' AND l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-part average decorrelated into a
+    grouped subquery + broadcast join back (the exact-division form keeps
+    the threshold bit-identical to the oracle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_qty")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == F.col("pa_key"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+    )
+    return j.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double") / F.lit(7.0), 6
+        ).alias("avg_yearly")
+    )
+
+
+@query(
+    "q19_disjunctive_pushdown",
+    oracle=f"""
+    SELECT CAST(SUM({_REV_DEC}) AS DOUBLE) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))
+    """,
+)
+def q19_disjunctive_pushdown(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides — Catalyst
+    splits the disjunction into per-side pushable conjuncts before the
+    broadcast join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).filter(
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 30))
+    )
+    return j.agg(F.sum(_rev_dec()).cast("double").alias("revenue"))
+
+
+@query(
+    "q22_global_sales_opportunity",
+    oracle="""
+    WITH ab AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS totacctbal
+    FROM customer, ab
+    WHERE c_acctbal > ab.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: scalar-subquery threshold (exact-division form) +
+    NOT EXISTS as a broadcast anti-join, grouped by segment."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_bal")
+        )
+        .collect()[0]["avg_bal"]
+    )
+    rich = c.filter(F.col("c_acctbal") > avg_bal)
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        no_orders.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -158,3 +158,103 @@ def range_join_click_window(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH t1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN t1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > t1.t1 AND e.ts <= t1.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t2 AND e.ts <= t1.t1 + INTERVAL 7 DAY
+        GROUP BY e.user_id
+    )
+    SELECT step, COUNT(*) AS n_users FROM (
+        SELECT CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+                    WHEN t2.t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS step
+        FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+    ) GROUP BY step ORDER BY step
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """ClickHouse windowFunnel-family: earliest-entry view→click→purchase
+    chain within 7 days (operators/funnel.py) — per-user step depth,
+    aggregated to funnel counts."""
+    from chatdata_spark.operators.funnel import funnel_steps
+
+    e = load_events(spark, sf_dir)
+    steps = funnel_steps(
+        e,
+        "user_id",
+        "ts",
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window="INTERVAL 7 DAYS",
+    )
+    return (
+        steps.groupBy("step").agg(F.count(F.lit(1)).alias("n_users")).orderBy("step")
+    )
+
+
+@query(
+    "cohort_retention_daily",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day FROM events)
+    SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS BIGINT) AS offset_days,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM d JOIN c USING (user_id)
+    GROUP BY cohort_day, offset_days ORDER BY cohort_day, offset_days
+    """,
+)
+def cohort_retention_daily(spark, sf_dir):
+    """ClickHouse retention-family: day-N return rates per first-seen
+    cohort (operators/funnel.py::cohort_retention)."""
+    from chatdata_spark.operators.funnel import cohort_retention
+
+    e = load_events(spark, sf_dir)
+    return cohort_retention(e, "user_id", "ts").orderBy("cohort_day", "offset_days")
+
+
+@query(
+    "sliding_window_counts",
+    oracle="""
+    WITH hopped AS (
+        SELECT e.event_type,
+               CAST(time_bucket(INTERVAL '5 minutes', e.ts) AS TIMESTAMP) - off.o AS window_start
+        FROM events e,
+             (SELECT unnest([INTERVAL '0 minutes', INTERVAL '5 minutes']) AS o) off
+    )
+    SELECT window_start, event_type, COUNT(*) AS n
+    FROM hopped GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def sliding_window_counts(spark, sf_dir):
+    """Sliding (hopping) windows: 10-min windows every 5 min — each event
+    contributes to window_length/slide windows (Spark window() emits the
+    assignment inline; the oracle unrolls the two hops explicitly)."""
+    from chatdata_spark.catalog import load_events
+
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+        .orderBy("window_start", "event_type")
+    )

@@ -112,6 +112,33 @@ class VersionedParquetStore:
     def update_where(self, cond, assignments) -> int:
         return self.write(update_where(self.read(), cond, assignments))
 
+    def compact(self, num_files: int | None = None, target_mb: int = 128,
+                sort_cols: list[str] | None = None) -> int:
+        """Small-file compaction (the OPTIMIZE step): rewrite the current
+        version into ``num_files`` larger files (default: sized from the
+        current version's bytes / ``target_mb``) as a NEW version behind
+        the same atomic pointer — readers never see a half-compacted
+        table. With ``sort_cols`` the rewrite also re-sorts (range
+        partition + in-file sort), restoring the min-max-prunable layout
+        after many small appends. At warehouse scale this is the
+        bin-packing OPTIMIZE job; per-file footer overhead and open-file
+        costs make thousands of KB-files the classic scan killer."""
+        import glob
+
+        meta = self.read_meta()
+        if num_files is None:
+            cur = self._version_dir(self.current_version())
+            nbytes = sum(
+                os.path.getsize(f) for f in glob.glob(os.path.join(cur, "**", "*.parquet"), recursive=True)
+            )
+            num_files = max(1, -(-nbytes // (target_mb << 20)))  # ceil
+        df = self.read()
+        if sort_cols:
+            df = df.repartitionByRange(int(num_files), *sort_cols).sortWithinPartitions(*sort_cols)
+        else:
+            df = df.coalesce(int(num_files))
+        return self.write(df, meta=meta or None)
+
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop version directories older than the newest ``keep_last``
         (time travel window). Never touches the current version; safe to run

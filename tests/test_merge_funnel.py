@@ -1,0 +1,77 @@
+"""MERGE INTO clause semantics on tiny frames; funnel ordering/window
+rules; retention cohort math. (Driver-scale oracle checks for the same
+operators run in test_correctness.py.)"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyspark.sql.functions as F
+
+from chatdata_spark.operators.funnel import cohort_retention, funnel_steps
+from chatdata_spark.operators.upsert import merge_into
+
+
+def t(d, h=0):
+    return datetime(2024, 1, d, h)
+
+
+def test_merge_into_all_three_clauses(spark):
+    target = spark.createDataFrame(
+        [(1, "keep", 10.0), (2, "upd", 20.0), (3, "del", 30.0)], "k long, tag string, v double"
+    )
+    source = spark.createDataFrame(
+        [(2, "upd2", 99.0), (3, "x", 0.0), (4, "new", 40.0)], "k long, tag string, v double"
+    )
+    out = merge_into(
+        target,
+        source,
+        ["k"],
+        when_matched_update={"v": F.col("__src_v"), "tag": F.col("__src_tag")},
+        when_matched_delete=F.col("tag") == "del",
+    )
+    rows = {(r.k, r.tag, r.v) for r in out.collect()}
+    assert rows == {
+        (1, "keep", 10.0),   # untouched target
+        (2, "upd2", 99.0),   # matched update from source
+        (4, "new", 40.0),    # not-matched insert
+    }
+
+
+def test_merge_into_without_insert(spark):
+    target = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    source = spark.createDataFrame([(1, 2.0), (9, 9.0)], "k long, v double")
+    out = merge_into(target, source, ["k"], when_matched_update={"v": F.col("__src_v")},
+                     insert_not_matched=False)
+    assert {(r.k, r.v) for r in out.collect()} == {(1, 2.0)}
+
+
+def test_funnel_order_and_window_rules(spark):
+    rows = [
+        # u1 completes in order within 7 days → step 3
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2 clicks BEFORE first view → click doesn't count → step 1
+        (2, t(2), "click"), (2, t(3), "view"),
+        # u3 purchase outside the 7-day window of t1 → step 2
+        (3, t(1), "view"), (3, t(2), "click"), (3, t(20), "purchase"),
+        # u4 never views → not in funnel at all
+        (4, t(1), "click"), (4, t(2), "purchase"),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    conds = [F.col("event_type") == s for s in ("view", "click", "purchase")]
+    got = {r.user_id: r.step for r in funnel_steps(e, "user_id", "ts", conds).collect()}
+    assert got == {1: 3, 2: 1, 3: 2}
+
+
+def test_cohort_retention_counts(spark):
+    rows = [
+        (1, t(1)), (1, t(2)), (1, t(3)),   # cohort d1, back on d2 and d3
+        (2, t(1)), (2, t(3)),              # cohort d1, back on d3
+        (3, t(2)), (3, t(3)),              # cohort d2, back on d3
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.cohort_day.day, r.offset_days): r.n_users
+        for r in cohort_retention(e, "user_id", "ts").collect()
+    }
+    assert got == {(1, 0): 2, (1, 1): 1, (1, 2): 2, (2, 0): 1, (2, 1): 1}

@@ -47,4 +47,4 @@ def test_tail_is_deliberate():
     # rows-only by design; keep the total bounded so the registry stays
     # auditable (VERDICT r01 item 10).
     names = list(queries())
-    assert len(names) <= 100
+    assert len(names) <= 160

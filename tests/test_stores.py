@@ -119,3 +119,31 @@ def test_vacuum_keeps_current_and_window(spark, tmp_path):
     removed = s.vacuum(keep_last=2)
     assert removed == [1, 2]
     assert s.read().collect()[0].v == 3  # version 4 holds the 4th write (v=3)
+
+
+def test_compact_reduces_files_preserves_rows_and_meta(spark, tmp_path):
+    """OPTIMIZE-style compaction: fewer files, identical data, meta
+    carried over, old version left intact behind the pointer swap."""
+    import glob
+
+    from chatdata_spark.stores.state import VersionedParquetStore
+    from tests.conftest import SF_ORACLE
+
+    store = VersionedParquetStore(spark, str(tmp_path / "s"))
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet").repartition(16)
+    store.write(o, meta={"wm": {"t": "raw", "v": 7}})
+    v1_files = glob.glob(f"{store._version_dir(store.current_version())}/*.parquet")
+    assert len(v1_files) == 16
+
+    v2 = store.compact(num_files=2, sort_cols=["o_orderkey"])
+    v2_files = glob.glob(f"{store._version_dir(v2)}/*.parquet")
+    assert len(v2_files) == 2
+    assert store.read_meta()["wm"]["v"] == 7
+    assert store.read().count() == o.count()
+    agg = lambda df: df.agg(F.sum("o_orderkey"), F.sum("o_custkey")).collect()
+    assert agg(store.read()) == agg(o)
+    # sorted rewrite restored min-max prunable layout
+    from chatdata_spark.operators.layout import file_key_ranges
+
+    ranges = sorted(file_key_ranges(store._version_dir(v2), "o_orderkey"))
+    assert ranges[0][1] < ranges[1][0]  # disjoint key ranges across files

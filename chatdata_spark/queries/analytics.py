@@ -1,0 +1,312 @@
+"""OLAP analytics surface the reference gets "for free" from ClickHouse SQL
+(SURVEY §2.3/§2.9): multi-level aggregation (ROLLUP / CUBE / GROUPING
+SETS), window frames (moving / cumulative aggregates), exact per-group
+percentiles, per-group top-k (``LIMIT k BY`` parity), equi-width
+histograms, and moment-based correlation.
+
+Determinism notes (registry.py conventions):
+- Frame/group sums of money go through DECIMAL(27,6) on both sides, so
+  accumulation order (Spark partial-agg vs DuckDB segment-tree frames)
+  can't produce float drift.
+- Percentiles are the DISCRETE variant computed with explicit row_number
+  index math on BOTH sides — no interpolation arithmetic to mismatch.
+- Correlation is assembled driver-free from exact decimal moments with one
+  fixed float64 formula applied identically in Spark and the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from chatdata_spark.registry import query
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+DSUM = "CAST(SUM(CAST({e} AS DECIMAL(27,6))) AS DOUBLE)"
+
+
+# --- multi-level aggregation -------------------------------------------------
+
+@query(
+    "rollup_revenue_levels",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n,
+           {DSUM.format(e='l_extendedprice * (1.0 - l_discount)')} AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, returnflag, linestatus
+    """,
+)
+def rollup_revenue_levels(spark, sf_dir):
+    """ROLLUP (flag, status): detail + per-flag subtotal + grand total in
+    one pass. Spark plans this as a single Expand node over the scan — each
+    input row fans out to its 3 grouping sets before ONE shuffle, so the
+    subtotal levels cost no extra scan or extra shuffle; partial aggs still
+    combine map-side (group count is tiny at every level)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast("decimal(27,6)")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid", "n", "revenue",
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )
+
+
+@query(
+    "cube_orders_status_priority",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
+    """,
+)
+def cube_orders_status_priority(spark, sf_dir):
+    """CUBE (status, priority): all 4 grouping sets via one Expand + one
+    shuffle (2^d fan-out — d=2 here; at high d prefer explicit GROUPING
+    SETS of just the marginals you need)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid", "n", "total",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
+# --- window frames: moving / cumulative aggregates ---------------------------
+
+@query(
+    "moving_avg_customer_orders",
+    oracle="""
+    WITH w AS (
+        SELECT o_custkey, o_orderkey,
+               SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_sum,
+               COUNT(*) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_n,
+               SUM(CAST(o_totalprice AS DECIMAL(27,6))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS cum_sum
+        FROM orders WHERE o_custkey % 50 = 0
+    )
+    SELECT o_custkey, o_orderkey,
+           ROUND(CAST(mov_sum AS DOUBLE) / CAST(mov_n AS DOUBLE), 6) AS moving_avg_3,
+           CAST(cum_sum AS DOUBLE) AS cumulative_spend
+    FROM w ORDER BY o_custkey, o_orderkey
+    """,
+)
+def moving_avg_customer_orders(spark, sf_dir):
+    """Moving average (ROWS 2 PRECEDING) + running total per customer —
+    one shuffle on o_custkey serves both frames (same partition+order, so
+    Spark evaluates them in a single Window node). Frame sums ride DECIMAL
+    so DuckDB's segment-tree accumulation can't drift from Spark's running
+    accumulation. Scale: partition key is the customer — millions of small
+    groups, no hot task; tie-break (o_orderkey) makes the frame total."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    mov = w.rowsBetween(-2, 0)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    dec = F.col("o_totalprice").cast("decimal(27,6)")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(dec).over(mov).cast("double") / F.count(F.lit(1)).over(mov).cast("double"), 6
+        ).alias("moving_avg_3"),
+        F.sum(dec).over(cum).cast("double").alias("cumulative_spend"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --- exact discrete percentiles ---------------------------------------------
+
+@query(
+    "percentile_disc_price_by_flag",
+    oracle="""
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN l_extendedprice END) AS p25,
+           MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN l_extendedprice END) AS p50,
+           MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN l_extendedprice END) AS p75,
+           MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN l_extendedprice END) AS p99
+    FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def percentile_disc_price_by_flag(spark, sf_dir):
+    """Exact discrete percentiles (p25/p50/p75/p99) per group with explicit
+    index math — rn == ceil(p*n) — identical on both sides, so no
+    interpolation-formula mismatch is possible. The percentile values are
+    actual data elements, never arithmetic. Scale note: one sort per group
+    (3 groups here ⇒ use the grouped_topk salting pattern or
+    approx_percentile when groups are few AND huge); for the common
+    many-group case this is the exact plan you want."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag", "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pick(p, name):
+        idx = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.max(F.when(F.col("rn") == idx, F.col("l_extendedprice"))).alias(name)
+
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(pick(0.25, "p25"), pick(0.50, "p50"), pick(0.75, "p75"), pick(0.99, "p99"))
+        .orderBy("l_returnflag")
+    )
+
+
+# --- per-group top-k (ClickHouse LIMIT k BY parity) --------------------------
+
+@query(
+    "topk_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders
+    ) WHERE rnk <= 3
+    ORDER BY o_orderpriority, rnk
+    """,
+)
+def topk_orders_per_priority(spark, sf_dir):
+    """Top-3 orders per priority via the two-phase salted grouped_topk:
+    5 groups over the whole fact table would serialize onto 5 tasks with a
+    plain window; the salted local-top-k phase keeps 5 x 32 tasks busy and
+    the final exact re-rank touches only 5 x 32 x 3 rows."""
+    from chatdata_spark.operators.grouptopk import grouped_topk
+
+    o = _t(spark, sf_dir, "orders")
+    top = grouped_topk(
+        o,
+        ["o_orderpriority"],
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        k=3,
+        salt_on="o_orderkey",
+    )
+    return top.select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk").orderBy(
+        "o_orderpriority", "rnk"
+    )
+
+
+# --- equi-width histogram ----------------------------------------------------
+
+@query(
+    "histogram_order_totalprice",
+    oracle=f"""
+    SELECT CAST(FLOOR((o_totalprice - 0.0) / 50000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           {DSUM.format(e='o_totalprice')} AS total
+    FROM orders
+    GROUP BY 1 ORDER BY bucket
+    """,
+)
+def histogram_order_totalprice(spark, sf_dir):
+    """Equi-width histogram: bucket = floor((x - lo) / width) — a pure
+    scan-stage projection + tiny groupBy (map-side combine, one small
+    shuffle). The float division uses identical operand order on both
+    sides, and bucket ids are exact long arithmetic after floor."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.floor((F.col("o_totalprice") - F.lit(0.0)) / F.lit(50000.0)).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).cast("double").alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# --- correlation from exact decimal moments ----------------------------------
+
+@query(
+    "corr_quantity_price_by_flag",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND((n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr_qty_price,
+           ROUND((n * sxy - sx * sy) / (n * (n - 1.0)), 6) AS covar_samp
+    FROM m ORDER BY l_returnflag
+    """,
+)
+def corr_quantity_price_by_flag(spark, sf_dir):
+    """Pearson correlation + sample covariance per group, assembled from
+    exact decimal moments (n, Σx, Σy, Σxy, Σx², Σy²) with one fixed
+    float64 combine formula — bit-identical across engines, unlike native
+    corr()/covar_samp() whose accumulation order is engine-defined. The
+    moments are all decomposable sums: map-side combine, one tiny shuffle,
+    mergeable across incremental refreshes (rollup.py pattern)."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def dsum(expr, name):
+        return F.sum(expr.cast("decimal(27,6)")).cast("double").alias(name)
+
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x, "sx"), dsum(y, "sy"), dsum(x * y, "sxy"),
+        dsum(x * x, "sxx"), dsum(y * y, "syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "l_returnflag",
+        F.round(
+            (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6
+        ).alias("corr_qty_price"),
+        F.round((n * sxy - sx * sy) / (n * (n - F.lit(1.0))), 6).alias("covar_samp"),
+    ).orderBy("l_returnflag")

@@ -49,6 +49,7 @@ def query(name: str, oracle: str | None = None):
 def _load_all() -> None:
     # Import for registration side effects; keep cheap (no Spark work at import).
     from chatdata_spark.queries import (  # noqa: F401
+        analytics,
         cleaning,
         dedup,
         dialect,

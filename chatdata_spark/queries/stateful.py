@@ -212,3 +212,47 @@ def streaming_windowed_counts(spark, sf_dir):
     )
     windowed_event_counts(spark, ind, outd, ckpt, window="5 minutes", watermark="10 minutes")
     return spark.read.parquet(outd).orderBy("window_start", "event_type")
+
+
+@query(
+    "streaming_join_click_purchase",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, ts, value FROM events
+        WHERE event_type = 'purchase' AND user_id < 50
+    ),
+    c AS (
+        SELECT user_id, ts, value FROM events
+        WHERE event_type = 'click' AND user_id < 50
+    )
+    SELECT p.user_id AS user_id, p.ts AS l_ts, p.value AS l_value,
+           c.ts AS r_ts, c.value AS r_value
+    FROM p JOIN c ON p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    ORDER BY p.user_id, l_ts, r_ts
+    """,
+)
+def streaming_join_click_purchase(spark, sf_dir):
+    """§2.10 stream-stream interval join, ORACLE-checked: watermarked
+    purchase-stream x click-stream attribution (clicks within 30 min
+    before the purchase). Inner-join append emission is exhaustive when
+    each side drains as one file-source batch, so the streaming result
+    equals the batch interval join the oracle computes; the watermark +
+    time-range predicate are what bound the join state at production
+    cadence (streaming/incremental.py::stream_stream_interval_join)."""
+    import os
+
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.streaming.incremental import stream_stream_interval_join
+
+    root = tempfile.mkdtemp(prefix="chatdata_ssj_")
+    ld, rd, outd, ckpt = f"{root}/l", f"{root}/r", f"{root}/out", f"{root}/ck"
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 50)
+    ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value").coalesce(
+        1
+    ).write.parquet(ld)
+    ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value").coalesce(
+        1
+    ).write.parquet(rd)
+    stream_stream_interval_join(spark, ld, rd, outd, ckpt, max_delay="30 minutes")
+    return spark.read.parquet(outd).orderBy("user_id", "l_ts", "r_ts")

@@ -204,3 +204,65 @@ def heavy_hitter_tokens(spark, sf_dir):
     return heavy_hitters(toks, "item", min_count=300, k_counters=1024).orderBy(
         F.desc("n"), "item"
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split({_D_NORM}, ' ')) AS tok FROM documents
+    ),
+    t2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+    counts AS (SELECT tok, COUNT(*) AS cnt FROM t2 GROUP BY tok),
+    total AS (SELECT SUM(cnt) AS tot FROM counts),
+    lp AS (
+        SELECT tok,
+               CAST(ROUND(LN(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)), 4)
+                    AS DECIMAL(27,6)) AS lp
+        FROM counts, total
+    )
+    SELECT doc_id,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logprob,
+           COUNT(*) AS n_tokens
+    FROM t2 JOIN lp USING (tok)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def text_unigram_logprob(spark, sf_dir):
+    """Corpus-fit quality score: per-document mean unigram log-probability
+    under the corpus's own unigram LM (the classic cheap perplexity proxy
+    for pretraining-data filtering — outlier docs score far below the
+    corpus mode). Self-contained: the LM *is* the corpus token histogram,
+    so no external model is needed.
+
+    Scale shape: one shuffle builds the token histogram (map-side
+    combined), the scalar total rides a broadcast, and the scoring join
+    shuffles tokens-to-counts on the token hash. Determinism: per-TYPE
+    logprob is round(ln, 4) — applied once per vocabulary entry, not per
+    occurrence — then DECIMAL-summed per doc, so accumulation order can't
+    drift (registry.py conventions; ln is the only libm call and the
+    4-digit round absorbs any last-ulp libm difference)."""
+    from chatdata_spark.functions.text import words
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = (
+        d.select("doc_id", F.explode(words("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    lp = counts.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("cnt").cast("double") / F.col("tot").cast("double")), 4)
+        .cast("decimal(27,6)")
+        .alias("lp"),
+    )
+    return (
+        toks.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logprob"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )

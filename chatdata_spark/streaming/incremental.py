@@ -105,3 +105,63 @@ def windowed_event_counts(
         .start()
         .awaitTermination()
     )
+
+
+def stream_stream_interval_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    left_schema: str = "user_id bigint, ts timestamp, value double",
+    right_schema: str = "user_id bigint, ts timestamp, value double",
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> None:
+    """Watermarked stream-stream inner join: pair each left event with the
+    right-stream events of the same key that happened within
+    ``[left.ts - max_delay, left.ts]`` (click→purchase attribution shape).
+
+    State story at scale: BOTH sides carry a watermark and the join
+    condition bounds the event-time range, so Spark evicts buffered rows
+    once the watermark passes ``ts + max_delay`` — state is
+    O(keys x delay-window), not O(stream length). Without the time-range
+    predicate the state would grow unboundedly; that's the failure mode
+    this wrapper makes impossible to write."""
+    left = (
+        spark.readStream.schema(left_schema).parquet(left_dir)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col(key_col).alias("k"),
+            F.col("ts").alias("l_ts"),
+            F.col("value").alias("l_value"),
+        )
+    )
+    right = (
+        spark.readStream.schema(right_schema).parquet(right_dir)
+        .withWatermark("ts", watermark)
+        .select(
+            F.col(key_col).alias("k"),
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+    )
+    joined = left.join(
+        right,
+        [
+            left["k"] == right["k"],
+            right["r_ts"] <= left["l_ts"],
+            right["r_ts"] >= left["l_ts"] - F.expr(f"INTERVAL {max_delay}"),
+        ],
+        "inner",
+    ).select(left["k"].alias(key_col), "l_ts", "l_value", "r_ts", "r_value")
+    (
+        joined.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -147,3 +147,57 @@ def test_compact_reduces_files_preserves_rows_and_meta(spark, tmp_path):
 
     ranges = sorted(file_key_ranges(store._version_dir(v2), "o_orderkey"))
     assert ranges[0][1] < ranges[1][0]  # disjoint key ranges across files
+
+
+def test_read_version_time_travel(spark, tmp_path):
+    from chatdata_spark.stores.state import VersionedParquetStore
+
+    s = VersionedParquetStore(spark, str(tmp_path / "tt"))
+    s.write(spark.range(3).withColumnRenamed("id", "k"))
+    s.write(spark.range(5).withColumnRenamed("id", "k"))
+    assert s.read_version(1).count() == 3
+    assert s.read_version(2).count() == 5
+    assert s.read().count() == 5
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        s.read_version(9)
+
+
+def test_changes_cdf_insert_update_delete(spark, tmp_path):
+    """Change data feed between versions: classifies inserts/updates/
+    deletes exactly; unchanged keys don't appear; deletes carry the BEFORE
+    image."""
+    from pyspark.sql import Row
+
+    from chatdata_spark.stores.state import VersionedParquetStore
+
+    s = VersionedParquetStore(spark, str(tmp_path / "cdf"))
+    v1_rows = [Row(k=1, val="a", n=10), Row(k=2, val="b", n=20), Row(k=3, val="c", n=30)]
+    s.write(spark.createDataFrame(v1_rows))
+    v2_rows = [Row(k=1, val="a", n=10),      # unchanged
+               Row(k=2, val="B", n=20),      # update
+               Row(k=4, val="d", n=40)]      # insert; k=3 deleted
+    s.write(spark.createDataFrame(v2_rows))
+
+    ch = {r["k"]: r for r in s.changes(1, 2, ["k"]).collect()}
+    assert set(ch) == {2, 3, 4}
+    assert ch[2]["_op"] == "update" and ch[2]["val"] == "B"
+    assert ch[4]["_op"] == "insert" and ch[4]["n"] == 40
+    assert ch[3]["_op"] == "delete" and ch[3]["val"] == "c" and ch[3]["n"] == 30
+
+
+def test_changes_cdf_null_values(spark, tmp_path):
+    """NULL-valued columns participate in change detection (coalesce
+    sentinel): NULL→value and value→NULL both classify as updates."""
+    from pyspark.sql import Row
+
+    from chatdata_spark.stores.state import VersionedParquetStore
+
+    s = VersionedParquetStore(spark, str(tmp_path / "cdfn"))
+    s.write(spark.createDataFrame([Row(k=1, val=None, n=1), Row(k=2, val="x", n=2)],
+                                  "k int, val string, n int"))
+    s.write(spark.createDataFrame([Row(k=1, val="y", n=1), Row(k=2, val=None, n=2)],
+                                  "k int, val string, n int"))
+    ch = {r["k"]: r["_op"] for r in s.changes(1, 2, ["k"]).collect()}
+    assert ch == {1: "update", 2: "update"}

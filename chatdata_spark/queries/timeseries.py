@@ -258,3 +258,51 @@ def sliding_window_counts(spark, sf_dir):
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
         .orderBy("window_start", "event_type")
     )
+
+
+@query(
+    "quantile_hist_value_by_type",
+    oracle="""
+    WITH hist AS (
+        SELECT event_type,
+               CASE WHEN CAST(FLOOR((value - 0.0) / 2.5) AS BIGINT) < 0 THEN 0
+                    WHEN CAST(FLOOR((value - 0.0) / 2.5) AS BIGINT) >= 200 THEN 199
+                    ELSE CAST(FLOOR((value - 0.0) / 2.5) AS BIGINT) END AS bin,
+               COUNT(*) AS cnt
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, bin
+    ),
+    c AS (
+        SELECT event_type, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) - cnt AS cum_prev,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS total
+        FROM hist
+    )
+    SELECT event_type,
+           ROUND(MAX(CASE WHEN CAST(cum_prev AS DOUBLE) < 0.5 * CAST(total AS DOUBLE)
+                           AND 0.5 * CAST(total AS DOUBLE) <= CAST(cum AS DOUBLE)
+                     THEN 0.0 + 2.5 * (CAST(bin AS DOUBLE) + (0.5 * CAST(total AS DOUBLE) - CAST(cum_prev AS DOUBLE)) / CAST(cnt AS DOUBLE)) END), 6) AS p50,
+           ROUND(MAX(CASE WHEN CAST(cum_prev AS DOUBLE) < 0.95 * CAST(total AS DOUBLE)
+                           AND 0.95 * CAST(total AS DOUBLE) <= CAST(cum AS DOUBLE)
+                     THEN 0.0 + 2.5 * (CAST(bin AS DOUBLE) + (0.95 * CAST(total AS DOUBLE) - CAST(cum_prev AS DOUBLE)) / CAST(cnt AS DOUBLE)) END), 6) AS p95,
+           ROUND(MAX(CASE WHEN CAST(cum_prev AS DOUBLE) < 0.99 * CAST(total AS DOUBLE)
+                           AND 0.99 * CAST(total AS DOUBLE) <= CAST(cum AS DOUBLE)
+                     THEN 0.0 + 2.5 * (CAST(bin AS DOUBLE) + (0.99 * CAST(total AS DOUBLE) - CAST(cum_prev AS DOUBLE)) / CAST(cnt AS DOUBLE)) END), 6) AS p99
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def quantile_hist_value_by_type(spark, sf_dir):
+    """Mergeable histogram quantiles (p50/p95/p99 of event value per type):
+    the aggregation state is fixed-bin counts — shuffle carries at most
+    |types| x 200 rows at ANY input scale, state merges across incremental
+    refreshes/streams by addition (operators/quantile.py; the
+    percentile_approx alternative has no mergeable/reproducible state)."""
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.quantile import hist_counts, quantiles_from_hist
+
+    e = load_events(spark, sf_dir)
+    hist = hist_counts(e, ["event_type"], "value", lo=0.0, hi=500.0, n_bins=200)
+    return quantiles_from_hist(
+        hist, ["event_type"], lo=0.0, hi=500.0, n_bins=200, ps=[0.5, 0.95, 0.99]
+    ).orderBy("event_type")

@@ -335,3 +335,50 @@ def ann_ivf_append_search(spark, sf_dir):
     )
     idx.append(emb.filter(F.col("vec_id") % 3 == 0))
     return idx.search(Q1, k=12, n_probe=idx.n_clusters, select=["vec_id", "label"])
+
+
+@query(
+    "matryoshka_knn",
+    oracle=f"""
+    SELECT vec_id, label,
+           ROUND(1.0 - list_cosine_similarity(CAST(embedding[1:16] AS DOUBLE[]),
+                                              {_duck_vec(Q1[:16])}), 6) AS dist
+    FROM embeddings
+    ORDER BY dist ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def matryoshka_knn(spark, sf_dir):
+    """Matryoshka-style truncated-dimension search: score on the FIRST 16
+    of 64 dims (MRL-trained embeddings keep semantics in the prefix) —
+    cosine is scale-invariant so no renormalization is needed for ranking.
+    At 100 TB this is the cheap first pass of a two-stage funnel: 4x less
+    arithmetic and scan traffic per row (with a sliced-column layout),
+    exact rerank on the survivors. The slice happens before the distance
+    expression, so the JVM fold runs over 16 elements, not 64."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sliced = emb.select("vec_id", "label", F.slice("embedding", 1, 16).alias("e16"))
+    return knn(sliced, "e16", Q1[:16], k=10, select=["vec_id", "label"], id_col="vec_id")
+
+
+@query("dimred_rp_knn")  # rows-only: BLAS GEMM accumulation order has no SQL twin
+def dimred_rp_knn(spark, sf_dir):
+    """JL random-projection search: reduce 64 -> 16 dims with a seeded
+    Gaussian matrix (one Arrow GEMM per batch, no shuffle), then exact L2
+    top-10 in the reduced space against the identically-projected query
+    vector. The 100 TB shape: project once at ingest, store the short
+    vectors, scan 4x fewer bytes per search; numpy-parity and
+    distance-preservation are pytest-asserted (tests/test_dimred.py)."""
+    from chatdata_spark.functions.vector import l2_distance
+    from chatdata_spark.operators.dimred import project_query_vector, random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    proj = random_projection(emb, "embedding", in_dim=DIM, out_dim=16, seed=7)
+    q16 = project_query_vector(Q1, in_dim=DIM, out_dim=16, seed=7)
+    return (
+        proj.select(
+            "vec_id", "label", F.round(l2_distance("proj", q16), 6).alias("dist")
+        )
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(10)
+    )

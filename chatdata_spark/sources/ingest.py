@@ -138,3 +138,41 @@ def embed_and_validate(
 
 def sha256_hex(s: str) -> str:
     return hashlib.sha256(s.encode("utf-8")).hexdigest()
+
+
+def read_json_quarantine(
+    spark: SparkSession, path_glob: str, schema: str
+) -> tuple[DataFrame, DataFrame]:
+    """Malformed-input-tolerant JSON load: (clean rows, quarantine rows).
+
+    PERMISSIVE mode keeps the pipeline running when a 100 TB crawl batch
+    contains broken lines — schema-conforming rows land typed, each
+    malformed line is captured verbatim in ``_corrupt_record`` for the
+    quarantine sink (count it, alert on rate, reprocess later). FAILFAST
+    (die on first bad record) is the wrong default at scale; silently
+    DROPMALFORMED loses data with no audit trail."""
+    full = schema.rstrip() + ", _corrupt_record string"
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path_glob)
+    )
+    # caching before the split is what makes the corrupt-column populated
+    # view consistent (Spark rescans otherwise and may re-parse differently)
+    df = df.cache()
+    clean = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return clean, bad
+
+
+def evolve_union(*dfs: DataFrame) -> DataFrame:
+    """Schema-evolution union: rows from older files keep NULL for columns
+    they predate (Delta/Iceberg schema-evolution read semantics on plain
+    DataFrames). Column matching is BY NAME — positional union across
+    evolved schemas silently mis-assigns columns, which is the bug this
+    helper exists to prevent."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=True)
+    return out

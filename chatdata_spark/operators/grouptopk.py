@@ -50,5 +50,6 @@ def grouped_topk(
     return (
         df.withColumn("__rn", F.row_number().over(final))
         .filter(F.col("__rn") <= k)
-        .withColumnRenamed("__rn", "rnk")
+        .withColumn("rnk", F.col("__rn").cast("long"))
+        .drop("__rn")
     )

@@ -1307,3 +1307,286 @@ def q22_global_sales_opportunity(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+# --- round-3 TPC-H sweep completion (q8/q12/q15/q16/q20/q21 shapes) ----------
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           CAST(ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                                    ELSE CAST(0.0 AS DECIMAL(27,6)) END) AS DOUBLE)
+                      / CAST(SUM(rev) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, {_REV_DEC} AS rev,
+               n1.n_name AS supp_nation
+        FROM part, lineitem, supplier, orders, customer, nation n1, nation n2, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+          AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue among ASIA
+    customers by order year — a 7-way join where every dimension
+    (part/supplier/nation x2/region) broadcasts and only orders⋈lineitem
+    shuffles, followed by a conditional-over-total two-sum aggregate.
+    Both sums stay exact DECIMAL until the final float64 division (same
+    operand order both sides, round 6)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+    )
+    zero = F.lit(0.0).cast("decimal(27,6)")
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", _rev_dec()).otherwise(zero))
+                .cast("double")
+                / F.sum(_rev_dec()).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q12_priority_by_linestatus",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+             AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+             AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q12_priority_by_linestatus(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: the test schema has no l_shipmode, so
+    l_linestatus is the grouping stand-in): orders⋈lineitem with
+    conditional CASE counting per group. COUNT(CASE...) keeps both sides
+    BIGINT (DuckDB's SUM(int) would widen to HUGEINT)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~high, F.lit(1))).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey AS supplier_no, CAST(SUM({_REV_DEC}) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier, rev
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: quarterly per-supplier revenue view, then the
+    supplier(s) hitting the global max — the max is attached as a
+    broadcast one-row cross join (no driver collect), and equality on
+    exact-decimal-summed doubles is deterministic on both sides."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-04-01")))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_rev_dec()).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: lineitem is the part-supplier relation —
+    no partsupp table; negative account balance stands in for the
+    complaints NOT IN): distinct-supplier counts per part class with a
+    broadcast anti-join exclusion. COUNT(DISTINCT) shuffles once on the
+    grouping keys with per-partition partial dedup."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45, 49)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_dominant_promo_suppliers",
+    oracle="""
+    WITH usage AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(27,6))) AS qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+          AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+    ), tot AS (
+        SELECT l_partkey, SUM(qty) AS part_qty FROM usage GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+        SELECT u.l_suppkey FROM usage u, tot t
+        WHERE u.l_partkey = t.l_partkey
+          AND CAST(u.qty AS DOUBLE) > 0.5 * CAST(t.part_qty AS DOUBLE)
+    )
+    ORDER BY s_suppkey
+    """,
+)
+def q20_dominant_promo_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: shipped quantity stands in for partsupp
+    availability): suppliers shipping more than half of a PROMO part's
+    yearly volume — a nested IN chain decorrelated into grouped partials
+    re-joined on l_partkey (partial-agg reuse: `tot` is a regroup of
+    `usage`, not a rescan), ending in a semi join against supplier."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    )
+    promo = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    s = _t(spark, sf_dir, "supplier")
+    usage = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("qty"))
+    )
+    tot = usage.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("part_qty")
+    )
+    dominant = (
+        usage.join(tot, usage.l_partkey == tot.t_partkey)
+        .filter(F.col("qty").cast("double") > F.lit(0.5) * F.col("part_qty").cast("double"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name ORDER BY numwait DESC, s_name
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: l_returnflag = 'R' marks the failed
+    delivery — no receipt/commit dates in the test schema): suppliers who
+    were the SOLE returner on a multi-supplier finalized order. The
+    correlated EXISTS becomes a semi join and the NOT EXISTS an anti
+    join, both on l_orderkey with the supplier inequality in the join
+    condition — the planner stressor is the semi/anti chain over the same
+    fact table at three roles."""
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    l2 = li.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    )
+    cand = (
+        l1.join(o, l1.l_orderkey == o.o_orderkey, "left_semi")
+        .join(l2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+    )
+    return (
+        cand.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )

@@ -67,14 +67,15 @@ def _load_all() -> None:
 
 
 # The driver's correctness harness checks exactly the FIRST 50 names returned
-# by queries(). This list pins those 50 slots to the core engine surface —
-# the kNN/ANN templates, dialect + self-query compilers, the text /
-# timeseries / sampling / dedup extension families, and one representative
-# per relational operator class — so every flagship operator gets a driver
-# oracle row each round. Everything not listed here is registered AFTER
-# these (in import order): deliberately out-of-window redundant relational
-# probes and rows-only ops, all still pytest-oracled (tests/test_correctness
-# runs the full registry). COVERAGE.md's "driver window" column mirrors this.
+# by queries(). This list pins those 50 slots — rotated each round so queries
+# that were driver-green twice make room for never-driver-checked ones (r3:
+# the mutation trio, rollups, q1/q3/q5, the sampling five, collect_list and
+# row_to_document — all green r1+r2 — swapped for the TPC-H join sweep,
+# MERGE/SCD2, funnel, batch-kNN join, MaxSim, heavy hitters, bloom join,
+# fuzzy join, unigram log-prob, histogram quantiles, salted grouped top-k).
+# Everything not listed here is registered AFTER these (in import order) and
+# stays pytest-oracled (tests/test_correctness runs the full registry).
+# COVERAGE.md's "driver window" column mirrors this.
 DRIVER_WINDOW: tuple[str, ...] = (
     # vector search core (S1/V1-V6/T1)
     "knn_topk", "knn_filtered", "knn_l2", "ann_ivf_full_probe",
@@ -90,9 +91,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # timeseries family
     "asof_join_purchase_click", "sessionize_events",
     "range_join_click_window",
-    # sampling / split family
-    "sample_hash_20pct", "split_train_val_test", "stratified_quota_by_lang",
-    "vector_centroids_by_label", "pack_documents",
     # dedup family
     "dedup_exact", "dedup_jaccard_exact", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding", "dedup_components",
@@ -101,16 +99,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ingest + multimodal
     "ingest_flatten_json", "ingest_validate_dim",
     "multimodal_profile", "multimodal_feature_knn",
-    # mutations (M1/M2/M4)
-    "mutation_upsert_keep_latest", "mutation_delete_anti",
-    "mutation_update_conditional",
-    # rollups
-    "rollup_docs", "rollup_incremental_refresh",
-    # TPC-H-style analytical joins/aggs
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
     # representative relational operator classes
-    "collect_list_sorted", "window_latest_event",
-    "top_orders", "row_to_document",
+    "window_latest_event", "top_orders",
+    # --- rotated IN for round 3 (first driver verification) ---
+    # TPC-H join sweep
+    "q7_volume_shipping", "q9_profit_by_nation_year",
+    "q13_customer_distribution", "q19_disjunctive_pushdown",
+    # mutations at history scale
+    "merge_into_orders", "scd2_history_events",
+    # vector/join operators
+    "knn_join_exact", "maxsim_late_interaction", "fuzzy_join_part_names",
+    "bloom_semi_join_lineitem",
+    # analytics / text extensions
+    "funnel_view_click_purchase", "heavy_hitter_tokens",
+    "text_unigram_logprob", "quantile_hist_value_by_type",
+    "topk_orders_per_priority",
 )
 
 

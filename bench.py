@@ -34,7 +34,6 @@ HEADLINE = [
     "window_latest_event",      # window dedup (upsert read path)
     "top_orders",               # global top-k
     "knn_topk",                 # exact vector search
-    "ann_ivf_pruned",           # partition-pruned ANN
     "dedup_minhash_lsh",        # LSH near-dup pipeline
     "dedup_jaccard_exact",      # inverted-index similarity join
     "text_profile",             # scan-stage text analytics
@@ -124,7 +123,109 @@ def bench_decontam_x10(spark, sf_dir):
     return decontaminate(d10, bench, n=5)
 
 
-EXTRA = {"q5_x10_star_join": bench_q5_x10, "decontam_x10": bench_decontam_x10}
+def bench_ann_ivf_pruned(spark, sf_dir):
+    """Raw partition-pruned IVF search (n_probe=4 of 8) — the registered
+    `ann_ivf_pruned` query now wraps the search in its soundness oracle
+    (full-scan semi-join), so the bench times the pruned scan itself here."""
+    from chatdata_spark.queries.vector import Q2, _ivf_index
+
+    idx = _ivf_index(spark, sf_dir)
+    return idx.search(Q2, k=15, n_probe=4, select=["vec_id", "label"])
+
+
+def _replicate_docs_perturbed(spark, sf_dir, reps=10):
+    """10× the documents table with per-replica word perturbation: every
+    word gets a '#<rep>' suffix, so replicas of one doc share no shingles
+    with other replicas (no cross-replica near-dup explosion) while each
+    replica preserves the original similarity structure EXACTLY — same
+    word count, same shingle multiset shape, same per-shingle document
+    frequencies within a replica. Pair count, bucket sizes, and index
+    size all scale linearly: the honest 10× shape for dedup. (Inserting
+    separator tokens instead would collapse 3-word shingles into
+    effective unigrams and explode bucket sizes super-linearly.)"""
+    import pyspark.sql.functions as F
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    rep = F.explode(F.array(*[F.lit(i) for i in range(reps)])).alias("__rep")
+    return (
+        d.select("*", rep)
+        .withColumn("doc_id", F.col("doc_id") + F.col("__rep").cast("long") * F.lit(2**33))
+        .withColumn(
+            "text",
+            F.expr(r"regexp_replace(text, '(\\S+)', concat('$1#', CAST(__rep AS STRING)))"),
+        )
+        .drop("__rep")
+    )
+
+
+def bench_minhash_x10(spark, sf_dir):
+    """MinHash+LSH near-dup over the perturbed 10× corpus: banded signature
+    join must scale ~linearly (bucket sizes stay bounded — replicas never
+    share bands)."""
+    from chatdata_spark.operators.dedup import minhash_lsh_pairs
+
+    d10 = _replicate_docs_perturbed(spark, sf_dir)
+    return minhash_lsh_pairs(d10, "doc_id", "text", k=3, threshold=0.4)
+
+
+def bench_jaccard_x10(spark, sf_dir):
+    """Inverted-index jaccard join over the perturbed 10× corpus: per-shingle
+    bucket sizes are unchanged (replicas share no shingles), so the f²
+    pair expansion must stay linear in corpus size."""
+    from chatdata_spark.operators.dedup import jaccard_similarity_join
+
+    d10 = _replicate_docs_perturbed(spark, sf_dir)
+    return jaccard_similarity_join(d10, "doc_id", "text", k=3, threshold=0.4)
+
+
+def bench_bm25_x10(spark, sf_dir):
+    """BM25 top-20 over a verbatim 10× corpus (df and N scale together so
+    idf is unchanged): the broadcast corpus-stats design must hold —
+    super-linear time means the stats stopped broadcasting."""
+    import pyspark.sql.functions as F
+
+    from chatdata_spark.operators.textsearch import bm25_topk
+    from chatdata_spark.queries.textsearch import B, K1, TERMS
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d10 = _replicate(d, ["doc_id"])
+    return bm25_topk(d10, "doc_id", "text", TERMS, k=20, k1=K1, b=B, idf="rational")
+
+
+def bench_sessionize_hotkey(spark, sf_dir):
+    """Sessionization under adversarial skew: half of all events remapped to
+    ONE user. The plain per-user window would serialize that user onto a
+    single task; slice_width='auto' spreads it over span/(4 x parallelism)
+    time slices with an exact boundary merge. Compare against
+    `sessionize_events` (uniform keys, unsliced) — this entry staying within
+    a small factor of it IS the escape-hatch proof at bench scale."""
+    import pyspark.sql.functions as F
+
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.timeseries import sessionize
+
+    e = load_events(spark, sf_dir).withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    )
+    s = sessionize(e, "user_id", "ts", gap_minutes=30.0, order_tiebreak="event_id",
+                   slice_width="auto")
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+EXTRA = {
+    "ann_ivf_pruned": bench_ann_ivf_pruned,
+    "q5_x10_star_join": bench_q5_x10,
+    "decontam_x10": bench_decontam_x10,
+    "dedup_minhash_x10": bench_minhash_x10,
+    "dedup_jaccard_x10": bench_jaccard_x10,
+    "bm25_x10": bench_bm25_x10,
+    "sessionize_hotkey_sliced": bench_sessionize_hotkey,
+}
 
 
 def main() -> None:
@@ -136,7 +237,7 @@ def main() -> None:
 
     # JVM/codegen warmup + IVF index build outside timing
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    qs["ann_ivf_pruned"](spark, sf_dir).count()
+    bench_ann_ivf_pruned(spark, sf_dir).count()
 
     # Experiment knobs (PLANS.md "bench drift" note): ORDER=reversed re-runs
     # the suite back-to-front; ONLY=a,b times just those queries; ISOLATE=0

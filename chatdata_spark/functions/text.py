@@ -156,3 +156,20 @@ def fingerprint_rolling64(col) -> Column:
         .bitwiseOR(F.shiftrightunsigned(acc, 59))
         .bitwiseXOR(h),
     )
+
+
+def fingerprint_rolling64_md5(col) -> Column:
+    """Oracle-checkable twin of :func:`fingerprint_rolling64`: the same
+    rotate-xor combine over 60-bit per-word hashes parsed from md5 hex —
+    md5 (unlike xxhash64) exists in DuckDB, so the whole fingerprint is
+    reproducible there via HUGEINT rotate emulation + xor (the query's
+    oracle SQL). Prefer the xxhash64 variant in hot paths (no hex-string
+    intermediate); this one trades ~2x scan cost for a driver oracle."""
+    word_h = lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")  # noqa: E731
+    return F.aggregate(
+        F.transform(words(col), word_h),
+        F.lit(-3750763034362895579).cast("long"),  # unsigned 0xcbf29ce484222325 (FNV basis)
+        lambda acc, h: F.shiftleft(acc, 5)
+        .bitwiseOR(F.shiftrightunsigned(acc, 59))
+        .bitwiseXOR(h),
+    )

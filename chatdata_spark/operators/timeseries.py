@@ -39,6 +39,34 @@ def _numeric_ts(df: DataFrame, ts_col: str) -> Column:
     return F.col(ts_col)
 
 
+# derived slice widths, keyed (input semanticHash, ts_col, floor) — the span
+# scan is a bounded two-scalar agg; memoized like the jaccard stop sets so
+# repeated plan constructions over the same input cost zero extra jobs.
+_SLICE_WIDTHS: dict[tuple, float] = {}
+
+
+def derive_slice_width(df: DataFrame, ts_col: str, floor_sec: float = 0.0) -> float:
+    """``slice_width='auto'`` resolution: spread the observed time span over
+    ``4 x defaultParallelism`` slices (enough slices that even a key owning
+    ALL events runs as ~4 waves of parallel tasks), floored at ``floor_sec``
+    (callers pass ~4x the session gap so cross-slice merges stay rare).
+    One bounded min/max scan at plan-construction time, memoized per input."""
+    key = (df.semanticHash(), ts_col, floor_sec)
+    got = _SLICE_WIDTHS.get(key)
+    if got is not None:
+        return got
+    tsn = _numeric_ts(df, ts_col)
+    row = df.agg(F.min(tsn).alias("lo"), F.max(tsn).alias("hi")).first()
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if row["lo"] is None:
+        width = max(floor_sec, 1.0)
+    else:
+        span = float(row["hi"]) - float(row["lo"])
+        width = max(span / max(4 * par, 1), floor_sec, 1.0)
+    _SLICE_WIDTHS[key] = width
+    return width
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -48,7 +76,7 @@ def asof_join(
     payload_cols: list[str] | None = None,
     prefix: str = "asof_",
     tie_break: str | None = None,
-    slice_width: float | None = None,
+    slice_width: float | str | None = None,
 ) -> DataFrame:
     """For each left row: columns of the latest right row with
     ``right.ts <= left.ts`` and equal ``on`` key (NULLs when none).
@@ -60,8 +88,9 @@ def asof_join(
     ``slice_width`` (seconds): hot-key mitigation — window-partition on
     (key, time-slice) instead of key, then fill each slice's pre-first-match
     rows from the latest earlier-slice right payload (module docstring).
-    ``None`` keeps the single-partition-per-key plan (fine when no key
-    exceeds one task's worth of rows)."""
+    ``"auto"`` derives the width from the observed span and parallelism
+    (:func:`derive_slice_width`); ``None`` keeps the single-partition-per-key
+    plan (fine when no key exceeds one task's worth of rows)."""
     rts = right_ts_col or ts_col
     payload_cols = payload_cols or [c for c in right.columns if c not in (on, rts)]
 
@@ -89,6 +118,8 @@ def asof_join(
         F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
     )
     unioned = l_tagged.unionByName(r_tagged.withColumn("__left", F.lit(None).cast(l_tagged.schema["__left"].dataType)))
+    if slice_width == "auto":
+        slice_width = derive_slice_width(unioned, "__ts")
     # right rows sort before left rows at equal ts → inclusive (<=) semantics
     if slice_width is None:
         w = (
@@ -210,7 +241,7 @@ def sessionize(
     ts_col: str = "ts",
     gap_minutes: float = 30.0,
     order_tiebreak: str | None = None,
-    slice_width: float | None = None,
+    slice_width: float | str | None = None,
 ) -> DataFrame:
     """Gap-based session assignment: a new session starts when the gap to
     the previous event of the same user exceeds ``gap_minutes``. Adds
@@ -220,8 +251,12 @@ def sessionize(
     per (user, time-slice), then a boundary pass over the per-slice summary
     merges sessions spanning a slice edge and shifts indices by the running
     merged-session count (module docstring). Output is identical to the
-    unsalted path; pick slice_width ≫ gap so merges stay rare."""
+    unsalted path; pick slice_width ≫ gap so merges stay rare. ``"auto"``
+    derives it from span/parallelism floored at 4x the gap
+    (:func:`derive_slice_width`)."""
     gap_sec = gap_minutes * 60.0
+    if slice_width == "auto":
+        slice_width = derive_slice_width(df, ts_col, floor_sec=4.0 * gap_sec)
     if slice_width is None:
         order = [F.col(ts_col).asc()] + ([F.col(order_tiebreak).asc()] if order_tiebreak else [])
         w = Window.partitionBy(user_col).orderBy(*order)

@@ -12,6 +12,7 @@ from chatdata_spark.functions.text import (
     PUNCT_CLASS,
     STOPWORDS,
     fingerprint_rolling64,
+    fingerprint_rolling64_md5,
     norm_text,
     predict_lang_from_scores,
     stopword_hits_from_dwords,
@@ -173,12 +174,43 @@ def text_quality_by_source(spark, sf_dir):
     )
 
 
-@query("text_fingerprint_rolling")  # rows-only: xxhash64 not in DuckDB
+@query(
+    "text_fingerprint_rolling",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id,
+               list_reduce(
+                   list_prepend(
+                       14695981039346656037::HUGEINT,
+                       list_transform(
+                           string_split({_D_NORM}, ' '),
+                           w -> CAST(CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS HUGEINT)
+                       )
+                   ),
+                   (acc, h) -> xor(
+                       ((acc * 32) % 18446744073709551616::HUGEINT)
+                           + (acc // 576460752303423488::HUGEINT),
+                       h
+                   )
+               ) AS u
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                     THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS fp64
+    FROM fp ORDER BY doc_id
+    """,
+)
 def text_fingerprint_rolling(spark, sf_dir):
-    """Order-sensitive 64-bit rolling fingerprint (FNV-1a over word
-    hashes); duplicate-fingerprint groups = exact-duplicate candidates."""
+    """Order-sensitive 64-bit rolling fingerprint (rotate-xor over per-word
+    hashes); duplicate-fingerprint groups = exact-duplicate candidates.
+    Uses the md5-60-bit word-hash variant so DuckDB reproduces every bit:
+    the oracle emulates the unsigned rotl5 in HUGEINT ((x*32) mod 2^64 +
+    x>>59 — the halves can't overlap bits, so + is |) then re-signs. The
+    xxhash64 variant (functions/text.py:fingerprint_rolling64) is the hot
+    path; unit tests pin both."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select("doc_id", fingerprint_rolling64("text").alias("fp64")).orderBy("doc_id")
+    return d.select("doc_id", fingerprint_rolling64_md5("text").alias("fp64")).orderBy("doc_id")
 
 
 @query(

@@ -106,13 +106,37 @@ def ann_ivf_full_probe(spark, sf_dir):
     return idx.search(Q2, k=15, n_probe=idx.n_clusters, select=["vec_id", "label"])
 
 
-@query("ann_ivf_pruned")  # approximate by design → rows-only + tests/test_ivf.py
+@query(
+    "ann_ivf_pruned",
+    oracle=f"""
+    SELECT CAST(15 AS BIGINT) AS n_results,
+           CAST(15 AS BIGINT) AS n_in_top45,
+           CAST(MIN({_duck_cos('embedding', Q2)}) AS DOUBLE) AS min_dist
+    FROM embeddings
+    """,
+)
 def ann_ivf_pruned(spark, sf_dir):
-    """IVF pruned search (n_probe=4/8): reads only probed cluster
-    partitions from disk; returned distances are exact (soundness checked
-    in tests), recall traded for scan fraction like MSTG's nprobe."""
+    """IVF pruned search (n_probe=4 of 8): reads only probed cluster
+    partitions from disk; returned distances are exact, recall traded for
+    scan fraction like MSTG's nprobe. Approximate by design, so the oracle
+    checks SOUNDNESS invariants instead of the id set: 15 results, all
+    within the exact top-(k+30) (computed by a Spark full-scan kNN and
+    semi-joined — the literal 15s go red if pruning drops candidates or
+    mis-ranks), and the best returned distance equals the global exact
+    minimum (real SQL on the DuckDB side). Recall itself is pinned in
+    tests/test_ivf.py; the raw pruned-scan timing lives in bench.py."""
     idx = _ivf_index(spark, sf_dir)
-    return idx.search(Q2, k=15, n_probe=4, select=["vec_id", "label"])
+    res = idx.search(Q2, k=15, n_probe=4, select=["vec_id"])
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    top45 = knn(emb, "embedding", Q2, k=45, select=["vec_id"], id_col="vec_id").select("vec_id")
+    stats = res.agg(
+        F.count(F.lit(1)).alias("n_results"), F.min("dist").cast("double").alias("min_dist")
+    )
+    in45 = (
+        res.join(F.broadcast(top45), "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_in_top45"))
+    )
+    return stats.join(F.broadcast(in45)).select("n_results", "n_in_top45", "min_dist")
 
 
 @query(
@@ -181,12 +205,52 @@ def ann_lsh_probe(spark, sf_dir):
     return lsh_search(idx, "embedding", Q1, k=12, n_tables=8, n_bits=10, select=["vec_id", "label"])
 
 
-@query("embed_documents_batch")  # rows-only: embedder not SQL-expressible
+def _embed_batch_expected() -> str:
+    """Lazy oracle for embed_documents_batch: the hash embedder is
+    deterministic, so a sequential driver-side recomputation over the
+    driver's sf0.01 documents yields an exact expected table — comparing
+    it against the distributed Arrow path verifies worker pickling, batch
+    shapes, and the float32 round-trip (the embedder itself is shared, so
+    this checks the Spark plumbing, not the math). Emulates Spark's
+    rounding exactly: left-fold float64 sum of the float32 vector, HALF_UP
+    decimal(27,6) per row, exact decimal sum, HALF_UP round-4 double."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import numpy as np
+
+    from chatdata_spark.functions.vector import hash_embed
+
+    rows = duckdb.sql(
+        "SELECT lang, text FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    ).fetchall()
+    per_lang: dict[str, list] = {}
+    q6 = Decimal("0.000001")
+    for lang, text in rows:
+        v32 = np.array(hash_embed(text if text is not None else "", DIM), dtype=np.float32)
+        acc = 0.0
+        for x in v32.astype(np.float64):
+            acc = acc + float(x)
+        per_lang.setdefault(lang, []).append(Decimal(acc).quantize(q6, ROUND_HALF_UP))
+    values = []
+    for lang in sorted(per_lang):
+        ds = per_lang[lang]
+        total = float(sum(ds, Decimal(0)))
+        checksum = float(Decimal(total).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+        values.append(f"('{lang}', CAST({len(ds)} AS BIGINT), CAST({checksum!r} AS DOUBLE))")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(values) + ") AS t(lang, n, vec_checksum) ORDER BY lang"
+    )
+
+
+@query("embed_documents_batch", oracle=_embed_batch_expected)
 def embed_documents_batch(spark, sf_dir):
     """V5 batch embedding throughput surface: Arrow-batched embedder over
     the documents table (deterministic hash embedder standing in for the
     sentence-transformer; identical Spark plumbing), rolled up per lang
-    with a checksum so repeated runs verify byte-stable output."""
+    with a checksum so repeated runs verify byte-stable output. Oracled
+    against a sequential driver-side recomputation (lazy VALUES literal,
+    sf0.01 — the scale the driver and tests compare at)."""
     from chatdata_spark.functions.vector import make_embed_text_udf
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")

@@ -27,7 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 @dataclass
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None
+    # str, or a zero-arg callable resolved (once) at oracle_sql() time — for
+    # oracles whose literals derive from data/computation too costly at import
+    oracle: str | Callable[[], str] | None
     doc: str = ""
 
 
@@ -132,4 +134,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {k: v.oracle for k, v in _ordered().items() if v.oracle is not None}
+    out: dict[str, str] = {}
+    for k, v in _ordered().items():
+        if v.oracle is None:
+            continue
+        if callable(v.oracle):
+            v.oracle = v.oracle()  # resolve lazily, once
+        out[k] = v.oracle
+    return out

@@ -129,3 +129,54 @@ def test_to_documents_max_string_length(spark):
     # no limit -> full text, identical row count
     full = to_documents(d, "text", ["doc_id"]).limit(50).collect()
     assert any(len(r.page_content) > 16 for r in full)
+
+
+def test_env_gated_real_model_dispatch(spark, monkeypatch):
+    """SPARK_GRAFT_EMBED_MODEL escape hatch: set + sentence-transformers
+    importable -> the real-model factory wins for unregistered names;
+    unset or unimportable -> hash stub. The container ships no weights, so
+    a fake sentence_transformers module proves the dispatch (encode path
+    included) without downloading anything."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from chatdata_spark.functions.embedders import (
+        make_sentence_transformer_factory,
+        maybe_real_embedder,
+    )
+
+    # unset -> None (stub remains default)
+    monkeypatch.delenv("SPARK_GRAFT_EMBED_MODEL", raising=False)
+    assert maybe_real_embedder() is None
+
+    # set but not importable -> None
+    monkeypatch.setenv("SPARK_GRAFT_EMBED_MODEL", "all-mpnet-base-v2")
+    monkeypatch.setitem(sys.modules, "sentence_transformers", None)
+    try:
+        assert maybe_real_embedder() is None
+    finally:
+        sys.modules.pop("sentence_transformers", None)
+
+    # set + importable -> factory dispatches and the UDF runs the model
+    fake = types.ModuleType("sentence_transformers")
+
+    class _FakeST:
+        def __init__(self, name):
+            self.name = name
+
+        def encode(self, texts, normalize_embeddings=False):
+            return np.array([[float(len(t)), float(len(self.name))] for t in texts])
+
+    fake.SentenceTransformer = _FakeST
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake)
+    factory = maybe_real_embedder()
+    assert factory is not None
+    # Python workers are separate processes, so the fake module exists only
+    # driver-side — run the UDF's wrapped function directly to exercise the
+    # lazy in-UDF model load + encode path (the closure captures only the
+    # model-name string, so it pickles to real workers cleanly).
+    udf = make_sentence_transformer_factory("all-mpnet-base-v2")(0)
+    got = udf.func(pd.Series(["abc", "hello", None]))
+    assert [tuple(v) for v in got] == [(3.0, 17.0), (5.0, 17.0), (0.0, 17.0)]

@@ -21,7 +21,8 @@ Search (micro-batch top-k):
 oracle-checkable configuration; recall/latency trades via ``n_probe``
 exactly like the MSTG/IVF ``nprobe`` knob. At 100 TB: cluster count ~√N
 keeps partitions executor-sized; skewed clusters get split by re-running
-KMeans within any partition exceeding a size cap (same layout, recursive).
+KMeans within any partition exceeding a size cap (same layout, recursive —
+:meth:`IVFIndex.split_skewed`).
 """
 
 from __future__ import annotations
@@ -46,9 +47,11 @@ class IVFIndex:
             meta = json.load(f)
         self.id_col = meta["id_col"]
         self.vector_col = meta["vector_col"]
-        self.n_clusters = meta["n_clusters"]
         self.metric = meta["metric"]
         self.centroids = np.array(meta["centroids"], dtype=np.float64)
+        # split_skewed leaves ids non-contiguous; pre-split metas omit the key
+        self.cluster_ids: list[int] = meta.get("cluster_ids", list(range(meta["n_clusters"])))
+        self.n_clusters = len(self.cluster_ids)
 
     # -- build -----------------------------------------------------------------
     @staticmethod
@@ -85,12 +88,82 @@ class IVFIndex:
             "n_clusters": n_clusters,
             "metric": metric,
             "centroids": [list(map(float, c)) for c in model.clusterCenters()],
+            "cluster_ids": list(range(n_clusters)),
         }
+        IVFIndex._write_meta(path, meta)
+        return IVFIndex(df.sparkSession, path)
+
+    @staticmethod
+    def _write_meta(path: str, meta: dict) -> None:
         tmp = os.path.join(path, "ivf_meta.json.tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, os.path.join(path, "ivf_meta.json"))
-        return IVFIndex(df.sparkSession, path)
+
+    # -- skew maintenance -------------------------------------------------------
+    def split_skewed(self, max_rows: int, sub_k: int = 4) -> "IVFIndex":
+        """Split every cluster holding more than ``max_rows`` rows into
+        ``sub_k`` sub-clusters by re-running KMeans WITHIN that partition —
+        the recursive skew escape the layout docstring promises: partitions
+        stay executor-sized no matter how lopsided the embedding space.
+
+        Layout discipline: sub-cluster rows are written under fresh
+        ``cluster_id=`` directories (never back into the directory being
+        read — the read is lazy), the meta swap is atomic, and the old
+        directory is dropped only after both commit; a crash in between
+        leaves an orphan dir no search ever probes (its id is gone from
+        ``cluster_ids``). Cost: one scan + one partitioned write PER skewed
+        cluster, nothing touches the well-sized ones. Call again if a
+        sub-cluster is still over the cap (recursive by iteration)."""
+        import shutil
+
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        data_path = os.path.join(self.path, "data")
+        data = self.spark.read.parquet(data_path)
+        sizes = {r["cluster_id"]: r["n"] for r in
+                 data.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+        fat = sorted(c for c, n in sizes.items() if n > max_rows)
+        if not fat:
+            return self
+        cluster_ids = list(self.cluster_ids)
+        centroids = [list(map(float, c)) for c in self.centroids]
+        next_id = max(cluster_ids) + 1
+        for cid in fat:
+            rows = data.filter(F.col("cluster_id") == cid).drop("cluster_id")
+            feats = rows.withColumn(
+                "__features", array_to_vector(F.col(self.vector_col).cast("array<double>"))
+            )
+            model = KMeans(k=sub_k, seed=42, featuresCol="__features").fit(feats)
+            sub_ids = list(range(next_id, next_id + sub_k))
+            remap = F.col("prediction") + F.lit(next_id)
+            (
+                model.transform(feats)
+                .withColumn("cluster_id", remap)
+                .drop("__features", "prediction")
+                .repartition("cluster_id")
+                .write.mode("append")
+                .partitionBy("cluster_id")
+                .parquet(data_path)
+            )
+            pos = cluster_ids.index(cid)
+            cluster_ids.pop(pos)
+            centroids.pop(pos)
+            cluster_ids.extend(sub_ids)
+            centroids.extend([list(map(float, c)) for c in model.clusterCenters()])
+            next_id += sub_k
+        self._write_meta(self.path, {
+            "id_col": self.id_col,
+            "vector_col": self.vector_col,
+            "n_clusters": len(cluster_ids),
+            "metric": self.metric,
+            "centroids": centroids,
+            "cluster_ids": cluster_ids,
+        })
+        for cid in fat:  # after the meta swap: searches can no longer probe them
+            shutil.rmtree(os.path.join(data_path, f"cluster_id={cid}"), ignore_errors=True)
+        return IVFIndex(self.spark, self.path)
 
     # -- incremental maintenance ------------------------------------------------
     def append(self, new_df: DataFrame) -> None:
@@ -108,13 +181,14 @@ class IVFIndex:
         unaffected — assignment and search use the same centroids)."""
         cents = self.centroids  # (k, d) float64
         c_sq = (cents**2).sum(axis=1)
+        ids = np.array(self.cluster_ids, dtype=np.int32)  # position -> cluster id
 
         @F.pandas_udf("int")
         def _assign(vecs: pd.Series) -> pd.Series:
             x = np.array(vecs.tolist(), dtype=np.float64)
             # ||x-c||² = ||x||² - 2x·c + ||c||²; row term constant per row
             d2 = -2.0 * (x @ cents.T) + c_sq[None, :]
-            return pd.Series(d2.argmin(axis=1).astype("int32"))
+            return pd.Series(ids[d2.argmin(axis=1)])
 
         (
             new_df.withColumn(
@@ -135,7 +209,7 @@ class IVFIndex:
             order = np.argsort(-sims)
         else:
             order = np.argsort(np.linalg.norm(self.centroids - q, axis=1))
-        return [int(i) for i in order]
+        return [self.cluster_ids[int(i)] for i in order]
 
     def search(
         self,

@@ -73,6 +73,37 @@ def parse_elements_stub(content: bytes, file_name: str) -> list[dict]:
     return out
 
 
+def maybe_real_parser() -> Callable[[bytes, str], list[dict]] | None:
+    """Env escape hatch mirroring the embedder's
+    (functions/embedders.py:maybe_real_embedder): when
+    ``SPARK_GRAFT_UNSTRUCTURED_PARSE`` is set AND the ``unstructured``
+    package is importable, return a real parser producing the same
+    ``(bytes, name) -> [{'type', 'text'}]`` contract as the stub — the
+    reference's Unstructured element types flow straight into the
+    NarrativeText filter (tools.py:27-42). None otherwise (this container
+    ships no parser; the stub stays the default). The returned closure
+    imports unstructured INSIDE itself and captures nothing from this
+    module, so it pickles by value to workers."""
+    import os
+
+    if not os.environ.get("SPARK_GRAFT_UNSTRUCTURED_PARSE"):
+        return None
+    try:
+        import unstructured  # noqa: F401
+    except ImportError:
+        return None
+
+    def parser(content: bytes, file_name: str) -> list[dict]:
+        import io
+
+        from unstructured.partition.auto import partition
+
+        els = partition(file=io.BytesIO(content), metadata_filename=file_name)
+        return [{"type": type(e).__name__, "text": str(e)} for e in els]
+
+    return parser
+
+
 def parse_uploads(
     files_df: DataFrame,
     parser: Callable[[bytes, str], list[dict]] | None = None,
@@ -88,6 +119,8 @@ def parse_uploads(
     Default parser is an inline copy of :func:`parse_elements_stub` —
     passing the module-level function as a default would pickle it by
     reference and require the package on worker paths."""
+    if parser is None:
+        parser = maybe_real_parser()
     if parser is None:
 
         def parser(content: bytes, file_name: str) -> list[dict]:

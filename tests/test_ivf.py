@@ -142,3 +142,52 @@ def test_ivf_append_rows_land_in_existing_layout_and_search_exact(spark, tmp_pat
     # count integrity: every appended row is in the layout exactly once
     total = spark.read.parquet(f"{path}/data").count()
     assert total == emb.count()
+
+
+def test_split_skewed_caps_partitions_and_stays_exact(spark, tmp_path):
+    """The recursive skew escape: build deliberately lopsided (k=2), split
+    with a low cap — every surviving cluster respects the cap, the ids go
+    non-contiguous, and full-probe search still equals the exact scan
+    (the invariant that makes split a pure layout operation)."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    idx = build_or_load_ivf(
+        spark, emb, str(tmp_path / "ivf_skew"), "vec_id", "embedding", n_clusters=2
+    )
+    total = emb.count()
+    sizes0 = {
+        r.cluster_id: r.n
+        for r in spark.read.parquet(os.path.join(idx.path, "data"))
+        .groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    cap = max(total // 3, 1)
+    assert max(sizes0.values()) > cap, "fixture not skewed enough to exercise split"
+
+    idx2 = idx.split_skewed(max_rows=cap, sub_k=4)
+    sizes1 = {
+        r.cluster_id: r.n
+        for r in spark.read.parquet(os.path.join(idx2.path, "data"))
+        .groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sum(sizes1.values()) == total, "split lost or duplicated rows"
+    assert max(sizes1.values()) <= cap or len(sizes1) > len(sizes0)
+    assert set(sizes1) == set(idx2.cluster_ids)
+    assert len(idx2.cluster_ids) == len(set(idx2.cluster_ids))
+    # exactness invariant: full probe == exact scan, through non-contiguous ids
+    exact = [
+        (r.vec_id, r.dist)
+        for r in knn(emb, "embedding", Q, k=12, select=["vec_id"], id_col="vec_id").collect()
+    ]
+    got = [
+        (r.vec_id, r.dist)
+        for r in idx2.search(Q, k=12, n_probe=idx2.n_clusters, select=["vec_id"]).collect()
+    ]
+    assert got == exact
+    # append after split assigns to the EXPANDED centroid set by id, not position
+    extra = emb.limit(5).withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+    idx2.append(extra)
+    appended = spark.read.parquet(os.path.join(idx2.path, "data")).filter(
+        F.col("vec_id") >= 10_000_000
+    )
+    assert appended.count() == 5
+    bad = appended.filter(~F.col("cluster_id").isin(idx2.cluster_ids)).count()
+    assert bad == 0

@@ -180,3 +180,49 @@ def test_env_gated_real_model_dispatch(spark, monkeypatch):
     udf = make_sentence_transformer_factory("all-mpnet-base-v2")(0)
     got = udf.func(pd.Series(["abc", "hello", None]))
     assert [tuple(v) for v in got] == [(3.0, 17.0), (5.0, 17.0), (0.0, 17.0)]
+
+
+def test_env_gated_real_parser_dispatch(spark, monkeypatch):
+    """SPARK_GRAFT_UNSTRUCTURED_PARSE escape hatch, symmetric to the
+    embedder's: unset or unimportable -> None (stub default); set +
+    importable -> a parser producing the stub's element contract, which
+    parse_uploads consumes unchanged (fake module, driver-side call)."""
+    import sys
+    import types
+
+    from chatdata_spark.sources.ingest import maybe_real_parser
+
+    monkeypatch.delenv("SPARK_GRAFT_UNSTRUCTURED_PARSE", raising=False)
+    assert maybe_real_parser() is None
+
+    monkeypatch.setenv("SPARK_GRAFT_UNSTRUCTURED_PARSE", "1")
+    monkeypatch.setitem(sys.modules, "unstructured", None)
+    try:
+        assert maybe_real_parser() is None
+    finally:
+        sys.modules.pop("unstructured", None)
+
+    class _NarrativeText:
+        def __init__(self, text):
+            self._t = text
+
+        def __str__(self):
+            return self._t
+
+    def _partition(file=None, metadata_filename=None):
+        body = file.read().decode()
+        return [_NarrativeText(f"{metadata_filename}: {body}")]
+
+    pkg = types.ModuleType("unstructured")
+    pkg.__path__ = []
+    part = types.ModuleType("unstructured.partition")
+    part.__path__ = []
+    auto = types.ModuleType("unstructured.partition.auto")
+    auto.partition = _partition
+    monkeypatch.setitem(sys.modules, "unstructured", pkg)
+    monkeypatch.setitem(sys.modules, "unstructured.partition", part)
+    monkeypatch.setitem(sys.modules, "unstructured.partition.auto", auto)
+    parser = maybe_real_parser()
+    assert parser is not None
+    els = parser(b"hello world", "a.txt")
+    assert els == [{"type": "_NarrativeText", "text": "a.txt: hello world"}]

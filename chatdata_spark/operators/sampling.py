@@ -109,3 +109,38 @@ def weighted_sample(
         win = Window.partitionBy(*strata_cols).orderBy(F.col("__e").asc(), F.col(key_col).asc())
         return pos.withColumn("__rn", F.row_number().over(win)).filter(F.col("__rn") <= n).drop("__rn", "__e")
     return pos.orderBy(F.col("__e").asc(), F.col(key_col).asc()).limit(int(n)).drop("__e")
+
+
+def shard_assignment(df: DataFrame, key_col: str, n_shards: int, salt: str = "shard") -> DataFrame:
+    """Deterministic shard id + within-shard shuffle key for training-data
+    export: ``shard = bucket % n_shards`` and ``shuffle_key = bucket`` from
+    one md5 evaluation. Rows land on the same shard in the same relative
+    order on every engine, rerun, and partition layout — the global
+    deterministic shuffle a training run needs WITHOUT a global sort: the
+    writer sorts within shards only (n_shards independent sorts), and
+    readers consuming shards round-robin see a hash-shuffled stream."""
+    b = hash_bucket(key_col, salt)
+    return (
+        df.withColumn("__b", b)
+        .withColumn("shard", F.pmod(F.col("__b"), F.lit(n_shards)).cast("int"))
+        .withColumn("shuffle_key", F.col("__b"))
+        .drop("__b")
+    )
+
+
+def export_shards(
+    df: DataFrame, path: str, key_col: str, n_shards: int, salt: str = "shard"
+) -> None:
+    """Write ``n_shards`` balanced, deterministically-shuffled parquet
+    shards under ``path/shard=K/``. One shuffle (repartition on shard),
+    per-shard local sort by (shuffle_key, key) — no global sort, no
+    driver involvement; at 100 TB each shard is one task's sequential
+    write and shard count just scales with the cluster."""
+    out = shard_assignment(df, key_col, n_shards, salt)
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "shuffle_key", key_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

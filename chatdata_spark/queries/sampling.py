@@ -194,3 +194,25 @@ def weighted_sample_by_length(spark, sf_dir):
     return weighted_sample(d, "doc_id", "n_chars", 100, salt="w").select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@query(
+    "shard_assignment_docs",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_D_BUCKET.format(salt='shard', key='doc_id')} % 16 AS INT) AS shard,
+           {_D_BUCKET.format(salt='shard', key='doc_id')} AS shuffle_key
+    FROM documents ORDER BY doc_id
+    """,
+)
+def shard_assignment_docs(spark, sf_dir):
+    """Training-export sharding: deterministic shard id (md5 bucket mod 16)
+    + within-shard shuffle key per document — the assignment half of
+    operators/sampling.py:export_shards, bit-identical on any engine (the
+    writer itself is pytest-covered: balance, determinism, roundtrip)."""
+    from chatdata_spark.operators.sampling import shard_assignment
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shard_assignment(d, "doc_id", 16).select(
+        "doc_id", "shard", "shuffle_key"
+    ).orderBy("doc_id")

@@ -1,0 +1,76 @@
+"""Driver-replay verification (the verify skill's recipe, checked in).
+
+Replays the round driver's consumption path in THIS process: loads
+/root/repo/__spark_entry__.py by file path from a foreign cwd (catches
+sys.path / hardcoded-cwd / pickling-by-module-name bugs), builds the
+driver's PLAIN SparkSession (local[8], shuffle=8 — not our tuned factory),
+smoke-runs entry(), then runs each of the first 50 queries() at sf0.01 and
+compares to its oracle_sql() via DuckDB with columns sorted by name, rows
+sorted NULL-safely, exact equality.
+
+Usage: cd /tmp && python /root/repo/tools/driver_replay.py
+Exit 0 = all green; nonzero lists failures."""
+import importlib.util, sys, os
+os.chdir("/tmp")
+spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.sql.shuffle.partitions", "8")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+# smoke
+r = mod.entry(spark).collect()
+print("entry rows:", len(r))
+
+import duckdb
+con = duckdb.connect()
+SF = "/root/testdata/sf0.01"
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+import pandas as pd, datetime
+
+def norm(v):
+    if v is None: return None
+    try:
+        if pd.isna(v): return None
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, pd.Timestamp): return v.to_pydatetime()
+    return v
+
+def skey(row):
+    return tuple((v is None, str(type(v)), v if v is not None else 0) for v in row)
+
+qs = mod.queries(); osql = mod.oracle_sql()
+names = list(qs)[:50]
+fails = []
+for name in names:
+    try:
+        sdf = qs[name](spark, SF)
+        cols = sorted(sdf.columns)
+        spark_rows = sorted((tuple(norm(row[c]) for c in cols) for row in sdf.collect()), key=skey)
+        if name not in osql:
+            print(f"{name}: rows-only, {len(spark_rows)} rows")
+            continue
+        odf = con.execute(osql[name]).fetchdf()
+        ocols = sorted(odf.columns)
+        if cols != ocols:
+            fails.append((name, f"cols {cols} vs {ocols}")); continue
+        oracle_rows = sorted((tuple(norm(x) for x in r) for r in odf[cols].itertuples(index=False, name=None)), key=skey)
+        if len(spark_rows) != len(oracle_rows):
+            fails.append((name, f"rowcount {len(spark_rows)} vs {len(oracle_rows)}")); continue
+        if spark_rows != oracle_rows:
+            bad = next(i for i,(a,b) in enumerate(zip(spark_rows, oracle_rows)) if a!=b)
+            fails.append((name, f"values differ at sorted row {bad}: {spark_rows[bad]} vs {oracle_rows[bad]}")); continue
+        print(f"{name}: OK ({len(spark_rows)} rows)")
+    except Exception as e:
+        fails.append((name, f"{type(e).__name__}: {str(e)[:300]}"))
+print("\n=== FAILURES:", len(fails))
+for n, m in fails: print(n, "->", m)
+sys.exit(1 if fails else 0)

@@ -1,0 +1,160 @@
+"""Incremental near-dup detection: dedup each ARRIVING batch against the
+whole stored corpus without recomputing or rescanning prior batches — the
+daily-crawl-against-100-TB-corpus shape (extension; nearest reference
+artifact is the entity_id upsert convention, tools.py:35-37, generalized
+from exact to near duplicates).
+
+Signature store layout (append-only, no rewrite of prior data):
+
+    <path>/inc_meta.json            parameters, written once
+    <path>/sigs/batch=K/*.parquet   (id, shh, sz, band_keys) per batch
+    <path>/_BATCHES                 committed batch list (atomic swap)
+
+Each batch pays Arrow minhash work for ITS rows only; prior batches
+contribute their STORED band keys (JVM explode of an array column — no
+re-hash, no Arrow) to the candidate join and their stored shingle arrays
+to the exact-jaccard verification. Crash discipline: the batch directory
+is written first, `_BATCHES` swaps last; a crash in between leaves an
+orphan directory that no reader lists (same recipe as the IVF split and
+the versioned stores). At 100 TB the per-batch cost is
+O(batch + matching band buckets), never O(corpus).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chatdata_spark.operators.dedup import _with_shingle_hashes, minhash_band_keys_udf
+
+
+class IncrementalMinHashStore:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        k: int = 3,
+        num_hashes: int = 126,
+        rows_per_band: int = 3,
+    ):
+        self.spark = spark
+        self.path = path
+        meta_path = os.path.join(path, "inc_meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if (meta["k"], meta["num_hashes"], meta["rows_per_band"]) != (
+                k, num_hashes, rows_per_band
+            ):
+                raise ValueError(
+                    f"store {path} was built with {meta}, reopened with "
+                    f"k={k} num_hashes={num_hashes} rows_per_band={rows_per_band} — "
+                    "signatures are parameter-specific; rebuild or match them"
+                )
+        else:
+            os.makedirs(path, exist_ok=True)
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"k": k, "num_hashes": num_hashes, "rows_per_band": rows_per_band}, f)
+            os.replace(tmp, meta_path)
+        self.k = k
+        self.num_hashes = num_hashes
+        self.rows_per_band = rows_per_band
+
+    # -- batch plumbing ---------------------------------------------------------
+    def _batches_file(self) -> str:
+        return os.path.join(self.path, "_BATCHES")
+
+    def batches(self) -> list[int]:
+        try:
+            with open(self._batches_file()) as f:
+                return [int(x) for x in f.read().split()]
+        except FileNotFoundError:
+            return []
+
+    def _commit_batch(self, b: int) -> None:
+        tmp = self._batches_file() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(" ".join(str(x) for x in [*self.batches(), b]))
+        os.replace(tmp, self._batches_file())
+
+    def _stored_sigs(self) -> DataFrame | None:
+        ids = self.batches()
+        if not ids:
+            return None
+        dirs = [os.path.join(self.path, "sigs", f"batch={b}") for b in ids]
+        return self.spark.read.parquet(*dirs)
+
+    # -- the operator -----------------------------------------------------------
+    def add_batch(
+        self, df: DataFrame, id_col: str, text_col: str = "text",
+        threshold: float = 0.4, round_digits: int = 6,
+    ) -> DataFrame:
+        """Near-dup pairs touching the new batch — (i, j, jaccard) with
+        i < j, covering new×new AND new×stored — then commit the batch's
+        signatures. Union over all add_batch calls == the one-shot
+        minhash_lsh_pairs over the full corpus (asserted in tests);
+        returned distances are exact jaccard on the verified shingle sets.
+        The returned frame stays lazy and is safe to evaluate after the
+        commit: it references only the PRE-commit batch directories
+        (append-only — never rewritten) and the new batch's persisted
+        signatures."""
+        band_udf = minhash_band_keys_udf(self.num_hashes, self.rows_per_band)
+        new = (
+            _with_shingle_hashes(df, id_col, text_col, self.k, persist=True)
+            .withColumn(
+                "band_keys",
+                F.transform(
+                    band_udf("shh"),
+                    lambda key, band: F.struct(
+                        band.cast("int").alias("band"), key.alias("key")
+                    ),
+                ),
+            )
+        )
+        new_bands = new.select("id", F.explode("band_keys").alias("bk")).select(
+            "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+        l = new_bands.select(F.col("id").alias("i"), "band", "key")
+        r = new_bands.select(F.col("id").alias("j"), "band", "key")
+        cands = l.join(r, ["band", "key"]).filter(F.col("i") < F.col("j"))
+        old = self._stored_sigs()
+        if old is not None:
+            old_bands = old.select("id", F.explode("band_keys").alias("bk")).select(
+                "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+            )
+            cross = (
+                new_bands.select(F.col("id").alias("a"), "band", "key")
+                .join(old_bands.select(F.col("id").alias("b"), "band", "key"), ["band", "key"])
+                .select(
+                    F.least("a", "b").alias("i"), F.greatest("a", "b").alias("j")
+                )
+            )
+            cands = cands.select("i", "j").unionByName(cross)
+        sigs = new.select("id", "shh", "sz")
+        if old is not None:
+            sigs = sigs.unionByName(old.select("id", "shh", "sz"))
+        lhs = sigs.select(F.col("id").alias("i"), F.col("shh").alias("sh_i"), F.col("sz").alias("sz_i"))
+        rhs = sigs.select(F.col("id").alias("j"), F.col("shh").alias("sh_j"), F.col("sz").alias("sz_j"))
+        pairs = (
+            cands.select("i", "j").distinct()
+            .join(lhs, "i")
+            .join(rhs, "j")
+            .withColumn("common", F.size(F.array_intersect("sh_i", "sh_j")))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("common") / (F.col("sz_i") + F.col("sz_j") - F.col("common")),
+                    round_digits,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("i", "j", "jaccard")
+        )
+        b = (max(self.batches()) + 1) if self.batches() else 0
+        new.write.mode("overwrite").parquet(os.path.join(self.path, "sigs", f"batch={b}"))
+        self._commit_batch(b)
+        return pairs

@@ -217,3 +217,22 @@ def fuzzy_join_part_names(spark, sf_dir):
         .withColumn("dist", F.col("dist").cast("long"))
         .orderBy("left_p_name", "right_p_name")
     )
+
+
+@query("dedup_incremental_batches", oracle=_DUCK_JACCARD_PAIRS)
+def dedup_incremental_batches(spark, sf_dir):
+    """Incremental dedup against the signature store: the corpus arrives as
+    two batches; each add_batch compares only against stored signatures
+    (operators/incdedup.py), and the UNION of the two pair sets must equal
+    the one-shot exact join — the same oracle as dedup_jaccard_exact and
+    dedup_minhash_lsh. Fresh store per invocation (tempdir): the query is
+    the batch-arrival REPLAY, not a mutation of shared state."""
+    import tempfile
+
+    from chatdata_spark.operators.incdedup import IncrementalMinHashStore
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    store = IncrementalMinHashStore(spark, tempfile.mkdtemp(prefix="chatdata_incdedup_"))
+    p1 = store.add_batch(d.filter(F.col("doc_id") % 3 != 0), "doc_id")
+    p2 = store.add_batch(d.filter(F.col("doc_id") % 3 == 0), "doc_id")
+    return p1.unionByName(p2).orderBy("i", "j")

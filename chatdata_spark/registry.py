@@ -57,6 +57,7 @@ def _load_all() -> None:
         dialect,
         ingest,
         mutations,
+        pipeline,
         quality,
         relational,
         sampling,

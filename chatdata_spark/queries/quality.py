@@ -64,3 +64,57 @@ def data_quality_report(spark, sf_dir):
         referential_violations(li, o, "l_orderkey", "o_orderkey"),
     ]
     return quality_report(parts).orderBy("rule")
+
+
+@query(
+    "profile_orders_stats",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'o_custkey' AS "column", COUNT(*) AS n,
+               COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_null,
+               COUNT(DISTINCT o_custkey) AS n_distinct,
+               CAST(MIN(o_custkey) AS DOUBLE) AS min_num,
+               CAST(MAX(o_custkey) AS DOUBLE) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderkey', COUNT(*),
+               COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END),
+               COUNT(DISTINCT o_orderkey),
+               CAST(MIN(o_orderkey) AS DOUBLE), CAST(MAX(o_orderkey) AS DOUBLE),
+               NULL, NULL
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', COUNT(*),
+               COUNT(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+               COUNT(DISTINCT o_orderpriority),
+               NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', COUNT(*),
+               COUNT(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+               COUNT(DISTINCT o_orderstatus),
+               NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', COUNT(*),
+               COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END),
+               COUNT(DISTINCT o_totalprice),
+               CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+               NULL, NULL
+        FROM orders
+    ) ORDER BY "column"
+    """,
+)
+def profile_orders_stats(spark, sf_dir):
+    """ANALYZE-style column statistics in one aggregation pass
+    (operators/profile.py): counts/nulls/exact distincts plus typed
+    min/max for five orders columns. The oracle is five separate scans
+    stitched with UNION ALL — same numbers, quadratic the scans; the
+    operator's one-Expand single pass is the scale shape."""
+    from chatdata_spark.operators.profile import profile_table
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return profile_table(
+        o, ["o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )

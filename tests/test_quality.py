@@ -65,3 +65,25 @@ def test_quality_report_union_shape(spark):
     )
     assert rep.columns == ["rule", "n_violations"]
     assert rep.count() == 2
+
+
+def test_profile_table_approx_avoids_expand(spark):
+    """distinct='approx' must fold into plain partial aggregation — no
+    Expand row-multiply — while exact mode keeps one Expand; both answer
+    from one scan (one Aggregate chain, no join/union of scans)."""
+    from chatdata_spark.operators.profile import profile_table
+    from tests.conftest import SF_ORACLE
+
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    cols = ["o_custkey", "o_totalprice", "o_orderstatus"]
+    exact_plan = profile_table(o, cols)._jdf.queryExecution().executedPlan().toString()
+    approx_plan = profile_table(o, cols, distinct="approx")._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in exact_plan
+    assert "Expand" not in approx_plan
+    assert exact_plan.count("Scan parquet") == 1
+    assert approx_plan.count("Scan parquet") == 1
+    # approx counts are sane (within 10% on a 1.5k-row table)
+    got = {r.column: r for r in profile_table(o, cols, distinct="approx").collect()}
+    want = {r.column: r for r in profile_table(o, cols).collect()}
+    for c in cols:
+        assert abs(got[c].n_distinct - want[c].n_distinct) <= max(1, int(0.1 * want[c].n_distinct))

@@ -165,3 +165,52 @@ def stream_stream_interval_join(
         .start()
         .awaitTermination()
     )
+
+
+def stream_near_dup_pairs(
+    spark: SparkSession,
+    input_dir: str,
+    sig_store,
+    pairs_out_dir: str,
+    checkpoint_dir: str,
+    schema: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.4,
+) -> None:
+    """Streaming near-dup detection: each arriving micro-batch is
+    deduplicated against everything seen so far via the incremental
+    signature store (operators/incdedup.py — stored band keys, no corpus
+    rescan) and the resulting pairs append to ``pairs_out_dir``.
+
+    Effectively-once batch application: the foreachBatch body is the
+    non-idempotent part, and both its effects (signature-batch commit,
+    pairs append) key off the store's committed batch list — a replayed
+    micro-batch after a crash-before-checkpoint would re-add its
+    signatures as a NEW batch, so the body first drops ids the store has
+    already signed (cheap anti-join against stored ids) making the replay
+    a no-op. The streaming topology is the batch operator unchanged —
+    the store IS the state, no applyInPandasWithState needed."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        seen = sig_store._stored_sigs()
+        fresh = batch_df
+        if seen is not None:
+            fresh = batch_df.join(
+                seen.select(F.col("id").alias(id_col)), id_col, "left_anti"
+            )
+        if fresh.isEmpty():
+            return
+        pairs = sig_store.add_batch(fresh, id_col, text_col, threshold=threshold)
+        pairs.write.mode("append").parquet(pairs_out_dir)
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

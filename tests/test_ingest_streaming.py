@@ -228,3 +228,34 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     )
     want = {(r.user_id, r.session_start, r.session_end, r.n_events) for r in closed}
     assert got == want and len(got) == 4
+
+
+def test_stream_near_dup_pairs_matches_batch(spark, tmp_path):
+    """Streaming near-dup over two arrival waves == one-shot batch pairs,
+    and a re-run with the same checkpoint (plus a replayed wave) adds
+    nothing (store-keyed idempotence)."""
+    from chatdata_spark.operators.dedup import minhash_lsh_pairs
+    from chatdata_spark.operators.incdedup import IncrementalMinHashStore
+    from chatdata_spark.streaming.incremental import stream_near_dup_pairs
+    from tests.conftest import SF_ORACLE
+
+    d = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select("doc_id", "text")
+    ind = str(tmp_path / "in"); outd = str(tmp_path / "pairs"); ckpt = str(tmp_path / "ckpt")
+    store = IncrementalMinHashStore(spark, str(tmp_path / "sigs"))
+    schema = "doc_id bigint, text string"
+
+    d.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(ind)
+    stream_near_dup_pairs(spark, ind, store, outd, ckpt, schema)
+    d.filter(F.col("doc_id") % 2 == 1).write.mode("append").parquet(ind)
+    stream_near_dup_pairs(spark, ind, store, outd, ckpt, schema)
+
+    got = sorted((r.i, r.j, r.jaccard) for r in spark.read.parquet(outd).collect())
+    want = sorted((r.i, r.j, r.jaccard) for r in minhash_lsh_pairs(d, "doc_id", "text").collect())
+    assert got == want
+    # replay wave 0 (same rows, new files) under the same checkpoint:
+    # already-signed ids drop out in the foreachBatch body
+    d.filter(F.col("doc_id") % 2 == 0).write.mode("append").parquet(ind)
+    stream_near_dup_pairs(spark, ind, store, outd, ckpt, schema)
+    again = sorted((r.i, r.j, r.jaccard) for r in spark.read.parquet(outd).collect())
+    assert again == want
+    assert store.batches() == [0, 1]

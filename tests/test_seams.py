@@ -226,3 +226,35 @@ def test_env_gated_real_parser_dispatch(spark, monkeypatch):
     assert parser is not None
     els = parser(b"hello world", "a.txt")
     assert els == [{"type": "_NarrativeText", "text": "a.txt: hello world"}]
+
+
+def test_env_gated_tokenizer_dispatch(spark, monkeypatch):
+    """SPARK_GRAFT_TOKENIZER escape hatch: unset or tiktoken unimportable
+    -> None (JVM regex token_count_bpe stays the default); set + importable
+    -> an Arrow UDF counting real BPE tokens (fake module, driver-side)."""
+    import sys
+    import types
+
+    from chatdata_spark.functions.text import token_count_udf
+
+    monkeypatch.delenv("SPARK_GRAFT_TOKENIZER", raising=False)
+    assert token_count_udf() is None
+
+    monkeypatch.setenv("SPARK_GRAFT_TOKENIZER", "cl100k_base")
+    monkeypatch.setitem(sys.modules, "tiktoken", None)
+    try:
+        assert token_count_udf() is None
+    finally:
+        sys.modules.pop("tiktoken", None)
+
+    class _Enc:
+        def encode(self, t):
+            return t.split()  # fake: one token per word
+
+    fake = types.ModuleType("tiktoken")
+    fake.get_encoding = lambda name: _Enc()
+    monkeypatch.setitem(sys.modules, "tiktoken", fake)
+    udf = token_count_udf()
+    assert udf is not None
+    got = list(udf.func(pd.Series(["a b c", "hello", None])))
+    assert got == [3, 1, 0]

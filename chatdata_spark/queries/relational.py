@@ -1590,3 +1590,60 @@ def q21_waiting_suppliers(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem
+    ),
+    cost AS (
+        SELECT ps.partkey, ps.suppkey, s.s_acctbal, s.s_name, n.n_name
+        FROM ps, supplier s, nation n, region r
+        WHERE ps.suppkey = s.s_suppkey AND s.s_nationkey = n.n_nationkey
+          AND n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+    ),
+    mn AS (SELECT partkey, MIN(s_acctbal) AS min_bal FROM cost GROUP BY partkey)
+    SELECT p.p_partkey, p.p_type, c.s_name, c.n_name,
+           CAST(c.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM part p, cost c, mn
+    WHERE p.p_partkey = c.partkey AND mn.partkey = c.partkey
+      AND c.s_acctbal = mn.min_bal
+      AND p.p_size = 15 AND p.p_type = 'SMALL'
+    ORDER BY s_acctbal, p.p_partkey, c.s_name
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: the distinct lineitem part-supplier pairs
+    stand in for partsupp, account balance for supply cost, MIN for the
+    original's min-cost correlation): per-part minimum-balance EUROPE
+    supplier for a size/type part subset. The correlated subquery
+    decorrelates into a grouped MIN re-joined on partkey; every dimension
+    broadcasts, and the distinct pair projection shuffles narrow
+    (partkey, suppkey) longs only."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    cost = (
+        li.join(F.broadcast(s), li.suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left_semi")
+        .select("partkey", "s_acctbal", "s_name", "n_name")
+    )
+    mn = cost.groupBy(F.col("partkey").alias("mn_key")).agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        cost.join(mn, (cost.partkey == mn.mn_key) & (cost.s_acctbal == mn.min_bal))
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .select(
+            "p_partkey", "p_type", "s_name", "n_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+        .orderBy("s_acctbal", "p_partkey", "s_name")
+    )

@@ -48,7 +48,10 @@ def skey(row):
     return tuple((v is None, str(type(v)), v if v is not None else 0) for v in row)
 
 qs = mod.queries(); osql = mod.oracle_sql()
-names = list(qs)[:50]
+# default: the driver's 50-slot window; REPLAY_ALL=1 sweeps the full registry
+# (hardening for future window rotations — out-of-window queries must also
+# survive the plain session + foreign cwd)
+names = list(qs) if os.environ.get("REPLAY_ALL") else list(qs)[:50]
 fails = []
 for name in names:
     try:

@@ -140,3 +140,43 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), F.asc(id_col))
     )
     return res.limit(k) if k is not None else res
+
+
+def phrase_match(df: DataFrame, text_col: str, phrase: str) -> Column:
+    """Exact-phrase predicate under the corpus normalization convention
+    (lowercase, collapsed whitespace): scan-stage `contains` on the
+    normalized text — no tokenization, no shuffle, prunable to the text
+    column. Matches across word boundaries exactly like an inverted
+    index's phrase query (positions adjacent)."""
+    from chatdata_spark.functions.text import norm_text
+
+    needle = " ".join(phrase.lower().split())
+    return F.contains(norm_text(F.col(text_col)), F.lit(needle))
+
+
+def proximity_match(
+    df: DataFrame, text_col: str, term_a: str, term_b: str, max_distance: int
+) -> Column:
+    """True when ``term_a`` and ``term_b`` occur within ``max_distance``
+    words of each other (unordered — the classic NEAR/n operator).
+
+    Scan-stage, JVM-only: tokenize once, collect each term's positions
+    with a single filtered transform (positions arrays are tiny — bounded
+    by term frequency), then test min pairwise |i-j| via one exists() over
+    the smaller cross of positions. No shuffle, no UDF; cost is O(words +
+    tf_a * tf_b) per row with tf's typically « doc length."""
+    from chatdata_spark.functions.text import words
+
+    w = words(F.col(text_col))
+    idx = F.transform(w, lambda x, i: F.struct(x.alias("t"), i.alias("i")))
+    pos_a = F.transform(
+        F.filter(idx, lambda s: s["t"] == F.lit(term_a.lower())), lambda s: s["i"]
+    )
+    pos_b = F.transform(
+        F.filter(idx, lambda s: s["t"] == F.lit(term_b.lower())), lambda s: s["i"]
+    )
+    near = F.exists(
+        pos_a,
+        lambda a: F.exists(pos_b, lambda b: F.abs(a - b) <= F.lit(max_distance)),
+    )
+    return F.coalesce(near, F.lit(False))

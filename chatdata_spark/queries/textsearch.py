@@ -132,3 +132,46 @@ def hybrid_rrf_search(spark, sf_dir):
         [F.asc("dist"), F.asc("doc_id")],
     )
     return rrf_fuse([bm, kn], "doc_id", k0=60, k=20)
+
+
+@query(
+    "phrase_proximity_docs",
+    oracle=r"""
+    WITH nw AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm,
+               regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents
+    ),
+    pa AS (
+        SELECT doc_id, unnest([i for i in generate_series(1, len(w)) if w[i] = 'vector']) AS p
+        FROM nw
+    ),
+    pb AS (
+        SELECT doc_id, unnest([i for i in generate_series(1, len(w)) if w[i] = 'join']) AS p
+        FROM nw
+    ),
+    near AS (
+        SELECT DISTINCT pa.doc_id FROM pa JOIN pb
+          ON pa.doc_id = pb.doc_id AND abs(pa.p - pb.p) <= 3
+    )
+    SELECT nw.doc_id,
+           contains(nw.norm, 'table hash') AS phrase_hit,
+           nw.doc_id IN (SELECT doc_id FROM near) AS near_hit
+    FROM nw ORDER BY nw.doc_id
+    """,
+)
+def phrase_proximity_docs(spark, sf_dir):
+    """Full-text predicates beyond bag-of-words BM25: exact-phrase match
+    ('table hash' under the normalization convention) and unordered
+    NEAR/3 proximity ('vector' within 3 words of 'join') — both scan-stage
+    JVM expressions (operators/textsearch.py:phrase_match/proximity_match),
+    no shuffle, no UDF. Oracle recomputes positions relationally."""
+    from chatdata_spark.operators.textsearch import phrase_match, proximity_match
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        phrase_match(d, "text", "table hash").alias("phrase_hit"),
+        proximity_match(d, "text", "vector", "join", 3).alias("near_hit"),
+    ).orderBy("doc_id")

@@ -71,11 +71,12 @@ def _load_all() -> None:
 
 # The driver's correctness harness checks exactly the FIRST 50 names returned
 # by queries(). This list pins those 50 slots — rotated each round so queries
-# that were driver-green twice make room for never-driver-checked ones (r3:
-# the mutation trio, rollups, q1/q3/q5, the sampling five, collect_list and
-# row_to_document — all green r1+r2 — swapped for the TPC-H join sweep,
-# MERGE/SCD2, funnel, batch-kNN join, MaxSim, heavy hitters, bloom join,
-# fuzzy join, unigram log-prob, histogram quantiles, salted grouped top-k).
+# that were driver-green twice make room for never-driver-checked ones (r3
+# swapped 21: the mutation trio, rollups, q1/q3/q5, the sampling five,
+# collect_list, row_to_document, and six twice-green family seconds — for
+# the TPC-H join sweep, MERGE/SCD2, funnel, batch-kNN join, MaxSim, heavy
+# hitters, bloom join, fuzzy join, unigram log-prob, histogram quantiles,
+# salted grouped top-k, and the round-3 additions below).
 # Everything not listed here is registered AFTER these (in import order) and
 # stays pytest-oracled (tests/test_correctness runs the full registry).
 # COVERAGE.md's "driver window" column mirrors this.
@@ -83,11 +84,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # vector search core (S1/V1-V6/T1)
     "knn_topk", "knn_filtered", "knn_l2", "ann_ivf_full_probe",
     # dialect + self-query compilers (P2-P9, §2.9, §3.2, §4.3.3)
-    "dialect_knn", "dialect_order_alias", "self_query_filter",
+    "dialect_knn", "self_query_filter",
     "self_query_knn", "routed_index_knn",
     # text analysis + full-text/hybrid search family
-    "text_profile", "text_lang_distribution", "text_quality_by_source",
-    "bm25_text_search", "hybrid_rrf_search",
+    "text_profile", "bm25_text_search", "hybrid_rrf_search",
     # corpus cleaning family (PII / repetition / decontamination / chunk dedup)
     "pii_redaction", "text_repetition_signals", "decontam_docs",
     "chunk_dedup_docs",
@@ -100,10 +100,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # ClickHouse scalar parity sweeps
     "dialect_scalar_parity", "dialect_array_map",
     # ingest + multimodal
-    "ingest_flatten_json", "ingest_validate_dim",
-    "multimodal_profile", "multimodal_feature_knn",
+    "ingest_flatten_json", "multimodal_feature_knn",
     # representative relational operator classes
-    "window_latest_event", "top_orders",
+    "window_latest_event",
     # --- rotated IN for round 3 (first driver verification) ---
     # TPC-H join sweep
     "q7_volume_shipping", "q9_profit_by_nation_year",
@@ -117,6 +116,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "funnel_view_click_purchase", "heavy_hitter_tokens",
     "text_unigram_logprob", "quantile_hist_value_by_type",
     "topk_orders_per_priority",
+    # round-3 additions, driver-verified the round they ship
+    "curation_pipeline_docs", "dedup_incremental_batches",
+    "sessionize_events_sliced", "profile_orders_stats",
+    "shard_assignment_docs", "phrase_proximity_docs",
 )
 
 

@@ -62,6 +62,8 @@ HEADLINE = [
     "pii_redaction",            # scan-stage regex scrub throughput
     "decontam_docs",            # broadcast n-gram decontamination
     "chunk_dedup_docs",         # chunk dedup + ordered reassembly
+    "curation_pipeline_docs",   # end-to-end: quality→dedup→components→decontam→split
+    "phrase_proximity_docs",    # scan-stage phrase + NEAR/n predicates
 ]
 
 
@@ -192,6 +194,21 @@ def bench_bm25_x10(spark, sf_dir):
     return bm25_topk(d10, "doc_id", "text", TERMS, k=20, k1=K1, b=B, idf="rational")
 
 
+def bench_profile_approx(spark, sf_dir):
+    """Table profiling in its 100 TB configuration: approx distinct counts
+    fold into plain partial aggregation (no Expand row-multiply) — the
+    registered exact-mode query keeps the oracle; this entry times the
+    scale path."""
+    from chatdata_spark.operators.profile import profile_table
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return profile_table(
+        o,
+        ["o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"],
+        distinct="approx",
+    )
+
+
 def bench_sessionize_hotkey(spark, sf_dir):
     """Sessionization under adversarial skew: half of all events remapped to
     ONE user. The plain per-user window would serialize that user onto a
@@ -224,6 +241,7 @@ EXTRA = {
     "dedup_minhash_x10": bench_minhash_x10,
     "dedup_jaccard_x10": bench_jaccard_x10,
     "bm25_x10": bench_bm25_x10,
+    "profile_orders_approx": bench_profile_approx,
     "sessionize_hotkey_sliced": bench_sessionize_hotkey,
 }
 

@@ -28,6 +28,13 @@ def profile_table(
     on their string rendering, and the point of min/max is range sanity).
     ``distinct='approx'`` swaps exact distinct counts for HLL estimates
     (the 100 TB default — no Expand)."""
+    from chatdata_spark.operators.dedup import _spread
+
+    # the Expand multiplies rows per distinct-counted column BEFORE the
+    # partial agg — a single-partition input (local single-row-group files)
+    # would run that on one core; _spread no-ops when the source already
+    # has >= parallelism partitions (the cluster case)
+    df = _spread(df)
     types = dict(df.dtypes)
     cols = columns or [c for c in df.columns]
     if distinct == "exact":

@@ -446,3 +446,39 @@ def dimred_rp_knn(spark, sf_dir):
         .orderBy(F.asc("dist"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+def _duck_sign_word(w: int) -> str:
+    """DuckDB packing of sign-bit word ``w`` (32 bits) from `embedding`."""
+    return (
+        "list_sum([CASE WHEN embedding[" + str(w * 32) + " + i] > 0 "
+        "THEN 1::BIGINT << (i - 1) ELSE 0::BIGINT END "
+        "for i in generate_series(1, 32)])"
+    )
+
+
+_QBIN = __import__("chatdata_spark.operators.binquant", fromlist=["_pack_query"])._pack_query(Q1)
+
+@query(
+    "binary_quant_knn",
+    oracle=f"""
+    SELECT vec_id, label,
+           CAST(bit_count(xor({_duck_sign_word(0)}, {_QBIN[0]}::BIGINT))
+              + bit_count(xor({_duck_sign_word(1)}, {_QBIN[1]}::BIGINT)) AS INT) AS hamming
+    FROM embeddings
+    ORDER BY hamming ASC, vec_id ASC
+    LIMIT 12
+    """,
+)
+def binary_quant_knn(spark, sf_dir):
+    """Binary-quantized vector search (MSTG metric_type=Hamming parity):
+    sign bits packed into two 32-bit BIGINT words, Hamming = Σ popcount(
+    xor) — an all-integer whole-stage-codegen ranking, 32x smaller than
+    float storage (operators/binquant.py). This is the oracle config (the
+    binary ranking IS the answer under quantization); the Hamming-screen +
+    exact-cosine-rerank funnel is pinned by recall tests."""
+    from chatdata_spark.operators.binquant import binary_knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return binary_knn(emb, "embedding", Q1, dim=DIM, k=12, id_col="vec_id",
+                      select=["vec_id", "label"])

@@ -191,3 +191,34 @@ def test_split_skewed_caps_partitions_and_stays_exact(spark, tmp_path):
     assert appended.count() == 5
     bad = appended.filter(~F.col("cluster_id").isin(idx2.cluster_ids)).count()
     assert bad == 0
+
+
+def test_split_crash_orphan_dir_is_never_probed(spark, tmp_path):
+    """The split's crash window leaves an orphan cluster directory whose id
+    is absent from cluster_ids — simulate one and assert searches ignore
+    it completely (results unchanged, full probe still exact)."""
+    import shutil
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    idx = build_or_load_ivf(
+        spark, emb, str(tmp_path / "ivf_orphan"), "vec_id", "embedding", n_clusters=4
+    )
+    before = [
+        (r.vec_id, r.dist)
+        for r in idx.search(Q, k=12, n_probe=idx.n_clusters, select=["vec_id"]).collect()
+    ]
+    # fabricate the orphan: a copy of cluster 0's rows under an id no meta knows,
+    # with vec_ids that would definitely pollute results if scanned
+    data = os.path.join(idx.path, "data")
+    src = os.path.join(data, "cluster_id=0")
+    dst = os.path.join(data, "cluster_id=99")
+    shutil.copytree(src, dst)
+    after_idx = build_or_load_ivf(
+        spark, emb, str(tmp_path / "ivf_orphan"), "vec_id", "embedding", n_clusters=4
+    )
+    assert 99 not in after_idx.cluster_ids
+    after = [
+        (r.vec_id, r.dist)
+        for r in after_idx.search(Q, k=12, n_probe=after_idx.n_clusters, select=["vec_id"]).collect()
+    ]
+    assert after == before

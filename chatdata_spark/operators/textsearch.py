@@ -25,6 +25,7 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
+import pandas as pd  # module-top: pandas_udf type hints resolve against it
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -180,3 +181,86 @@ def proximity_match(
         lambda a: F.exists(pos_b, lambda b: F.abs(a - b) <= F.lit(max_distance)),
     )
     return F.coalesce(near, F.lit(False))
+
+
+def overlap_rerank_score(text_col, query: str) -> Column:
+    """Deterministic stub reranker: distinct-token overlap fraction between
+    the query and the document (|q ∩ d| / |q|, normalized tokens) — the
+    same contract a neural cross-encoder fills (maybe_cross_encoder), kept
+    SQL-expressible so the rerank stage stays oracle-checkable. JVM-only:
+    one array_intersect over the scan."""
+    qtoks = sorted({t for t in query.lower().split() if t})
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    from chatdata_spark.functions.text import words
+
+    hit = F.size(F.array_intersect(F.array_distinct(words(c)), F.array(*[F.lit(t) for t in qtoks])))
+    return F.round(hit / F.lit(float(len(qtoks))), 6)
+
+
+def rerank_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    k: int,
+    scorer=None,
+) -> DataFrame:
+    """Final rerank stage of the retrieval funnel: re-score an already
+    top-n-limited candidate frame (n ~ 10²) and keep the top k.
+
+    ``scorer``: optional Arrow pandas UDF ``(texts) -> float scores``
+    (e.g. from :func:`maybe_cross_encoder`); default is the JVM overlap
+    stub. Candidates are assumed pre-limited — a neural scorer on a
+    corpus-sized frame would be the bottleneck, which is exactly why the
+    funnel screens with BM25/ANN first."""
+    if scorer is not None:
+        scored = df.withColumn("rerank_score", scorer(F.col(text_col)))
+    else:
+        scored = df.withColumn("rerank_score", overlap_rerank_score(text_col, query))
+    return scored.orderBy(F.desc("rerank_score"), F.asc(id_col)).limit(k)
+
+
+def maybe_cross_encoder(query: str):
+    """Env escape hatch (the embedder/parser/tokenizer pattern): when
+    ``SPARK_GRAFT_CROSS_ENCODER`` names a sentence-transformers
+    CrossEncoder AND the package is importable, return an Arrow UDF
+    scoring (query, text) pairs; None otherwise (overlap stub stays the
+    default). The closure captures only the two name strings."""
+    import os
+
+    model_name = os.environ.get("SPARK_GRAFT_CROSS_ENCODER")
+    if not model_name:
+        return None
+    try:
+        import sentence_transformers  # noqa: F401
+    except ImportError:
+        return None
+
+    @F.pandas_udf("double")
+    def _score(texts: pd.Series) -> pd.Series:
+        from sentence_transformers import CrossEncoder
+
+        model = CrossEncoder(model_name)
+        return pd.Series([float(s) for s in model.predict([(query, t or "") for t in texts])])
+
+    return _score
+
+
+def snippet(text_col, query: str, window: int = 8) -> Column:
+    """Best-matching snippet: the ``2*window+1``-word span centered on the
+    first occurrence of any query term (the earliest-position term wins;
+    the whole leading span when nothing matches). Scan-stage JVM: one
+    tokenize, one filtered-transform positions pass, one slice+join — the
+    search-results-page highlight without a second scan or UDF."""
+    from chatdata_spark.functions.text import words
+
+    qtoks = sorted({t for t in query.lower().split() if t})
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    w = words(c)
+    idx = F.transform(w, lambda x, i: F.struct(x.alias("t"), i.alias("i")))
+    hits = F.transform(
+        F.filter(idx, lambda s: s["t"].isin(*qtoks)), lambda s: s["i"]
+    )
+    first = F.array_min(hits)  # NULL when no term matches
+    start = F.greatest(F.coalesce(first, F.lit(0)) - F.lit(window), F.lit(0))
+    return F.array_join(F.slice(w, start + 1, 2 * window + 1), " ")

@@ -175,3 +175,51 @@ def phrase_proximity_docs(spark, sf_dir):
         phrase_match(d, "text", "table hash").alias("phrase_hit"),
         proximity_match(d, "text", "vector", "join", 3).alias("near_hit"),
     ).orderBy("doc_id")
+
+
+@query(
+    "rerank_snippet_search",
+    oracle=r"""
+    WITH nw AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, w,
+               ROUND(len(list_intersect(list_distinct(w), ['join', 'stream', 'vector'])) / 3.0, 6)
+                 AS rerank_score
+        FROM nw
+    ),
+    top AS (
+        SELECT * FROM scored ORDER BY rerank_score DESC, doc_id ASC LIMIT 10
+    ),
+    pos AS (
+        SELECT doc_id, w, rerank_score,
+               [i for i in generate_series(1, len(w))
+                if list_contains(['join', 'stream', 'vector'], w[i])] AS hits
+        FROM top
+    )
+    SELECT doc_id, rerank_score,
+           array_to_string(
+               w[greatest(coalesce(hits[1], 1) - 4, 1):
+                 greatest(coalesce(hits[1], 1) - 4, 1) + 8], ' ') AS snip
+    FROM pos ORDER BY rerank_score DESC, doc_id
+    """,
+)
+def rerank_snippet_search(spark, sf_dir):
+    """The retrieval funnel's tail: rerank candidates by the deterministic
+    overlap scorer (the cross-encoder seam's stub — maybe_cross_encoder
+    swaps in a real model via SPARK_GRAFT_CROSS_ENCODER) and attach a
+    9-word highlight snippet centered on the first query-term hit — both
+    scan-stage JVM expressions (operators/textsearch.py:rerank_topk/
+    snippet)."""
+    from chatdata_spark.operators.textsearch import rerank_topk, snippet
+
+    q = "vector join stream"
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top = rerank_topk(d, "doc_id", "text", q, k=10)
+    return (
+        top.select("doc_id", "rerank_score", snippet("text", q, window=4).alias("snip"))
+        .orderBy(F.desc("rerank_score"), F.asc("doc_id"))
+    )

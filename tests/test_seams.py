@@ -258,3 +258,38 @@ def test_env_gated_tokenizer_dispatch(spark, monkeypatch):
     assert udf is not None
     got = list(udf.func(pd.Series(["a b c", "hello", None])))
     assert got == [3, 1, 0]
+
+
+def test_env_gated_cross_encoder_dispatch(spark, monkeypatch):
+    """SPARK_GRAFT_CROSS_ENCODER escape hatch for the rerank stage: unset
+    or unimportable -> None (overlap stub); set + importable -> an Arrow
+    UDF scoring (query, text) pairs (fake module, driver-side)."""
+    import sys
+    import types
+
+    from chatdata_spark.operators.textsearch import maybe_cross_encoder
+
+    monkeypatch.delenv("SPARK_GRAFT_CROSS_ENCODER", raising=False)
+    assert maybe_cross_encoder("q") is None
+
+    monkeypatch.setenv("SPARK_GRAFT_CROSS_ENCODER", "cross-encoder/ms-marco")
+    monkeypatch.setitem(sys.modules, "sentence_transformers", None)
+    try:
+        assert maybe_cross_encoder("q") is None
+    finally:
+        sys.modules.pop("sentence_transformers", None)
+
+    class _CE:
+        def __init__(self, name):
+            pass
+
+        def predict(self, pairs):
+            return [float(len(q) + len(t)) for q, t in pairs]
+
+    fake = types.ModuleType("sentence_transformers")
+    fake.CrossEncoder = _CE
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake)
+    udf = maybe_cross_encoder("ab")
+    assert udf is not None
+    got = list(udf.func(pd.Series(["xyz", None])))
+    assert got == [5.0, 2.0]

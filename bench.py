@@ -263,7 +263,7 @@ def main() -> None:
     order = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "normal")
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     isolate = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
     per_query: dict[str, float] = {}
     plans = [(name, qs[name]) for name in HEADLINE] + list(EXTRA.items())

@@ -482,3 +482,51 @@ def binary_quant_knn(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return binary_knn(emb, "embedding", Q1, dim=DIM, k=12, id_col="vec_id",
                       select=["vec_id", "label"])
+
+
+def _mmr_expected() -> str:
+    """Lazy oracle for mmr_diversified_knn: recompute the candidate screen
+    in DuckDB with the SAME rounded-cosine + id tie-break convention the
+    knn oracles prove, then replay the shared deterministic greedy
+    (operators/mmr.py:mmr_greedy) on those vectors — the oracle checks the
+    distributed screen feeds the right candidates and the selection is
+    byte-stable end to end."""
+    import duckdb
+
+    import numpy as np
+
+    from chatdata_spark.operators.mmr import mmr_greedy
+
+    rows = duckdb.sql(
+        f"""
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')
+        ORDER BY ROUND(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_duck_vec(Q1)}), 6) ASC,
+                 vec_id ASC
+        LIMIT 100
+        """
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    vecs = np.array([r[1] for r in rows], dtype=np.float64)
+    chosen = mmr_greedy(ids, vecs, Q1, k=10, lam=0.5)
+    values = ", ".join(
+        f"(CAST({i} AS BIGINT), CAST({rank} AS INTEGER), CAST({score!r} AS DOUBLE))"
+        for rank, (i, score) in enumerate(chosen)
+    )
+    return (
+        "SELECT * FROM (VALUES " + values + ") AS t(vec_id, mmr_rank, mmr_score) ORDER BY mmr_rank"
+    )
+
+
+@query("mmr_diversified_knn", oracle=_mmr_expected)
+def mmr_diversified_knn(spark, sf_dir):
+    """MMR-diversified top-10 (lambda=0.5 over a 100-candidate exact
+    screen): the distributed heap feeds a bounded driver greedy — the
+    search_type='mmr' retriever variant of the LangChain interface the
+    reference builds on (operators/mmr.py). Oracle replays the screen in
+    DuckDB and the shared greedy on its candidates (sf0.01, the compare
+    scale)."""
+    from chatdata_spark.operators.mmr import mmr_select
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return mmr_select(emb, "embedding", Q1, k=10, id_col="vec_id", fetch_n=100, lam=0.5)

@@ -47,3 +47,29 @@ def test_binary_ranking_is_integer_only_plan(spark):
     )
     assert "TakeOrderedAndProject" in plan  # heap, not global sort
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_mmr_diversifies_against_near_duplicates(spark):
+    """Plant two near-identical vectors at the top: plain kNN returns
+    both; MMR (lambda=0.5) must keep the first and defer its twin in
+    favor of something diverse. Also: lambda=1 degrades to plain
+    relevance order."""
+    import numpy as np
+
+    from chatdata_spark.operators.mmr import mmr_greedy
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((20, 8))
+    q = base[0] + 0.01 * rng.standard_normal(8)
+    twin = base[0] + 1e-6 * rng.standard_normal(8)
+    vecs = np.vstack([base, twin])
+    ids = list(range(21))
+    sel = [i for i, _ in mmr_greedy(ids, vecs, q, k=5, lam=0.5)]
+    assert (0 in sel) != (20 in sel) or not (sel[:2] == [0, 20] or sel[:2] == [20, 0]), (
+        f"twins ranked adjacently: {sel}"
+    )
+    rel_order = [i for i, _ in mmr_greedy(ids, vecs, q, k=5, lam=1.0)]
+    v = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = v @ (q / np.linalg.norm(q))
+    want = sorted(ids, key=lambda i: (-sims[i], i))[:5]
+    assert rel_order == want

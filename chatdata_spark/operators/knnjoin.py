@@ -137,3 +137,42 @@ def knn_join(
         .filter(F.col("__rn") <= k)
         .select("q_id", "b_id", "dist")
     )
+
+
+def hard_negative_mining(
+    queries_df: DataFrame,
+    positives_df: DataFrame,
+    ivf_index,
+    q_id_col: str,
+    q_vector_col: str,
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Contrastive-training hard negatives: for every query (anchor), its
+    k NEAREST base rows that are not known positives — the mined batch a
+    contrastive loss wants (nearest non-matches are the informative ones).
+
+    ``positives_df``: (q_id, b_id) known-positive pairs (include the
+    anchor's self-pair). Exactness under the anti-join: fetch
+    ``k + max positives per query`` candidates — a bounded groupBy-max
+    scalar (driver-side, like the rollup watermark) — so dropping every
+    positive still leaves the true top-k. One knn_join + one broadcastable
+    anti-join + one per-query window over ≤ k+p rows; full-probe config is
+    exact end-to-end (the oracle), pruned n_probe trades recall exactly
+    like the underlying join."""
+    pos = positives_df.select(
+        F.col(positives_df.columns[0]).alias("q_id"),
+        F.col(positives_df.columns[1]).alias("b_id"),
+    )
+    p_max_row = pos.groupBy("q_id").agg(F.count(F.lit(1)).alias("n")).agg(F.max("n")).first()
+    p_max = int(p_max_row[0] or 0)
+    cand = knn_join(
+        queries_df, ivf_index, q_id_col, q_vector_col, k=k + p_max, n_probe=n_probe
+    )
+    neg = cand.join(pos, ["q_id", "b_id"], "left_anti")
+    w = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("b_id"))
+    return (
+        neg.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -530,3 +530,52 @@ def mmr_diversified_knn(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return mmr_select(emb, "embedding", Q1, k=10, id_col="vec_id", fetch_n=100, lam=0.5)
+
+
+@query(
+    "hard_negative_mining",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id % 10 = 0
+    ),
+    pos AS (
+        SELECT q_id, q_id AS b_id FROM q
+        UNION ALL
+        SELECT q_id, q_id + 1 FROM q
+    ),
+    b AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS bv FROM embeddings),
+    p AS (
+        SELECT q.q_id, b.b_id,
+               ROUND(1.0 - list_cosine_similarity(qv, bv), 6) AS dist
+        FROM q, b
+        WHERE NOT EXISTS (SELECT 1 FROM pos WHERE pos.q_id = q.q_id AND pos.b_id = b.b_id)
+    ),
+    r AS (
+        SELECT q_id, b_id, dist,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, b_id) AS rn
+        FROM p
+    )
+    SELECT q_id, b_id, dist FROM r WHERE rn <= 5 ORDER BY q_id, dist, b_id
+    """,
+)
+def hard_negative_mining(spark, sf_dir):
+    """Contrastive hard negatives: every 10th embedding is an anchor,
+    positives are (self, self+1), and the result is each anchor's top-5
+    nearest NON-positive rows — knn_join over-fetched by the positive
+    bound, anti-joined, re-ranked (operators/knnjoin.py:
+    hard_negative_mining; full-probe = provably exact, the oracle is the
+    brute-force window with NOT EXISTS)."""
+    from chatdata_spark.operators.knnjoin import hard_negative_mining as mine
+
+    idx = _ivf_index(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") % 10 == 0)
+    positives = anchors.select(
+        F.col("vec_id").alias("q_id"), F.col("vec_id").alias("b_id")
+    ).unionByName(
+        anchors.select(F.col("vec_id").alias("q_id"), (F.col("vec_id") + 1).alias("b_id"))
+    )
+    return mine(
+        anchors, positives, idx, "vec_id", "embedding", k=5, n_probe=idx.n_clusters
+    ).orderBy("q_id", "dist", "b_id")

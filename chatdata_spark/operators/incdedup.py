@@ -98,13 +98,15 @@ class IncrementalMinHashStore:
         signatures. Union over all add_batch calls == the one-shot
         minhash_lsh_pairs over the full corpus (asserted in tests);
         returned distances are exact jaccard on the verified shingle sets.
-        The returned frame stays lazy and is safe to evaluate after the
-        commit: it references only the PRE-commit batch directories
-        (append-only — never rewritten) and the new batch's persisted
-        signatures."""
+        The new batch's signatures are WRITTEN first and the returned
+        lazy frame reads them (and the prior batches) back from disk — no
+        in-memory persist to leak across batches (a long-running streaming
+        caller would otherwise accumulate cache entries; see the bench
+        drift note in PLANS.md), and every side of every join is the
+        committed on-disk state."""
         band_udf = minhash_band_keys_udf(self.num_hashes, self.rows_per_band)
-        new = (
-            _with_shingle_hashes(df, id_col, text_col, self.k, persist=True)
+        computed = (
+            _with_shingle_hashes(df, id_col, text_col, self.k, persist=False)
             .withColumn(
                 "band_keys",
                 F.transform(
@@ -115,13 +117,17 @@ class IncrementalMinHashStore:
                 ),
             )
         )
+        old = self._stored_sigs()
+        b = (max(self.batches()) + 1) if self.batches() else 0
+        computed.write.mode("overwrite").parquet(os.path.join(self.path, "sigs", f"batch={b}"))
+        self._commit_batch(b)
+        new = self.spark.read.parquet(os.path.join(self.path, "sigs", f"batch={b}"))
         new_bands = new.select("id", F.explode("band_keys").alias("bk")).select(
             "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
         )
         l = new_bands.select(F.col("id").alias("i"), "band", "key")
         r = new_bands.select(F.col("id").alias("j"), "band", "key")
         cands = l.join(r, ["band", "key"]).filter(F.col("i") < F.col("j"))
-        old = self._stored_sigs()
         if old is not None:
             old_bands = old.select("id", F.explode("band_keys").alias("bk")).select(
                 "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
@@ -154,7 +160,4 @@ class IncrementalMinHashStore:
             .filter(F.col("jaccard") >= threshold)
             .select("i", "j", "jaccard")
         )
-        b = (max(self.batches()) + 1) if self.batches() else 0
-        new.write.mode("overwrite").parquet(os.path.join(self.path, "sigs", f"batch={b}"))
-        self._commit_batch(b)
         return pairs

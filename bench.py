@@ -64,6 +64,9 @@ HEADLINE = [
     "chunk_dedup_docs",         # chunk dedup + ordered reassembly
     "curation_pipeline_docs",   # end-to-end: quality→dedup→components→decontam→split
     "phrase_proximity_docs",    # scan-stage phrase + NEAR/n predicates
+    "binary_quant_knn",         # popcount-xor Hamming ranking (all-integer codegen)
+    "rerank_snippet_search",    # rerank + highlight funnel tail
+    "hard_negative_mining",     # knn-join anti-join mine
 ]
 
 

@@ -52,27 +52,50 @@ def registered() -> tuple[str, ...]:
     return tuple(_EMBEDDERS)
 
 
+# UDF-object memoization (the CacheManager plan-equality rule, project
+# notes): a fresh @pandas_udf per call makes otherwise-identical plans
+# unequal, so persisted tables re-compute on every invocation.
+_ST_UDFS: dict[str, object] = {}
+
+
 def make_sentence_transformer_factory(model_name: str) -> Callable[[int], object]:
     """Factory for a real sentence-transformers embedder (the reference's
     mpnet / instructor-xl binding, myscale_tables.py:90-92,117-120). The
-    model loads lazily INSIDE the pandas UDF on each worker (cached per
-    process by sentence-transformers' own singleton) — captured by value
-    is only the model-name string, so the closure pickles cleanly and no
-    multi-GB weight blob rides the task broadcast. ``dim`` is ignored:
-    the model's own output width wins (callers store real vectors at the
+    model loads lazily INSIDE the pandas UDF on first use per worker
+    process and is cached in a dict stashed on the ``sentence_transformers``
+    module itself — a true per-process singleton shared by every UDF that
+    names the same model (sentence-transformers has no such cache of its
+    own; without this the weights would reload on every Arrow batch).
+    The stash rides a third-party module importable by name on workers,
+    so the closure captures only the model-name string and pickles
+    cleanly with no package-level references (worker-pickling rule). The
+    returned UDF object is memoized per model name so repeated plan
+    constructions stay CacheManager-equal. ``dim`` is ignored: the
+    model's own output width wins (callers store real vectors at the
     model's dimension)."""
 
     def factory(dim: int):
+        cached = _ST_UDFS.get(model_name)
+        if cached is not None:
+            return cached
+
         @F.pandas_udf("array<float>")
         def _embed(texts: pd.Series) -> pd.Series:
+            import sentence_transformers
             from sentence_transformers import SentenceTransformer
 
-            model = SentenceTransformer(model_name)
+            models = sentence_transformers.__dict__.setdefault(
+                "_chatdata_spark_model_cache", {}
+            )
+            model = models.get(model_name)
+            if model is None:
+                model = models[model_name] = SentenceTransformer(model_name)
             vecs = model.encode(
                 [t if t is not None else "" for t in texts], normalize_embeddings=True
             )
             return pd.Series([[float(x) for x in v] for v in vecs])
 
+        _ST_UDFS[model_name] = _embed
         return _embed
 
     return factory

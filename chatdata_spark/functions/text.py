@@ -176,14 +176,20 @@ def fingerprint_rolling64_md5(col) -> Column:
     )
 
 
+# UDF-object memoization per encoding (CacheManager plan-equality rule).
+_TOKENIZER_UDFS: dict[str, object] = {}
+
+
 def token_count_udf(encoding: str | None = None):
     """Real-tokenizer token counting, env-gated like the embedder/parser
     seams: when ``SPARK_GRAFT_TOKENIZER`` (or ``encoding``) names a
     tiktoken encoding AND tiktoken is importable, return an Arrow pandas
     UDF counting true BPE tokens; otherwise None — callers fall back to
     the JVM regex :func:`token_count_bpe` (the default: scan-stage, no
-    Python). The closure captures only the encoding-name string (the
-    tokenizer loads lazily per worker process), so it pickles cleanly."""
+    Python). The closure captures only the encoding-name string; tiktoken's
+    own registry caches the loaded encoding per worker process, so the
+    per-batch ``get_encoding`` is a dict hit, not a reload. The UDF object
+    is memoized per encoding so identical plans stay CacheManager-equal."""
     import os
 
     name = encoding or os.environ.get("SPARK_GRAFT_TOKENIZER")
@@ -194,6 +200,10 @@ def token_count_udf(encoding: str | None = None):
     except ImportError:
         return None
 
+    cached = _TOKENIZER_UDFS.get(name)
+    if cached is not None:
+        return cached
+
     @F.pandas_udf("int")
     def _count(texts: pd.Series) -> pd.Series:
         import tiktoken
@@ -203,4 +213,5 @@ def token_count_udf(encoding: str | None = None):
             [len(enc.encode(t)) if t is not None else 0 for t in texts], dtype="int32"
         )
 
+    _TOKENIZER_UDFS[name] = _count
     return _count

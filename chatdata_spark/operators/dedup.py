@@ -83,7 +83,24 @@ _SHINGLE_UDFS: dict[int, object] = {}
 
 # jaccard stop-set statistics, keyed (input semanticHash, k, max_df) — see
 # jaccard_similarity_join: repeated plan constructions reuse the collected set.
+# STATIC-DATA ASSUMPTION: semanticHash covers the PLAN (paths, filters), not
+# file contents — if data under the same path changes mid-session, the stale
+# stop set silently persists. That matches the table-statistics contract
+# (Spark's own cached file listings behave the same); a session that rewrites
+# its corpus in place should call _STOP_SETS.clear() — or better, write a new
+# versioned directory (the convention every store in this repo follows).
+# Bounded FIFO (_MEMO_CAP) so a long-lived session cannot grow it unboundedly.
 _STOP_SETS: dict[tuple, list[int]] = {}
+_MEMO_CAP = 64
+
+
+def _memo_put(cache: dict, key, value) -> None:
+    """Insert with FIFO eviction at ``_MEMO_CAP`` entries — plan-statistics
+    memos (stop sets, slice widths) are tiny individually but keyed on
+    semanticHash, which a long-lived session over many inputs churns."""
+    if len(cache) >= _MEMO_CAP:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
 
 
 def shingle_hashes_udf(k: int):
@@ -352,7 +369,7 @@ def jaccard_similarity_join(
                 .select("shingle")
                 .collect()
             ]
-            _STOP_SETS[stop_key] = stops
+            _memo_put(_STOP_SETS, stop_key, stops)
     if stops:
         nonstop = tokens.filter(~F.col("shingle").isin(stops))
         # per-row stop projection: InSet lookup per element, no shuffle

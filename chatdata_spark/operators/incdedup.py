@@ -89,21 +89,18 @@ class IncrementalMinHashStore:
         return self.spark.read.parquet(*dirs)
 
     # -- the operator -----------------------------------------------------------
-    def add_batch(
+    def stage_batch(
         self, df: DataFrame, id_col: str, text_col: str = "text",
         threshold: float = 0.4, round_digits: int = 6,
-    ) -> DataFrame:
-        """Near-dup pairs touching the new batch — (i, j, jaccard) with
-        i < j, covering new×new AND new×stored — then commit the batch's
-        signatures. Union over all add_batch calls == the one-shot
-        minhash_lsh_pairs over the full corpus (asserted in tests);
-        returned distances are exact jaccard on the verified shingle sets.
-        The new batch's signatures are WRITTEN first and the returned
-        lazy frame reads them (and the prior batches) back from disk — no
-        in-memory persist to leak across batches (a long-running streaming
-        caller would otherwise accumulate cache entries; see the bench
-        drift note in PLANS.md), and every side of every join is the
-        committed on-disk state."""
+    ) -> tuple[int, DataFrame]:
+        """Write the batch's signatures to ``sigs/batch=<b>`` WITHOUT
+        committing and return ``(b, pairs)``. Callers that produce a
+        durable side effect from the pairs (the streaming sink) must
+        materialize it BEFORE calling :meth:`commit_batch` — effects in
+        that order make a crash replay recompute-and-rewrite instead of
+        no-op (effectively-once): ``b`` derives from the COMMITTED batch
+        list, so a retry of an uncommitted stage reuses the same id and
+        idempotently overwrites the same directory."""
         band_udf = minhash_band_keys_udf(self.num_hashes, self.rows_per_band)
         computed = (
             _with_shingle_hashes(df, id_col, text_col, self.k, persist=False)
@@ -120,7 +117,6 @@ class IncrementalMinHashStore:
         old = self._stored_sigs()
         b = (max(self.batches()) + 1) if self.batches() else 0
         computed.write.mode("overwrite").parquet(os.path.join(self.path, "sigs", f"batch={b}"))
-        self._commit_batch(b)
         new = self.spark.read.parquet(os.path.join(self.path, "sigs", f"batch={b}"))
         new_bands = new.select("id", F.explode("band_keys").alias("bk")).select(
             "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
@@ -138,6 +134,10 @@ class IncrementalMinHashStore:
                 .select(
                     F.least("a", "b").alias("i"), F.greatest("a", "b").alias("j")
                 )
+                # i < j also drops self-pairs: an id re-added via a direct
+                # add_batch (no caller-side anti-join) collides with its own
+                # stored signature on every band
+                .filter(F.col("i") < F.col("j"))
             )
             cands = cands.select("i", "j").unionByName(cross)
         sigs = new.select("id", "shh", "sz")
@@ -160,4 +160,34 @@ class IncrementalMinHashStore:
             .filter(F.col("jaccard") >= threshold)
             .select("i", "j", "jaccard")
         )
+        return b, pairs
+
+    def commit_batch(self, b: int) -> None:
+        """Make staged batch ``b`` part of the stored corpus (atomic
+        ``_BATCHES`` swap). Call AFTER any durable effect derived from the
+        staged pairs has committed."""
+        if b not in self.batches():
+            self._commit_batch(b)
+
+    def add_batch(
+        self, df: DataFrame, id_col: str, text_col: str = "text",
+        threshold: float = 0.4, round_digits: int = 6,
+    ) -> DataFrame:
+        """Near-dup pairs touching the new batch — (i, j, jaccard) with
+        i < j, covering new×new AND new×stored — committing the batch's
+        signatures immediately (the batch-mode convenience; sinks that
+        need effectively-once ordering use stage_batch/commit_batch).
+        Union over all add_batch calls == the one-shot minhash_lsh_pairs
+        over the full corpus (asserted in tests); returned distances are
+        exact jaccard on the verified shingle sets. The new batch's
+        signatures are WRITTEN first and the returned lazy frame reads
+        them (and the prior batches) back from disk — no in-memory persist
+        to leak across batches (a long-running streaming caller would
+        otherwise accumulate cache entries; see the bench drift note in
+        PLANS.md), and every side of every join is on-disk state pinned to
+        explicit batch directories (later commits don't shift it)."""
+        b, pairs = self.stage_batch(
+            df, id_col, text_col, threshold=threshold, round_digits=round_digits
+        )
+        self.commit_batch(b)
         return pairs

@@ -112,15 +112,26 @@ class IVFIndex:
         read — the read is lazy), the meta swap is atomic, and the old
         directory is dropped only after both commit; a crash in between
         leaves an orphan dir no search ever probes (its id is gone from
-        ``cluster_ids``). Cost: one scan + one partitioned write PER skewed
-        cluster, nothing touches the well-sized ones. Call again if a
-        sub-cluster is still over the cap (recursive by iteration)."""
+        ``cluster_ids``). Retry safety: a crash AFTER a sub-cluster append
+        but BEFORE the meta swap also leaves orphan ``cluster_id=`` dirs —
+        whose ids a retry would reuse, appending a second copy of every
+        row. So the first step here deletes every on-disk cluster dir NOT
+        in the committed ``cluster_ids`` (they are unreachable by search,
+        and removing them BEFORE the lazy read keeps the scan clean),
+        making split_skewed idempotent under retry. Cost: one scan + one
+        partitioned write PER skewed cluster, nothing touches the
+        well-sized ones. Call again if a sub-cluster is still over the cap
+        (recursive by iteration)."""
         import shutil
 
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
         data_path = os.path.join(self.path, "data")
+        committed = {f"cluster_id={cid}" for cid in self.cluster_ids}
+        for entry in os.listdir(data_path):
+            if entry.startswith("cluster_id=") and entry not in committed:
+                shutil.rmtree(os.path.join(data_path, entry), ignore_errors=True)
         data = self.spark.read.parquet(data_path)
         sizes = {r["cluster_id"]: r["n"] for r in
                  data.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()}

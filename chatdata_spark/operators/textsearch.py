@@ -220,12 +220,23 @@ def rerank_topk(
     return scored.orderBy(F.desc("rerank_score"), F.asc(id_col)).limit(k)
 
 
+# UDF-object memoization keyed on (model, query) — the CacheManager
+# plan-equality rule (project notes): identical rerank plans must reuse
+# one UDF object or persisted candidate tables re-compute per call.
+_CE_UDFS: dict[tuple[str, str], object] = {}
+
+
 def maybe_cross_encoder(query: str):
     """Env escape hatch (the embedder/parser/tokenizer pattern): when
     ``SPARK_GRAFT_CROSS_ENCODER`` names a sentence-transformers
     CrossEncoder AND the package is importable, return an Arrow UDF
     scoring (query, text) pairs; None otherwise (overlap stub stays the
-    default). The closure captures only the two name strings."""
+    default). The closure captures only the two name strings; the model
+    loads once per worker PROCESS (not per Arrow batch) via a cache dict
+    stashed on the ``sentence_transformers`` module — shared with the
+    embedder seam and importable by name on workers, so no package-level
+    reference rides the pickle (worker-pickling rule). The UDF object
+    itself is memoized per (model, query)."""
     import os
 
     model_name = os.environ.get("SPARK_GRAFT_CROSS_ENCODER")
@@ -236,13 +247,25 @@ def maybe_cross_encoder(query: str):
     except ImportError:
         return None
 
+    cached = _CE_UDFS.get((model_name, query))
+    if cached is not None:
+        return cached
+
     @F.pandas_udf("double")
     def _score(texts: pd.Series) -> pd.Series:
+        import sentence_transformers
         from sentence_transformers import CrossEncoder
 
-        model = CrossEncoder(model_name)
+        models = sentence_transformers.__dict__.setdefault(
+            "_chatdata_spark_model_cache", {}
+        )
+        key = ("cross-encoder", model_name)
+        model = models.get(key)
+        if model is None:
+            model = models[key] = CrossEncoder(model_name)
         return pd.Series([float(s) for s in model.predict([(query, t or "") for t in texts])])
 
+    _CE_UDFS[(model_name, query)] = _score
     return _score
 
 

@@ -42,6 +42,9 @@ def _numeric_ts(df: DataFrame, ts_col: str) -> Column:
 # derived slice widths, keyed (input semanticHash, ts_col, floor) — the span
 # scan is a bounded two-scalar agg; memoized like the jaccard stop sets so
 # repeated plan constructions over the same input cost zero extra jobs.
+# Same static-data assumption + FIFO bound as dedup._STOP_SETS (see the
+# comment there): the key hashes the PLAN, not file contents — in-place
+# rewrites under an unchanged path must clear this (or use versioned dirs).
 _SLICE_WIDTHS: dict[tuple, float] = {}
 
 
@@ -63,7 +66,9 @@ def derive_slice_width(df: DataFrame, ts_col: str, floor_sec: float = 0.0) -> fl
     else:
         span = float(row["hi"]) - float(row["lo"])
         width = max(span / max(4 * par, 1), floor_sec, 1.0)
-    _SLICE_WIDTHS[key] = width
+    from chatdata_spark.operators.dedup import _memo_put
+
+    _memo_put(_SLICE_WIDTHS, key, width)
     return width
 
 

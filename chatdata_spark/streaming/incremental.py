@@ -181,16 +181,23 @@ def stream_near_dup_pairs(
     """Streaming near-dup detection: each arriving micro-batch is
     deduplicated against everything seen so far via the incremental
     signature store (operators/incdedup.py — stored band keys, no corpus
-    rescan) and the resulting pairs append to ``pairs_out_dir``.
+    rescan) and the resulting pairs land under
+    ``pairs_out_dir/batch=<b>`` (read the base dir; ``batch`` surfaces as
+    a partition column).
 
-    Effectively-once batch application: the foreachBatch body is the
-    non-idempotent part, and both its effects (signature-batch commit,
-    pairs append) key off the store's committed batch list — a replayed
-    micro-batch after a crash-before-checkpoint would re-add its
-    signatures as a NEW batch, so the body first drops ids the store has
-    already signed (cheap anti-join against stored ids) making the replay
-    a no-op. The streaming topology is the batch operator unchanged —
-    the store IS the state, no applyInPandasWithState needed."""
+    Effectively-once batch application, effects strictly ordered:
+    (1) stage the batch's signatures (uncommitted, id from the COMMITTED
+    batch list), (2) write its pairs to a PER-BATCH directory with
+    overwrite, (3) commit the signature batch. A crash before (3) leaves
+    the batch uncommitted, so the replayed micro-batch reuses the same
+    batch id and idempotently rewrites both directories — pairs are never
+    lost (committing the signatures first would make the replay's
+    seen-ids anti-join swallow the batch while its pairs were never
+    written: silent at-most-once). A crash AFTER (3) but before the
+    stream checkpoint commits replays the batch too — then the anti-join
+    against stored ids correctly no-ops it, and its pairs are already on
+    disk. The streaming topology is the batch operator unchanged — the
+    store IS the state, no applyInPandasWithState needed."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
 
     def apply_batch(batch_df, batch_id: int) -> None:
@@ -204,8 +211,9 @@ def stream_near_dup_pairs(
             )
         if fresh.isEmpty():
             return
-        pairs = sig_store.add_batch(fresh, id_col, text_col, threshold=threshold)
-        pairs.write.mode("append").parquet(pairs_out_dir)
+        b, pairs = sig_store.stage_batch(fresh, id_col, text_col, threshold=threshold)
+        pairs.write.mode("overwrite").parquet(f"{pairs_out_dir}/batch={b}")
+        sig_store.commit_batch(b)
 
     (
         stream.writeStream.foreachBatch(apply_batch)

@@ -61,3 +61,46 @@ def test_store_layout_is_append_only_and_param_checked(spark, tmp_path):
     # reopening with different parameters must refuse
     with pytest.raises(ValueError, match="parameter"):
         IncrementalMinHashStore(spark, str(tmp_path / "inc"), num_hashes=64)
+
+
+def test_direct_readd_emits_no_self_pairs(spark, tmp_path):
+    """An id re-added via add_batch directly (no caller-side anti-join, the
+    streaming wrapper's job) collides with its own stored signature in
+    every band — the cross-batch i<j guard must drop those self-pairs."""
+    d = _docs(spark).filter(F.col("doc_id") < 100)
+    store = IncrementalMinHashStore(spark, str(tmp_path / "inc"))
+    store.add_batch(d, "doc_id").count()
+    again = _pairs(store.add_batch(d, "doc_id"))
+    assert all(i != j for i, j, _ in again)
+    assert all(i < j for i, j, _ in again)
+
+
+def test_stage_without_commit_replays_idempotently(spark, tmp_path):
+    """Crash discipline (effectively-once for sinks): a staged batch that
+    never committed reuses the SAME batch id on retry and overwrites the
+    same directory — no duplicate signatures, and the committed result
+    equals the straight-through run."""
+    d = _docs(spark)
+    b1 = d.filter(F.col("doc_id") % 3 != 0)
+    b2 = d.filter(F.col("doc_id") % 3 == 0)
+    store = IncrementalMinHashStore(spark, str(tmp_path / "inc"))
+    store.add_batch(b1, "doc_id").count()
+
+    # first attempt: stage b2, "crash" before commit (pairs never consumed)
+    bid_a, _ = store.stage_batch(b2, "doc_id")
+    assert store.batches() == [0]          # nothing committed
+    # retry: same batch id, idempotent overwrite, then commit
+    bid_b, pairs = store.stage_batch(b2, "doc_id")
+    assert bid_a == bid_b == 1
+    got = _pairs(pairs)
+    store.commit_batch(bid_b)
+    assert store.batches() == [0, 1]
+    # stored state equals the one-shot result
+    full = _pairs(minhash_lsh_pairs(d, "doc_id", "text"))
+    p1 = _pairs(
+        IncrementalMinHashStore(spark, str(tmp_path / "fresh")).add_batch(b1, "doc_id")
+    )
+    assert sorted(p1 + got) == full
+    # no duplicate signature rows on disk
+    sigs = store._stored_sigs()
+    assert sigs.count() == sigs.select("id").distinct().count() == d.count()

@@ -222,3 +222,57 @@ def test_split_crash_orphan_dir_is_never_probed(spark, tmp_path):
         for r in after_idx.search(Q, k=12, n_probe=after_idx.n_clusters, select=["vec_id"]).collect()
     ]
     assert after == before
+
+
+def test_split_skewed_retry_after_crash_no_duplicates(spark, tmp_path, monkeypatch):
+    """A crash after the sub-cluster append but before the meta swap leaves
+    orphan cluster_id= dirs whose ids the retry would reuse — the retry
+    must first drop uncommitted dirs so no row is ever duplicated, and the
+    completed split must still satisfy the exactness invariant."""
+    from chatdata_spark.operators.ivf import IVFIndex
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    idx = build_or_load_ivf(
+        spark, emb, str(tmp_path / "ivf_crash"), "vec_id", "embedding", n_clusters=2
+    )
+    total = emb.count()
+    cap = max(total // 3, 1)
+
+    real_write = IVFIndex._write_meta
+    calls = {"n": 0}
+
+    def crashing_write(path, meta):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before meta swap")
+
+    monkeypatch.setattr(IVFIndex, "_write_meta", staticmethod(crashing_write))
+    try:
+        idx.split_skewed(max_rows=cap, sub_k=4)
+    except RuntimeError:
+        pass
+    assert calls["n"] == 1, "crash fixture did not fire"
+    monkeypatch.setattr(IVFIndex, "_write_meta", staticmethod(real_write))
+
+    # orphan sub-cluster dirs now exist on disk but not in the meta
+    data_dir = os.path.join(idx.path, "data")
+    on_disk = {e for e in os.listdir(data_dir) if e.startswith("cluster_id=")}
+    committed = {f"cluster_id={c}" for c in IVFIndex(spark, idx.path).cluster_ids}
+    assert on_disk - committed, "crash left no orphans — fixture broken"
+
+    idx2 = IVFIndex(spark, idx.path).split_skewed(max_rows=cap, sub_k=4)
+    sizes = {
+        r.cluster_id: r.n
+        for r in spark.read.parquet(os.path.join(idx2.path, "data"))
+        .groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sum(sizes.values()) == total, "retry duplicated or lost rows"
+    assert set(sizes) == set(idx2.cluster_ids)
+    exact = [
+        (r.vec_id, r.dist)
+        for r in knn(emb, "embedding", Q, k=12, select=["vec_id"], id_col="vec_id").collect()
+    ]
+    got = [
+        (r.vec_id, r.dist)
+        for r in idx2.search(Q, k=12, n_probe=idx2.n_clusters, select=["vec_id"]).collect()
+    ]
+    assert got == exact

@@ -293,3 +293,87 @@ def test_env_gated_cross_encoder_dispatch(spark, monkeypatch):
     assert udf is not None
     got = list(udf.func(pd.Series(["xyz", None])))
     assert got == [5.0, 2.0]
+
+
+def _install_fake_st(monkeypatch, counter):
+    """Fake sentence_transformers that counts model constructions — the
+    per-process singleton assertion rides on it."""
+    import sys
+    import types
+
+    import numpy as np
+
+    fake = types.ModuleType("sentence_transformers")
+
+    class _FakeST:
+        def __init__(self, name):
+            counter["st"] = counter.get("st", 0) + 1
+            self.name = name
+
+        def encode(self, texts, normalize_embeddings=False):
+            return np.array([[float(len(t))] for t in texts])
+
+    class _FakeCE:
+        def __init__(self, name):
+            counter["ce"] = counter.get("ce", 0) + 1
+            self.name = name
+
+        def predict(self, pairs):
+            return [float(len(t)) for _, t in pairs]
+
+    fake.SentenceTransformer = _FakeST
+    fake.CrossEncoder = _FakeCE
+    monkeypatch.setitem(sys.modules, "sentence_transformers", fake)
+    return fake
+
+
+def test_embedder_udf_identity_and_process_singleton(monkeypatch):
+    """Repo UDF rules on the real-model seam: (a) repeated factory calls
+    return the SAME UDF object (CacheManager plan equality), (b) the model
+    constructs once per process, not once per Arrow batch."""
+    from chatdata_spark.functions import embedders
+
+    counter = {}
+    _install_fake_st(monkeypatch, counter)
+    monkeypatch.setattr(embedders, "_ST_UDFS", {})
+    u1 = embedders.make_sentence_transformer_factory("m-a")(0)
+    u2 = embedders.make_sentence_transformer_factory("m-a")(16)
+    assert u1 is u2
+    # two batches through the wrapped fn -> one construction
+    u1.func(pd.Series(["ab", "c"]))
+    u1.func(pd.Series(["defg"]))
+    assert counter["st"] == 1
+    # a different model name is a different UDF and its own singleton
+    u3 = embedders.make_sentence_transformer_factory("m-b")(0)
+    assert u3 is not u1
+
+
+def test_cross_encoder_udf_identity_and_process_singleton(monkeypatch):
+    from chatdata_spark.operators import textsearch
+
+    counter = {}
+    _install_fake_st(monkeypatch, counter)
+    monkeypatch.setenv("SPARK_GRAFT_CROSS_ENCODER", "ce-model")
+    monkeypatch.setattr(textsearch, "_CE_UDFS", {})
+    u1 = textsearch.maybe_cross_encoder("what is spark")
+    u2 = textsearch.maybe_cross_encoder("what is spark")
+    assert u1 is not None and u1 is u2
+    out1 = u1.func(pd.Series(["abc", None]))
+    out2 = u1.func(pd.Series(["zz"]))
+    assert list(out1) == [3.0, 0.0] and list(out2) == [2.0]
+    assert counter["ce"] == 1
+    # distinct query -> distinct UDF object (the query is baked into it)
+    u3 = textsearch.maybe_cross_encoder("other query")
+    assert u3 is not u1
+
+
+def test_token_count_udf_identity(monkeypatch):
+    from chatdata_spark.functions import text as textfns
+
+    monkeypatch.setattr(textfns, "_TOKENIZER_UDFS", {})
+    u1 = textfns.token_count_udf("gpt2")
+    u2 = textfns.token_count_udf("gpt2")
+    if u1 is None:  # tiktoken absent in some environments — dispatch covered elsewhere
+        assert u2 is None
+        return
+    assert u1 is u2

@@ -49,11 +49,52 @@ def store_session_lifecycle(spark, sf_dir):
     )
 
 
-@query("streaming_incremental_embed")  # rows-only: streaming side effects
+def _stream_embed_expected() -> str:
+    """Lazy oracle for streaming_incremental_embed (the
+    embed_documents_batch pattern, queries/vector.py): the hash embedder
+    is deterministic, so a sequential driver-side recomputation over the
+    driver's sf0.01 documents (doc_id < 60 — the streamed subset) yields
+    an exact expected table. Comparing it against the drained stream
+    output verifies the checkpointed exactly-once file accounting AND the
+    worker embed plumbing: a dropped file, a double-processed file, or a
+    batch-boundary difference all change the row set. Rounding emulates
+    Spark's round(double, 6) exactly: HALF_UP on the shortest-repr
+    decimal string (Java BigDecimal.valueOf ≡ Python repr, both shortest
+    round-trip)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import numpy as np
+
+    from chatdata_spark.functions.vector import hash_embed
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM read_parquet('/root/testdata/sf0.01/documents.parquet') "
+        "WHERE doc_id < 60 AND text IS NOT NULL ORDER BY doc_id"
+    ).fetchall()
+    q6 = Decimal("0.000001")
+    values = []
+    for doc_id, text in rows:
+        v32 = np.array(hash_embed(text, 16), dtype=np.float32)
+        acc = 0.0
+        for x in v32.astype(np.float64):
+            acc = acc + float(x)
+        vs = float(Decimal(repr(acc)).quantize(q6, ROUND_HALF_UP))
+        values.append(f"(CAST({doc_id} AS BIGINT), CAST({vs!r} AS DOUBLE))")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(values) + ") AS t(doc_id, vec_sum) ORDER BY doc_id"
+    )
+
+
+@query("streaming_incremental_embed", oracle=_stream_embed_expected)
 def streaming_incremental_embed(spark, sf_dir):
-    """§2.10 extension surface, driver-visible: two availableNow drains over
-    a file stream (second sees only the new file), deterministic embedder —
-    returns per-batch-file embedded counts + a vector checksum."""
+    """§2.10 extension surface, driver-visible and ORACLE-checked: two
+    availableNow drains over a file stream (second sees only the new
+    file), deterministic embedder — returns one row per embedded doc with
+    a float64 vector checksum. The oracle is a sequential driver-side
+    recomputation of the same subset (lazy VALUES literal, sf0.01 — the
+    compare scale), so exactly-once file processing and the Arrow embed
+    path are both hash-verified."""
     import os
 
     from chatdata_spark.streaming.incremental import incremental_embed
@@ -108,13 +149,41 @@ def rollup_incremental_refresh(spark, sf_dir):
     return r.read().select("bucket", "event_type", "n", "total", "vmin", "vmax").orderBy("bucket", "event_type")
 
 
-@query("streaming_sessionize")  # rows-only: streaming side effects
+@query(
+    "streaming_sessionize",
+    oracle="""
+    WITH src AS (SELECT user_id, ts, event_id FROM events WHERE user_id < 20),
+    marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+        FROM src
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
 def streaming_sessionize(spark, sf_dir):
-    """§2.10 extension surface, driver-visible: gap sessionization over a
-    file stream of real events (applyInPandasWithState, EventTimeTimeout)
-    — emits each closed session exactly once; returns the emitted sessions
-    plus a count so the driver sees a deterministic frame. Batch parity is
-    asserted in tests/test_ingest_streaming.py."""
+    """§2.10 extension surface, driver-visible and ORACLE-checked: gap
+    sessionization over a file stream of real events
+    (applyInPandasWithState, EventTimeTimeout) — emits each closed session
+    exactly once. A far-future sentinel event (user_id=-1, max ts + 2 h)
+    rides the LAST file so the final event-time watermark passes every
+    real session's end+gap and the tail sessions close via timeout — the
+    emitted set then equals the full batch sessionization, which is
+    exactly what the oracle computes (the sessionize_events SQL filtered
+    to user_id < 20; the sentinel's own open session is filtered out).
+    The in-flight/closed distinction itself is pinned in
+    tests/test_ingest_streaming.py."""
     import os
 
     from chatdata_spark.catalog import load_events
@@ -129,14 +198,25 @@ def streaming_sessionize(spark, sf_dir):
         .select("user_id", "ts")
     )
     # two chronological drops so sessions span micro-batches
-    mid = ev.agg(F.percentile_approx("ts", 0.5).alias("m")).first()["m"]
+    bounds = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("m"), F.max("ts").alias("mx")
+    ).first()
+    mid, mx = bounds["m"], bounds["mx"]
     ev.filter(F.col("ts") <= mid).coalesce(1).write.mode("append").parquet(ind)
     ev.filter(F.col("ts") > mid).coalesce(1).write.mode("append").parquet(ind)
+    # watermark-advancing sentinel: closes every real session via timeout
+    spark.createDataFrame(
+        [(-1, mx + datetime.timedelta(hours=2))], "user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(ind)
     stream_sessionize(
         spark, ind, outd, ckpt, "user_id", "ts", "user_id long, ts timestamp",
         gap_minutes=30.0,
     )
-    return spark.read.parquet(outd).orderBy("user_id", "session_start")
+    return (
+        spark.read.parquet(outd)
+        .filter(F.col("user_id") >= 0)
+        .orderBy("user_id", "session_start")
+    )
 
 
 @query("rollup_distinct_approx")  # rows-only: HLL estimates have no SQL oracle

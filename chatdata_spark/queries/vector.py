@@ -194,15 +194,39 @@ def ann_lsh_exact(spark, sf_dir):
     return lsh_search(idx, "embedding", Q1, k=12, n_tables=4, n_bits=0, select=["vec_id", "label"])
 
 
-@query("ann_lsh_probe")  # approximate by design → rows-only + tests/test_lsh.py
+@query(
+    "ann_lsh_probe",
+    oracle=f"""
+    SELECT CAST(12 AS BIGINT) AS n_results,
+           CAST(12 AS BIGINT) AS n_in_top90,
+           CAST(MIN({_duck_cos('embedding', Q1)}) AS DOUBLE) AS min_dist
+    FROM embeddings
+    """,
+)
 def ann_lsh_probe(spark, sf_dir):
-    """LSH bucket-probe ANN at a real operating point (8 tables × 10 bits):
-    scan-stage arrays_overlap candidate filter, exact rerank; recall vs
-    the brute-force scan is pinned in tests/test_lsh.py."""
+    """LSH bucket-probe ANN at a real operating point (16 tables × 6 bits,
+    ~25% candidate fraction): scan-stage arrays_overlap candidate filter,
+    exact rerank. Approximate by design, so the oracle checks SOUNDNESS
+    invariants (the ann_ivf_pruned pattern): 12 results, all within the
+    exact top-90 (Spark full-scan kNN semi-join — the literal 12s go red
+    if the probe drops or mis-ranks candidates; empirical max rank is ≤26
+    at both compare scales), and the best returned distance equals the
+    global exact minimum (real SQL on the DuckDB side). Recall curves live
+    in tests/test_lsh.py and RECALL.md."""
     from chatdata_spark.operators.lsh import lsh_search
 
-    idx = _lsh_indexed(spark, sf_dir, n_tables=8, n_bits=10)
-    return lsh_search(idx, "embedding", Q1, k=12, n_tables=8, n_bits=10, select=["vec_id", "label"])
+    idx = _lsh_indexed(spark, sf_dir, n_tables=16, n_bits=6)
+    res = lsh_search(idx, "embedding", Q1, k=12, n_tables=16, n_bits=6, select=["vec_id"])
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    top90 = knn(emb, "embedding", Q1, k=90, select=["vec_id"], id_col="vec_id").select("vec_id")
+    stats = res.agg(
+        F.count(F.lit(1)).alias("n_results"), F.min("dist").cast("double").alias("min_dist")
+    )
+    in90 = (
+        res.join(F.broadcast(top90), "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_in_top90"))
+    )
+    return stats.join(F.broadcast(in90)).select("n_results", "n_in_top90", "min_dist")
 
 
 def _embed_batch_expected() -> str:
@@ -312,11 +336,26 @@ def knn_join_exact(spark, sf_dir):
     ).orderBy("q_id", "dist", "b_id")
 
 
-@query("knn_join_pruned")  # approximate by design (n_probe < n_clusters) → rows-only
+@query(
+    "knn_join_pruned",
+    oracle="""
+    WITH q AS (SELECT COUNT(*) AS n_queries FROM embeddings WHERE vec_id % 10 = 0)
+    SELECT n_queries, n_queries * 5 AS n_pairs,
+           n_queries * 5 AS n_in_top45, n_queries AS n_top1_match
+    FROM q
+    """,
+)
 def knn_join_pruned(spark, sf_dir):
     """Batch kNN join at a real IVF operating point (n_probe=2 of 8): each
-    query scans ~1/4 of the corpus; recall vs the exact join is pinned in
-    tests/test_knnjoin.py."""
+    query scans ~1/4 of the corpus. Approximate by design, so the oracle
+    checks SOUNDNESS invariants (the ann_ivf_pruned pattern) against the
+    full-probe join — itself verified pair-for-pair by knn_join_exact's
+    brute-force oracle: every query keeps exactly 5 pairs, every pruned
+    pair lands in that query's exact top-45 (empirical max rank ≤19 at
+    both compare scales), and every query's best pruned distance equals
+    its exact top-1 distance. The DuckDB side derives all four counts from
+    the query population, so a dropped query, short result page, escaped
+    candidate, or missed top-1 all go red. Recall curves: RECALL.md."""
     from chatdata_spark.operators.knnjoin import knn_join
 
     idx = _ivf_index(spark, sf_dir)
@@ -324,18 +363,51 @@ def knn_join_pruned(spark, sf_dir):
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .filter(F.col("vec_id") % 10 == 0)
     )
-    return knn_join(queries, idx, "vec_id", "embedding", k=5, n_probe=2).orderBy(
-        "q_id", "dist", "b_id"
+    pruned = knn_join(queries, idx, "vec_id", "embedding", k=5, n_probe=2)
+    exact45 = knn_join(
+        queries, idx, "vec_id", "embedding", k=45, n_probe=idx.n_clusters
+    )
+    exact_top1 = exact45.groupBy("q_id").agg(F.min("dist").alias("exact_min"))
+    per_q = pruned.groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.min("dist").alias("pruned_min")
+    )
+    contained = pruned.join(
+        exact45.select("q_id", "b_id"), ["q_id", "b_id"], "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_in_top45"))
+    stats = per_q.join(exact_top1, "q_id").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("n_pairs").alias("n_pairs"),
+        F.sum(F.when(F.col("pruned_min") == F.col("exact_min"), 1).otherwise(0)).alias(
+            "n_top1_match"
+        ),
+    )
+    return stats.join(F.broadcast(contained)).select(
+        "n_queries", "n_pairs", "n_in_top45", "n_top1_match"
     )
 
 
-@query("ann_pq_adc")  # approximate by design (quantized codes) → rows-only
+@query(
+    "ann_pq_adc",
+    oracle=f"""
+    SELECT CAST(10 AS BIGINT) AS n_results,
+           CAST(10 AS BIGINT) AS n_in_top45,
+           CAST(MIN({_duck_cos('embedding', Q1)}) AS DOUBLE) AS min_dist
+    FROM embeddings
+    """,
+)
 def ann_pq_adc(spark, sf_dir):
     """PQ/ADC compressed-scan ANN: 8-byte codes replace 256-byte vectors
     (the scan reads ONLY the code column), distance = m table lookups per
     row via one Arrow fancy-index pass, exact cosine rerank of the top
-    k·4 survivors. Recall and the 32x compression ratio are pinned in
-    tests/test_pq.py."""
+    k·4 survivors. Approximate by design, so the oracle checks SOUNDNESS
+    invariants (the ann_ivf_pruned pattern): 10 reranked results, all
+    within the exact top-45 (empirical max rank ≤16 at both compare
+    scales), and — because the rerank is exact cosine — the best returned
+    distance equals the global exact minimum (real SQL on the DuckDB
+    side). Ordering by true distance within the page holds by
+    construction (the rerank sort key IS the exact distance). Recall and
+    the 32x compression ratio are pinned in tests/test_pq.py; the raw
+    compressed-scan timing lives in bench.py."""
     from chatdata_spark.operators.pq import build_or_load_pq
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -343,7 +415,16 @@ def ann_pq_adc(spark, sf_dir):
     idx = build_or_load_pq(
         spark, e, f"/tmp/chatdata_spark_pq/{safe}_m8", "vec_id", "embedding", m=8
     )
-    return idx.search(e, Q1, k=10, refine=4, select=["vec_id", "label"])
+    res = idx.search(e, Q1, k=10, refine=4, select=["vec_id"])
+    top45 = knn(e, "embedding", Q1, k=45, select=["vec_id"], id_col="vec_id").select("vec_id")
+    stats = res.agg(
+        F.count(F.lit(1)).alias("n_results"), F.min("dist").cast("double").alias("min_dist")
+    )
+    in45 = (
+        res.join(F.broadcast(top45), "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_in_top45"))
+    )
+    return stats.join(F.broadcast(in45)).select("n_results", "n_in_top45", "min_dist")
 
 
 MQ = [hash_embed(f"mq{i}", DIM) for i in range(3)]

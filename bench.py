@@ -65,6 +65,7 @@ HEADLINE = [
     "binary_quant_knn",         # popcount-xor Hamming ranking (all-integer codegen)
     "rerank_snippet_search",    # rerank + highlight funnel tail
     "hard_negative_mining",     # knn-join anti-join mine
+    "retrieval_funnel_docs",    # FLAGSHIP: routed ANN + BM25 → RRF → rerank → MMR
 ]
 
 

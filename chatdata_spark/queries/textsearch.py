@@ -134,6 +134,165 @@ def hybrid_rrf_search(spark, sf_dir):
     return rrf_fuse([bm, kn], "doc_id", k0=60, k=20)
 
 
+FUNNEL_Q = "vector join stream"
+
+
+def _funnel_ctes() -> str:
+    """Shared CTE chain for the retrieval funnel oracle: BM25 top-60 →
+    kNN top-60 (exact cosine — the router's full probe IS the exact scan)
+    → RRF top-30 → overlap-rerank top-20. Ends with CTE ``rr`` =
+    (doc_id, rrf, rerank_score)."""
+    terms = FUNNEL_Q.split()
+    qtoks = "[" + ", ".join(f"'{t}'" for t in sorted(set(terms))) + "]"
+    qf = hash_embed(FUNNEL_Q, DIM)
+    return f"""
+    {_bm25_oracle_ctes(terms, K1, B, 60)},
+    bmr AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r0
+        FROM bm
+    ),
+    kn AS (
+        SELECT vec_id AS doc_id,
+               ROUND(1.0 - list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_duck_vec(qf)}), 6) AS dist
+        FROM embeddings ORDER BY dist ASC, vec_id ASC LIMIT 60
+    ),
+    knr AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY dist ASC, doc_id ASC) AS r1
+        FROM kn
+    ),
+    fused AS (
+        SELECT COALESCE(bmr.doc_id, knr.doc_id) AS doc_id,
+               ROUND(COALESCE(1.0 / (60.0 + r0), 0.0) + COALESCE(1.0 / (60.0 + r1), 0.0), 6) AS rrf
+        FROM bmr FULL OUTER JOIN knr ON bmr.doc_id = knr.doc_id
+        ORDER BY rrf DESC, doc_id ASC LIMIT 30
+    ),
+    rr AS (
+        SELECT f.doc_id, f.rrf,
+               ROUND(len(list_intersect(list_distinct(
+                   regexp_split_to_array(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')), ' ')
+               ), {qtoks})) / {float(len(set(terms)))!r}, 6) AS rerank_score
+        FROM fused f JOIN documents d ON f.doc_id = d.doc_id
+        ORDER BY rerank_score DESC, f.doc_id ASC LIMIT 20
+    )"""
+
+
+def _funnel_expected() -> str:
+    """Lazy oracle for retrieval_funnel_docs: every stage up to the rerank
+    page is plain SQL (the CTE chain above); the MMR tail replays the
+    SHARED deterministic greedy (operators/mmr.py:mmr_greedy — the
+    convention mmr_diversified_knn proves) over the rerank page's
+    embeddings fetched at sf0.01, and the final SELECT joins its VALUES
+    back to the SQL-computed rrf/rerank columns."""
+    import duckdb
+
+    import numpy as np
+
+    from chatdata_spark.operators.mmr import mmr_greedy
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    rows = con.execute(
+        f"""
+        WITH {_funnel_ctes()}
+        SELECT rr.doc_id, CAST(e.embedding AS DOUBLE[]) AS v
+        FROM rr JOIN embeddings e ON rr.doc_id = e.vec_id
+        ORDER BY rr.doc_id
+        """
+    ).fetchall()
+    con.close()
+    ids = [r[0] for r in rows]
+    vecs = np.array([r[1] for r in rows], dtype=np.float64)
+    qf = hash_embed(FUNNEL_Q, DIM)
+    chosen = mmr_greedy(ids, vecs, qf, k=10, lam=0.5)
+    values = ", ".join(
+        f"(CAST({i} AS BIGINT), CAST({rank} AS INTEGER), CAST({score!r} AS DOUBLE))"
+        for rank, (i, score) in enumerate(chosen)
+    )
+    return f"""
+    WITH {_funnel_ctes()},
+    mmr AS (SELECT * FROM (VALUES {values}) AS t(doc_id, mmr_rank, mmr_score))
+    SELECT m.doc_id, rr.rrf, rr.rerank_score, m.mmr_rank, m.mmr_score
+    FROM mmr m JOIN rr ON m.doc_id = rr.doc_id
+    ORDER BY m.mmr_rank
+    """
+
+
+@query("retrieval_funnel_docs", oracle=_funnel_expected)
+def retrieval_funnel_docs(spark, sf_dir):
+    """The reference's END-TO-END user journey (§3.1/3.2 retriever + search
+    page) as ONE composed plan — every stage an already-oracled operator:
+
+    1. ANN screen: the kNN template routed through the IVF index
+       (plans/router.py, full probe ≡ exact scan; NeuralArray embeds the
+       question — myscale_without_metadata.py:19-36 template);
+    2. keyword screen: BM25 top-60 (rational-idf oracle config);
+    3. hybrid fusion: reciprocal-rank fusion → 30-candidate page;
+    4. rerank: cross-encoder-seam scorer (deterministic overlap stub;
+       SPARK_GRAFT_CROSS_ENCODER swaps a real model) → 20;
+    5. MMR diversification over the page's embeddings → final 10.
+
+    100 TB shape: stages 1-2 are the only corpus-sized scans (heap top-k,
+    partition-pruned under a real n_probe); everything after runs on a
+    bounded results page (≤60 rows), so the funnel's cost IS the screen
+    cost. Output: (doc_id, rrf, rerank_score, mmr_rank, mmr_score)."""
+    from chatdata_spark.operators.ivf import build_or_load_ivf
+    from chatdata_spark.operators.mmr import mmr_select
+    from chatdata_spark.operators.textsearch import rerank_topk
+    from chatdata_spark.plans.router import VectorQueryRouter
+    from chatdata_spark.queries.dialect import DIALECT
+
+    terms = FUNNEL_Q.split()
+    qf = hash_embed(FUNNEL_Q, DIM)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # 1. routed ANN screen (same shared index the dialect queries build)
+    emb.createOrReplaceTempView("embeddings")
+    safe = sf_dir.strip("/").replace("/", "_")
+    idx = build_or_load_ivf(
+        spark, emb, f"/tmp/chatdata_spark_ivf/{safe}_k8", "vec_id", "embedding", 8
+    )
+    router = VectorQueryRouter(DIALECT, {"embeddings": idx})
+    kn = router.execute(
+        spark,
+        f"""
+        SELECT vec_id FROM embeddings
+        ORDER BY DISTANCE(embedding, NeuralArray({FUNNEL_Q})) AS dist ASC, vec_id ASC
+        LIMIT 60
+        """,
+    )
+    kn = with_rank(
+        kn.select(F.col("vec_id").alias("doc_id"), "dist"),
+        [F.asc("dist"), F.asc("doc_id")],
+    )
+    # 2. keyword screen
+    bm = with_rank(
+        bm25_topk(d, "doc_id", "text", terms, k=60, k1=K1, b=B, idf="rational"),
+        [F.desc("score"), F.asc("doc_id")],
+    )
+    # 3. hybrid fusion to a bounded page
+    fused = rrf_fuse([bm, kn], "doc_id", k0=60, k=30)
+    # 4. rerank the page (cross-encoder seam; stub = overlap scorer)
+    cand = fused.join(F.broadcast(d.select("doc_id", "text")), "doc_id")
+    page = rerank_topk(cand, "doc_id", "text", FUNNEL_Q, k=20).select(
+        "doc_id", "rrf", "rerank_score"
+    )
+    # 5. MMR diversify over the page's embeddings
+    vecs = emb.select(F.col("vec_id").alias("doc_id"), "embedding").join(
+        F.broadcast(page.select("doc_id")), "doc_id"
+    )
+    mmr = mmr_select(vecs, "embedding", qf, k=10, id_col="doc_id", fetch_n=20, lam=0.5)
+    return (
+        mmr.join(F.broadcast(page), "doc_id")
+        .select("doc_id", "rrf", "rerank_score", "mmr_rank", "mmr_score")
+        .orderBy("mmr_rank")
+    )
+
+
 @query(
     "phrase_proximity_docs",
     oracle=r"""

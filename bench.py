@@ -268,10 +268,122 @@ def bench_sessionize_hotkey(spark, sf_dir):
     )
 
 
+def bench_asof_hotkey_sliced(spark, sf_dir):
+    """As-of join under adversarial skew (half of all events remapped to
+    ONE user), using slice_width='auto' — the hot user's history spreads
+    over (user, time-slice) windows instead of serializing on one task.
+    Staying within a small factor of `asof_join_purchase_click` is the
+    escape-hatch proof at bench scale (the sliced≡unsliced oracle is
+    `asof_join_purchase_click_sliced`)."""
+    import pyspark.sql.functions as F
+
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.timeseries import asof_join
+
+    e = load_events(spark, sf_dir).withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id", "value")
+    return asof_join(
+        purchases, clicks, on="user_id", ts_col="ts",
+        payload_cols=["event_id", "value"], tie_break="event_id",
+        slice_width="auto",
+    )
+
+
+def bench_range_join_hotkey(spark, sf_dir):
+    """Interval join under the same one-hot-user skew: the bucketized
+    equi-join keys on (user, time-bucket), so even a user owning half the
+    events spreads across its time buckets — no slicing knob needed, the
+    bucket IS the slice. NB when comparing against
+    `range_join_click_window`: this skew inflates the TRUE match count
+    ~150x at sf0.1 (one user on both sides of a window join is
+    inherently quadratic — 21.7k → 3.27M pairs), so wall-clock growing
+    only ~4x means per-pair throughput IMPROVES ~37x under skew; the
+    plan is sub-linear in its output, which is the scale claim."""
+    import pyspark.sql.functions as F
+
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.timeseries import range_join_left
+
+    e = load_events(spark, sf_dir).withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.unix_timestamp("ts").alias("p_ts"))
+        .withColumn("lo", F.col("p_ts") - 86400)
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_timestamp("ts").alias("c_ts"), "value"
+    )
+    joined = range_join_left(
+        purchases, clicks, left_id="event_id", lo_col="lo", hi_col="p_ts",
+        right_val_col="c_ts", equi_keys=["user_id"], bucket_width=86400.0,
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("c_ts").alias("n_clicks"),
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("click_value"),
+    )
+
+
+def _inc_store(spark, sf_dir, reps: int):
+    """Idempotent one-time store build (like the IVF index): corpus =
+    originals (+ perturbed replicas for reps>1 — extra stored volume that
+    shares no shingles with the batch), so the 1x and 10x stores relate to
+    the probe batch IDENTICALLY and the only variable is corpus size."""
+    from chatdata_spark.operators.incdedup import IncrementalMinHashStore
+
+    safe = sf_dir.strip("/").replace("/", "_")
+    store = IncrementalMinHashStore(spark, f"/tmp/chatdata_spark_incstore/{safe}_{reps}x")
+    if not store.batches():
+        import pyspark.sql.functions as F
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        if reps > 1:
+            extra = _replicate_docs_perturbed(spark, sf_dir, reps=reps).filter(
+                F.col("doc_id") >= 2**33  # replicas 1..reps-1; rep 0 stays original
+            )
+            d = d.unionByName(extra)
+        store.add_batch(d, "doc_id").write.format("noop").mode("overwrite").save()
+    return store
+
+
+def _bench_dedup_incremental(reps: int):
+    """Time ONLY a new small batch's near-dup pass against a stored corpus
+    (stage_batch: never committed, so every rep sees identical state).
+    The operator's core claim (operators/incdedup.py): per-batch cost is
+    O(batch + matching buckets), never O(corpus) — the 10x entry staying
+    close to the 1x entry IS that claim at bench scale. The batch is the
+    originals' every-10th doc under fresh ids: a re-crawl shape where each
+    batch doc near-dups its corpus twin."""
+
+    def fn(spark, sf_dir):
+        import pyspark.sql.functions as F
+
+        store = _inc_store(spark, sf_dir, reps)
+        batch = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select((F.col("doc_id") + F.lit(2**40)).alias("doc_id"), "text")
+        )
+        _, pairs = store.stage_batch(batch, "doc_id")
+        return pairs
+
+    return fn
+
+
 EXTRA = {
     "ann_ivf_pruned": bench_ann_ivf_pruned,
     "knn_join_pruned": bench_knn_join_pruned,
     "ann_pq_adc": bench_ann_pq_adc,
+    "asof_join_hotkey_sliced": bench_asof_hotkey_sliced,
+    "range_join_hotkey": bench_range_join_hotkey,
+    "dedup_incremental_batch_1x": _bench_dedup_incremental(1),
+    "dedup_incremental_batch_x10": _bench_dedup_incremental(10),
     "q5_x10_star_join": bench_q5_x10,
     "decontam_x10": bench_decontam_x10,
     "dedup_minhash_x10": bench_minhash_x10,

@@ -71,55 +71,49 @@ def _load_all() -> None:
 
 # The driver's correctness harness checks exactly the FIRST 50 names returned
 # by queries(). This list pins those 50 slots — rotated each round so queries
-# that were driver-green twice make room for never-driver-checked ones (r3
-# swapped 21: the mutation trio, rollups, q1/q3/q5, the sampling five,
-# collect_list, row_to_document, and six twice-green family seconds — for
-# the TPC-H join sweep, MERGE/SCD2, funnel, batch-kNN join, MaxSim, heavy
-# hitters, bloom join, fuzzy join, unigram log-prob, histogram quantiles,
-# salted grouped top-k, and the round-3 additions below).
+# that were driver-green twice make room for never-driver-checked ones
+# (r3 swapped 21 in; r4 swaps 25 twice-green slots — the kNN/dialect/
+# self-query/cleaning/timeseries/dedup family seconds — for the TPC-H spine
+# q2/q8/q17/q20/q21/q22, the analytics window/rollup/cube/percentile/corr
+# family, the vector family ann_lsh_exact/matryoshka/binary_quant/mmr/
+# hard_negative/ivf_append, streaming_windowed_counts, the new
+# retrieval_funnel_docs flagship, and the five rows-only→oracle upgrades).
 # Everything not listed here is registered AFTER these (in import order) and
 # stays pytest-oracled (tests/test_correctness runs the full registry).
 # COVERAGE.md's "driver window" column mirrors this.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # vector search core (S1/V1-V6/T1)
-    "knn_topk", "knn_filtered", "knn_l2", "ann_ivf_full_probe",
-    # dialect + self-query compilers (P2-P9, §2.9, §3.2, §4.3.3)
-    "dialect_knn", "self_query_filter",
-    "self_query_knn", "routed_index_knn",
-    # text analysis + full-text/hybrid search family
-    "text_profile", "bm25_text_search", "hybrid_rrf_search",
-    # corpus cleaning family (PII / repetition / decontamination / chunk dedup)
-    "pii_redaction", "text_repetition_signals", "decontam_docs",
-    "chunk_dedup_docs",
-    # timeseries family
-    "asof_join_purchase_click", "sessionize_events",
-    "range_join_click_window",
-    # dedup family
-    "dedup_exact", "dedup_jaccard_exact", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_embedding", "dedup_components",
-    # ClickHouse scalar parity sweeps
-    "dialect_scalar_parity", "dialect_array_map",
-    # ingest + multimodal
-    "ingest_flatten_json", "multimodal_feature_knn",
-    # representative relational operator classes
-    "window_latest_event",
-    # --- rotated IN for round 3 (first driver verification) ---
-    # TPC-H join sweep
+    # --- kept sentinels (twice-green; one per core family) ---
+    "knn_topk", "dialect_knn", "dedup_minhash_lsh", "text_profile",
+    # --- round-3 first-timers, once-green: kept for second verification ---
     "q7_volume_shipping", "q9_profit_by_nation_year",
     "q13_customer_distribution", "q19_disjunctive_pushdown",
-    # mutations at history scale
     "merge_into_orders", "scd2_history_events",
-    # vector/join operators
     "knn_join_exact", "maxsim_late_interaction", "fuzzy_join_part_names",
     "bloom_semi_join_lineitem",
-    # analytics / text extensions
     "funnel_view_click_purchase", "heavy_hitter_tokens",
     "text_unigram_logprob", "quantile_hist_value_by_type",
     "topk_orders_per_priority",
-    # round-3 additions, driver-verified the round they ship
     "curation_pipeline_docs", "dedup_incremental_batches",
     "sessionize_events_sliced", "profile_orders_stats",
     "shard_assignment_docs", "phrase_proximity_docs",
+    # --- rotated IN for round 4 (first driver verification) ---
+    # TPC-H spine completion
+    "q2_min_cost_supplier", "q8_market_share", "q17_small_quantity_revenue",
+    "q20_dominant_promo_suppliers", "q21_waiting_suppliers",
+    "q22_global_sales_opportunity",
+    # analytics family
+    "rollup_revenue_levels", "cube_orders_status_priority",
+    "window_rank_family", "percentile_disc_price_by_flag",
+    "corr_quantity_price_by_flag", "data_quality_report",
+    # vector family
+    "ann_lsh_exact", "matryoshka_knn", "binary_quant_knn",
+    "mmr_diversified_knn", "hard_negative_mining", "ann_ivf_append_search",
+    # streaming oracles
+    "streaming_windowed_counts",
+    # round-4 additions + rows-only→oracle upgrades, verified the round they ship
+    "retrieval_funnel_docs",
+    "ann_lsh_probe", "knn_join_pruned", "ann_pq_adc",
+    "streaming_incremental_embed", "streaming_sessionize",
 )
 
 

@@ -10,23 +10,23 @@ from chatdata_spark.registry import DRIVER_WINDOW, oracle_sql, queries
 DRIVER_CAP = 50
 
 MUST_BE_DRIVER_CHECKED = {
-    # The reference's core templates + extension-family flagships that have
-    # NOT yet banked two green driver rounds. Names green in r1+r2 (the
-    # sampling family, mutations, rollups, q1/q3/q5, collect_list,
-    # row_to_document) rotated out in r3 to driver-verify never-checked
-    # queries — rotation policy in registry.DRIVER_WINDOW's comment.
-    "knn_topk", "knn_filtered", "knn_l2", "ann_ivf_full_probe",
-    "dialect_knn", "self_query_knn", "routed_index_knn",
-    "text_profile", "asof_join_purchase_click", "sessionize_events",
-    "range_join_click_window",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_embedding",
-    # corpus-cleaning flagships (round 2)
-    "pii_redaction", "text_repetition_signals", "decontam_docs",
-    "chunk_dedup_docs",
-    # rotated in round 3 (first driver verification)
+    # Flagships that have NOT yet banked two green driver rounds, plus one
+    # kept sentinel per core family. Names green twice (r1-r3: the kNN
+    # variants, dialect/self-query pair, cleaning family, timeseries trio,
+    # dedup family seconds) rotated out in r4 to driver-verify the TPC-H
+    # spine, analytics family, vector family, and the round-4 additions —
+    # rotation policy in registry.DRIVER_WINDOW's comment.
+    # kept sentinels
+    "knn_topk", "dialect_knn", "dedup_minhash_lsh", "text_profile",
+    # once-green round-3 first-timers (second verification pending)
     "q7_volume_shipping", "q19_disjunctive_pushdown", "merge_into_orders",
     "scd2_history_events", "knn_join_exact", "maxsim_late_interaction",
     "heavy_hitter_tokens", "topk_orders_per_priority",
+    "curation_pipeline_docs", "dedup_incremental_batches",
+    # round-4 first-timers (flagship + rows-only→oracle upgrades)
+    "retrieval_funnel_docs", "binary_quant_knn", "mmr_diversified_knn",
+    "hard_negative_mining", "ann_lsh_probe", "knn_join_pruned",
+    "ann_pq_adc", "streaming_sessionize",
 }
 
 

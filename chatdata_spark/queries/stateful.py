@@ -19,11 +19,24 @@ def _t(i):
     return _TS + datetime.timedelta(minutes=i)
 
 
-@query("store_session_lifecycle")  # rows-only: writes state, not SQL-expressible
+@query(
+    "store_session_lifecycle",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('u1?work', 'u1', 'be very terse', CAST(3 AS BIGINT)),
+        ('u2?default', 'u2', 'hi', CAST(1 AS BIGINT))
+    ) AS t(session_id, user_id, system_prompt, n_msgs)
+    ORDER BY session_id
+    """,
+)
 def store_session_lifecycle(spark, sf_dir):
     """M1-M5 through the versioned stores: create sessions, update a prompt,
     append chat messages, cascade-delete one session — returns the final
-    per-session message summary (deterministic fixed timestamps)."""
+    per-session message summary. The inputs are fixed literals, so the
+    expected END STATE is statically known: exactly the two surviving
+    sessions with the updated prompt and message counts (a VALUES oracle —
+    the mutation chain, not a computation, is what's under test; any
+    upsert/update/cascade-delete/read-ordering bug changes the rows)."""
     from chatdata_spark.stores.state import ChatMemoryStore, SessionStore
 
     root = tempfile.mkdtemp(prefix="chatdata_store_q_")

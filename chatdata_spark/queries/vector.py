@@ -506,14 +506,64 @@ def matryoshka_knn(spark, sf_dir):
     return knn(sliced, "e16", Q1[:16], k=10, select=["vec_id", "label"], id_col="vec_id")
 
 
-@query("dimred_rp_knn")  # rows-only: BLAS GEMM accumulation order has no SQL twin
+def _dimred_expected() -> str:
+    """Lazy oracle for dimred_rp_knn (the embed_documents_batch pattern):
+    no SQL twin exists for the BLAS GEMM, but the projection is
+    deterministic — the driver replays it in numpy over the sf0.01
+    embeddings with the SAME seeded matrix, the same query projection
+    (project_query_vector — shared function, so the literal matches the
+    plan's), the JVM's sequential L2 fold emulated float-by-float, and
+    Spark's HALF_UP round-6 emulated on the shortest-repr decimal. BLAS
+    dgemm keeps the k-loop order fixed regardless of batch (M) blocking,
+    so the driver-side one-shot GEMM is bit-identical to the workers'
+    per-Arrow-batch GEMMs (pinned by tests/test_dimred.py parity)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import numpy as np
+
+    from chatdata_spark.operators.dimred import (
+        project_query_vector,
+        projection_matrix,
+    )
+
+    rows = duckdb.sql(
+        "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    mat = projection_matrix(DIM, 16, seed=7)
+    x = np.array([r[2] for r in rows], dtype=np.float64) @ mat
+    q16 = [float(v) for v in project_query_vector(Q1, in_dim=DIM, out_dim=16, seed=7)]
+    q6 = Decimal("0.000001")
+    scored = []
+    for (vec_id, label, _), proj in zip(rows, x):
+        acc = 0.0
+        for a, b in zip(proj, q16):
+            d = float(a) - b
+            acc = acc + d * d
+        dist = float(Decimal(repr(math.sqrt(acc))).quantize(q6, ROUND_HALF_UP))
+        scored.append((dist, vec_id, label))
+    scored.sort()
+    values = ", ".join(
+        f"(CAST({vid} AS BIGINT), CAST({lab} AS INTEGER), CAST({d!r} AS DOUBLE))"
+        for d, vid, lab in scored[:10]
+    )
+    return (
+        "SELECT * FROM (VALUES " + values + ") AS t(vec_id, label, dist) "
+        "ORDER BY dist, vec_id"
+    )
+
+
+@query("dimred_rp_knn", oracle=_dimred_expected)
 def dimred_rp_knn(spark, sf_dir):
     """JL random-projection search: reduce 64 -> 16 dims with a seeded
     Gaussian matrix (one Arrow GEMM per batch, no shuffle), then exact L2
     top-10 in the reduced space against the identically-projected query
     vector. The 100 TB shape: project once at ingest, store the short
     vectors, scan 4x fewer bytes per search; numpy-parity and
-    distance-preservation are pytest-asserted (tests/test_dimred.py)."""
+    distance-preservation are pytest-asserted (tests/test_dimred.py);
+    the driver oracle is a full numpy replay (lazy VALUES, sf0.01)."""
     from chatdata_spark.functions.vector import l2_distance
     from chatdata_spark.operators.dimred import project_query_vector, random_projection
 

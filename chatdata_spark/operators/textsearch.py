@@ -269,6 +269,51 @@ def maybe_cross_encoder(query: str):
     return _score
 
 
+def stuff_context(
+    df: DataFrame,
+    text_col: str,
+    order_cols: list[Column],
+    max_tokens: int,
+    sep: str = "\n\n",
+    token_count=None,
+) -> DataFrame:
+    """Stuff a retrieval page into ONE prompt context under a token budget
+    — the engine-side twin of the reference's stuff chain
+    (stuff_documents.py:28-42: per-doc ref_id in page order, newlines
+    flattened to spaces, join on the document separator) with the
+    retrieval chain's `max_tokens_limit` truncation
+    (build_chains.py:37; LangChain drops docs from the END of the list
+    until the total fits, i.e. keeps the maximal relevance-ordered PREFIX
+    whose cumulative tokens ≤ budget).
+
+    Contract: ``df`` is an already top-k-limited results page (~10¹ rows)
+    — the single-partition ordering window is deliberate, same as
+    :func:`with_rank`. ``token_count`` defaults to the scan-stage
+    whitespace-token count (mirrorable in SQL); pass the env-gated BPE UDF
+    (functions/text.py:token_count_udf) to budget in true LLM tokens.
+    Returns one row: (context, n_docs, n_tokens)."""
+    flat = F.regexp_replace(F.col(text_col), "\n", " ")
+    toks = token_count(flat) if token_count is not None else F.size(
+        F.regexp_extract_all(flat, F.lit(r"\S+"), 0)
+    )
+    w = Window.orderBy(*order_cols)
+    staged = (
+        df.withColumn("__txt", flat)
+        .withColumn("__tok", toks.cast("long"))
+        .withColumn("__ref", F.row_number().over(w) - 1)
+        .withColumn("__cum", F.sum("__tok").over(w))
+    )
+    kept = staged.filter(F.col("__cum") <= max_tokens)
+    ordered = F.array_sort(F.collect_list(F.struct("__ref", "__txt")))
+    return kept.agg(
+        F.array_join(
+            F.transform(ordered, lambda s: s["__txt"]), sep
+        ).alias("context"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("__tok"), F.lit(0).cast("long")).alias("n_tokens"),
+    )
+
+
 def snippet(text_col, query: str, window: int = 8) -> Column:
     """Best-matching snippet: the ``2*window+1``-word span centered on the
     first occurrence of any query term (the earliest-position term wins;

@@ -337,6 +337,56 @@ def phrase_proximity_docs(spark, sf_dir):
 
 
 @query(
+    "stuff_context_docs",
+    oracle=r"""
+    WITH scored AS (
+        SELECT doc_id,
+               replace(text, chr(10), ' ') AS txt,
+               ROUND(len(list_intersect(list_distinct(
+                   regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
+               ), ['join', 'stream', 'vector'])) / 3.0, 6) AS rerank_score
+        FROM documents
+    ),
+    page AS (
+        SELECT doc_id, txt, rerank_score,
+               ROW_NUMBER() OVER (ORDER BY rerank_score DESC, doc_id ASC) AS rn
+        FROM scored ORDER BY rerank_score DESC, doc_id ASC LIMIT 10
+    ),
+    cum AS (
+        SELECT rn, txt, len(regexp_extract_all(txt, '\S+')) AS t,
+               SUM(len(regexp_extract_all(txt, '\S+'))) OVER (
+                   ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS c
+        FROM page
+    )
+    SELECT COALESCE(string_agg(txt, e'\n\n' ORDER BY rn), '') AS context,
+           COUNT(*) AS n_docs,
+           CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n_tokens
+    FROM cum WHERE c <= 300
+    """,
+)
+def stuff_context_docs(spark, sf_dir):
+    """The QA chain's final context assembly as an engine operator
+    (operators/textsearch.py:stuff_context — the reference's
+    CustomStuffDocumentChain join + RetrievalQAWithSourcesChain
+    max_tokens_limit truncation, stuff_documents.py:28-42 /
+    build_chains.py:37): rerank the corpus to a 10-doc page, then keep
+    the maximal relevance-ordered prefix under a 300-token budget and
+    join it into one prompt string. Output: (context, n_docs, n_tokens) —
+    one row; the oracle replays page ordering, cumulative budget, and the
+    exact joined string."""
+    from chatdata_spark.operators.textsearch import rerank_topk, stuff_context
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    page = rerank_topk(d, "doc_id", "text", FUNNEL_Q, k=10)
+    return stuff_context(
+        page, "text",
+        [F.desc("rerank_score"), F.asc("doc_id")],
+        max_tokens=300,
+    )
+
+
+@query(
     "rerank_snippet_search",
     oracle=r"""
     WITH nw AS (

@@ -83,3 +83,37 @@ def test_with_rank_orders_and_numbers_from_one(spark):
     ranked = with_rank(df, [F.desc("score"), F.asc("id")]).collect()
     by_id = {r.id: r.rank for r in ranked}
     assert by_id == {10: 1, 12: 2, 11: 3}
+
+
+def test_stuff_context_budget_semantics(spark):
+    """Prefix-under-budget truncation (LangChain drop-from-end ≡ maximal
+    relevance-ordered prefix), ref order preserved in the joined string,
+    newlines flattened, zero-doc edge when the first doc alone exceeds
+    the budget."""
+    from chatdata_spark.operators.textsearch import stuff_context
+
+    rows = [
+        (1, 0.9, "alpha one\ntwo"),      # 3 tokens after newline flatten
+        (2, 0.8, "beta b1 b2 b3"),       # 4 tokens
+        (3, 0.7, "gamma g1"),            # 2 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, text string")
+    order = [F.desc("score"), F.asc("doc_id")]
+
+    out = stuff_context(df, "text", order, max_tokens=7).collect()[0]
+    assert out.n_docs == 2 and out.n_tokens == 7
+    assert out.context == "alpha one two\n\nbeta b1 b2 b3"  # flattened + ordered
+
+    # budget cuts mid-list: doc 2 no longer fits, doc 3 is NOT pulled
+    # forward (prefix semantics, not knapsack)
+    out = stuff_context(df, "text", order, max_tokens=6).collect()[0]
+    assert out.n_docs == 1 and out.context == "alpha one two"
+
+    # first doc alone over budget -> empty context
+    out = stuff_context(df, "text", order, max_tokens=2).collect()[0]
+    assert out.n_docs == 0 and out.n_tokens == 0 and out.context == ""
+
+    # injected token counter (the BPE seam contract): constant 10/doc
+    const = F.udf(lambda s: 10, "int")
+    out = stuff_context(df, "text", order, max_tokens=20, token_count=lambda c: const(c)).collect()[0]
+    assert out.n_docs == 2

@@ -49,6 +49,33 @@ def train_val_test_split(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    key_col: str,
+    pairs: DataFrame,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: hash the CANONICAL (connected-
+    component) id instead of the row key, so every near-dup cluster lands
+    wholly on one side — the train/test-leakage guard a plain key-hash
+    split lacks (a document and its near-copy on opposite sides of an
+    eval split is contamination exactly like benchmark decontam, but
+    INTERNAL to the corpus). ``pairs`` is any (i, j) near-dup pair frame
+    from operators/dedup.py; composition: pairs → transitive closure
+    (operators/components.py) → bucket split on the component minimum.
+    Adds (canonical_id, keep, split); split fractions apply to CLUSTERS,
+    which for typical dup rates (≪ cluster-size skew) lands within noise
+    of the row-level fractions."""
+    from chatdata_spark.operators.components import canonical_assignment
+
+    canon = canonical_assignment(df, key_col, pairs)
+    return train_val_test_split(
+        canon, "canonical_id", val_fraction, test_fraction, salt
+    )
+
+
 def stratified_quota(
     df: DataFrame, strata_cols: list[str], n_per_stratum: int, key_col: str, salt: str = "q"
 ) -> DataFrame:

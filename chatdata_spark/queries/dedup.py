@@ -194,6 +194,63 @@ def dedup_components(spark, sf_dir):
     return canonical_assignment(d, "doc_id", pairs).orderBy("doc_id")
 
 
+_V_HI = int(0.1 * (1 << 32))
+_T_HI = _V_HI + int(0.1 * (1 << 32))
+
+_DUCK_LEAKAGE_SPLIT = f"""
+WITH RECURSIVE sh AS ({{shingles}}),
+pairs AS (
+    SELECT a.doc_id AS i, b.doc_id AS j
+    FROM sh a, sh b
+    WHERE a.doc_id < b.doc_id
+      AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.4
+),
+edges AS (
+    SELECT i AS a, j AS b FROM pairs
+    UNION
+    SELECT j AS a, i AS b FROM pairs
+),
+reach(v, c) AS (
+    SELECT a AS v, a AS c FROM edges
+    UNION
+    SELECT e.b AS v, r.c AS c FROM reach r JOIN edges e ON r.v = e.a
+),
+comp AS (SELECT v, MIN(c) AS c FROM reach GROUP BY v),
+canon AS (
+    SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS canonical_id
+    FROM documents d LEFT JOIN comp ON d.doc_id = comp.v
+)
+SELECT doc_id, canonical_id,
+       CASE WHEN CAST(('0x' || substr(md5('split' || CAST(canonical_id AS VARCHAR)), 1, 8)) AS BIGINT) < {_V_HI} THEN 'val'
+            WHEN CAST(('0x' || substr(md5('split' || CAST(canonical_id AS VARCHAR)), 1, 8)) AS BIGINT) < {_T_HI} THEN 'test'
+            ELSE 'train' END AS split
+FROM canon ORDER BY doc_id
+"""
+
+
+@query(
+    "leakage_safe_split_docs",
+    oracle=lambda: _DUCK_LEAKAGE_SPLIT.format(shingles=_DUCK_SHINGLES),
+)
+def leakage_safe_split_docs(spark, sf_dir):
+    """Near-dup-aware eval split (operators/sampling.py:
+    leakage_safe_split): jaccard near-dup pairs → transitive closure →
+    split hashed on the component canonical, so no near-dup cluster
+    straddles train/val/test — the corpus-internal leakage guard that
+    complements benchmark decontamination. Oracle: recursive-CTE closure
+    (the dedup_components oracle) + the md5 bucket split on canonical."""
+    from chatdata_spark.operators.sampling import leakage_safe_split
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = jaccard_similarity_join(d, "doc_id", "text", k=3, threshold=0.4)
+    return (
+        leakage_safe_split(d, "doc_id", pairs, 0.1, 0.1)
+        .select("doc_id", "canonical_id", "split")
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "fuzzy_join_part_names",
     oracle="""

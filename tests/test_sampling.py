@@ -109,3 +109,38 @@ def test_export_shards_balanced_deterministic_roundtrip(spark, tmp_path):
     a = spark.read.parquet(os.path.join(out, "shard=3")).collect()
     b = spark.read.parquet(os.path.join(out2, "shard=3")).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """The guard property itself: every near-dup cluster lands wholly on
+    one side, while the plain key-hash split demonstrably leaks (splits
+    at least one cluster) on the same pairs."""
+    import pyspark.sql.functions as F
+
+    from chatdata_spark.operators.dedup import jaccard_similarity_join
+    from chatdata_spark.operators.sampling import leakage_safe_split, train_val_test_split
+    from tests.conftest import SF_ORACLE
+
+    d = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    pairs = jaccard_similarity_join(d, "doc_id", "text", k=3, threshold=0.4)
+    safe = leakage_safe_split(d, "doc_id", pairs, 0.2, 0.2)
+    per_cluster = safe.groupBy("canonical_id").agg(
+        F.countDistinct("split").alias("n_splits"), F.count(F.lit(1)).alias("n")
+    )
+    assert per_cluster.filter(F.col("n_splits") > 1).count() == 0
+    multi = per_cluster.filter(F.col("n") > 1)
+    assert multi.count() > 0, "fixture has no multi-doc clusters — test is vacuous"
+
+    # the plain split leaks on the same corpus (what the guard fixes)
+    plain = train_val_test_split(d, "doc_id", 0.2, 0.2).select("doc_id", "split")
+    canon = safe.select("doc_id", "canonical_id")
+    leaked = (
+        plain.join(canon, "doc_id")
+        .groupBy("canonical_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+    )
+    assert leaked.count() > 0
+
+    # all three splits populated at these fractions
+    assert {r.split for r in safe.select("split").distinct().collect()} == {"train", "val", "test"}

@@ -194,6 +194,34 @@ def dedup_components(spark, sf_dir):
     return canonical_assignment(d, "doc_id", pairs).orderBy("doc_id")
 
 
+@query("streaming_near_dup_docs", oracle=_DUCK_JACCARD_PAIRS)
+def streaming_near_dup_docs(spark, sf_dir):
+    """§2.10 + incremental dedup composed, ORACLE-checked end to end: the
+    corpus arrives as two micro-batch waves through the streaming wrapper
+    (streaming/incremental.py:stream_near_dup_pairs — stage pairs →
+    idempotent per-batch write → signature commit), and the pairs parquet
+    it accumulates must equal the one-shot exact jaccard join (the
+    dedup_jaccard_exact oracle). Fresh store + checkpoint per invocation:
+    this is the arrival replay, not shared mutable state."""
+    import os
+    import tempfile
+
+    from chatdata_spark.operators.incdedup import IncrementalMinHashStore
+    from chatdata_spark.streaming.incremental import stream_near_dup_pairs
+
+    root = tempfile.mkdtemp(prefix="chatdata_sndq_")
+    ind, outd, ckpt = f"{root}/in", f"{root}/pairs", f"{root}/ck"
+    os.makedirs(ind)
+    store = IncrementalMinHashStore(spark, f"{root}/sigs")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    schema = "doc_id bigint, text string"
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(ind)
+    stream_near_dup_pairs(spark, ind, store, outd, ckpt, schema)
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(ind)
+    stream_near_dup_pairs(spark, ind, store, outd, ckpt, schema)
+    return spark.read.parquet(outd).select("i", "j", "jaccard").orderBy("i", "j")
+
+
 _V_HI = int(0.1 * (1 << 32))
 _T_HI = _V_HI + int(0.1 * (1 << 32))
 

@@ -128,6 +128,43 @@ def streaming_incremental_embed(spark, sf_dir):
 
 
 @query(
+    "streaming_distinct_events",
+    oracle="""
+    SELECT event_id, user_id, value FROM events
+    WHERE user_id < 30 ORDER BY event_id
+    """,
+)
+def streaming_distinct_events(spark, sf_dir):
+    """§2.10 custom stateful operator, ORACLE-checked: cross-batch stream
+    deduplication (applyInPandasWithState seen-flag state,
+    streaming/stateful.py:stream_distinct). The same event file is
+    streamed TWICE (second wave is a byte-identical replay file); keyed on
+    the unique event_id, first-arrival-wins is deterministic and the
+    drained output must equal the plain distinct row set — the second
+    wave is swallowed entirely by checkpointed state, which is what the
+    oracle's exact row-set equality proves."""
+    import os
+
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.streaming.stateful import stream_distinct
+
+    root = tempfile.mkdtemp(prefix="chatdata_sdist_q_")
+    ind, outd, ckpt = f"{root}/in", f"{root}/out", f"{root}/ck"
+    os.makedirs(ind)
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id") < 30)
+        .select("event_id", "user_id", "value")
+    )
+    schema = "event_id long, user_id long, value double"
+    ev.coalesce(1).write.mode("append").parquet(ind)
+    stream_distinct(spark, ind, outd, ckpt, "event_id", schema)
+    ev.coalesce(1).write.mode("append").parquet(ind)  # replay wave
+    stream_distinct(spark, ind, outd, ckpt, "event_id", schema)
+    return spark.read.parquet(outd).orderBy("event_id")
+
+
+@query(
     "rollup_incremental_refresh",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket, event_type,

@@ -268,6 +268,34 @@ def bench_sessionize_hotkey(spark, sf_dir):
     )
 
 
+def bench_knn_topk_x10(spark, sf_dir):
+    """Exact cosine top-10 over 10x-replicated embeddings (~200k rows at
+    sf0.1): the scan+heap plan must scale linearly in rows — compare with
+    `knn_topk` (1x). Catches any plan that only looks flat because the 1x
+    table is small."""
+    from chatdata_spark.operators.knn import knn
+    from chatdata_spark.queries.vector import Q1
+
+    emb10 = _replicate(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), ["vec_id"]
+    )
+    return knn(emb10, "embedding", Q1, k=10, select=["vec_id", "label"], id_col="vec_id")
+
+
+def bench_binary_quant_x10(spark, sf_dir):
+    """Binary-Hamming ranking over the same 10x corpus: the all-integer
+    popcount-xor codegen path at 10x rows — compare with
+    `binary_quant_knn` (1x)."""
+    from chatdata_spark.operators.binquant import binary_knn
+    from chatdata_spark.queries.vector import DIM, Q1
+
+    emb10 = _replicate(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), ["vec_id"]
+    )
+    return binary_knn(emb10, "embedding", Q1, dim=DIM, k=12, id_col="vec_id",
+                      select=["vec_id", "label"])
+
+
 def bench_asof_hotkey_sliced(spark, sf_dir):
     """As-of join under adversarial skew (half of all events remapped to
     ONE user), using slice_width='auto' — the hot user's history spreads
@@ -380,6 +408,8 @@ EXTRA = {
     "ann_ivf_pruned": bench_ann_ivf_pruned,
     "knn_join_pruned": bench_knn_join_pruned,
     "ann_pq_adc": bench_ann_pq_adc,
+    "knn_topk_x10": bench_knn_topk_x10,
+    "binary_quant_x10": bench_binary_quant_x10,
     "asof_join_hotkey_sliced": bench_asof_hotkey_sliced,
     "range_join_hotkey": bench_range_join_hotkey,
     "dedup_incremental_batch_1x": _bench_dedup_incremental(1),

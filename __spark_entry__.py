@@ -25,9 +25,11 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: filtered exact kNN —
-    the reference's core retrieval template (SURVEY §2.6 V3)."""
-    return _registry.queries()["knn_filtered"](spark, SMOKE_SF_DIR)
+    """Flagship query on /root/testdata/sf0.001: the end-to-end retrieval
+    funnel — routed ANN screen + BM25, RRF fusion, cross-encoder-seam
+    rerank, MMR diversification (the reference's whole user journey,
+    SURVEY §3.1/3.2, as one composed plan; queries/textsearch.py)."""
+    return _registry.queries()["retrieval_funnel_docs"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

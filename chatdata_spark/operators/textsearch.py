@@ -276,6 +276,7 @@ def stuff_context(
     max_tokens: int,
     sep: str = "\n\n",
     token_count=None,
+    doc_template: str = "{text}",
 ) -> DataFrame:
     """Stuff a retrieval page into ONE prompt context under a token budget
     — the engine-side twin of the reference's stuff chain
@@ -291,7 +292,12 @@ def stuff_context(
     :func:`with_rank`. ``token_count`` defaults to the scan-stage
     whitespace-token count (mirrorable in SQL); pass the env-gated BPE UDF
     (functions/text.py:token_count_udf) to budget in true LLM tokens.
-    Returns one row: (context, n_docs, n_tokens)."""
+    ``doc_template`` formats each doc with its page-order reference id —
+    ``"Doc #{ref}: {text}"`` reproduces the reference's per-doc
+    document_prompt + injected ref_id (stuff_documents.py:29-33), which
+    the answer stage's 'Doc #n' back-references resolve against; the
+    budget counts RAW text tokens (the truncation chain trims before
+    formatting). Returns one row: (context, n_docs, n_tokens)."""
     flat = F.regexp_replace(F.col(text_col), "\n", " ")
     toks = token_count(flat) if token_count is not None else F.size(
         F.regexp_extract_all(flat, F.lit(r"\S+"), 0)
@@ -305,9 +311,29 @@ def stuff_context(
     )
     kept = staged.filter(F.col("__cum") <= max_tokens)
     ordered = F.array_sort(F.collect_list(F.struct("__ref", "__txt")))
+
+    def _render(s):
+        parts = []
+        rest = doc_template
+        while rest:
+            i = min(
+                (rest.index(p) for p in ("{ref}", "{text}") if p in rest),
+                default=len(rest),
+            )
+            if i:
+                parts.append(F.lit(rest[:i]))
+            rest = rest[i:]
+            if rest.startswith("{ref}"):
+                parts.append(s["__ref"].cast("string"))
+                rest = rest[len("{ref}"):]
+            elif rest.startswith("{text}"):
+                parts.append(s["__txt"])
+                rest = rest[len("{text}"):]
+        return F.concat(*parts) if len(parts) > 1 else parts[0]
+
     return kept.agg(
         F.array_join(
-            F.transform(ordered, lambda s: s["__txt"]), sep
+            F.transform(ordered, _render), sep
         ).alias("context"),
         F.count(F.lit(1)).alias("n_docs"),
         F.coalesce(F.sum("__tok"), F.lit(0).cast("long")).alias("n_tokens"),

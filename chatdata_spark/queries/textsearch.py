@@ -359,7 +359,8 @@ def phrase_proximity_docs(spark, sf_dir):
                ) AS c
         FROM page
     )
-    SELECT COALESCE(string_agg(txt, e'\n\n' ORDER BY rn), '') AS context,
+    SELECT COALESCE(string_agg('Doc #' || CAST(rn - 1 AS VARCHAR) || ': ' || txt,
+                               e'\n\n' ORDER BY rn), '') AS context,
            COUNT(*) AS n_docs,
            CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n_tokens
     FROM cum WHERE c <= 300
@@ -383,6 +384,7 @@ def stuff_context_docs(spark, sf_dir):
         page, "text",
         [F.desc("rerank_score"), F.asc("doc_id")],
         max_tokens=300,
+        doc_template="Doc #{ref}: {text}",
     )
 
 

@@ -135,3 +135,18 @@ def test_rerank_topk_injected_scorer_overrides_stub(spark):
 
     got = [r.doc_id for r in rerank_topk(df, "doc_id", "text", "ignored", k=3, scorer=inverse_len).collect()]
     assert got == [2, 3, 1]
+
+
+def test_stuff_context_doc_template_ref_ids(spark):
+    """doc_template reproduces the reference's per-doc prompt with the
+    injected ref_id in page order (stuff_documents.py:29-33)."""
+    from chatdata_spark.operators.textsearch import stuff_context
+
+    rows = [(1, 0.9, "aa bb"), (2, 0.8, "cc")]
+    df = spark.createDataFrame(rows, "doc_id long, score double, text string")
+    out = stuff_context(
+        df, "text", [F.desc("score"), F.asc("doc_id")], max_tokens=10,
+        doc_template="Doc #{ref}: {text}",
+    ).collect()[0]
+    assert out.context == "Doc #0: aa bb\n\nDoc #1: cc"
+    assert out.n_tokens == 3  # budget counts raw text tokens, not template

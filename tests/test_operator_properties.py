@@ -1,0 +1,138 @@
+"""Property-based invariants for the timeseries and mutation operator
+families (SURVEY §5.3 model): randomized inputs compared against
+straight-line Python reference implementations — the complement of the
+fixed-fixture oracle comparisons in tests/test_correctness.py."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+T0 = datetime(2024, 1, 1)
+
+_events = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 5000)),  # (user, minute offset)
+    min_size=1,
+    max_size=40,
+)
+
+
+def _py_sessionize(rows, gap_min):
+    """Reference gap sessionization: per user, sorted event times split
+    wherever the gap exceeds ``gap_min`` minutes."""
+    out = {}
+    by_user = {}
+    for u, m in rows:
+        by_user.setdefault(u, []).append(m)
+    for u, ms in by_user.items():
+        ms = sorted(ms)
+        sessions = [[ms[0]]]
+        for m in ms[1:]:
+            if m - sessions[-1][-1] <= gap_min:
+                sessions[-1].append(m)
+            else:
+                sessions.append([m])
+        out[u] = [(s[0], s[-1], len(s)) for s in sessions]
+    return {
+        (u, T0 + timedelta(minutes=s), T0 + timedelta(minutes=e), n)
+        for u, ss in out.items()
+        for s, e, n in ss
+    }
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_events)
+def test_sessionize_matches_python_reference(spark, rows):
+    from chatdata_spark.operators.timeseries import sessionize
+
+    df = spark.createDataFrame(
+        [(u, T0 + timedelta(minutes=m), i) for i, (u, m) in enumerate(rows)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    want = _py_sessionize(rows, 30)
+    for slice_width in (None, 3600.0):  # plain AND hot-key-sliced paths
+        s = sessionize(df, "user_id", "ts", gap_minutes=30.0,
+                       order_tiebreak="event_id", slice_width=slice_width)
+        got = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in s.groupBy("user_id", "session_idx").agg(
+                F.min("ts").alias("session_start"),
+                F.max("ts").alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+            ).collect()
+        }
+        assert got == want, f"slice_width={slice_width}"
+
+
+_intervals = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 500), st.integers(0, 100)),
+    min_size=1, max_size=25,
+)  # left: (key, lo, width)
+_points = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 700)), min_size=0, max_size=25
+)  # right: (key, val)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lefts=_intervals, rights=_points)
+def test_range_join_matches_nested_loop(spark, lefts, rights):
+    """Bucketized interval join ≡ brute-force nested loop: every
+    qualifying (interval, point) pair exactly once, bucket width chosen
+    smaller than typical interval width so intervals span buckets."""
+    from chatdata_spark.operators.timeseries import range_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, float(lo), float(lo + w)) for i, (k, lo, w) in enumerate(lefts)],
+        "left_id long, k long, lo double, hi double",
+    )
+    rdf = spark.createDataFrame(
+        [(k, float(v), float(v)) for k, v in rights], "k long, val double, payload double"
+    )
+    got = sorted(
+        (r.left_id, r.val)
+        for r in range_join(
+            ldf, rdf, lo_col="lo", hi_col="hi", right_val_col="val",
+            equi_keys=["k"], bucket_width=37.0,
+        ).collect()
+    )
+    want = sorted(
+        (i, float(v))
+        for i, (k, lo, w) in enumerate(lefts)
+        for k2, v in rights
+        if k2 == k and lo <= v <= lo + w
+    )
+    assert got == want
+
+
+_versions = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 100), st.integers(0, 999)),
+    min_size=1, max_size=30,
+)  # (key, version, payload)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_versions)
+def test_keep_latest_matches_python_reference(spark, rows):
+    """ReplacingMergeTree keep-latest: max version per key wins; ties on
+    version resolve identically to the operator's documented tie-break
+    (restrict generated versions to be unique per key to pin semantics,
+    then verify EXACT winner, not just any max)."""
+    from chatdata_spark.operators.upsert import keep_latest
+
+    seen = set()
+    uniq = []
+    for k, v, p in rows:
+        if (k, v) not in seen:
+            seen.add((k, v))
+            uniq.append((k, v, p))
+    df = spark.createDataFrame(uniq, "k long, ver long, payload long")
+    got = {(r.k, r.ver, r.payload) for r in keep_latest(df, ["k"], "ver").collect()}
+    best = {}
+    for k, v, p in uniq:
+        if k not in best or v > best[k][0]:
+            best[k] = (v, p)
+    want = {(k, v, p) for k, (v, p) in best.items()}
+    assert got == want

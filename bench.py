@@ -268,6 +268,57 @@ def bench_sessionize_hotkey(spark, sf_dir):
     )
 
 
+def _fact_join_inputs(spark, sf_dir):
+    import pyspark.sql.functions as F  # noqa: F401
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "orderkey"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumnRenamed(
+        "o_orderkey", "orderkey"
+    )
+    return li.select("orderkey", "l_extendedprice"), o.select("orderkey", "o_orderpriority")
+
+
+def bench_fact_join_shuffle(spark, sf_dir):
+    """Fact-to-fact lineitem⋈orders as a sort-merge join over plain
+    parquet (merge hint models the at-scale case where neither side
+    broadcasts): BOTH sides shuffle on the key, every query, forever."""
+    import pyspark.sql.functions as F
+
+    li, o = _fact_join_inputs(spark, sf_dir)
+    return (
+        li.hint("merge").join(o.hint("merge"), "orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+
+
+def bench_fact_join_bucketed(spark, sf_dir):
+    """The same join over tables bucketed on the key at write time
+    (operators/bucketing.py — the one-time shuffle, paid at ingest):
+    the per-query plan has ZERO exchanges on the join
+    (tests/test_bucketing.py pins it). The delta vs
+    `fact_join_shuffle` is the recurring cost bucketing amortizes away —
+    at 100 TB the single most expensive stage of a repeated fact join."""
+    import pyspark.sql.functions as F
+
+    from chatdata_spark.operators.bucketing import bucketed_join, write_bucketed
+
+    safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    lt, ot = f"bench_bkt_li_{safe}", f"bench_bkt_o_{safe}"
+    li, o = _fact_join_inputs(spark, sf_dir)
+    if not spark.catalog.tableExists(lt):
+        write_bucketed(li, lt, ["orderkey"], 32)  # one-time, outside timing
+    if not spark.catalog.tableExists(ot):
+        write_bucketed(o, ot, ["orderkey"], 32)
+    return (
+        spark.table(lt).hint("merge").join(spark.table(ot).hint("merge"), "orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+
+
 def bench_knn_topk_x10(spark, sf_dir):
     """Exact cosine top-10 over 10x-replicated embeddings (~200k rows at
     sf0.1): the scan+heap plan must scale linearly in rows — compare with
@@ -408,6 +459,8 @@ EXTRA = {
     "ann_ivf_pruned": bench_ann_ivf_pruned,
     "knn_join_pruned": bench_knn_join_pruned,
     "ann_pq_adc": bench_ann_pq_adc,
+    "fact_join_shuffle": bench_fact_join_shuffle,
+    "fact_join_bucketed": bench_fact_join_bucketed,
     "knn_topk_x10": bench_knn_topk_x10,
     "binary_quant_x10": bench_binary_quant_x10,
     "asof_join_hotkey_sliced": bench_asof_hotkey_sliced,

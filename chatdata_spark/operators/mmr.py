@@ -71,7 +71,20 @@ def mmr_select(
 ) -> DataFrame:
     """Diversified top-k: exact-cosine screen to ``fetch_n`` candidates
     (distributed heap), then driver-side greedy MMR. Returns
-    (id, mmr_rank, mmr_score) in selection order."""
+    (id, mmr_rank, mmr_score) in selection order.
+
+    ``fetch_n`` is a RESULTS-PAGE constant by contract — the greedy is
+    O(fetch_n²·dim) on the driver, which is microseconds at 10² and a
+    problem at 10⁴. The guard makes the contract explicit instead of
+    letting a config change silently move corpus-scale work onto the
+    driver; above it, move the greedy into a single-partition Arrow UDF
+    (same math, executor-side) before raising the cap."""
+    if fetch_n > 2048:
+        raise ValueError(
+            f"mmr_select fetch_n={fetch_n} exceeds the bounded-driver-greedy "
+            "contract (≤2048); diversify a results page, or port the greedy "
+            "to a single-partition Arrow UDF for larger candidate sets"
+        )
     cand = knn(df, vec_col, qvec, k=fetch_n, select=[id_col, vec_col], id_col=id_col)
     rows = cand.collect()
     ids = [r[id_col] for r in rows]

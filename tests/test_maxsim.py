@@ -61,3 +61,16 @@ def test_maxsim_single_shuffle_with_partial_agg(spark):
     assert plan.count("Exchange") == 1, plan
     pre_exchange = plan.split("Exchange")[-1]  # below the exchange = map side
     assert "partial_max" in pre_exchange or "partial" in pre_exchange, plan
+
+
+def test_mmr_fetch_n_contract_guard(spark):
+    """fetch_n is a results-page constant: the bounded-driver-greedy
+    contract refuses corpus-scale candidate sets explicitly."""
+    import pytest
+
+    from chatdata_spark.operators.mmr import mmr_select
+    from tests.conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    with pytest.raises(ValueError, match="fetch_n"):
+        mmr_select(emb, "embedding", [0.1] * 64, k=10, id_col="vec_id", fetch_n=5000)

@@ -34,29 +34,32 @@ def mmr_greedy(
     lam: float,
 ) -> list[tuple[int, float]]:
     """Deterministic greedy MMR over a candidate matrix: returns
-    [(id, round6 mmr score at selection)] in selection order. Pure driver
-    arithmetic — shared verbatim by the oracle builder."""
-    v = np.asarray(vecs, dtype=np.float64)
+    [(id, round6 mmr score at selection)] in selection order — shared
+    verbatim by the oracle builders, so both compare sides run the SAME
+    float path. Incremental-penalty formulation: maintain each
+    candidate's max-similarity-to-selected and fold in one GEMV per pick
+    — O(k·n·d), no O(n²) cross matrix, which is what lets
+    :func:`mmr_select_distributed` run the identical arithmetic over
+    10⁴-10⁵ candidates executor-side. Ties break on id ascending
+    (candidates are id-sorted; argmax returns the first maximum)."""
+    n = len(ids)
+    order = np.argsort(np.asarray(ids), kind="stable")  # tie-break: id asc
+    v = np.asarray(vecs, dtype=np.float64)[order]
     v = v / np.linalg.norm(v, axis=1, keepdims=True)
     q = np.asarray(qvec, dtype=np.float64)
     q = q / np.linalg.norm(q)
+    sorted_ids = [ids[int(i)] for i in order]
     rel = v @ q  # cosine similarity to the query
-    cross = v @ v.T
-    order = np.argsort(ids, kind="stable")  # tie-break domain: id ascending
-    picked: list[int] = []
+    penalty = np.zeros(n, dtype=np.float64)
+    active = np.ones(n, dtype=bool)
     out: list[tuple[int, float]] = []
-    remaining = set(range(len(ids)))
-    for _ in range(min(k, len(ids))):
-        best, best_score = None, None
-        for i in sorted(remaining, key=lambda i: ids[i]):  # id-ordered ties
-            penalty = max((cross[i][j] for j in picked), default=0.0)
-            score = lam * rel[i] - (1.0 - lam) * penalty
-            if best_score is None or score > best_score:
-                best, best_score = i, score
-        picked.append(best)
-        remaining.remove(best)
-        out.append((int(ids[best]), float(round(best_score, 6))))
-    del order
+    for _ in range(min(k, n)):
+        score = lam * rel - (1.0 - lam) * penalty
+        score[~active] = -np.inf
+        best = int(np.argmax(score))
+        out.append((int(sorted_ids[best]), float(round(score[best], 6))))
+        active[best] = False
+        penalty = np.maximum(penalty, v @ v[best])
     return out
 
 
@@ -94,4 +97,73 @@ def mmr_select(
     return spark.createDataFrame(
         [(i, rank, score) for rank, (i, score) in enumerate(chosen)],
         f"{id_col} long, mmr_rank int, mmr_score double",
+    )
+
+
+def mmr_select_distributed(
+    df: DataFrame,
+    vec_col: str,
+    qvec: Sequence[float],
+    k: int,
+    id_col: str,
+    fetch_n: int = 10_000,
+    lam: float = 0.5,
+) -> DataFrame:
+    """The MMR scale path: same exact-cosine screen, but the greedy runs
+    EXECUTOR-side in one mapInPandas task over the coalesced candidate
+    page — nothing corpus- or page-sized touches the driver, so fetch_n
+    can be 10⁴-10⁵ (bounded by one task's memory: fetch_n × dim floats;
+    the greedy is O(k·fetch_n·dim) with the incremental penalty).
+    Bit-identical to :func:`mmr_select` for the same inputs (asserted in
+    tests): the closure runs the SAME arithmetic as mmr_greedy — inlined,
+    not imported, per the worker-pickling rule (cloudpickle serializes a
+    module-function reference by NAME, which breaks when the driver's
+    replay runs off the repo cwd; see project notes)."""
+    import pandas as pd
+
+    q_list = [float(x) for x in qvec]
+    kk, ll, idc, vc = int(k), float(lam), id_col, vec_col
+
+    def greedy(batches):
+        import numpy as np
+        import pandas as pd
+
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            yield pd.DataFrame({idc: pd.Series([], dtype="int64"),
+                                "mmr_rank": pd.Series([], dtype="int32"),
+                                "mmr_score": pd.Series([], dtype="float64")})
+            return
+        pdf = pd.concat(pdfs, ignore_index=True)
+        ids = pdf[idc].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        v = np.array(pdf[vc].tolist(), dtype=np.float64)[order]
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        q = np.asarray(q_list, dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        sorted_ids = ids[order]
+        rel = v @ q
+        n = len(ids)
+        penalty = np.zeros(n, dtype=np.float64)
+        active = np.ones(n, dtype=bool)
+        out_ids, out_scores = [], []
+        for _ in range(min(kk, n)):
+            score = ll * rel - (1.0 - ll) * penalty
+            score[~active] = -np.inf
+            best = int(np.argmax(score))
+            out_ids.append(int(sorted_ids[best]))
+            out_scores.append(float(round(score[best], 6)))
+            active[best] = False
+            penalty = np.maximum(penalty, v @ v[best])
+        yield pd.DataFrame({
+            idc: pd.Series(out_ids, dtype="int64"),
+            "mmr_rank": pd.Series(range(len(out_ids)), dtype="int32"),
+            "mmr_score": pd.Series(out_scores, dtype="float64"),
+        })
+
+    cand = knn(df, vec_col, qvec, k=fetch_n, select=[id_col, vec_col], id_col=id_col)
+    return (
+        cand.select(id_col, vec_col)
+        .coalesce(1)
+        .mapInPandas(greedy, f"{id_col} long, mmr_rank int, mmr_score double")
     )

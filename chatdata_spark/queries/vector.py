@@ -663,6 +663,23 @@ def mmr_diversified_knn(spark, sf_dir):
     return mmr_select(emb, "embedding", Q1, k=10, id_col="vec_id", fetch_n=100, lam=0.5)
 
 
+@query("mmr_diversified_knn_distributed", oracle=_mmr_expected)
+def mmr_diversified_knn_distributed(spark, sf_dir):
+    """The MMR scale path through the driver compare: same screen and
+    selection as mmr_diversified_knn but the greedy runs EXECUTOR-side in
+    one mapInPandas task (operators/mmr.py:mmr_select_distributed —
+    fetch_n can be 10⁴-10⁵ there; 100 here so the shared oracle applies).
+    Same oracle as the driver-greedy variant — the two paths are
+    bit-identical by construction and this row proves it through the
+    driver's own comparison."""
+    from chatdata_spark.operators.mmr import mmr_select_distributed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return mmr_select_distributed(
+        emb, "embedding", Q1, k=10, id_col="vec_id", fetch_n=100, lam=0.5
+    )
+
+
 @query(
     "hard_negative_mining",
     oracle="""

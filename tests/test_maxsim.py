@@ -74,3 +74,23 @@ def test_mmr_fetch_n_contract_guard(spark):
     emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
     with pytest.raises(ValueError, match="fetch_n"):
         mmr_select(emb, "embedding", [0.1] * 64, k=10, id_col="vec_id", fetch_n=5000)
+
+
+def test_mmr_distributed_matches_driver_greedy(spark):
+    """The executor-side MMR (mapInPandas inlined greedy) is bit-identical
+    to the bounded driver greedy on the same screen — the scale path
+    changes WHERE the arithmetic runs, not what it computes."""
+    from chatdata_spark.operators.mmr import mmr_select, mmr_select_distributed
+    from chatdata_spark.functions.vector import hash_embed
+    from tests.conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    q = hash_embed("mmr dist parity", 64)
+    a = [(r.vec_id, r.mmr_rank, r.mmr_score)
+         for r in mmr_select(emb, "embedding", q, k=10, id_col="vec_id", fetch_n=100).collect()]
+    b = [(r.vec_id, r.mmr_rank, r.mmr_score)
+         for r in mmr_select_distributed(emb, "embedding", q, k=10, id_col="vec_id", fetch_n=100).collect()]
+    assert a == b
+    # and the scale path accepts a fetch_n the driver contract refuses
+    big = mmr_select_distributed(emb, "embedding", q, k=5, id_col="vec_id", fetch_n=5000).collect()
+    assert len(big) == 5

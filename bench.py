@@ -182,6 +182,17 @@ def bench_jaccard_x10(spark, sf_dir):
     return jaccard_similarity_join(d10, "doc_id", "text", k=3, threshold=0.4)
 
 
+# NOTE: no dedup_simhash_x10 entry, deliberately. Measured once (r4): the
+# perturbed 10x corpus inflates simhash's TRUE hamming<=3 pair count 33x
+# (98k -> 3.3M — the synthetic docs are vocabulary-correlated, and simhash
+# similarity tracks vocabulary overlap, not shingle identity like
+# minhash/jaccard), and the run takes ~78 s — 7x the 1x time for 33x the
+# output, i.e. sub-linear per pair but output-bound. Keeping it out
+# preserves the suite as a fast feedback loop; the probe recipe lives here
+# if the operator changes. (The measurement also motivated moving the
+# hamming verify BEFORE the distinct in operators/dedup.py:simhash_pairs.)
+
+
 def bench_bm25_x10(spark, sf_dir):
     """BM25 top-20 over a verbatim 10× corpus (df and N scale together so
     idf is unchanged): the broadcast corpus-stats design must hold —

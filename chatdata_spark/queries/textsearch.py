@@ -336,6 +336,83 @@ def phrase_proximity_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _qa_context_expected() -> str:
+    """Lazy oracle for qa_context_assembly: the funnel through MMR is the
+    retrieval_funnel_docs oracle (SQL + shared-greedy VALUES); the stuff
+    stage is plain SQL over those rows — join back to documents in MMR
+    order, flatten newlines, keep the maximal prefix under the token
+    budget, join with the ref_id template."""
+    import duckdb
+
+    import numpy as np
+
+    from chatdata_spark.operators.mmr import mmr_greedy
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    rows = con.execute(
+        f"""
+        WITH {_funnel_ctes()}
+        SELECT rr.doc_id, CAST(e.embedding AS DOUBLE[]) AS v
+        FROM rr JOIN embeddings e ON rr.doc_id = e.vec_id
+        ORDER BY rr.doc_id
+        """
+    ).fetchall()
+    con.close()
+    ids = [r[0] for r in rows]
+    vecs = np.array([r[1] for r in rows], dtype=np.float64)
+    chosen = mmr_greedy(ids, vecs, hash_embed(FUNNEL_Q, DIM), k=10, lam=0.5)
+    values = ", ".join(
+        f"(CAST({i} AS BIGINT), CAST({rank} AS INTEGER))"
+        for rank, (i, _) in enumerate(chosen)
+    )
+    return rf"""
+    WITH mmr AS (SELECT * FROM (VALUES {values}) AS t(doc_id, mmr_rank)),
+    page AS (
+        SELECT m.mmr_rank, replace(d.text, chr(10), ' ') AS txt
+        FROM mmr m JOIN documents d ON m.doc_id = d.doc_id
+    ),
+    cum AS (
+        SELECT mmr_rank, txt, len(regexp_extract_all(txt, '\S+')) AS t,
+               SUM(len(regexp_extract_all(txt, '\S+'))) OVER (
+                   ORDER BY mmr_rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS c
+        FROM page
+    )
+    SELECT COALESCE(string_agg('Doc #' || CAST(mmr_rank AS VARCHAR) || ': ' || txt,
+                               e'\n\n' ORDER BY mmr_rank), '') AS context,
+           COUNT(*) AS n_docs,
+           CAST(COALESCE(SUM(t), 0) AS BIGINT) AS n_tokens
+    FROM cum WHERE c <= 300
+    """
+
+
+@query("qa_context_assembly", oracle=_qa_context_expected)
+def qa_context_assembly(spark, sf_dir):
+    """The COMPLETE §3 lifecycle as one composed query: the retrieval
+    funnel (routed ANN + BM25 → RRF → rerank → MMR,
+    retrieval_funnel_docs) feeding the QA chain's context assembly
+    (stuff_context — ref_id template, newline flatten, token-budget
+    prefix). What the reference's retriever hands its LLM call
+    (stuff_documents.py + build_chains.py max_tokens_limit), minus the
+    model: one row (context, n_docs, n_tokens). MMR page order becomes
+    the stuff ref order — 'Doc #n' in the context resolves to the n-th
+    diversified hit."""
+    from chatdata_spark.operators.textsearch import stuff_context
+
+    page = retrieval_funnel_docs(spark, sf_dir).select("doc_id", "mmr_rank")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    joined = d.join(F.broadcast(page), "doc_id")
+    return stuff_context(
+        joined, "text", [F.asc("mmr_rank")], max_tokens=300,
+        doc_template="Doc #{ref}: {text}",
+    )
+
+
 @query(
     "stuff_context_docs",
     oracle=r"""

@@ -319,10 +319,24 @@ def bench_fact_join_bucketed(spark, sf_dir):
     safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     lt, ot = f"bench_bkt_li_{safe}", f"bench_bkt_o_{safe}"
     li, o = _fact_join_inputs(spark, sf_dir)
-    if not spark.catalog.tableExists(lt):
-        write_bucketed(li, lt, ["orderkey"], 32)  # one-time, outside timing
-    if not spark.catalog.tableExists(ot):
-        write_bucketed(o, ot, ["orderkey"], 32)
+
+    def ensure(name, df):
+        # catalog metadata dies with the session but the warehouse dir
+        # survives — a fresh session must clear the stale location before
+        # re-creating the managed bucketed table (one-time, outside timing)
+        if spark.catalog.tableExists(name):
+            return
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = os.path.join(wh, name.lower())
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+        write_bucketed(df, name, ["orderkey"], 32)
+
+    ensure(lt, li)
+    ensure(ot, o)
     return (
         spark.table(lt).hint("merge").join(spark.table(ot).hint("merge"), "orderkey")
         .groupBy("o_orderpriority")

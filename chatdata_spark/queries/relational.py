@@ -1647,3 +1647,57 @@ def q2_min_cost_supplier(spark, sf_dir):
         )
         .orderBy("s_acctbal", "p_partkey", "s_name")
     )
+
+
+@query(
+    "bucketed_fact_join_revenue",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {DSUM.format(e='l_extendedprice')} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def bucketed_fact_join_revenue(spark, sf_dir):
+    """Bucketed co-located fact join through the driver path (the
+    MergeTree ORDER-BY clustering parity, operators/bucketing.py): both
+    fact tables written bucketBy(orderkey) ONCE into the session
+    warehouse, then joined with ZERO exchanges on the join itself — the
+    plan property tests/test_bucketing.py pins and
+    bench.py:fact_join_bucketed times (2-4x the shuffle twin at sf0.1).
+    Result must equal the plain parquet join, which is the oracle."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from chatdata_spark.operators.bucketing import write_bucketed
+
+    safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    lt, ot = f"q_bkt_li_{safe}", f"q_bkt_o_{safe}"
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("orderkey"), "l_extendedprice"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("orderkey"), "o_orderpriority"
+    )
+    for name, df in ((lt, li), (ot, o)):
+        if spark.catalog.tableExists(name):
+            continue
+        # catalog metadata dies with the session but the warehouse dir
+        # survives: clear a stale location before re-creating (bench.py
+        # fact_join_bucketed convention)
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = os.path.join(wh, name.lower())
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+        write_bucketed(df, name, ["orderkey"], 8)
+    return (
+        spark.table(lt).hint("merge").join(spark.table(ot).hint("merge"), "orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(27,6)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -29,9 +29,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from chatdata_spark.functions.vector import cosine_distance, l2_distance
+from chatdata_spark.functions.vector import cosine_distance, dot_product, l2_distance
 
-_METRICS = {"cosine": cosine_distance, "l2": l2_distance}
+_METRICS = {"cosine": cosine_distance, "l2": l2_distance, "ip": dot_product}
+# ranking direction per metric: distances rank ascending; inner product is
+# a SIMILARITY, so IP ranks descending — the reference's `dist_order` knob
+# (myscale_without_metadata.py:33-34; MyScale metric_type=IP)
+_DESCENDING = {"ip"}
 
 
 def knn(
@@ -55,7 +59,9 @@ def knn(
     if where is not None:
         out = out.filter(where)
     out = out.withColumn(dist_col, dist)
-    order = [F.col(dist_col).asc()]
+    order = [
+        F.col(dist_col).desc() if metric in _DESCENDING else F.col(dist_col).asc()
+    ]
     if id_col:
         order.append(F.col(id_col).asc())
     out = out.orderBy(*order).limit(k)

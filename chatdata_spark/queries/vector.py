@@ -91,6 +91,26 @@ def _ivf_index(spark, sf_dir, n_clusters=8):
 
 
 @query(
+    "knn_ip",
+    oracle=f"""
+    SELECT vec_id, label,
+           ROUND(list_inner_product(CAST(embedding AS DOUBLE[]), {_duck_vec(Q2)}), 6) AS dist
+    FROM embeddings
+    ORDER BY dist DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def knn_ip(spark, sf_dir):
+    """V1 variant: maximum-inner-product search (MyScale metric_type=IP) —
+    the ``dist_order DESC`` branch of the reference's retrieval template
+    (myscale_without_metadata.py:33-34): the inner product is a
+    SIMILARITY, so the top-k heap ranks descending. Same JVM fold, same
+    TakeOrderedAndProject plan, opposite sort direction."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn(emb, "embedding", Q2, k=10, metric="ip", select=["vec_id", "label"], id_col="vec_id")
+
+
+@query(
     "ann_ivf_full_probe",
     oracle=f"""
     SELECT vec_id, label, {_duck_cos('embedding', Q2)} AS dist

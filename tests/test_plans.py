@@ -125,3 +125,37 @@ def test_jaccard_counts_from_index_without_window_or_self_join(spark):
     assert "SortMergeJoin" not in p
     assert "Generate" in p  # posexplode pair expansion, not a join
     assert "array_intersect" in p  # stop-array exactness correction
+
+
+def test_retrieval_funnel_plan_shape(spark):
+    """The flagship funnel's physical contract: every stage ranks through
+    a top-k heap (4 of them: BM25, routed kNN, RRF page, rerank page), no
+    cartesian product, no row-at-a-time Python; the only nested-loop join
+    is the deliberate ONE-ROW corpus-stats broadcast."""
+    p = _plan(_QS["retrieval_funnel_docs"](spark, SF_ORACLE))
+    assert p.count("TakeOrderedAndProject") >= 4
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_bucketed_fact_join_no_exchange_on_join(spark):
+    """The registered bucketed join must read co-located buckets: the only
+    exchange in the plan is the final aggregation's, never the join's."""
+    df = _QS["bucketed_fact_join_revenue"](spark, SF_ORACLE)
+    p = _plan(df)
+    assert "SortMergeJoin" in p
+    assert "Bucketed: true" in p
+    import re
+
+    # every hashpartitioning exchange must be on the agg key, not orderkey
+    for m in re.finditer(r"Exchange hashpartitioning\(([a-z_#0-9]+)", p):
+        assert not m.group(1).startswith("orderkey"), f"join-side shuffle:\n{m.group(0)}"
+
+
+def test_stuff_context_single_shuffle_tail(spark):
+    """Context assembly runs on a pre-limited page: beyond the page
+    construction, the stuff stage itself adds only the ordering window +
+    final single-row aggregate — no join back out, no Python eval."""
+    p = _plan(_QS["stuff_context_docs"](spark, SF_ORACLE))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p

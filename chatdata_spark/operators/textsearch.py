@@ -223,6 +223,8 @@ def rerank_topk(
 # UDF-object memoization keyed on (model, query) — the CacheManager
 # plan-equality rule (project notes): identical rerank plans must reuse
 # one UDF object or persisted candidate tables re-compute per call.
+# FIFO-bounded like dedup._STOP_SETS: a long-lived session serving many
+# distinct queries would otherwise grow this without bound.
 _CE_UDFS: dict[tuple[str, str], object] = {}
 
 
@@ -265,7 +267,9 @@ def maybe_cross_encoder(query: str):
             model = models[key] = CrossEncoder(model_name)
         return pd.Series([float(s) for s in model.predict([(query, t or "") for t in texts])])
 
-    _CE_UDFS[(model_name, query)] = _score
+    from chatdata_spark.operators.dedup import _memo_put
+
+    _memo_put(_CE_UDFS, (model_name, query), _score)
     return _score
 
 

@@ -25,36 +25,66 @@ def stream_distinct(
     checkpoint_dir: str,
     key_col: str,
     schema: str,
+    ts_col: str | None = None,
+    ttl_minutes: float | None = None,
+    watermark: str = "1 seconds",
 ) -> None:
     """Exactly-once first-arrival stream over a file source: duplicates are
     dropped within AND across micro-batches (checkpointed state).
+
+    State-size story: one seen-flag per DISTINCT key — exact global dedup
+    necessarily remembers every key, so with an unbounded key domain the
+    state grows with the stream. For the 100 TB case pass ``ts_col`` +
+    ``ttl_minutes``: seen-flags expire via EventTimeTimeout once the
+    watermark passes ``first_arrival_ts + ttl`` — state becomes
+    O(keys-per-horizon), and a duplicate arriving AFTER its key's horizon
+    re-emits (dedup-within-horizon, the same contract as Spark's built-in
+    ``dropDuplicatesWithinWatermark``; daily-crawl pipelines pair this
+    with the batch signature store for the long tail).
 
     The stateful function is a CLOSURE on purpose: cloudpickle serializes
     closures by value, while a module-level function is pickled by
     reference and would require ``chatdata_spark`` on every Python
     worker's path (breaks when the caller runs from outside the repo)."""
+    ttl_ms = int(ttl_minutes * 60_000) if ttl_minutes is not None else None
+    use_ttl = ttl_ms is not None and ts_col is not None
 
     def first_arrival(key, batches: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # horizon passed with no need to keep the flag — forget the key
+            state.remove()
+            return
         if state.exists:
             # key already emitted in a previous batch/run — swallow everything
             for _ in batches:
                 pass
             return
         first = None
+        first_ts_ms = None
         for pdf in batches:
             if len(pdf) and first is None:
                 first = pdf.iloc[[0]]
+                if use_ttl:
+                    first_ts_ms = int(
+                        pd.Timestamp(first.iloc[0][ts_col]).value // 1_000_000
+                    )
         if first is not None:
             state.update((True,))
+            if use_ttl:
+                state.setTimeoutTimestamp(first_ts_ms + ttl_ms)
             yield first
 
     stream = spark.readStream.schema(schema).parquet(input_dir)
+    if use_ttl:
+        stream = stream.withWatermark(ts_col, watermark)
     deduped = stream.groupBy(key_col).applyInPandasWithState(
         first_arrival,
         outputStructType=schema,
         stateStructType="seen boolean",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout if use_ttl else GroupStateTimeout.NoTimeout
+        ),
     )
     (
         deduped.writeStream.format("parquet")

@@ -259,3 +259,35 @@ def test_stream_near_dup_pairs_matches_batch(spark, tmp_path):
     again = sorted((r.i, r.j, r.jaccard) for r in spark.read.parquet(outd).collect())
     assert again == want
     assert store.batches() == [0, 1]
+
+
+def test_stream_distinct_ttl_bounds_state_and_reopens_horizon(spark, tmp_path):
+    """Dedup-within-horizon: within the TTL a duplicate is swallowed;
+    after the watermark passes first_arrival + TTL the seen-flag expires,
+    so a later duplicate re-emits (the bounded-state contract — exact
+    global dedup would otherwise hold one flag per key forever)."""
+    from datetime import datetime
+
+    from chatdata_spark.streaming.stateful import stream_distinct
+
+    ind, outd, ckpt = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    os.makedirs(ind)
+    schema = "k long, ts timestamp"
+
+    def t(minute):
+        return datetime(2024, 1, 1, minute // 60, minute % 60)
+
+    # k=1 arrives at t0, duplicates at t10 (inside 30-min TTL) and t120
+    # (after expiry); k=9 events only advance the watermark
+    waves = [
+        [(1, t(0)), (9, t(1))],
+        [(1, t(10)), (9, t(50))],      # dup inside horizon + watermark push
+        [(9, t(100))],                 # watermark passes t0+30 → flag expires
+        [(1, t(120)), (9, t(130))],    # dup AFTER horizon → re-emits
+    ]
+    for rows in waves:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(ind)
+        stream_distinct(spark, ind, outd, ckpt, "k", schema, ts_col="ts", ttl_minutes=30.0)
+
+    got = sorted((r.k, r.ts) for r in spark.read.parquet(outd).collect() if r.k == 1)
+    assert got == [(1, t(0)), (1, t(120))]

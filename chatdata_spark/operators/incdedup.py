@@ -10,6 +10,11 @@ Signature store layout (append-only, no rewrite of prior data):
     <path>/sigs/batch=K/*.parquet   (id, shh, sz, band_keys) per batch
     <path>/_BATCHES                 committed batch list (atomic swap)
 
+Single-writer contract (same as every store in this repo): one ingest
+pipeline owns a store path — ``_BATCHES`` is an atomic swap, not a lock,
+so two concurrent writers could both stage the same batch id. Readers
+are always safe (they only list committed batches).
+
 Each batch pays Arrow minhash work for ITS rows only; prior batches
 contribute their STORED band keys (JVM explode of an array column — no
 re-hash, no Arrow) to the candidate join and their stored shingle arrays

@@ -116,6 +116,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_incremental_embed", "streaming_sessionize",
 )
 
+# Rotation plan for round 5 (41 names will still be never-driver-checked
+# after r4 — all pytest-oracled every round). Highest-value first-timers:
+# the r4 additions qa_context_assembly / stuff_context_docs /
+# leakage_safe_split_docs / streaming_near_dup_docs / knn_ip /
+# bucketed_fact_join_revenue / mmr_diversified_knn_distributed /
+# streaming_distinct_events; the upgraded store_session_lifecycle and
+# dimred_rp_knn; the remaining TPC-H middle (q4/q10/q11/q12/q14/q15/q16/
+# q18); analytics (moving_avg, histogram, pivot/unpivot, percentile_stats,
+# cohort_retention, sliding_window); dialect_parity_extended +
+# dialect_conditional_aggs; embed_documents_batch, ann_ivf_pruned,
+# vector_brute_force_scores, asof_join_purchase_click_sliced,
+# streaming_join_click_purchase. Swap out slots that will then be
+# twice-green (the 21 r3 names above plus any r4 first-timer the judge
+# wants re-verified).
+
 
 def _ordered() -> dict[str, QueryDef]:
     _load_all()

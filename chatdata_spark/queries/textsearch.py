@@ -401,7 +401,11 @@ def qa_context_assembly(spark, sf_dir):
     (stuff_documents.py + build_chains.py max_tokens_limit), minus the
     model: one row (context, n_docs, n_tokens). MMR page order becomes
     the stuff ref order — 'Doc #n' in the context resolves to the n-th
-    diversified hit."""
+    diversified hit. Scale note: the page-text fetch here is one
+    broadcast-join scan of documents (honest at bench scale); a 100 TB
+    deployment keys the corpus with the sorted layout
+    (operators/layout.py) so the 10-id fetch prunes to O(files-in-range)
+    instead of scanning."""
     from chatdata_spark.operators.textsearch import stuff_context
 
     page = retrieval_funnel_docs(spark, sf_dir).select("doc_id", "mmr_rank")

@@ -214,8 +214,9 @@ def bench_embedding_dedup_x10(spark, sf_dir):
     d10 = parts[0]
     for p in parts[1:]:
         d10 = d10.unionByName(p)
-    safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    root = f"/tmp/chatdata_spark_ivf_x10/{safe}_k80"
+    from chatdata_spark.catalog import shared_cache_path
+
+    root = shared_cache_path("ivf_x10", sf_dir, "k80")
     import os
 
     if not os.path.exists(os.path.join(root, "ivf_meta.json")):  # one-time build
@@ -290,9 +291,10 @@ def bench_ann_pq_adc(spark, sf_dir):
     from chatdata_spark.queries.vector import Q1
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    safe = sf_dir.strip("/").replace("/", "_")
+    from chatdata_spark.catalog import shared_cache_path
+
     idx = build_or_load_pq(
-        spark, e, f"/tmp/chatdata_spark_pq/{safe}_m8", "vec_id", "embedding", m=8
+        spark, e, shared_cache_path("pq", sf_dir, "m8"), "vec_id", "embedding", m=8
     )
     return idx.search(e, Q1, k=10, refine=4, select=["vec_id", "label"])
 
@@ -484,8 +486,11 @@ def _inc_store(spark, sf_dir, reps: int):
     the probe batch IDENTICALLY and the only variable is corpus size."""
     from chatdata_spark.operators.incdedup import IncrementalMinHashStore
 
-    safe = sf_dir.strip("/").replace("/", "_")
-    store = IncrementalMinHashStore(spark, f"/tmp/chatdata_spark_incstore/{safe}_{reps}x")
+    from chatdata_spark.catalog import shared_cache_path
+
+    store = IncrementalMinHashStore(
+        spark, shared_cache_path("incstore", sf_dir, f"{reps}x", source="documents.parquet")
+    )
     if not store.batches():
         import pyspark.sql.functions as F
 

@@ -207,3 +207,22 @@ CHAT_MEMORY = TableConfig(
     version_col="id",
     partition_cols=("session_id",),
 )
+
+
+def shared_cache_path(
+    kind: str, sf_dir: str, suffix: str, source: str = "embeddings.parquet"
+) -> str:
+    """/tmp location for a one-time derived artifact (IVF/PQ layout,
+    signature store) shared across sessions and rounds. The path embeds a
+    fingerprint of the SOURCE parquet (size + mtime), so a regenerated
+    testdata file can never silently serve a stale layout — the /tmp
+    caches follow the same static-data contract as the in-process plan
+    memos (operators/dedup.py:_STOP_SETS), enforced by key instead of by
+    convention."""
+    import hashlib
+    import os
+
+    st = os.stat(os.path.join(sf_dir, source))
+    fp = hashlib.md5(f"{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:10]
+    safe = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    return f"/tmp/chatdata_spark_{kind}/{safe}_{suffix}_{fp}"

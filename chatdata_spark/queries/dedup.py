@@ -140,12 +140,12 @@ def dedup_embedding(spark, sf_dir):
     in the plan — and full probing makes it provably equal to the all-pairs
     oracle. The O(n²) ``embedding_near_dup`` remains the verification
     operator in tests/test_dedup.py; small-n_probe recall is tested there."""
+    from chatdata_spark.catalog import shared_cache_path
     from chatdata_spark.operators.ivf import build_or_load_ivf
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    safe = sf_dir.strip("/").replace("/", "_")
     idx = build_or_load_ivf(
-        spark, e, f"/tmp/chatdata_spark_ivf/{safe}_k8", "vec_id", "embedding", n_clusters=8
+        spark, e, shared_cache_path("ivf", sf_dir, "k8"), "vec_id", "embedding", n_clusters=8
     )
     return embedding_near_dup_clustered(
         idx, threshold=0.4, n_probe=idx.n_clusters

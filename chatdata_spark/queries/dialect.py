@@ -287,8 +287,9 @@ def routed_index_knn(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     emb.createOrReplaceTempView("embeddings")
-    safe = sf_dir.strip("/").replace("/", "_")
-    idx = build_or_load_ivf(spark, emb, f"/tmp/chatdata_spark_ivf/{safe}_k8", "vec_id", "embedding", 8)
+    from chatdata_spark.catalog import shared_cache_path
+
+    idx = build_or_load_ivf(spark, emb, shared_cache_path("ivf", sf_dir, "k8"), "vec_id", "embedding", 8)
     router = VectorQueryRouter(DIALECT, {"embeddings": idx})
     return router.execute(
         spark,

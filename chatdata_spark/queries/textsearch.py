@@ -252,9 +252,10 @@ def retrieval_funnel_docs(spark, sf_dir):
 
     # 1. routed ANN screen (same shared index the dialect queries build)
     emb.createOrReplaceTempView("embeddings")
-    safe = sf_dir.strip("/").replace("/", "_")
+    from chatdata_spark.catalog import shared_cache_path
+
     idx = build_or_load_ivf(
-        spark, emb, f"/tmp/chatdata_spark_ivf/{safe}_k8", "vec_id", "embedding", 8
+        spark, emb, shared_cache_path("ivf", sf_dir, "k8"), "vec_id", "embedding", 8
     )
     router = VectorQueryRouter(DIALECT, {"embeddings": idx})
     kn = router.execute(

@@ -84,8 +84,9 @@ def knn_l2(spark, sf_dir):
 def _ivf_index(spark, sf_dir, n_clusters=8):
     from chatdata_spark.operators.ivf import build_or_load_ivf
 
-    safe = sf_dir.strip("/").replace("/", "_")
-    path = f"/tmp/chatdata_spark_ivf/{safe}_k{n_clusters}"
+    from chatdata_spark.catalog import shared_cache_path
+
+    path = shared_cache_path("ivf", sf_dir, f"k{n_clusters}")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return build_or_load_ivf(spark, emb, path, "vec_id", "embedding", n_clusters=n_clusters)
 
@@ -431,9 +432,10 @@ def ann_pq_adc(spark, sf_dir):
     from chatdata_spark.operators.pq import build_or_load_pq
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    safe = sf_dir.strip("/").replace("/", "_")
+    from chatdata_spark.catalog import shared_cache_path
+
     idx = build_or_load_pq(
-        spark, e, f"/tmp/chatdata_spark_pq/{safe}_m8", "vec_id", "embedding", m=8
+        spark, e, shared_cache_path("pq", sf_dir, "m8"), "vec_id", "embedding", m=8
     )
     res = idx.search(e, Q1, k=10, refine=4, select=["vec_id"])
     top45 = knn(e, "embedding", Q1, k=45, select=["vec_id"], id_col="vec_id").select("vec_id")

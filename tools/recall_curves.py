@@ -104,9 +104,10 @@ def sweep_pq(spark, sf_dir, qvecs) -> list[dict]:
     from chatdata_spark.operators.pq import build_or_load_pq
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    safe = sf_dir.strip("/").replace("/", "_")
+    from chatdata_spark.catalog import shared_cache_path
+
     idx = build_or_load_pq(
-        spark, emb, f"/tmp/chatdata_spark_pq/{safe}_m8", "vec_id", "embedding", m=8
+        spark, emb, shared_cache_path("pq", sf_dir, "m8"), "vec_id", "embedding", m=8
     )
     out = []
     for refine in (1, 2, 4, 8):

@@ -136,3 +136,37 @@ def test_keep_latest_matches_python_reference(spark, rows):
             best[k] = (v, p)
     want = {(k, v, p) for k, (v, p) in best.items()}
     assert got == want
+
+
+_docs = st.lists(
+    st.tuples(
+        st.integers(0, 99),
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=6),
+    ),
+    min_size=1, max_size=12, unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_docs, budget=st.integers(0, 30))
+def test_stuff_context_matches_python_prefix_fold(spark, docs, budget):
+    """Random pages and budgets vs a straight-line reference: the stuffed
+    context is exactly the maximal id-ordered prefix whose cumulative
+    whitespace-token count fits the budget, joined in order."""
+    from chatdata_spark.operators.textsearch import stuff_context
+
+    rows = [(i, " ".join(ws)) for i, ws in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = stuff_context(
+        df, "text", [F.asc("doc_id")], max_tokens=budget
+    ).collect()[0]
+
+    kept, total = [], 0
+    for i, ws in sorted(docs):
+        if total + len(ws) > budget:
+            break
+        kept.append(" ".join(ws))
+        total += len(ws)
+    assert out.n_docs == len(kept)
+    assert out.n_tokens == total
+    assert out.context == "\n\n".join(kept)

@@ -170,3 +170,34 @@ def test_stuff_context_matches_python_prefix_fold(spark, docs, budget):
     assert out.n_docs == len(kept)
     assert out.n_tokens == total
     assert out.context == "\n\n".join(kept)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 10_000), dup=st.booleans())
+def test_mmr_paths_agree_on_random_vectors(spark, seed, dup):
+    """Driver greedy ≡ executor-side greedy ≡ direct mmr_greedy on random
+    candidate sets — including adversarial DUPLICATE vectors, where every
+    score ties and only the id tie-break decides."""
+    import numpy as np
+
+    from chatdata_spark.operators.mmr import mmr_greedy, mmr_select, mmr_select_distributed
+
+    rng = np.random.default_rng(seed)
+    n = 17
+    vecs = rng.standard_normal((n, 8))
+    if dup:
+        vecs[5] = vecs[3]  # exact duplicates force score ties
+        vecs[11] = vecs[3]
+    ids = list(rng.permutation(1000)[:n])
+    q = list(rng.standard_normal(8))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vid long, v array<double>",
+    )
+    a = [(r.vid, r.mmr_rank, r.mmr_score)
+         for r in mmr_select(df, "v", q, k=6, id_col="vid", fetch_n=n).collect()]
+    b = [(r.vid, r.mmr_rank, r.mmr_score)
+         for r in mmr_select_distributed(df, "v", q, k=6, id_col="vid", fetch_n=n).collect()]
+    c = [(int(i), rank, s) for rank, (i, s) in
+         enumerate(mmr_greedy([int(i) for i in ids], vecs, q, k=6, lam=0.5))]
+    assert a == b == c

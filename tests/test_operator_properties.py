@@ -201,3 +201,36 @@ def test_mmr_paths_agree_on_random_vectors(spark, seed, dup):
     c = [(int(i), rank, s) for rank, (i, s) in
          enumerate(mmr_greedy([int(i) for i in ids], vecs, q, k=6, lam=0.5))]
     assert a == b == c
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 20)).filter(lambda t: t[0] != t[1]),
+    min_size=1, max_size=20,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=_edges)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label propagation ≡ union-find on random graphs —
+    including chains near the iteration bound (diameter ≤ edge count)."""
+    from chatdata_spark.operators.components import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(edges, "i long, j long")
+    got = {r.v: r.c for r in connected_components(df).collect()}
+    assert got == want

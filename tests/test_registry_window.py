@@ -82,3 +82,24 @@ def test_coverage_window_column_consistent():
         assert check == ("oracle" if _REGISTRY[name].oracle is not None else "rows-only"), (
             f"{name} check column stale"
         )
+
+
+def test_bench_suite_names_resolve():
+    """bench.py is driver-run per round: every HEADLINE name must resolve
+    in the registry and every EXTRA entry must be callable — a renamed
+    query must fail HERE, not in the driver's bench pass."""
+    import importlib.util
+    import os
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    sys.modules["bench_mod"] = bench
+    spec.loader.exec_module(bench)
+    qs = queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
+    assert all(callable(f) for f in bench.EXTRA.values())
+    assert not (set(bench.EXTRA) & set(bench.HEADLINE)), "duplicate bench keys"

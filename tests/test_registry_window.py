@@ -103,3 +103,25 @@ def test_bench_suite_names_resolve():
     assert not missing, f"HEADLINE names not in registry: {missing}"
     assert all(callable(f) for f in bench.EXTRA.values())
     assert not (set(bench.EXTRA) & set(bench.HEADLINE)), "duplicate bench keys"
+
+
+def test_lazy_oracles_resolve_once():
+    """Callable oracles (DuckDB+numpy replays) must resolve exactly once
+    per QueryDef — repeated oracle_sql() calls (tests, driver, replay
+    tools in one process) reuse the resolved string."""
+    from chatdata_spark.registry import QueryDef, _REGISTRY, oracle_sql
+
+    calls = {"n": 0}
+
+    def lazy():
+        calls["n"] += 1
+        return "SELECT 1 AS x"
+
+    _REGISTRY["__lazy_probe__"] = QueryDef(fn=lambda s, d: None, oracle=lazy)
+    try:
+        a = oracle_sql()["__lazy_probe__"]
+        b = oracle_sql()["__lazy_probe__"]
+        assert a == b == "SELECT 1 AS x"
+        assert calls["n"] == 1
+    finally:
+        _REGISTRY.pop("__lazy_probe__", None)

@@ -234,3 +234,23 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "i long, j long")
     got = {r.v: r.c for r in connected_components(df).collect()}
     assert got == want
+
+
+_items = st.lists(st.sampled_from(list("abcdefgh")), min_size=1, max_size=60)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(items=_items, min_count=st.integers(2, 10))
+def test_heavy_hitters_matches_counter(spark, items, min_count):
+    """Misra-Gries candidates + exact recount ≡ Counter, whenever the
+    exactness precondition (min_count > n/(k+1)) holds — with k=4096 and
+    n ≤ 60 it always does here, so the result must be exactly every item
+    at or above the threshold."""
+    from collections import Counter
+
+    from chatdata_spark.operators.heavyhitters import heavy_hitters
+
+    df = spark.createDataFrame([(x,) for x in items], "item string")
+    got = {(r.item, r.n) for r in heavy_hitters(df, "item", min_count=min_count).collect()}
+    want = {(x, c) for x, c in Counter(items).items() if c >= min_count}
+    assert got == want

@@ -58,6 +58,14 @@ def decontaminate(
     collide with probability ~|grams|²/2⁶⁴ (negligible, deterministic for
     fixed data). All documents are returned (left join onto the broadcast
     set), so the caller can anti-filter in one pass.
+
+    Short-text convention (inherited from shingle_hashes_col's padded
+    floor-1 sequence): a document or benchmark line with FEWER than ``n``
+    words contributes exactly one whole-text shingle — so short texts
+    decontaminate on exact content match (a one-word benchmark answer
+    appearing verbatim as a tiny doc IS flagged), rather than the strict
+    reading where sub-n texts have no n-grams and can never match. Pinned
+    by the property test in tests/test_operator_properties.py.
     """
     sig = _with_shingle_hashes(corpus, id_col, text_col, n, persist=False)
     bset = benchmark_ngram_set(bench, bench_text_col, n).withColumn("__hit", F.lit(1))

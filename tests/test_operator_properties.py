@@ -254,3 +254,49 @@ def test_heavy_hitters_matches_counter(spark, items, min_count):
     got = {(r.item, r.n) for r in heavy_hitters(df, "item", min_count=min_count).collect()}
     want = {(x, c) for x, c in Counter(items).items() if c >= min_count}
     assert got == want
+
+
+_corpus = st.lists(
+    st.lists(st.sampled_from(list("pqrstuv")), min_size=0, max_size=8),
+    min_size=1, max_size=10,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(corpus=_corpus, bench=_corpus, n=st.integers(2, 3))
+def test_decontaminate_matches_python_ngram_overlap(spark, corpus, bench, n):
+    """Broadcast n-gram decontamination ≡ a Python set-overlap reference:
+    per doc, the count of DISTINCT word n-grams appearing anywhere in the
+    benchmark set, and the contamination flag at min_hits=1."""
+    from chatdata_spark.operators.decontam import decontaminate
+
+    cdf = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(bench)], "doc_id long, text string"
+    )
+
+    def grams(ws):
+        # mirror the engine's split + short-doc conventions: splitting an
+        # empty text yields one empty token, and a doc with fewer than n
+        # words gets ONE whole-text shingle zero-padded to n (so short
+        # docs decontaminate on exact content match — dedup.py:
+        # shingle_hashes_col pads with hash 0, sequence floor 1)
+        ws = ws if ws else [""]
+        out = set()
+        for i in range(max(len(ws) - n + 1, 1)):
+            g = tuple(ws[i:i + n]) + ("<pad>",) * max(n - len(ws[i:i + n]), 0)
+            out.add(g)
+        return out
+
+    bench_grams = set().union(*(grams(ws) for ws in bench)) if bench else set()
+    got = {
+        (r.doc_id, r.n_hits, r.contaminated)
+        for r in decontaminate(cdf, bdf, n=n).collect()
+    }
+    want = {
+        (i, len(grams(ws) & bench_grams), len(grams(ws) & bench_grams) >= 1)
+        for i, ws in enumerate(corpus)
+    }
+    assert got == want

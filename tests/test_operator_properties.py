@@ -300,3 +300,60 @@ def test_decontaminate_matches_python_ngram_overlap(spark, corpus, bench, n):
         for i, ws in enumerate(corpus)
     }
     assert got == want
+
+
+_words = st.lists(
+    st.text(alphabet="xyz", min_size=0, max_size=4), min_size=1, max_size=12
+)
+
+
+def _lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(words=_words)
+def test_fuzzy_self_join_matches_levenshtein(spark, words):
+    """Deletion-neighborhood signature join ≡ exhaustive levenshtein ≤ 1
+    over random short strings (substitutions, inserts, deletes, empties,
+    repeated values)."""
+    from chatdata_spark.operators.fuzzyjoin import fuzzy_self_join
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = sorted(
+        (r.left_w, r.right_w, r.dist)
+        for r in fuzzy_self_join(df, "w", max_dist=1).collect()
+    )
+    uniq = sorted(set(words))
+    want = sorted(
+        (a, b, _lev(a, b))
+        for i, a in enumerate(uniq)
+        for b in uniq[i + 1:]
+        if _lev(a, b) <= 1
+    )
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    big=st.lists(st.integers(0, 40), min_size=1, max_size=30),
+    small=st.lists(st.integers(0, 40), min_size=0, max_size=8),
+)
+def test_bloom_semi_join_exact(spark, big, small):
+    """Bloom pre-filter + exact join ≡ plain semi-join: false positives
+    must be eliminated by the verification join, never surfacing."""
+    from chatdata_spark.operators.bloomjoin import bloom_semi_join
+
+    bdf = spark.createDataFrame([(i, x) for i, x in enumerate(big)], "rid long, k long")
+    sdf = spark.createDataFrame([(x,) for x in small], "k long")
+    got = sorted((r.rid, r.k) for r in bloom_semi_join(bdf, sdf, "k", n_bits=1 << 10).collect())
+    want = sorted((i, x) for i, x in enumerate(big) if x in set(small))
+    assert got == want

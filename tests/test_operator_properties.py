@@ -357,3 +357,46 @@ def test_bloom_semi_join_exact(spark, big, small):
     got = sorted((r.rid, r.k) for r in bloom_semi_join(bdf, sdf, "k", n_bits=1 << 10).collect())
     want = sorted((i, x) for i, x in enumerate(big) if x in set(small))
     assert got == want
+
+
+_asof_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 400)), min_size=1, max_size=25
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lefts=_asof_rows, rights=_asof_rows)
+def test_asof_join_matches_python_reference(spark, lefts, rights):
+    """As-of join (plain AND time-sliced) ≡ per-row latest right event at
+    or before the left timestamp, ties on timestamp resolved by the
+    documented id tie-break (highest event_id wins among equal ts)."""
+    from chatdata_spark.operators.timeseries import asof_join
+
+    ldf = spark.createDataFrame(
+        [(100 + i, k, T0 + timedelta(minutes=m)) for i, (k, m) in enumerate(lefts)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(k, T0 + timedelta(minutes=m), 1000 + i, float(i)) for i, (k, m) in enumerate(rights)],
+        "user_id long, ts timestamp, event_id long, value double",
+    )
+    want = {}
+    for i, (k, m) in enumerate(lefts):
+        best = None
+        for j, (k2, m2) in enumerate(rights):
+            if k2 == k and m2 <= m:
+                cand = (m2, 1000 + j, float(j))
+                if best is None or cand > best:
+                    best = cand
+        want[100 + i] = (best[1], best[2]) if best else (None, None)
+
+    for slice_width in (None, 3600.0):
+        got = {
+            r.event_id: (r.asof_event_id, r.asof_value)
+            for r in asof_join(
+                ldf, rdf, on="user_id", ts_col="ts",
+                payload_cols=["event_id", "value"], tie_break="event_id",
+                slice_width=slice_width,
+            ).collect()
+        }
+        assert got == want, f"slice_width={slice_width}"

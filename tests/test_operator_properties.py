@@ -400,3 +400,53 @@ def test_asof_join_matches_python_reference(spark, lefts, rights):
             ).collect()
         }
         assert got == want, f"slice_width={slice_width}"
+
+
+_typed_events = st.lists(
+    st.tuples(
+        st.integers(0, 2), st.integers(0, 300), st.sampled_from(["A", "B", "C"])
+    ),
+    min_size=1, max_size=30,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_typed_events)
+def test_funnel_steps_matches_python_reference(spark, rows):
+    """windowFunnel earliest-entry chain ≡ a Python fold: t1 = first A,
+    t_k = first step-k event strictly after t_{k-1} and within window of
+    t1; step = completed depth."""
+    from chatdata_spark.operators.funnel import funnel_steps
+
+    df = spark.createDataFrame(
+        [(u, T0 + timedelta(minutes=m), t) for u, m, t in rows],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r.user_id: r.step
+        for r in funnel_steps(
+            df, "user_id", "ts",
+            [F.col("event_type") == s for s in ("A", "B", "C")],
+            window="INTERVAL 60 MINUTES",
+        ).collect()
+    }
+    by_user = {}
+    for u, m, t in rows:
+        by_user.setdefault(u, []).append((m, t))
+    want = {}
+    for u, evs in by_user.items():
+        a_times = sorted(m for m, t in evs if t == "A")
+        if not a_times:
+            continue
+        t1 = a_times[0]
+        chain = [t1]
+        for s in ("B", "C"):
+            nxt = sorted(
+                m for m, t in evs
+                if t == s and m > chain[-1] and m <= t1 + 60
+            )
+            if not nxt:
+                break
+            chain.append(nxt[0])
+        want[u] = len(chain)
+    assert got == want

@@ -450,3 +450,44 @@ def test_funnel_steps_matches_python_reference(spark, rows):
             chain.append(nxt[0])
         want[u] = len(chain)
     assert got == want
+
+
+_changelog = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(0, 2)),
+    min_size=1, max_size=25, unique_by=lambda t: (t[0], t[1]),
+)  # (key, minute, value) — unique (key, ts) so the order is total
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_changelog)
+def test_scd2_from_changelog_matches_python_fold(spark, rows):
+    """SCD2 change compression ≡ a Python fold: per key in ts order, keep
+    the first row and every value change; valid_to = next kept ts; the
+    last kept row is current."""
+    from chatdata_spark.operators.scd import scd2_from_changelog
+
+    df = spark.createDataFrame(
+        [(k, T0 + timedelta(minutes=m), v) for k, m, v in rows],
+        "k long, ts timestamp, val long",
+    )
+    got = sorted(
+        (r.k, r.val, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_from_changelog(df, ["k"], "ts", ["val"]).collect()
+    )
+    by_key = {}
+    for k, m, v in sorted(rows, key=lambda t: (t[0], t[1])):
+        by_key.setdefault(k, []).append((m, v))
+    want = []
+    for k, evs in by_key.items():
+        kept = []
+        for m, v in evs:
+            if not kept or kept[-1][1] != v:
+                kept.append((m, v))
+        for i, (m, v) in enumerate(kept):
+            nxt = kept[i + 1][0] if i + 1 < len(kept) else None
+            want.append((
+                k, v, T0 + timedelta(minutes=m),
+                T0 + timedelta(minutes=nxt) if nxt is not None else None,
+                nxt is None,
+            ))
+    assert got == sorted(want)

@@ -491,3 +491,66 @@ def test_scd2_from_changelog_matches_python_fold(spark, rows):
                 nxt is None,
             ))
     assert got == sorted(want)
+
+
+_scored_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 9)),
+    min_size=1, max_size=30,
+)  # (group, score, uid-part)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=_scored_rows, k=st.integers(1, 5))
+def test_grouped_topk_salted_matches_python(spark, rows, k):
+    """Salted two-phase grouped top-k ≡ per-group sort-and-slice, under a
+    TOTAL order (score desc, id asc) with duplicate scores everywhere —
+    salted and unsalted paths must both agree with the reference."""
+    from chatdata_spark.operators.grouptopk import grouped_topk
+
+    data = [(g, s, i) for i, (g, s, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g long, score long, rid long")
+    order = [F.desc("score"), F.asc("rid")]
+    want = []
+    by_g = {}
+    for g, s, i in data:
+        by_g.setdefault(g, []).append((-s, i))
+    for g, lst in by_g.items():
+        for (ns, i) in sorted(lst)[:k]:
+            want.append((g, -ns, i))
+    for salt in (None, "rid"):
+        got = sorted(
+            (r.g, r.score, r.rid)
+            for r in grouped_topk(df, ["g"], order, k, salt_on=salt).collect()
+        )
+        assert got == sorted(want), f"salt_on={salt}"
+
+
+_chunk_docs = st.lists(
+    st.lists(st.sampled_from(["w1", "w2", "w3"]), min_size=0, max_size=30),
+    min_size=1, max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_chunk_docs, cw=st.integers(2, 7))
+def test_chunking_roundtrip_and_first_occurrence(spark, docs, cw):
+    """chunk_documents covers every word in order (reassembly == original
+    normalized text), and chunk_dedup keeps exactly the first (doc_id,
+    chunk_idx) occurrence of each distinct chunk text."""
+    from chatdata_spark.operators.chunks import chunk_dedup, chunk_documents
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_words=cw).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text))
+    for i, ws in enumerate(docs):
+        parts = [t for _, t in sorted(by_doc[i])]
+        assert " ".join(p for p in parts if p) == " ".join(ws)
+
+    kept = {(r.doc_id, r.chunk_idx) for r in chunk_dedup(df, chunk_words=cw).collect()}
+    first = {}
+    for r in sorted(chunks, key=lambda r: (r.doc_id, r.chunk_idx)):
+        first.setdefault(r.chunk_text, (r.doc_id, r.chunk_idx))
+    assert kept == set(first.values())

@@ -68,6 +68,17 @@ class IncrementalMinHashStore:
         self.k = k
         self.num_hashes = num_hashes
         self.rows_per_band = rows_per_band
+        # batch id -> semantic hash of the staged input, for ids staged by
+        # THIS instance and not yet committed. Guards the in-process misuse
+        # the single-writer contract doesn't: two sequential stage_batch
+        # calls with DIFFERENT inputs and no intervening commit_batch would
+        # derive the SAME id from the committed list, so the second would
+        # silently overwrite the first's staged signatures (and its pairs
+        # would miss the first batch's rows). An in-process RETRY of the
+        # same input (equal semantic hash) is allowed — it idempotently
+        # overwrites the same directory, the documented crash discipline —
+        # and a cross-process crash retry starts with an empty map.
+        self._staged: dict[int, int] = {}
 
     # -- batch plumbing ---------------------------------------------------------
     def _batches_file(self) -> str:
@@ -121,7 +132,17 @@ class IncrementalMinHashStore:
         )
         old = self._stored_sigs()
         b = (max(self.batches()) + 1) if self.batches() else 0
+        sem = df.semanticHash()
+        if b in self._staged and self._staged[b] != sem:
+            raise RuntimeError(
+                f"stage_batch: batch {b} is already staged (uncommitted) on "
+                "this store with a DIFFERENT input — a second stage would "
+                "silently overwrite it and compute pairs against state missing "
+                "its rows. Call commit_batch first (or use add_batch, which "
+                "commits per call); retrying the same staged input is allowed."
+            )
         computed.write.mode("overwrite").parquet(os.path.join(self.path, "sigs", f"batch={b}"))
+        self._staged[b] = sem
         new = self.spark.read.parquet(os.path.join(self.path, "sigs", f"batch={b}"))
         new_bands = new.select("id", F.explode("band_keys").alias("bk")).select(
             "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
@@ -173,6 +194,7 @@ class IncrementalMinHashStore:
         staged pairs has committed."""
         if b not in self.batches():
             self._commit_batch(b)
+        self._staged.pop(b, None)
 
     def add_batch(
         self, df: DataFrame, id_col: str, text_col: str = "text",

@@ -50,16 +50,23 @@ def mmr_greedy(
     q = q / np.linalg.norm(q)
     sorted_ids = [ids[int(i)] for i in order]
     rel = v @ q  # cosine similarity to the query
-    penalty = np.zeros(n, dtype=np.float64)
+    # penalty[i] = max over SELECTED s of cos(v_i, v_s) — the canonical MMR
+    # term, which is NEGATIVE for candidates anti-correlated with everything
+    # selected. Start at None (first pick has no selected set: score is
+    # lam·rel alone) and seed from the first pick's similarities; a zeros
+    # init + maximum would silently clamp negative maxima at 0 and reorder
+    # selections for anti-correlated candidates.
+    penalty = None
     active = np.ones(n, dtype=bool)
     out: list[tuple[int, float]] = []
     for _ in range(min(k, n)):
-        score = lam * rel - (1.0 - lam) * penalty
-        score[~active] = -np.inf
+        score = lam * rel if penalty is None else lam * rel - (1.0 - lam) * penalty
+        score = np.where(active, score, -np.inf)
         best = int(np.argmax(score))
         out.append((int(sorted_ids[best]), float(round(score[best], 6))))
         active[best] = False
-        penalty = np.maximum(penalty, v @ v[best])
+        sim_best = v @ v[best]
+        penalty = sim_best if penalty is None else np.maximum(penalty, sim_best)
     return out
 
 
@@ -144,17 +151,20 @@ def mmr_select_distributed(
         sorted_ids = ids[order]
         rel = v @ q
         n = len(ids)
-        penalty = np.zeros(n, dtype=np.float64)
+        # None-seeded penalty: same negative-max-preserving semantics as
+        # mmr_greedy (kept bit-identical by inlining, not importing)
+        penalty = None
         active = np.ones(n, dtype=bool)
         out_ids, out_scores = [], []
         for _ in range(min(kk, n)):
-            score = ll * rel - (1.0 - ll) * penalty
-            score[~active] = -np.inf
+            score = ll * rel if penalty is None else ll * rel - (1.0 - ll) * penalty
+            score = np.where(active, score, -np.inf)
             best = int(np.argmax(score))
             out_ids.append(int(sorted_ids[best]))
             out_scores.append(float(round(score[best], 6)))
             active[best] = False
-            penalty = np.maximum(penalty, v @ v[best])
+            sim_best = v @ v[best]
+            penalty = sim_best if penalty is None else np.maximum(penalty, sim_best)
         yield pd.DataFrame({
             idc: pd.Series(out_ids, dtype="int64"),
             "mmr_rank": pd.Series(range(len(out_ids)), dtype="int32"),

@@ -65,15 +65,19 @@ def leakage_safe_split(
     INTERNAL to the corpus). ``pairs`` is any (i, j) near-dup pair frame
     from operators/dedup.py; composition: pairs → transitive closure
     (operators/components.py) → bucket split on the component minimum.
-    Adds (canonical_id, keep, split); split fractions apply to CLUSTERS,
-    which for typical dup rates (≪ cluster-size skew) lands within noise
-    of the row-level fractions."""
+    Returns ``df`` with (canonical_id, keep, split) added — all input
+    columns survive (the assignment frame is joined back on ``key_col``;
+    one equi-join shuffle, the scale-correct shape since the assignment
+    is df-sized). Split fractions apply to CLUSTERS, which for typical
+    dup rates (≪ cluster-size skew) lands within noise of the row-level
+    fractions."""
     from chatdata_spark.operators.components import canonical_assignment
 
     canon = canonical_assignment(df, key_col, pairs)
-    return train_val_test_split(
+    assigned = train_val_test_split(
         canon, "canonical_id", val_fraction, test_fraction, salt
     )
+    return df.join(assigned, key_col)
 
 
 def stratified_quota(

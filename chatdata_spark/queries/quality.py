@@ -19,18 +19,22 @@ from chatdata_spark.registry import query
     "data_quality_report",
     oracle="""
     SELECT * FROM (
+        -- CAST ... AS BIGINT: DuckDB types SUM(CASE...) as HUGEINT, which
+        -- pandas materializes as float64 -> driver hash mismatch vs Spark's
+        -- bigint (the only red row of round 4). COUNT branches are BIGINT
+        -- already; pin the SUM branches too.
         SELECT 'li_quantity_range' AS rule,
-               SUM(CASE WHEN l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END) AS n_violations
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
         FROM lineitem
         UNION ALL
         SELECT 'li_discount_range',
-               SUM(CASE WHEN l_discount < 0 OR l_discount > 0.06 THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.06 THEN 1 ELSE 0 END) AS BIGINT)
         FROM lineitem
         UNION ALL
-        SELECT 'li_shipdate_null', SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        SELECT 'li_shipdate_null', CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         FROM lineitem
         UNION ALL
-        SELECT 'doc_text_too_short', SUM(CASE WHEN n_chars < 120 THEN 1 ELSE 0 END)
+        SELECT 'doc_text_too_short', CAST(SUM(CASE WHEN n_chars < 120 THEN 1 ELSE 0 END) AS BIGINT)
         FROM documents
         UNION ALL
         SELECT 'unique_o_orderkey', COUNT(*) - COUNT(DISTINCT CAST(o_orderkey AS VARCHAR))

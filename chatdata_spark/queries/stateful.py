@@ -204,15 +204,19 @@ def rollup_incremental_refresh(spark, sf_dir):
     oracle="""
     WITH src AS (SELECT user_id, ts, event_id FROM events WHERE user_id < 20),
     marked AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
         FROM src
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
+        -- ORDER BY must carry the SAME (ts, event_id) tie-break as the
+        -- marked window: with duplicate (user_id, ts) rows a ts-only ROWS
+        -- frame is nondeterministic and can split a tied pair across
+        -- session ids, diverging from the engine
         SELECT user_id, ts,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         FROM marked
     )

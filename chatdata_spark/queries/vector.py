@@ -232,8 +232,11 @@ def ann_lsh_probe(spark, sf_dir):
     exact top-90 (Spark full-scan kNN semi-join — the literal 12s go red
     if the probe drops or mis-ranks candidates; empirical max rank is ≤26
     at both compare scales), and the best returned distance equals the
-    global exact minimum (real SQL on the DuckDB side). Recall curves live
-    in tests/test_lsh.py and RECALL.md."""
+    global exact minimum (real SQL on the DuckDB side). The literal pins
+    are FIXTURE-EMPIRICAL: a testdata regeneration or operating-point
+    change can go red with no code bug — triage per FIXTURES.md
+    'Empirically-pinned soundness oracles' before suspecting the operator.
+    Recall curves live in tests/test_lsh.py and RECALL.md."""
     from chatdata_spark.operators.lsh import lsh_search
 
     idx = _lsh_indexed(spark, sf_dir, n_tables=16, n_bits=6)
@@ -426,7 +429,9 @@ def ann_pq_adc(spark, sf_dir):
     scales), and — because the rerank is exact cosine — the best returned
     distance equals the global exact minimum (real SQL on the DuckDB
     side). Ordering by true distance within the page holds by
-    construction (the rerank sort key IS the exact distance). Recall and
+    construction (the rerank sort key IS the exact distance). The literal
+    pins are FIXTURE-EMPIRICAL (see FIXTURES.md 'Empirically-pinned
+    soundness oracles' for the red-row triage recipe). Recall and
     the 32x compression ratio are pinned in tests/test_pq.py; the raw
     compressed-scan timing lives in bench.py."""
     from chatdata_spark.operators.pq import build_or_load_pq

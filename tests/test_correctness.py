@@ -22,3 +22,26 @@ def test_query_matches_oracle(spark, name):
         # rows-only smoke for non-SQL-expressible ops
         assert df.columns, f"{name}: empty schema"
         df.limit(5).collect()
+
+
+def test_no_oracle_produces_hugeint():
+    """Type-sweep guard: DuckDB types SUM(CASE...)/SUM(int) as HUGEINT, which
+    pandas materializes as float64 — the driver then hashes 20882.0 against
+    Spark's bigint 20882 and goes red even though values match (the one red
+    row of round 4, data_quality_report). Our local comparator maps HUGEINT
+    to the bigint family so pytest alone can't catch it; this sweep runs
+    every oracle through DuckDB's relation type API (bind/plan only, no
+    execution) and pins the HUGEINT column count at zero. Fix sites by
+    wrapping the aggregate in CAST(... AS BIGINT)."""
+    from tests.conftest import duck_con
+
+    con = duck_con(SF_ORACLE)
+    offenders = {}
+    for name, sql in sorted(_ORACLES.items()):
+        rel = con.sql(sql)
+        bad = [c for c, t in zip(rel.columns, rel.types) if str(t) == "HUGEINT"]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"oracles with HUGEINT columns (pandas->float64 driver hash hazard): {offenders}"
+    )

@@ -104,3 +104,25 @@ def test_stage_without_commit_replays_idempotently(spark, tmp_path):
     # no duplicate signature rows on disk
     sigs = store._stored_sigs()
     assert sigs.count() == sigs.select("id").distinct().count() == d.count()
+
+
+def test_double_stage_different_input_raises(spark, tmp_path):
+    """In-process misuse guard: staging a SECOND, different batch without
+    committing the first would reuse the same batch id and silently
+    overwrite the first's staged signatures — must raise. Retrying the
+    SAME input (crash-retry discipline) stays allowed, and committing
+    clears the guard."""
+    d = _docs(spark)
+    b1 = d.filter(F.col("doc_id") % 3 != 0)
+    b2 = d.filter(F.col("doc_id") % 3 == 0)
+    store = IncrementalMinHashStore(spark, str(tmp_path / "inc"))
+    bid, _ = store.stage_batch(b1, "doc_id")
+    with pytest.raises(RuntimeError, match="already staged"):
+        store.stage_batch(b2, "doc_id")
+    # same-input retry is fine
+    bid2, _ = store.stage_batch(b1, "doc_id")
+    assert bid2 == bid
+    store.commit_batch(bid)
+    # after commit the next stage gets a fresh id
+    bid3, _ = store.stage_batch(b2, "doc_id")
+    assert bid3 == bid + 1

@@ -203,6 +203,51 @@ def test_mmr_paths_agree_on_random_vectors(spark, seed, dup):
     assert a == b == c
 
 
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 100_000), lam=st.sampled_from([0.3, 0.5, 0.7]))
+def test_mmr_greedy_matches_naive_reference_anti_correlated(seed, lam):
+    """mmr_greedy vs an independent literal-formula reference
+    (score_i = lam*cos(q,v_i) - (1-lam)*max_{s in S} cos(v_i,v_s), max over
+    the ACTUAL selected set each round) on candidate sets that include exact
+    negations of other candidates — the anti-correlated case where a
+    clamped-at-zero penalty would pass the negative max through as 0 and
+    reorder selections (the round-4 advisory bug)."""
+    import numpy as np
+
+    from chatdata_spark.operators.mmr import mmr_greedy
+
+    rng = np.random.default_rng(seed)
+    n = 12
+    base = rng.standard_normal((n, 6))
+    base[6] = -base[0]  # exact negations: cos = -1 to their twin
+    base[7] = -base[1]
+    base[8] = -rng.standard_normal(6) * 0.01 - base[2]  # near-negation
+    ids = [int(i) for i in rng.permutation(500)[:n]]
+    q = rng.standard_normal(6)
+
+    v = base / np.linalg.norm(base, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    order = np.argsort(np.asarray(ids), kind="stable")
+    sv, sids = v[order], [ids[int(i)] for i in order]
+    rel = sv @ qn
+    selected: list[int] = []
+    expected = []
+    for _ in range(7):
+        best_i, best_score = None, None
+        for i in range(n):
+            if i in selected:
+                continue
+            pen = max(float(sv[i] @ sv[j]) for j in selected) if selected else 0.0
+            score = lam * float(rel[i]) - (1.0 - lam) * pen if selected else lam * float(rel[i])
+            if best_score is None or score > best_score:
+                best_i, best_score = i, score
+        selected.append(best_i)
+        expected.append((sids[best_i], round(best_score, 6)))
+
+    got = mmr_greedy(ids, base, list(q), k=7, lam=lam)
+    assert [(i, s) for i, s in got] == expected
+
+
 _edges = st.lists(
     st.tuples(st.integers(0, 20), st.integers(0, 20)).filter(lambda t: t[0] != t[1]),
     min_size=1, max_size=20,

@@ -72,64 +72,62 @@ def _load_all() -> None:
 # The driver's correctness harness checks exactly the FIRST 50 names returned
 # by queries(). This list pins those 50 slots — rotated each round so queries
 # that were driver-green twice make room for never-driver-checked ones
-# (r3 swapped 21 in; r4 swaps 25 twice-green slots — the kNN/dialect/
-# self-query/cleaning/timeseries/dedup family seconds — for the TPC-H spine
-# q2/q8/q17/q20/q21/q22, the analytics window/rollup/cube/percentile/corr
-# family, the vector family ann_lsh_exact/matryoshka/binary_quant/mmr/
-# hard_negative/ivf_append, streaming_windowed_counts, the new
-# retrieval_funnel_docs flagship, and the five rows-only→oracle upgrades).
+# (r3 swapped 21 in; r4 swapped 25; r5 swaps the 21 now-twice-green r3
+# first-timers — TPC-H q7/q9/q13/q19, merge/scd2, the knn-join/maxsim/
+# fuzzy/bloom joins, funnel/heavy-hitters/unigram/quantile/topk analytics,
+# curation/incremental-dedup, sessionize/profile/shard/phrase — for the
+# TPC-H middle q4/q6/q10/q11/q12/q14/q15/q16/q18, the streaming trio,
+# the composed QA tails, and the remaining vector/join first-timers).
 # Everything not listed here is registered AFTER these (in import order) and
 # stays pytest-oracled (tests/test_correctness runs the full registry).
 # COVERAGE.md's "driver window" column mirrors this.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- kept sentinels (twice-green; one per core family) ---
     "knn_topk", "dialect_knn", "dedup_minhash_lsh", "text_profile",
-    # --- round-3 first-timers, once-green: kept for second verification ---
-    "q7_volume_shipping", "q9_profit_by_nation_year",
-    "q13_customer_distribution", "q19_disjunctive_pushdown",
-    "merge_into_orders", "scd2_history_events",
-    "knn_join_exact", "maxsim_late_interaction", "fuzzy_join_part_names",
-    "bloom_semi_join_lineitem",
-    "funnel_view_click_purchase", "heavy_hitter_tokens",
-    "text_unigram_logprob", "quantile_hist_value_by_type",
-    "topk_orders_per_priority",
-    "curation_pipeline_docs", "dedup_incremental_batches",
-    "sessionize_events_sliced", "profile_orders_stats",
-    "shard_assignment_docs", "phrase_proximity_docs",
-    # --- rotated IN for round 4 (first driver verification) ---
-    # TPC-H spine completion
+    # --- round-4 first-timers, once-green: kept for second verification ---
+    # TPC-H spine
     "q2_min_cost_supplier", "q8_market_share", "q17_small_quantity_revenue",
     "q20_dominant_promo_suppliers", "q21_waiting_suppliers",
     "q22_global_sales_opportunity",
-    # analytics family
+    # analytics family (data_quality_report was r4's one red — oracle dtype
+    # fixed this round, must re-verify)
     "rollup_revenue_levels", "cube_orders_status_priority",
     "window_rank_family", "percentile_disc_price_by_flag",
     "corr_quantity_price_by_flag", "data_quality_report",
     # vector family
     "ann_lsh_exact", "matryoshka_knn", "binary_quant_knn",
     "mmr_diversified_knn", "hard_negative_mining", "ann_ivf_append_search",
-    # streaming oracles
-    "streaming_windowed_counts",
-    # round-4 additions + rows-only→oracle upgrades, verified the round they ship
-    "retrieval_funnel_docs",
+    # streaming + flagship + soundness-oracle upgrades
+    "streaming_windowed_counts", "retrieval_funnel_docs",
     "ann_lsh_probe", "knn_join_pruned", "ann_pq_adc",
     "streaming_incremental_embed", "streaming_sessionize",
+    # --- rotated IN for round 5 (first driver verification) ---
+    # TPC-H middle
+    "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
+    "q11_important_parts", "q12_priority_by_linestatus", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q18_large_volume_customer",
+    # streaming trio (foreachBatch near-dup, dropDuplicates watermark,
+    # stream-stream interval join)
+    "streaming_distinct_events", "streaming_near_dup_docs",
+    "streaming_join_click_purchase",
+    # composed QA tails
+    "qa_context_assembly", "stuff_context_docs", "rerank_snippet_search",
+    # vector/join first-timers
+    "mmr_diversified_knn_distributed", "knn_ip", "dimred_rp_knn",
+    "bucketed_fact_join_revenue", "leakage_safe_split_docs",
+    "asof_join_purchase_click_sliced",
 )
 
-# Rotation plan for round 5 (41 names will still be never-driver-checked
-# after r4 — all pytest-oracled every round). Highest-value first-timers:
-# the r4 additions qa_context_assembly / stuff_context_docs /
-# leakage_safe_split_docs / streaming_near_dup_docs / knn_ip /
-# bucketed_fact_join_revenue / mmr_diversified_knn_distributed /
-# streaming_distinct_events; the upgraded store_session_lifecycle and
-# dimred_rp_knn; the remaining TPC-H middle (q4/q10/q11/q12/q14/q15/q16/
-# q18); analytics (moving_avg, histogram, pivot/unpivot, percentile_stats,
-# cohort_retention, sliding_window); dialect_parity_extended +
-# dialect_conditional_aggs; embed_documents_batch, ann_ivf_pruned,
-# vector_brute_force_scores, asof_join_purchase_click_sliced,
-# streaming_join_click_purchase. Swap out slots that will then be
-# twice-green (the 21 r3 names above plus any r4 first-timer the judge
-# wants re-verified).
+# Rotation plan for round 6 (20 names still never-driver-checked after r5
+# — all pytest-oracled every round): analytics (moving_avg_user_value,
+# histogram, pivot/unpivot, percentile_stats, cohort_retention,
+# sliding_window), dialect_parity_extended + dialect_conditional_aggs,
+# embed_documents_batch-adjacent vector tails (ann_ivf_pruned,
+# vector_brute_force_scores), store_session_lifecycle, and the remaining
+# cleaning/ingest seconds. Swap out slots that will then be twice-green
+# (the 27 r4 names above, keeping the four sentinels and any r5
+# first-timer that goes red).
 
 
 def _ordered() -> dict[str, QueryDef]:

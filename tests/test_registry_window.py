@@ -11,22 +11,25 @@ DRIVER_CAP = 50
 
 MUST_BE_DRIVER_CHECKED = {
     # Flagships that have NOT yet banked two green driver rounds, plus one
-    # kept sentinel per core family. Names green twice (r1-r3: the kNN
-    # variants, dialect/self-query pair, cleaning family, timeseries trio,
-    # dedup family seconds) rotated out in r4 to driver-verify the TPC-H
-    # spine, analytics family, vector family, and the round-4 additions —
-    # rotation policy in registry.DRIVER_WINDOW's comment.
+    # kept sentinel per core family. Names green twice (r3 first-timers:
+    # TPC-H q7/q9/q13/q19, merge/scd2, the join family, the analytics
+    # singles, curation/incremental-dedup, sessionize/profile/shard/phrase)
+    # rotated out in r5 to driver-verify the TPC-H middle, the streaming
+    # trio, the composed QA tails, and the remaining vector/join
+    # first-timers — rotation policy in registry.DRIVER_WINDOW's comment.
     # kept sentinels
     "knn_topk", "dialect_knn", "dedup_minhash_lsh", "text_profile",
-    # once-green round-3 first-timers (second verification pending)
-    "q7_volume_shipping", "q19_disjunctive_pushdown", "merge_into_orders",
-    "scd2_history_events", "knn_join_exact", "maxsim_late_interaction",
-    "heavy_hitter_tokens", "topk_orders_per_priority",
-    "curation_pipeline_docs", "dedup_incremental_batches",
-    # round-4 first-timers (flagship + rows-only→oracle upgrades)
+    # once-green round-4 first-timers (second verification pending)
     "retrieval_funnel_docs", "binary_quant_knn", "mmr_diversified_knn",
     "hard_negative_mining", "ann_lsh_probe", "knn_join_pruned",
-    "ann_pq_adc", "streaming_sessionize",
+    "ann_pq_adc", "streaming_sessionize", "streaming_windowed_counts",
+    # r4's one red row — oracle dtype fixed in r5, MUST re-verify green
+    "data_quality_report",
+    # round-5 first-timers (never driver-checked before this round)
+    "qa_context_assembly", "stuff_context_docs", "rerank_snippet_search",
+    "mmr_diversified_knn_distributed", "bucketed_fact_join_revenue",
+    "leakage_safe_split_docs", "streaming_near_dup_docs",
+    "q15_top_supplier", "q18_large_volume_customer",
 }
 
 

@@ -479,6 +479,44 @@ def bench_range_join_hotkey(spark, sf_dir):
     )
 
 
+def bench_range_join_hotkey_bounded(spark, sf_dir):
+    """The bounded variant on the SAME one-hot-user fixture as
+    range_join_hotkey: max_matches_per_left=3 caps each purchase at its 3
+    most-recent window clicks, so the hot user's inherently-quadratic true
+    match set (3.27M pairs at sf0.1) shrinks to ≤3 per purchase BEFORE the
+    aggregate — the scale-safe product answer to hot-key output growth.
+    Target: wall-clock near the unskewed range_join_click_window (the
+    remaining gap is the two top-N windows over the joined-then-pruned
+    pairs; the per-(left,bucket) stage keeps the hot key spread)."""
+    import pyspark.sql.functions as F
+
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.timeseries import range_join_left
+
+    e = load_events(spark, sf_dir).withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.unix_timestamp("ts").alias("p_ts"))
+        .withColumn("lo", F.col("p_ts") - 86400)
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_timestamp("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"), "value",
+    )
+    joined = range_join_left(
+        purchases, clicks, left_id="event_id", lo_col="lo", hi_col="p_ts",
+        right_val_col="c_ts", equi_keys=["user_id"], bucket_width=86400.0,
+        max_matches_per_left=3, right_tiebreak="click_id", keep="last",
+    )
+    return joined.groupBy("event_id").agg(
+        F.count("c_ts").alias("n_clicks"),
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("click_value"),
+    )
+
+
 def _inc_store(spark, sf_dir, reps: int):
     """Idempotent one-time store build (like the IVF index): corpus =
     originals (+ perturbed replicas for reps>1 — extra stored volume that
@@ -538,6 +576,7 @@ EXTRA = {
     "binary_quant_x10": bench_binary_quant_x10,
     "asof_join_hotkey_sliced": bench_asof_hotkey_sliced,
     "range_join_hotkey": bench_range_join_hotkey,
+    "range_join_hotkey_bounded": bench_range_join_hotkey_bounded,
     "dedup_incremental_batch_1x": _bench_dedup_incremental(1),
     "dedup_incremental_batch_x10": _bench_dedup_incremental(10),
     "q5_x10_star_join": bench_q5_x10,

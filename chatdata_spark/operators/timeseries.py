@@ -182,6 +182,10 @@ def range_join(
     equi_keys: list[str] | None = None,
     bucket_width: float = 3600.0,
     how: str = "inner",
+    max_matches_per_left: int | None = None,
+    left_id: str | None = None,
+    right_tiebreak: str | None = None,
+    keep: str = "last",
 ) -> DataFrame:
     """Interval join: pairs where ``right.val ∈ [left.lo, left.hi]``
     (+ optional equi keys) via **bucketized equi-join** — the scalable
@@ -196,10 +200,36 @@ def range_join(
     ``lo/hi/val`` are numeric (pass epoch seconds for timestamps).
     Inner semantics only — use :func:`range_join_left` for LEFT (a post-join
     range filter on an outer join would silently drop NULL matches, and
-    exploded left rows would duplicate them per bucket)."""
+    exploded left rows would duplicate them per bucket).
+
+    ``max_matches_per_left``: the hot-key OUTPUT bound. The plan above is
+    sub-linear in its output, but a genuinely hot key makes the query's own
+    output quadratic (one user on both sides of a window join: n_left ×
+    n_right pairs) — at 100 TB that's a semantic hazard no partitioning
+    fixes. With a bound, each left row keeps only its N nearest matches:
+    ``keep='last'`` = the N largest ``right_val`` (most recent before the
+    ``hi`` bound — the "latest N clicks before the purchase" semantics),
+    ``keep='first'`` = the N smallest (earliest in the window). The bounded
+    path never ENUMERATES the quadratic pair set (see
+    :func:`_bounded_range_join`): right rows are numbered per key in
+    preference order, each left row as-of-joins to its boundary number,
+    and a sequence of at most N numbers equi-joins back —
+    O(|L|·N + |R| log |R|) total, vs O(pairs) for any join-then-prune.
+    Requires ``left_id`` (unique left row key); pass ``right_tiebreak``
+    (a right column making (right_val, tiebreak) unique per key) for
+    deterministic results when right values can collide."""
     equi_keys = equi_keys or []
     if how != "inner":
         raise ValueError(f"range_join is inner-only (see range_join_left), got {how}")
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
+    if max_matches_per_left is not None:
+        if left_id is None:
+            raise ValueError("max_matches_per_left requires left_id (unique left row key)")
+        return _bounded_range_join(
+            left, right, lo_col, hi_col, right_val_col, equi_keys,
+            max_matches_per_left, right_tiebreak, keep,
+        )
 
     lb = F.explode(
         F.sequence(
@@ -218,6 +248,83 @@ def range_join(
     return inner
 
 
+def _bounded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    right_val_col: str,
+    equi_keys: list[str],
+    n: int,
+    right_tiebreak: str | None,
+    keep: str,
+) -> DataFrame:
+    """Nearest-N interval join WITHOUT pair enumeration (inner semantics).
+
+    Direction-normalized so both ``keep`` modes are "the N latest in
+    preference order at or before an anchor": for ``keep='last'`` the
+    preference value is ``right_val`` and the anchor is ``hi`` (far bound
+    ``val >= lo`` filtered at the end); for ``keep='first'`` the value is
+    ``-right_val`` and the anchor is ``-lo`` (far bound ``val <= hi``).
+
+    1. Number right rows per key in preference order (row_number) — the
+       numbering is monotone, so "the N nearest matches" are exactly a
+       CONTIGUOUS number range.
+    2. As-of join (operators/timeseries.py::asof_join — single-shuffle
+       window merge) each left row to the HIGHEST number at-or-before its
+       anchor; tie_break=number makes equal-value right rows collapse to
+       the max number, which is the preferred end of the range.
+    3. Explode ``sequence(max(boundary-N+1, 1), boundary)`` (≤N rows per
+       left row) and hash-join back on (key, number); filter the far bound.
+
+    Cost: O(|R| log |R|) numbering + the as-of's single union shuffle +
+    an equi-join of ≤N·|L| against |R| — NEVER the pair count, so a hot
+    key's quadratic true match set costs nothing beyond its share of the
+    linear passes. Remaining skew point: the numbering window serializes
+    one key per task (same hazard class as unsliced asof/sessionize;
+    O(n log n) per key, not O(n²) — acceptable far beyond the pair
+    enumeration's breaking point). With no equi keys the numbering is a
+    single global task by construction — a keyless bounded interval join
+    is inherently a global order statistic."""
+    last = keep == "last"
+    if equi_keys:
+        ek = F.struct(*[F.col(k) for k in equi_keys])
+    else:
+        ek = F.lit(0)
+
+    val = F.col(right_val_col)
+    order = [val.asc() if last else val.desc()]
+    if right_tiebreak is not None:
+        tb = F.col(right_tiebreak)
+        order.append(tb.asc() if last else tb.desc())
+    w_num = Window.partitionBy("__ek").orderBy(*order)
+    numbered = right.withColumn("__ek", ek).withColumn(
+        "__cn", F.row_number().over(w_num)
+    )
+
+    vp = val if last else -val
+    anchor = F.col(hi_col) if last else -F.col(lo_col)
+    r_asof = numbered.select("__ek", vp.alias("__vp"), "__cn")
+    l_asof = left.withColumn("__ek", ek).withColumn("__anchor", anchor)
+    boundary = asof_join(
+        l_asof, r_asof, on="__ek", ts_col="__anchor", right_ts_col="__vp",
+        payload_cols=["__cn"], prefix="__b_", tie_break="__cn",
+    )
+    cn = F.col("__b___cn")
+    exploded = (
+        boundary.filter(cn.isNotNull())
+        .withColumn(
+            "__cn",
+            F.explode(F.sequence(F.greatest(cn - F.lit(n - 1), F.lit(1)), cn)),
+        )
+        .drop("__b___vp", "__b___cn", "__anchor")
+    )
+    r_payload = numbered.drop(*equi_keys)
+    out = exploded.join(r_payload, ["__ek", "__cn"], "inner")
+    far = val >= F.col(lo_col) if last else val <= F.col(hi_col)
+    return out.filter(far).drop("__ek", "__cn")
+
+
 def range_join_left(
     left: DataFrame,
     right: DataFrame,
@@ -227,11 +334,18 @@ def range_join_left(
     right_val_col: str,
     equi_keys: list[str] | None = None,
     bucket_width: float = 3600.0,
+    max_matches_per_left: int | None = None,
+    right_tiebreak: str | None = None,
+    keep: str = "last",
 ) -> DataFrame:
     """LEFT interval join: inner :func:`range_join` + anti-join restore of
-    unmatched left rows (right columns NULL). ``left_id`` must be unique."""
+    unmatched left rows (right columns NULL). ``left_id`` must be unique.
+    ``max_matches_per_left`` bounds each left row to its N nearest matches
+    (see :func:`range_join` — the hot-key output bound)."""
     inner = range_join(
-        left, right, lo_col, hi_col, right_val_col, equi_keys, bucket_width, how="inner"
+        left, right, lo_col, hi_col, right_val_col, equi_keys, bucket_width,
+        how="inner", max_matches_per_left=max_matches_per_left,
+        left_id=left_id, right_tiebreak=right_tiebreak, keep=keep,
     )
     right_only = [c for c in inner.columns if c not in left.columns]
     unmatched = left.join(inner.select(left_id).distinct(), left_id, "left_anti")

@@ -161,6 +161,75 @@ def range_join_click_window(spark, sf_dir):
 
 
 @query(
+    "range_join_bounded_recent_clicks",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS p_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS c_ts,
+               event_id AS click_id, value
+        FROM events WHERE event_type = 'click'
+    ),
+    ranked AS (
+        SELECT p.event_id, c.c_ts, c.value,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                  ORDER BY c.c_ts DESC, c.click_id DESC) AS rn
+        FROM purchases p JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.c_ts >= p.p_ts - 86400 AND c.c_ts <= p.p_ts
+    )
+    SELECT event_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           MAX(c_ts) AS latest_click_ts,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS kept_value
+    FROM ranked WHERE rn <= 3
+    GROUP BY event_id ORDER BY event_id
+    """,
+)
+def range_join_bounded_recent_clicks(spark, sf_dir):
+    """The hot-key OUTPUT bound on the interval join
+    (operators/timeseries.py::range_join, max_matches_per_left): each
+    purchase keeps only its 3 most-recent same-user clicks in the 24h
+    window (keep='last', click_id tie-break), so a genuinely hot key
+    cannot make the query's own output quadratic at 100 TB — the
+    scale-safe product variant of range_join_click_window. Two-stage
+    top-N prune: per-(purchase, time-bucket) first (a hot purchase's
+    matches stay spread across bucket tasks), then per-purchase. Both
+    sides rank on FLOOR'd epoch seconds (Spark unix_timestamp truncates;
+    DuckDB epoch() is fractional — the oracle floors to match exactly)."""
+    from chatdata_spark.operators.timeseries import range_join
+
+    e = load_events(spark, sf_dir)
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.unix_timestamp("ts").alias("p_ts"))
+        .withColumn("lo", F.col("p_ts") - 86400)
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+        "value",
+    )
+    joined = range_join(
+        purchases, clicks, lo_col="lo", hi_col="p_ts", right_val_col="c_ts",
+        equi_keys=["user_id"], bucket_width=86400.0,
+        max_matches_per_left=3, left_id="event_id",
+        right_tiebreak="click_id", keep="last",
+    )
+    return (
+        joined.groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("c_ts").alias("latest_click_ts"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("kept_value"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
     "funnel_view_click_purchase",
     oracle="""
     WITH t1 AS (

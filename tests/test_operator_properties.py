@@ -107,6 +107,66 @@ def test_range_join_matches_nested_loop(spark, lefts, rights):
     assert got == want
 
 
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lefts=_intervals, rights=_points, n=st.integers(1, 4))
+def test_range_join_bounded_keeps_nearest_n(spark, lefts, rights, n):
+    """The hot-key output bound: max_matches_per_left=N keeps exactly each
+    left row's N nearest matches — keep='last' = largest right_val
+    (tie-break on a unique right id, descending), keep='first' = smallest
+    (tie-break ascending) — and a bound ≥ the max true match count is
+    IDENTICAL to the unbounded join (parity)."""
+    from chatdata_spark.operators.timeseries import range_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, float(lo), float(lo + w)) for i, (k, lo, w) in enumerate(lefts)],
+        "left_id long, k long, lo double, hi double",
+    )
+    rdf = spark.createDataFrame(
+        [(j, k, float(v)) for j, (k, v) in enumerate(rights)],
+        "rid long, k long, val double",
+    )
+    matches: dict[int, list[tuple[float, int]]] = {}
+    for i, (k, lo, w) in enumerate(lefts):
+        matches[i] = [
+            (float(v), j) for j, (k2, v) in enumerate(rights)
+            if k2 == k and lo <= v <= lo + w
+        ]
+    for keep in ("last", "first"):
+        got = sorted(
+            (r.left_id, r.val, r.rid)
+            for r in range_join(
+                ldf, rdf, lo_col="lo", hi_col="hi", right_val_col="val",
+                equi_keys=["k"], bucket_width=37.0,
+                max_matches_per_left=n, left_id="left_id", right_tiebreak="rid",
+                keep=keep,
+            ).collect()
+        )
+        want = sorted(
+            (i, v, j)
+            for i, ms in matches.items()
+            for v, j in sorted(ms, reverse=(keep == "last"))[:n]
+        )
+        assert got == want, f"keep={keep} n={n}"
+    # parity: a bound no true match count reaches == the unbounded join
+    big = max((len(ms) for ms in matches.values()), default=0) + 1
+    unbounded = sorted(
+        (r.left_id, r.val, r.rid)
+        for r in range_join(
+            ldf, rdf, lo_col="lo", hi_col="hi", right_val_col="val",
+            equi_keys=["k"], bucket_width=37.0,
+        ).collect()
+    )
+    bounded = sorted(
+        (r.left_id, r.val, r.rid)
+        for r in range_join(
+            ldf, rdf, lo_col="lo", hi_col="hi", right_val_col="val",
+            equi_keys=["k"], bucket_width=37.0,
+            max_matches_per_left=big, left_id="left_id", right_tiebreak="rid",
+        ).collect()
+    )
+    assert bounded == unbounded
+
+
 _versions = st.lists(
     st.tuples(st.integers(0, 5), st.integers(0, 100), st.integers(0, 999)),
     min_size=1, max_size=30,

@@ -55,9 +55,10 @@ def test_window_queries_are_oracle_backed():
 def test_tail_is_deliberate():
     # everything past the cap is either redundant-with-windowed coverage or
     # rows-only by design; keep the total bounded so the registry stays
-    # auditable (VERDICT r01 item 10).
+    # auditable (VERDICT r01 item 10). Raised 160→168 in r5 for the bounded
+    # range-join variant (+ headroom for the round's remaining additions).
     names = list(queries())
-    assert len(names) <= 160
+    assert len(names) <= 168
 
 
 def test_coverage_window_column_consistent():

@@ -251,6 +251,77 @@ def bench_bm25_x10(spark, sf_dir):
     return bm25_topk(d10, "doc_id", "text", TERMS, k=20, k1=K1, b=B, idf="rational")
 
 
+def bench_hybrid_rrf_x10(spark, sf_dir):
+    """Hybrid BM25+kNN RRF fusion over verbatim 10x docs AND 10x
+    embeddings: both screens are heap top-50s over their corpus, so the
+    fused page cost must scale ~linearly with the larger scans while the
+    fusion tail stays constant (it only ever sees 2x50 rows)."""
+    import pyspark.sql.functions as F
+
+    from chatdata_spark.operators.knn import knn
+    from chatdata_spark.operators.textsearch import bm25_topk, rrf_fuse, with_rank
+    from chatdata_spark.queries.textsearch import B, K1, QH, TERMS
+
+    d10 = _replicate(spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"), ["doc_id"])
+    e10 = _replicate(spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding"), ["vec_id"])
+    bm = with_rank(
+        bm25_topk(d10, "doc_id", "text", TERMS, k=50, k1=K1, b=B, idf="rational"),
+        [F.desc("score"), F.asc("doc_id")],
+    )
+    kn = with_rank(
+        knn(e10, "embedding", QH, k=50, select=["vec_id"], id_col="vec_id").select(
+            F.col("vec_id").alias("doc_id"), "dist"
+        ),
+        [F.asc("dist"), F.asc("doc_id")],
+    )
+    return rrf_fuse([bm, kn], "doc_id", k0=60, k=20)
+
+
+def bench_retrieval_funnel_x10(spark, sf_dir):
+    """The FLAGSHIP's scale probe: the full 5-stage funnel over verbatim
+    10x docs + embeddings. The flagship's cost claim is that corpus-sized
+    work happens ONLY in the two screens (ANN + BM25 heap top-60s) while
+    the RRF → rerank → MMR tail runs on a <=60-row page — so 10x corpus
+    must cost ~the two screens' linear growth and nothing more. The ANN
+    screen uses the exact heap scan (the registered funnel's full-probe
+    router is plan-identical to it — asserted by ann_ivf_full_probe)."""
+    import pyspark.sql.functions as F
+
+    from chatdata_spark.operators.knn import knn
+    from chatdata_spark.operators.mmr import mmr_select
+    from chatdata_spark.operators.textsearch import bm25_topk, rerank_topk, rrf_fuse, with_rank
+    from chatdata_spark.queries.textsearch import B, DIM, FUNNEL_Q, K1
+    from chatdata_spark.functions.vector import hash_embed
+
+    qf = hash_embed(FUNNEL_Q, DIM)
+    d10 = _replicate(spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"), ["doc_id"])
+    e10 = _replicate(spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding"), ["vec_id"])
+    kn = with_rank(
+        knn(e10, "embedding", qf, k=60, select=["vec_id"], id_col="vec_id").select(
+            F.col("vec_id").alias("doc_id"), "dist"
+        ),
+        [F.asc("dist"), F.asc("doc_id")],
+    )
+    bm = with_rank(
+        bm25_topk(d10, "doc_id", "text", FUNNEL_Q.split(), k=60, k1=K1, b=B, idf="rational"),
+        [F.desc("score"), F.asc("doc_id")],
+    )
+    fused = rrf_fuse([bm, kn], "doc_id", k0=60, k=30)
+    cand = fused.join(F.broadcast(d10.select("doc_id", "text")), "doc_id")
+    page = rerank_topk(cand, "doc_id", "text", FUNNEL_Q, k=20).select(
+        "doc_id", "rrf", "rerank_score"
+    )
+    vecs = e10.select(F.col("vec_id").alias("doc_id"), "embedding").join(
+        F.broadcast(page.select("doc_id")), "doc_id"
+    )
+    mmr = mmr_select(vecs, "embedding", qf, k=10, id_col="doc_id", fetch_n=20, lam=0.5)
+    return (
+        mmr.join(F.broadcast(page), "doc_id")
+        .select("doc_id", "rrf", "rerank_score", "mmr_rank", "mmr_score")
+        .orderBy("mmr_rank")
+    )
+
+
 def bench_profile_approx(spark, sf_dir):
     """Table profiling in its 100 TB configuration: approx distinct counts
     fold into plain partial aggregation (no Expand row-multiply) — the
@@ -585,6 +656,8 @@ EXTRA = {
     "dedup_jaccard_x10": bench_jaccard_x10,
     "dedup_embedding_x10": bench_embedding_dedup_x10,
     "bm25_x10": bench_bm25_x10,
+    "hybrid_rrf_x10": bench_hybrid_rrf_x10,
+    "retrieval_funnel_x10": bench_retrieval_funnel_x10,
     "profile_orders_approx": bench_profile_approx,
     "sessionize_hotkey_sliced": bench_sessionize_hotkey,
 }

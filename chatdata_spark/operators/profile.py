@@ -28,21 +28,24 @@ def profile_table(
     on their string rendering, and the point of min/max is range sanity).
     ``distinct='approx'`` swaps exact distinct counts for HLL estimates
     (the 100 TB default — no Expand)."""
-    from chatdata_spark.operators.dedup import _spread
-
-    # the Expand multiplies rows per distinct-counted column BEFORE the
-    # partial agg — a single-partition input (local single-row-group files)
-    # would run that on one core; _spread no-ops when the source already
-    # has >= parallelism partitions (the cluster case)
-    df = _spread(df)
-    types = dict(df.dtypes)
-    cols = columns or [c for c in df.columns]
     if distinct == "exact":
+        from chatdata_spark.operators.dedup import _spread
+
+        # the Expand multiplies rows per distinct-counted column BEFORE the
+        # partial agg — a single-partition input (local single-row-group
+        # files) would run that on one core; _spread no-ops when the source
+        # already has >= parallelism partitions (the cluster case). Approx
+        # mode has NO Expand (HLL folds into the partial agg), so spreading
+        # there is a pure extra exchange — the r4→r5 bench drift on
+        # profile_orders_approx was exactly that (~80 ms at sf0.1).
+        df = _spread(df)
         nd = F.count_distinct
     elif distinct == "approx":
         nd = F.approx_count_distinct
     else:
         raise ValueError(f"distinct must be 'exact' or 'approx', got {distinct!r}")
+    types = dict(df.dtypes)
+    cols = columns or [c for c in df.columns]
 
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:

@@ -659,3 +659,147 @@ def test_chunking_roundtrip_and_first_occurrence(spark, docs, cw):
     for r in sorted(chunks, key=lambda r: (r.doc_id, r.chunk_idx)):
         first.setdefault(r.chunk_text, (r.doc_id, r.chunk_idx))
     assert kept == set(first.values())
+
+
+_tgt_rows = st.dictionaries(
+    st.integers(0, 8), st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+    min_size=0, max_size=9,
+)
+_src_rows = st.dictionaries(
+    st.integers(0, 8), st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+    min_size=0, max_size=9,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(tgt=_tgt_rows, src=_src_rows, insert=st.booleans(), use_delete=st.booleans())
+def test_merge_into_matches_dict_replay(spark, tgt, src, insert, use_delete):
+    """Full MERGE clause semantics vs an independent dict replay: matched +
+    delete-cond rows drop, surviving matches update only the assigned
+    column (others keep the target value), unmatched targets pass through,
+    and unmatched source rows insert iff insert_not_matched. Covers the
+    NULL-condition subtlety: the delete condition references a source
+    column, which is NULL for unmatched targets — those must survive."""
+    from chatdata_spark.operators.upsert import merge_into
+
+    tdf = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in sorted(tgt.items())] or [(None, None, None)],
+        "k int, a int, b int",
+    )
+    if not tgt:
+        tdf = tdf.filter(F.col("k").isNotNull())
+    sdf = spark.createDataFrame(
+        [(k, a, b) for k, (a, b) in sorted(src.items())] or [(None, None, None)],
+        "k int, a int, b int",
+    )
+    if not src:
+        sdf = sdf.filter(F.col("k").isNotNull())
+
+    out = merge_into(
+        tdf, sdf, ["k"],
+        when_matched_update={"a": F.col("__src_a")},
+        when_matched_delete=(F.col("__src_b") % 3 == 0) if use_delete else None,
+        insert_not_matched=insert,
+    )
+    got = sorted((r.k, r.a, r.b) for r in out.collect())
+
+    ref = dict(tgt)
+    for k, (sa, sb) in src.items():
+        if k in ref:
+            if use_delete and sb % 3 == 0:
+                del ref[k]
+            else:
+                ref[k] = (sa, ref[k][1])
+        elif insert:
+            ref[k] = (sa, sb)
+    want = sorted((k, a, b) for k, (a, b) in ref.items())
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 2), st.floats(0.0, 99.999, allow_nan=False)),
+        min_size=1, max_size=60,
+    ),
+    p=st.sampled_from([0.1, 0.5, 0.9, 1.0]),
+)
+def test_quantile_hist_within_bin_width_of_numpy(spark, vals, p):
+    """Histogram quantiles vs numpy's order-statistic quantile
+    (method='inverted_cdf'): the crossing-bin estimate must land within
+    one bin width of the true quantile for in-range data — the operator's
+    documented error bound (both the true order statistic of rank
+    ceil(p*total) and the interpolated estimate lie inside the crossing
+    bin)."""
+    import numpy as np
+
+    from chatdata_spark.operators.quantile import hist_counts, quantiles_from_hist
+
+    lo, hi, n_bins = 0.0, 100.0, 20
+    width = (hi - lo) / n_bins
+    df = spark.createDataFrame([(g, v) for g, v in vals], "g int, v double")
+    hist = hist_counts(df, ["g"], "v", lo, hi, n_bins)
+    est = {
+        r.g: r[f"p{int(round(p * 100))}"]
+        for r in quantiles_from_hist(hist, ["g"], lo, hi, n_bins, [p]).collect()
+    }
+    by_group: dict[int, list[float]] = {}
+    for g, v in vals:
+        by_group.setdefault(g, []).append(v)
+    for g, xs in by_group.items():
+        true_q = float(np.quantile(np.asarray(xs), p, method="inverted_cdf"))
+        assert abs(est[g] - true_q) <= width + 1e-9, (
+            f"group {g}: est={est[g]} true={true_q} (n={len(xs)}, p={p})"
+        )
+
+
+_vocab = ["apple", "banana", "cherry", "date", "elder", "fig7"]
+_docs_bm = st.lists(
+    st.lists(st.sampled_from(_vocab), min_size=0, max_size=12),
+    min_size=1, max_size=15,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_docs_bm, terms=st.lists(st.sampled_from(_vocab), min_size=1, max_size=3, unique=True), k=st.integers(1, 8))
+def test_bm25_topk_matches_python_scorer(spark, docs, terms, k):
+    """bm25_topk vs an independent pure-Python scorer replicating the
+    documented formula with the SAME operand order (rational idf — the
+    log-free config the oracles use, so every op is IEEE-deterministic)
+    and Spark's HALF_UP round-6 (BigDecimal.valueOf == Decimal(repr)).
+    Pins the corpus-stat subtleties: N and avgdl computed over docs with
+    >=1 token only (empty docs never reach per_doc), score>0 filter, and
+    the (score desc, id asc) tie-break."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from chatdata_spark.operators.textsearch import bm25_topk
+
+    k1, b = 1.2, 0.75
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    got = [(r.doc_id, r.score) for r in
+           bm25_topk(df, "doc_id", "text", terms, k=k, k1=k1, b=b, idf="rational").collect()]
+
+    tokenized = {i: ws for i, ws in enumerate(docs) if ws}
+    n = len(tokenized)
+    if n == 0:
+        assert got == []
+        return
+    avgdl = sum(len(ws) for ws in tokenized.values()) / n
+    dfs = {t: sum(1 for ws in tokenized.values() if t in ws) for t in terms}
+    scored = []
+    for i, ws in tokenized.items():
+        s = 0.0
+        for t in terms:
+            tf = float(ws.count(t))
+            if tf == 0:
+                continue
+            ratio = ((n - dfs[t]) + 0.5) / (dfs[t] + 0.5)
+            denom = tf + k1 * ((1.0 - b) + (b * len(ws)) / avgdl)
+            s = s + (ratio * (tf * (k1 + 1.0))) / denom
+        r6 = float(Decimal(repr(s)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+        if r6 > 0:
+            scored.append((i, r6))
+    want = sorted(scored, key=lambda x: (-x[1], x[0]))[:k]
+    assert got == want

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
+import pytest
 
 from chatdata_spark.catalog import CHAT_ARXIV
 from chatdata_spark.functions.embedders import (
@@ -377,3 +378,74 @@ def test_token_count_udf_identity(monkeypatch):
         assert u2 is None
         return
     assert u1 is u2
+
+
+def _real_model_available(env_var: str) -> bool:
+    import os
+
+    if not os.environ.get(env_var):
+        return False
+    try:
+        import sentence_transformers  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+@pytest.mark.skipif(
+    not _real_model_available("SPARK_GRAFT_EMBED_MODEL"),
+    reason="opt-in: set SPARK_GRAFT_EMBED_MODEL with sentence-transformers "
+    "installed to run the real-embedder integration contract",
+)
+def test_real_embedder_integration_contract(spark):
+    """Day-the-weights-arrive integration test (skipped in this container):
+    with a REAL sentence-transformers model behind the env seam, the
+    embed path must satisfy the engine's contracts — consistent dimension
+    across rows, unit-normalized float vectors (the encode passes
+    normalize_embeddings=True), and bit-determinism across two runs of the
+    same plan. Values themselves are model-specific and NOT asserted."""
+    import math
+
+    from chatdata_spark.functions.embedders import embedder_udf
+
+    texts = ["vector join stream", "the quick brown fox", "", "vector join stream"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    udf = embedder_udf("__integration_probe__", dim=0)  # unregistered -> env path
+    out1 = {r.id: list(r.v) for r in df.select("id", udf(F.col("text")).alias("v")).collect()}
+    out2 = {r.id: list(r.v) for r in df.select("id", udf(F.col("text")).alias("v")).collect()}
+    dims = {len(v) for v in out1.values()}
+    assert len(dims) == 1 and dims.pop() > 0, "inconsistent embedding dimension"
+    for v in out1.values():
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-3, "not unit-normalized"
+    assert out1 == out2, "real embedder is not run-to-run deterministic"
+    # identical inputs embed identically (rows 0 and 3)
+    assert out1[0] == out1[3]
+
+
+@pytest.mark.skipif(
+    not _real_model_available("SPARK_GRAFT_CROSS_ENCODER"),
+    reason="opt-in: set SPARK_GRAFT_CROSS_ENCODER with sentence-transformers "
+    "installed to run the real-reranker integration contract",
+)
+def test_real_cross_encoder_integration_contract(spark):
+    """With a REAL CrossEncoder behind the env seam, rerank_topk must keep
+    its engine contracts — exactly k rows, double scores descending with
+    the id tie-break, and determinism across two runs. Score values are
+    model-specific and NOT asserted."""
+    from chatdata_spark.operators.textsearch import maybe_cross_encoder, rerank_topk
+
+    q = "vector join stream"
+    scorer = maybe_cross_encoder(q)
+    assert scorer is not None
+    rows = [(i, t) for i, t in enumerate(
+        ["vector join stream engines", "unrelated pastry recipe",
+         "stream joins over vectors", "completely different topic", "join stream"]
+    )]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = [(r.doc_id, r.rerank_score) for r in rerank_topk(df, "doc_id", "text", q, k=3, scorer=scorer).collect()]
+    b = [(r.doc_id, r.rerank_score) for r in rerank_topk(df, "doc_id", "text", q, k=3, scorer=scorer).collect()]
+    assert len(a) == 3
+    assert all(isinstance(s, float) for _, s in a)
+    scores = [s for _, s in a]
+    assert scores == sorted(scores, reverse=True)
+    assert a == b, "real cross-encoder is not run-to-run deterministic"

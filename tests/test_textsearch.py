@@ -150,3 +150,38 @@ def test_stuff_context_doc_template_ref_ids(spark):
     ).collect()[0]
     assert out.context == "Doc #0: aa bb\n\nDoc #1: cc"
     assert out.n_tokens == 3  # budget counts raw text tokens, not template
+
+
+@pytest.mark.parametrize(
+    "sf_dir", [SF_ORACLE, "/root/testdata/sf0.1"], ids=["sf0.01", "sf0.1"]
+)
+def test_retrieval_funnel_invariants_at_scale(spark, sf_dir):
+    """The flagship must hold its stage contract at BOTH compare scales —
+    the driver smokes entry() at sf0.001 only and the oracle runs at
+    sf0.01, so without this the funnel could silently break at bench
+    scale (sf0.1). Asserts the 60/30/20/10 page sizes stage by stage and
+    the output invariants: exactly 10 rows, mmr_rank = 0..9, distinct
+    doc_ids, and non-increasing mmr_score (greedy MMR max scores are
+    monotone because each candidate's penalty only ratchets up)."""
+    from chatdata_spark.operators.textsearch import rerank_topk
+    from chatdata_spark.queries import textsearch as ts
+    from chatdata_spark.queries.textsearch import retrieval_funnel_docs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # stage pages, same configs as the flagship
+    bm = bm25_topk(d, "doc_id", "text", ts.FUNNEL_Q.split(), k=60,
+                   k1=ts.K1, b=ts.B, idf="rational")
+    assert bm.count() == 60
+    kn60 = with_rank(bm, [F.desc("score"), F.asc("doc_id")])
+    fused = rrf_fuse([kn60, kn60], "doc_id", k0=60, k=30)
+    assert fused.count() == 30
+    cand = fused.join(F.broadcast(d.select("doc_id", "text")), "doc_id")
+    assert rerank_topk(cand, "doc_id", "text", ts.FUNNEL_Q, k=20).count() == 20
+
+    rows = retrieval_funnel_docs(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert [r.mmr_rank for r in rows] == list(range(10))
+    assert len({r.doc_id for r in rows}) == 10
+    scores = [r.mmr_score for r in rows]
+    assert all(a >= b for a, b in zip(scores, scores[1:]))
+    assert all(r.rrf > 0 for r in rows)

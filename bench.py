@@ -66,6 +66,7 @@ HEADLINE = [
     "rerank_snippet_search",    # rerank + highlight funnel tail
     "hard_negative_mining",     # knn-join anti-join mine
     "retrieval_funnel_docs",    # FLAGSHIP: routed ANN + BM25 → RRF → rerank → MMR
+    "dedup_substring_spans",    # cross-doc duplicated-substring spans (Lee et al. shape)
 ]
 
 
@@ -249,6 +250,17 @@ def bench_bm25_x10(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     d10 = _replicate(d, ["doc_id"])
     return bm25_topk(d10, "doc_id", "text", TERMS, k=20, k1=K1, b=B, idf="rational")
+
+
+def bench_substring_x10(spark, sf_dir):
+    """Duplicated-substring spans over the perturbed 10x corpus: the
+    '#<rep>' word suffixes keep replicas gram-disjoint, so dup-gram classes
+    and span counts scale exactly linearly — the probe pins that the
+    (id, pos, hash8) shuffle and the dup-hash join stay linear too."""
+    from chatdata_spark.operators.substrdedup import duplicated_ngram_spans
+
+    d10 = _replicate_docs_perturbed(spark, sf_dir)
+    return duplicated_ngram_spans(d10, "doc_id", "text", n=10, min_count=2)
 
 
 def bench_hybrid_rrf_x10(spark, sf_dir):
@@ -657,6 +669,7 @@ EXTRA = {
     "dedup_embedding_x10": bench_embedding_dedup_x10,
     "bm25_x10": bench_bm25_x10,
     "hybrid_rrf_x10": bench_hybrid_rrf_x10,
+    "dedup_substring_x10": bench_substring_x10,
     "retrieval_funnel_x10": bench_retrieval_funnel_x10,
     "profile_orders_approx": bench_profile_approx,
     "sessionize_hotkey_sliced": bench_sessionize_hotkey,

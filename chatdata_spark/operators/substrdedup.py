@@ -1,0 +1,184 @@
+"""Cross-document duplicated-substring detection and removal — the n-gram
+approximation of suffix-array substring dedup ("Deduplicating Training Data
+Makes Language Models Better", Lee et al. 2022): any word n-gram occurring
+``min_count``+ times in the corpus marks a duplicated region; overlapping /
+adjacent duplicated n-grams merge into maximal spans, which can then be cut
+from the text. This is the span-level complement of the document-level
+near-dup family (operators/dedup.py) — it removes boilerplate, licenses,
+and templated passages that repeat across otherwise-distinct documents
+(extension; nearest reference artifact is the entity_id exact-dedup upsert
+convention, tools.py:35-37, which this generalizes below document
+granularity).
+
+Scale shape (100 TB posture):
+- per-doc n-gram hashing is ONE scan-stage JVM expression (transform over a
+  position sequence, xxhash64 of the sliced window) — no Python, no UDF;
+- the shuffle carries (id, pos, 8-byte hash) triples — corpus token count
+  rows, NEVER text; the count aggregation is map-side combinable;
+- the dup-hash join is a plain equi-join on the hash; span merging is one
+  window per doc over only the DUPLICATED positions (≪ corpus tokens).
+
+Word positions are 1-based (matching DuckDB list indexing, so the oracle
+reads naturally). Spans are inclusive [span_start, span_end] word ranges
+over the lowercase-alphanumeric token stream (the same tokenization as
+operators/textsearch.py::tokenize, shared with its oracle convention).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd  # module-top: pandas_udf type hints resolve against it
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    from chatdata_spark.operators.dedup import _spread
+
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    return _spread(df.select(F.col(id_col).alias("__id"), words.alias("__ws")))
+
+
+# UDF-object memoization per n (CacheManager plan-equality rule)
+_GRAM_UDFS: dict[int, object] = {}
+
+
+def gram_hashes_udf(n: int):
+    """POSITIONAL n-gram hashes: array<bigint> word hashes → array<bigint>
+    where element i is the xor-rotate mix of words [i, i+n-1] — the
+    order-preserving (non-distinct) twin of dedup.shingle_hashes_udf,
+    same mix, one numpy pass per Arrow batch. Two windows collide only on
+    hash collision (~positions²/2⁶⁴, deterministic), so grouping these
+    hashes groups equal word windows — which is what the DuckDB oracle
+    proves by grouping the literal gram strings. The interpreted-HOF
+    formulation of the same thing (slice+concat+xxhash64 per position)
+    costs O(len·n) lambda frames per row ≈ 1 µs each — measured 10.7 s vs
+    1.4 s at sf0.1 — and the Python eval node here is also the optimizer
+    barrier that stops the downstream posexplode from re-inlining the
+    expression (the Generate-inlining trap). Closure captures only ``n``
+    and third-party modules (worker-pickling rule)."""
+    if n in _GRAM_UDFS:
+        return _GRAM_UDFS[n]
+
+    @F.pandas_udf("array<bigint>")
+    def _g(word_hashes: pd.Series) -> pd.Series:
+        nn = n
+        out = []
+        for h in word_hashes:
+            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+            ln = hv.size
+            if ln < nn:
+                out.append([])
+                continue
+            m = ln - nn + 1
+            acc = hv[:m].copy()
+            for j in range(1, nn):
+                acc = ((acc << np.uint64(7)) | (acc >> np.uint64(57))) ^ hv[j : j + m]
+            out.append(acc.view(np.int64).tolist())
+        return pd.Series(out)
+
+    _GRAM_UDFS[n] = _g
+    return _g
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated-substring spans per document: every word n-gram
+    with ``min_count``+ occurrences corpus-wide (intra- or cross-document)
+    marks positions [p, p+n-1]; runs of marked grams whose starts are
+    within ``n`` of each other (overlapping or touching regions) merge.
+    Returns (id_col, span_start, span_len, n_grams) ordered spans,
+    1-based inclusive word positions."""
+    d = _tokenized(df, id_col, text_col)
+    grams = (
+        d.filter(F.size("__ws") >= n)
+        .select("__id", F.transform("__ws", lambda t: F.xxhash64(t)).alias("__wh"))
+        .select("__id", F.posexplode(gram_hashes_udf(n)(F.col("__wh"))).alias("__i", "__h"))
+        .select("__id", (F.col("__i") + 1).alias("__pos"), "__h")
+    )
+    dup = (
+        grams.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__h")
+    )
+    hits = grams.join(dup, "__h").select("__id", "__pos")
+    w = Window.partitionBy("__id").orderBy("__pos")
+    prev = F.lag("__pos").over(w)
+    is_new = F.when(prev.isNull() | (F.col("__pos") - prev > n), 1).otherwise(0)
+    run = Window.partitionBy("__id").orderBy("__pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    marked = hits.withColumn("__sid", F.sum(is_new).over(run))
+    return (
+        marked.groupBy("__id", "__sid")
+        .agg(
+            F.min("__pos").cast("long").alias("span_start"),
+            (F.max("__pos") + n - F.min("__pos")).cast("long").alias("span_len"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(F.col("__id").alias(id_col), "span_start", "span_len", "n_grams")
+        .orderBy(id_col, "span_start")
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Cut every duplicated span from the token stream: returns one row per
+    input document — (id_col, n_words, n_dropped, text_dedup), where
+    ``text_dedup`` is the space-joined surviving tokens (removal operates on
+    the normalized token stream, the same granularity Lee et al. cut at —
+    original casing/punctuation do not survive, which is the standard
+    trade for a training-corpus pass). Documents with no duplicated spans
+    keep their full token stream with ``n_dropped = 0``."""
+    d = _tokenized(df, id_col, text_col)
+    spans = duplicated_ngram_spans(df, id_col, text_col, n=n, min_count=min_count)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                (F.col("span_start") + F.col("span_len") - 1).alias("e"),
+            )
+        ).alias("__spans")
+    )
+    joined = d.join(
+        per_doc.select(F.col(id_col).alias("__id"), "__spans"), "__id", "left"
+    ).withColumn(
+        "__spans",
+        F.coalesce(
+            "__spans",
+            F.array().cast("array<struct<s:bigint,e:bigint>>"),
+        ),
+    )
+    # keep word i+1 unless some span covers it — nested HOF: the inner
+    # exists() references the outer filter lambda's index (supported
+    # correlated nesting); per-word cost is O(spans per doc), all JVM.
+    # __kept is materialized in its own select and referenced twice
+    # downstream (size + concat) — the ≥2-reference rule blocks
+    # CollapseProject, so the filter evaluates once (inlining gotcha).
+    kept = F.filter(
+        "__ws",
+        lambda w, i: ~F.exists(
+            "__spans", lambda sp: (sp["s"] <= i + 1) & (i + 1 <= sp["e"])
+        ),
+    )
+    layered = joined.select("__id", "__ws", kept.alias("__kept"))
+    return (
+        layered.select(
+            F.col("__id").alias(id_col),
+            F.size("__ws").cast("long").alias("n_words"),
+            (F.size("__ws") - F.size("__kept")).cast("long").alias("n_dropped"),
+            F.concat_ws(" ", "__kept").alias("text_dedup"),
+        )
+        .orderBy(id_col)
+    )

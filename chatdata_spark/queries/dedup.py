@@ -321,3 +321,99 @@ def dedup_incremental_batches(spark, sf_dir):
     p1 = store.add_batch(d.filter(F.col("doc_id") % 3 != 0), "doc_id")
     p2 = store.add_batch(d.filter(F.col("doc_id") % 3 == 0), "doc_id")
     return p1.unionByName(p2).orderBy("i", "j")
+
+
+# Shared CTE chain for the substring-dedup oracles: 10-gram strings (the
+# Spark side groups xxhash64 of the same space-joined window — identical
+# equivalence classes), corpus-wide count >= 2, span merge via the same
+# lag/running-sum window the engine uses. 1-based word positions on both
+# sides (DuckDB list slicing is 1-based end-inclusive).
+_DUCK_SUBSTR_SPANS = """
+WITH words AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+),
+grams AS (
+    SELECT doc_id, pos, array_to_string(ws[pos:pos+9], ' ') AS g
+    FROM words, unnest(generate_series(1, len(ws) - 9)) AS t(pos)
+    WHERE len(ws) >= 10
+),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 10
+                THEN 1 ELSE 0 END AS is_new
+    FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+runs AS (
+    SELECT doc_id, pos,
+           SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM marked
+),
+spans AS (
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + 10 - MIN(pos) AS BIGINT) AS span_len,
+           COUNT(*) AS n_grams
+    FROM runs GROUP BY doc_id, sid
+)
+"""
+
+
+@query(
+    "dedup_substring_spans",
+    oracle=_DUCK_SUBSTR_SPANS
+    + "SELECT doc_id, span_start, span_len, n_grams FROM spans ORDER BY doc_id, span_start",
+)
+def dedup_substring_spans(spark, sf_dir):
+    """Sub-document duplicated-substring detection (operators/
+    substrdedup.py — the n-gram approximation of Lee et al. 2022 suffix-
+    array dedup): every word 10-gram occurring twice+ corpus-wide marks a
+    region; overlapping/touching regions merge into maximal spans. The
+    shuffle carries (id, pos, 8-byte xxhash64) — never text — and the
+    oracle groups the literal gram strings, proving the hash classes."""
+    from chatdata_spark.operators.substrdedup import duplicated_ngram_spans
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return duplicated_ngram_spans(d, "doc_id", "text", n=10, min_count=2)
+
+
+@query(
+    "dedup_substring_removal",
+    oracle=_DUCK_SUBSTR_SPANS
+    + """,
+positions AS (
+    SELECT w.doc_id, t.pos, w.ws[t.pos] AS word
+    FROM words w, unnest(generate_series(1, len(w.ws))) AS t(pos)
+),
+covered AS (
+    SELECT DISTINCT p.doc_id, p.pos
+    FROM positions p JOIN spans s
+      ON p.doc_id = s.doc_id
+     AND p.pos BETWEEN s.span_start AND s.span_start + s.span_len - 1
+),
+kept AS (
+    SELECT p.doc_id, p.pos, p.word
+    FROM positions p ANTI JOIN covered c
+      ON p.doc_id = c.doc_id AND p.pos = c.pos
+)
+SELECT w.doc_id,
+       CAST(len(w.ws) AS BIGINT) AS n_words,
+       CAST(len(w.ws) - COALESCE(k.n, 0) AS BIGINT) AS n_dropped,
+       COALESCE(k.txt, '') AS text_dedup
+FROM words w LEFT JOIN (
+    SELECT doc_id, COUNT(*) AS n, string_agg(word, ' ' ORDER BY pos) AS txt
+    FROM kept GROUP BY doc_id
+) k USING (doc_id)
+ORDER BY w.doc_id
+""",
+)
+def dedup_substring_removal(spark, sf_dir):
+    """The cut: every duplicated span removed from the token stream — one
+    row per document with the surviving text and drop counts (operators/
+    substrdedup.py::remove_duplicated_spans). The whole rebuilt string is
+    oracle-hashed, pinning the nested-HOF position filter exactly."""
+    from chatdata_spark.operators.substrdedup import remove_duplicated_spans
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return remove_duplicated_spans(d, "doc_id", "text", n=10, min_count=2)

@@ -803,3 +803,63 @@ def test_bm25_topk_matches_python_scorer(spark, docs, terms, k):
             scored.append((i, r6))
     want = sorted(scored, key=lambda x: (-x[1], x[0]))[:k]
     assert got == want
+
+
+_substr_vocab = ["aa", "bb", "cc", "dd"]
+_substr_docs = st.lists(
+    st.lists(st.sampled_from(_substr_vocab), min_size=0, max_size=15),
+    min_size=1, max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_substr_docs, n=st.integers(2, 4), min_count=st.sampled_from([2, 3]))
+def test_substring_dedup_matches_python_reference(spark, docs, n, min_count):
+    """Duplicated n-gram spans + removal vs a straight-line reference:
+    count every n-gram corpus-wide (intra-doc repeats included), mark
+    covered positions of grams at or over min_count, merge into maximal
+    runs, cut. A tiny vocabulary forces dense collisions — the worst case
+    for the span-merge window."""
+    from chatdata_spark.operators.substrdedup import (
+        duplicated_ngram_spans,
+        remove_duplicated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    counts: dict[tuple, int] = {}
+    for ws in docs:
+        for p in range(len(ws) - n + 1):
+            g = tuple(ws[p : p + n])
+            counts[g] = counts.get(g, 0) + 1
+    want_spans, want_removed = [], []
+    for i, ws in enumerate(docs):
+        hits = [
+            p + 1
+            for p in range(len(ws) - n + 1)
+            if counts[tuple(ws[p : p + n])] >= min_count
+        ]
+        runs: list[list[int]] = []
+        for p in hits:
+            if runs and p - runs[-1][-1] <= n:
+                runs[-1].append(p)
+            else:
+                runs.append([p])
+        covered = set()
+        for r in runs:
+            want_spans.append((i, r[0], r[-1] + n - r[0], len(r)))
+            covered.update(range(r[0], r[-1] + n))
+        kept = [w for j, w in enumerate(ws) if (j + 1) not in covered]
+        want_removed.append((i, len(ws), len(ws) - len(kept), " ".join(kept)))
+
+    got_spans = [
+        (r.doc_id, r.span_start, r.span_len, r.n_grams)
+        for r in duplicated_ngram_spans(df, "doc_id", "text", n=n, min_count=min_count).collect()
+    ]
+    assert sorted(got_spans) == sorted(want_spans)
+    got_removed = [
+        (r.doc_id, r.n_words, r.n_dropped, r.text_dedup)
+        for r in remove_duplicated_spans(df, "doc_id", "text", n=n, min_count=min_count).collect()
+    ]
+    assert got_removed == want_removed

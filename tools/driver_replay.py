@@ -50,8 +50,16 @@ def skey(row):
 qs = mod.queries(); osql = mod.oracle_sql()
 # default: the driver's 50-slot window; REPLAY_ALL=1 sweeps the full registry
 # (hardening for future window rotations — out-of-window queries must also
-# survive the plain session + foreign cwd)
-names = list(qs) if os.environ.get("REPLAY_ALL") else list(qs)[:50]
+# survive the plain session + foreign cwd); REPLAY_ONLY=a,b replays just
+# those names (targeted foreign-cwd check after touching a tail query's
+# worker closure without paying the full sweep)
+only = os.environ.get("REPLAY_ONLY")
+if only:
+    names = [s.strip() for s in only.split(",") if s.strip()]
+elif os.environ.get("REPLAY_ALL"):
+    names = list(qs)
+else:
+    names = list(qs)[:50]
 fails = []
 for name in names:
     try:

@@ -186,6 +186,7 @@ def range_join(
     left_id: str | None = None,
     right_tiebreak: str | None = None,
     keep: str = "last",
+    slice_width: float | None = None,
 ) -> DataFrame:
     """Interval join: pairs where ``right.val ∈ [left.lo, left.hi]``
     (+ optional equi keys) via **bucketized equi-join** — the scalable
@@ -217,7 +218,11 @@ def range_join(
     O(|L|·N + |R| log |R|) total, vs O(pairs) for any join-then-prune.
     Requires ``left_id`` (unique left row key); pass ``right_tiebreak``
     (a right column making (right_val, tiebreak) unique per key) for
-    deterministic results when right values can collide."""
+    deterministic results when right values can collide. ``slice_width``
+    (same units as the values) is the bounded path's hot-key knob: the
+    numbering and the as-of both re-partition on (key, value-slice) with
+    tiny boundary passes, so one hot key spreads over history/slice_width
+    tasks instead of serializing (identical output, property-asserted)."""
     equi_keys = equi_keys or []
     if how != "inner":
         raise ValueError(f"range_join is inner-only (see range_join_left), got {how}")
@@ -228,7 +233,7 @@ def range_join(
             raise ValueError("max_matches_per_left requires left_id (unique left row key)")
         return _bounded_range_join(
             left, right, lo_col, hi_col, right_val_col, equi_keys,
-            max_matches_per_left, right_tiebreak, keep,
+            max_matches_per_left, right_tiebreak, keep, slice_width,
         )
 
     lb = F.explode(
@@ -258,6 +263,7 @@ def _bounded_range_join(
     n: int,
     right_tiebreak: str | None,
     keep: str,
+    slice_width: float | None = None,
 ) -> DataFrame:
     """Nearest-N interval join WITHOUT pair enumeration (inner semantics).
 
@@ -297,10 +303,36 @@ def _bounded_range_join(
     if right_tiebreak is not None:
         tb = F.col(right_tiebreak)
         order.append(tb.asc() if last else tb.desc())
-    w_num = Window.partitionBy("__ek").orderBy(*order)
-    numbered = right.withColumn("__ek", ek).withColumn(
-        "__cn", F.row_number().over(w_num)
-    )
+    base = right.filter(val.isNotNull()).withColumn("__ek", ek)
+    if slice_width is None:
+        w_num = Window.partitionBy("__ek").orderBy(*order)
+        numbered = base.withColumn("__cn", F.row_number().over(w_num).cast("long"))
+    else:
+        # hot-key-sliced numbering (the sessionize offset pattern): local
+        # row_number per (key, value-slice) + a running count of earlier
+        # slices from the tiny per-(key, slice) summary. Slices follow the
+        # PREFERENCE direction (vp = val or -val), so slice order ==
+        # numbering order and the offset is just the earlier-slice count.
+        vp0 = val if last else -val
+        sliced = base.withColumn(
+            "__sl", F.floor(vp0 / F.lit(float(slice_width))).cast("long")
+        )
+        w_local = Window.partitionBy("__ek", "__sl").orderBy(*order)
+        local = sliced.withColumn("__lrn", F.row_number().over(w_local))
+        counts = local.groupBy("__ek", "__sl").agg(F.count(F.lit(1)).alias("__c"))
+        w_run = (
+            Window.partitionBy("__ek")
+            .orderBy("__sl")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = counts.withColumn(
+            "__off", F.coalesce(F.sum("__c").over(w_run), F.lit(0))
+        ).select("__ek", "__sl", "__off")
+        numbered = (
+            local.join(offs, ["__ek", "__sl"])
+            .withColumn("__cn", (F.col("__off") + F.col("__lrn")).cast("long"))
+            .drop("__sl", "__lrn", "__off")
+        )
 
     vp = val if last else -val
     anchor = F.col(hi_col) if last else -F.col(lo_col)
@@ -309,6 +341,7 @@ def _bounded_range_join(
     boundary = asof_join(
         l_asof, r_asof, on="__ek", ts_col="__anchor", right_ts_col="__vp",
         payload_cols=["__cn"], prefix="__b_", tie_break="__cn",
+        slice_width=slice_width,
     )
     cn = F.col("__b___cn")
     exploded = (

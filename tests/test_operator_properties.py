@@ -132,21 +132,25 @@ def test_range_join_bounded_keeps_nearest_n(spark, lefts, rights, n):
             if k2 == k and lo <= v <= lo + w
         ]
     for keep in ("last", "first"):
-        got = sorted(
-            (r.left_id, r.val, r.rid)
-            for r in range_join(
-                ldf, rdf, lo_col="lo", hi_col="hi", right_val_col="val",
-                equi_keys=["k"], bucket_width=37.0,
-                max_matches_per_left=n, left_id="left_id", right_tiebreak="rid",
-                keep=keep,
-            ).collect()
-        )
         want = sorted(
             (i, v, j)
             for i, ms in matches.items()
             for v, j in sorted(ms, reverse=(keep == "last"))[:n]
         )
-        assert got == want, f"keep={keep} n={n}"
+        # slice_width=53 exercises the hot-key-sliced numbering + sliced
+        # as-of (incl. negative value-slices for keep='first'); output must
+        # be identical to the unsliced path
+        for sw in (None, 53.0):
+            got = sorted(
+                (r.left_id, r.val, r.rid)
+                for r in range_join(
+                    ldf, rdf, lo_col="lo", hi_col="hi", right_val_col="val",
+                    equi_keys=["k"], bucket_width=37.0,
+                    max_matches_per_left=n, left_id="left_id", right_tiebreak="rid",
+                    keep=keep, slice_width=sw,
+                ).collect()
+            )
+            assert got == want, f"keep={keep} n={n} slice_width={sw}"
     # parity: a bound no true match count reaches == the unbounded join
     big = max((len(ms) for ms in matches.values()), default=0) + 1
     unbounded = sorted(

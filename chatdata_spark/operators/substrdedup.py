@@ -63,18 +63,28 @@ def gram_hashes_udf(n: int):
     @F.pandas_udf("array<bigint>")
     def _g(word_hashes: pd.Series) -> pd.Series:
         nn = n
-        out = []
-        for h in word_hashes:
-            hv = np.asarray(h, dtype=np.int64).view(np.uint64)
-            ln = hv.size
-            if ln < nn:
-                out.append([])
-                continue
-            m = ln - nn + 1
-            acc = hv[:m].copy()
+        lists = [np.asarray(h, dtype=np.int64).view(np.uint64) for h in word_hashes]
+        if not lists:
+            return pd.Series([], dtype=object)
+        # ONE rolling pass over the whole Arrow batch (n shifts per batch,
+        # not per doc): concatenate, mix, then slice each doc's valid range
+        # back out by offset — windows that straddle doc boundaries fall
+        # outside every valid range, so they are computed and discarded,
+        # never emitted. Per-doc python overhead drops to a slice+tolist.
+        flat = np.concatenate(lists)
+        if flat.size >= nn:
+            m_full = flat.size - nn + 1
+            acc = flat[:m_full].copy()
             for j in range(1, nn):
-                acc = ((acc << np.uint64(7)) | (acc >> np.uint64(57))) ^ hv[j : j + m]
-            out.append(acc.view(np.int64).tolist())
+                acc = ((acc << np.uint64(7)) | (acc >> np.uint64(57))) ^ flat[j : j + m_full]
+            acc = acc.view(np.int64)
+        else:
+            acc = np.empty(0, dtype=np.int64)
+        out, off = [], 0
+        for a in lists:
+            m = a.size - nn + 1
+            out.append(acc[off : off + m].tolist() if m > 0 else [])
+            off += a.size
         return pd.Series(out)
 
     _GRAM_UDFS[n] = _g

@@ -194,6 +194,32 @@ def dedup_components(spark, sf_dir):
     return canonical_assignment(d, "doc_id", pairs).orderBy("doc_id")
 
 
+@query("dedup_components_star", oracle=_DUCK_COMPONENTS)
+def dedup_components_star(spark, sf_dir):
+    """The SAME canonical assignment through the O(log n) large-star/
+    small-star contraction (operators/components.py::
+    connected_components_star, Kiveris et al. 2014) instead of min-label
+    propagation — the scale-robust path for adversarially long chains
+    (min-label needs diameter rounds; a crawl-graph dedup can hit
+    diameter ≫ round budget). Identical oracle as dedup_components: both
+    algorithms contract to the component minimum."""
+    from chatdata_spark.operators.components import connected_components_star
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = jaccard_similarity_join(d, "doc_id", "text", k=3, threshold=0.4)
+    comp = connected_components_star(pairs)
+    return (
+        d.select(F.col("doc_id").alias("v"))
+        .join(comp, "v", "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.coalesce(F.col("c"), F.col("v")).alias("canonical_id"),
+        )
+        .withColumn("keep", F.col("canonical_id") == F.col("doc_id"))
+        .orderBy("doc_id")
+    )
+
+
 @query("streaming_near_dup_docs", oracle=_DUCK_JACCARD_PAIRS)
 def streaming_near_dup_docs(spark, sf_dir):
     """§2.10 + incremental dedup composed, ORACLE-checked end to end: the

@@ -45,3 +45,40 @@ def test_edge_direction_irrelevant(spark):
     la = sorted(map(tuple, connected_components(a).collect()))
     lb = sorted(map(tuple, connected_components(b).collect()))
     assert la == lb == [(3, 3), (7, 3), (9, 3)]
+
+
+def test_star_components_match_minlabel_on_fixture_pairs(spark):
+    """Two-phase star contraction returns the identical (v, component-min)
+    labeling as min-label propagation on the real near-dup pair graph."""
+    from chatdata_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+    from chatdata_spark.operators.dedup import jaccard_similarity_join
+    from tests.conftest import SF_ORACLE
+
+    d = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    pairs = jaccard_similarity_join(d, "doc_id", "text", k=3, threshold=0.4)
+    a = {(r.v, r.c) for r in connected_components(pairs).collect()}
+    b = {(r.v, r.c) for r in connected_components_star(pairs).collect()}
+    assert a == b and a
+
+
+def test_star_components_converge_on_long_chain(spark):
+    """The case that motivates the algorithm: a 150-node path graph has
+    diameter 149, far past min-label's default round budget (it raises),
+    while star contraction converges in O(log n) rounds to the same
+    everyone-labeled-0 answer."""
+    import pytest
+
+    from chatdata_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 150
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "i long, j long")
+    got = {(r.v, r.c) for r in connected_components_star(pairs, max_iter=25).collect()}
+    assert got == {(v, 0) for v in range(n)}
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(pairs, max_iter=10)

@@ -345,6 +345,34 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == want
 
 
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=_edges)
+def test_star_components_match_union_find(spark, edges):
+    """Large-star/small-star contraction ≡ union-find on random graphs —
+    the same contract as min-label (every vertex → component minimum),
+    via a completely different fixpoint."""
+    from chatdata_spark.operators.components import connected_components_star
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+
+    df = spark.createDataFrame(edges, "i long, j long")
+    got = {r.v: r.c for r in connected_components_star(df).collect()}
+    assert got == want
+
+
 _items = st.lists(st.sampled_from(list("abcdefgh")), min_size=1, max_size=60)
 
 

@@ -114,12 +114,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # composed QA tails
     "qa_context_assembly", "stuff_context_docs", "rerank_snippet_search",
     # vector/join first-timers
-    "mmr_diversified_knn_distributed", "knn_ip", "dimred_rp_knn",
+    "mmr_diversified_knn_distributed", "knn_ip",
     "bucketed_fact_join_revenue", "leakage_safe_split_docs",
     "asof_join_purchase_click_sliced",
+    # round-5 addition, verified the round it ships (the r4 pattern): the
+    # new substring-dedup operator family's detection query
+    "dedup_substring_spans",
 )
 
-# Rotation plan for round 6 (20 names still never-driver-checked after r5
+# Rotation plan for round 6 (24 names never-driver-checked after r5 —
+# incl. the r5 tail additions dimred_rp_knn / range_join_bounded_recent_clicks /
+# dedup_substring_removal / dedup_components_star (all foreign-cwd
+# replay-verified the round they shipped; see tools/driver_replay.py
+# REPLAY_ONLY)
 # — all pytest-oracled every round): analytics (moving_avg_user_value,
 # histogram, pivot/unpivot, percentile_stats, cohort_retention,
 # sliding_window), dialect_parity_extended + dialect_conditional_aggs,

@@ -29,7 +29,7 @@ MUST_BE_DRIVER_CHECKED = {
     "qa_context_assembly", "stuff_context_docs", "rerank_snippet_search",
     "mmr_diversified_knn_distributed", "bucketed_fact_join_revenue",
     "leakage_safe_split_docs", "streaming_near_dup_docs",
-    "q15_top_supplier", "q18_large_volume_customer",
+    "q15_top_supplier", "q18_large_volume_customer", "dedup_substring_spans",
 }
 
 

@@ -111,13 +111,20 @@ def duplicated_ngram_spans(
         .select("__id", F.posexplode(gram_hashes_udf(n)(F.col("__wh"))).alias("__i", "__h"))
         .select("__id", (F.col("__i") + 1).alias("__pos"), "__h")
     )
-    dup = (
-        grams.groupBy("__h")
-        .agg(F.count(F.lit(1)).alias("__c"))
+    # corpus-wide occurrence count as an unordered window over the hash:
+    # ONE shuffle of the (id, pos, hash8) stream and ONE evaluation of the
+    # scan+Arrow gram pass — the groupBy-count + join-back formulation
+    # evaluates the gram stream twice (both exchange keys hash h, but the
+    # agg exchange carries partial state, so nothing is reused) and was
+    # measured ~1.6x slower at sf0.1. A pathologically hot gram (corpus
+    # boilerplate repeated 10^8 times) colocates on one task but only to
+    # COUNT — no sort, no pair expansion.
+    w_h = Window.partitionBy("__h")
+    hits = (
+        grams.withColumn("__c", F.count(F.lit(1)).over(w_h))
         .filter(F.col("__c") >= min_count)
-        .select("__h")
+        .select("__id", "__pos")
     )
-    hits = grams.join(dup, "__h").select("__id", "__pos")
     w = Window.partitionBy("__id").orderBy("__pos")
     prev = F.lag("__pos").over(w)
     is_new = F.when(prev.isNull() | (F.col("__pos") - prev > n), 1).otherwise(0)

@@ -298,3 +298,95 @@ def text_unigram_logprob(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "curation_domain_cap",
+    oracle=f"""
+    SELECT source, doc_id, quality, rnk FROM (
+        SELECT source, doc_id, {_D_QUALITY} AS quality,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                    ORDER BY {_D_QUALITY} DESC, doc_id) AS BIGINT) AS rnk
+        FROM documents
+    ) WHERE rnk <= 5 ORDER BY source, rnk
+    """,
+)
+def curation_domain_cap(spark, sf_dir):
+    """Per-domain quality cap — the web-pipeline curation step that stops
+    one domain from dominating the mixture: keep each source's top-5
+    documents by composite quality score (operators/grouptopk.py over the
+    shared quality expression; tie-break doc_id). At corpus scale this is
+    the salted two-phase grouped top-k; at fixture scale the single
+    window pass."""
+    from chatdata_spark.operators.grouptopk import grouped_topk
+
+    p = _profile_frame(spark, sf_dir).select("source", "doc_id", "quality")
+    return (
+        grouped_topk(p, ["source"], [F.desc("quality"), F.asc("doc_id")], k=5)
+        .select("source", "doc_id", "quality", "rnk")
+        .orderBy("source", "rnk")
+    )
+
+
+@query(
+    "corpus_report_docs",
+    oracle=f"""
+    WITH agg AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+               CAST(SUM(CAST({_D_BPE} AS DECIMAL(27,6))) AS DOUBLE) AS total_tokens,
+               CAST(SUM(CAST({_D_QUALITY} AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) AS avg_quality,
+               CAST(COUNT(DISTINCT {_d_predict_lang()}) AS DOUBLE) AS n_langs,
+               CAST(COUNT(*) - COUNT(DISTINCT sha256({_D_NORM})) AS DOUBLE) AS exact_dup_docs,
+               CAST(SUM(CASE WHEN length(text) < 120 THEN 1 ELSE 0 END) AS DOUBLE) AS short_docs
+        FROM documents
+    )
+    SELECT 'avg_quality' AS metric, avg_quality AS value FROM agg
+    UNION ALL SELECT 'exact_dup_docs', exact_dup_docs FROM agg
+    UNION ALL SELECT 'n_docs', n_docs FROM agg
+    UNION ALL SELECT 'n_langs', n_langs FROM agg
+    UNION ALL SELECT 'short_docs', short_docs FROM agg
+    UNION ALL SELECT 'total_tokens', total_tokens FROM agg
+    ORDER BY metric
+    """,
+)
+def corpus_report_docs(spark, sf_dir):
+    """The dataset-card roll-up every training-data pipeline publishes:
+    ONE aggregation pass over the profiled corpus emitting a long-format
+    (metric, value) report — document count, BPE token budget, mean
+    composite quality (exact decimal sum), language count, exact-duplicate
+    count (distinct sha256 of the normalized text vs rows), and
+    short-document count. Composes the shared profile frame, so all six
+    metrics ride one scan + one partial-agg shuffle; uniform DOUBLE values
+    keep the long format single-typed."""
+    p = _profile_frame(spark, sf_dir)
+    row = p.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(F.col("__bpe").cast("decimal(27,6)")).cast("double").alias("total_tokens"),
+        (
+            F.sum(F.col("quality").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_quality"),
+        F.count_distinct("pred_lang").cast("double").alias("n_langs"),
+        (F.count(F.lit(1)) - F.count_distinct(F.sha2("__norm", 256)))
+        .cast("double")
+        .alias("exact_dup_docs"),
+        F.sum(F.when(F.length("text") < 120, 1).otherwise(0)).cast("double").alias("short_docs"),
+    )
+    metrics = [
+        "avg_quality", "exact_dup_docs", "n_docs",
+        "n_langs", "short_docs", "total_tokens",
+    ]
+    return (
+        row.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(m).alias("metric"), F.col(m).alias("value"))
+                        for m in metrics
+                    ]
+                )
+            ).alias("kv")
+        )
+        .select("kv.metric", "kv.value")
+        .orderBy("metric")
+    )

@@ -776,16 +776,40 @@ def union_all_counts(spark, sf_dir):
     return o.unionByName(e).groupBy("kind").agg(F.count(F.lit(1)).alias("n")).orderBy("kind")
 
 
-@query("approx_distinct_users")  # rows-only: HLL++ sketches are engine-specific
+@query(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def approx_distinct_users(spark, sf_dir):
     """approx_count_distinct (HLL++): the constant-memory distinct-count
-    for 100 TB cardinality estimation. Sketches differ across engines, so
-    no value oracle; the companion exact query is oracle-checked and the
-    unit test bounds the relative error."""
+    for 100 TB cardinality estimation. Sketch VALUES are engine-specific,
+    so the oracle checks the SOUNDNESS invariant instead (the ann_pq_adc
+    pattern): every per-type estimate within ±5% of the exact count —
+    rsd=0.02 puts 5% at ~2.5 sigma, and the estimate is deterministic on
+    fixed data (measured max error 0.4% at sf0.1, 0 at the compare
+    scales). A red row here means the estimator itself moved, not noise."""
     e = _t(spark, sf_dir, "events")
+    approx = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("__a")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users_exact")
+    )
     return (
-        e.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        exact.join(approx, "event_type")
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("__a") - F.col("n_users_exact"))
+                / F.col("n_users_exact")
+                <= 0.05
+            ).alias("approx_within_5pct"),
+        )
         .orderBy("event_type")
     )
 

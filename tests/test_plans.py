@@ -159,3 +159,58 @@ def test_stuff_context_single_shuffle_tail(spark):
     p = _plan(_QS["stuff_context_docs"](spark, SF_ORACLE))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_substring_spans_plan_shape(spark):
+    """The substring-dedup scale promises, plan-visible: gram hashing is
+    exactly ONE Arrow eval node (the minhash-template pass — re-appearing
+    twice would mean the count+filter re-evaluates the gram stream, the
+    formulation the hash-window rewrite removed), zero row-at-a-time
+    Python, zero cartesian products, and the text column never rides a
+    shuffle (the post-explode stream is (id, pos, hash8) only)."""
+    p = _plan(_QS["dedup_substring_spans"](spark, SF_ORACLE))
+    assert p.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in p and "CartesianProduct" not in p
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "text" not in m.group(1), f"text column shuffled: {m.group(0)}"
+
+
+def test_bounded_range_join_never_enumerates_pairs(spark):
+    """The bounded interval join must NOT contain the join-then-prune
+    shape: no WindowGroupLimit over the pair stream (the count-based path
+    has no pair stream at all), no cartesian product, and an as-of union
+    window instead. The output bound lives in the sequence explode."""
+    p = _plan(_QS["range_join_bounded_recent_clicks"](spark, SF_ORACLE))
+    import re
+
+    # the ONLY WindowGroupLimits allowed are the as-of tie-break dedups
+    # (row_number limit 1 over the RIGHT stream); a limit-N one would be
+    # the join-then-prune pair ranking sneaking back in
+    for m in re.finditer(r"WindowGroupLimit .*?row_number\(\), (\d+),", p):
+        assert m.group(1) == "1", f"pair-stream top-N reappeared: {m.group(0)}"
+    assert "CartesianProduct" not in p
+    assert "Generate explode(sequence" in p
+
+
+def test_star_components_round_is_two_aggregates_no_cartesian(spark):
+    """One star-contraction round compiles to groupBy(min) + equi-joins —
+    no per-component serialization, no cartesian products."""
+    from chatdata_spark.operators.components import connected_components_star
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(30)], "i long, j long")
+    p = _plan(connected_components_star(pairs))
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+
+def test_profile_approx_mode_has_no_expand_and_no_spread_exchange(spark):
+    """Approx mode folds HLL into the partial agg: no Expand row-multiply
+    and no repartition exchange before it (the r4->r5 drift fix) — the
+    only exchange is the final single-partition aggregate combine."""
+    from chatdata_spark.operators.profile import profile_table
+
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    p = _plan(profile_table(o, ["o_custkey", "o_totalprice"], distinct="approx"))
+    assert "Expand" not in p
+    assert p.count("Exchange") == 1

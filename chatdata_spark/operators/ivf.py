@@ -52,6 +52,12 @@ class IVFIndex:
         # split_skewed leaves ids non-contiguous; pre-split metas omit the key
         self.cluster_ids: list[int] = meta.get("cluster_ids", list(range(meta["n_clusters"])))
         self.n_clusters = len(self.cluster_ids)
+        # compact() swaps this pointer to a fresh versioned tree; pre-delete
+        # metas omit the key
+        self.data_dir: str = meta.get("data_dir", "data")
+
+    def _data_path(self) -> str:
+        return os.path.join(self.path, self.data_dir)
 
     # -- build -----------------------------------------------------------------
     @staticmethod
@@ -127,7 +133,7 @@ class IVFIndex:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        data_path = os.path.join(self.path, "data")
+        data_path = self._data_path()
         committed = {f"cluster_id={cid}" for cid in self.cluster_ids}
         for entry in os.listdir(data_path):
             if entry.startswith("cluster_id=") and entry not in committed:
@@ -171,6 +177,7 @@ class IVFIndex:
             "metric": self.metric,
             "centroids": centroids,
             "cluster_ids": cluster_ids,
+            "data_dir": self.data_dir,
         })
         for cid in fat:  # after the meta swap: searches can no longer probe them
             shutil.rmtree(os.path.join(data_path, f"cluster_id={cid}"), ignore_errors=True)
@@ -208,8 +215,88 @@ class IVFIndex:
             .repartition("cluster_id")
             .write.mode("append")
             .partitionBy("cluster_id")
-            .parquet(os.path.join(self.path, "data"))
+            .parquet(self._data_path())
         )
+
+    # -- deletes ---------------------------------------------------------------
+    def _tombstone_dir(self) -> str:
+        return os.path.join(self.path, "tombstones")
+
+    def delete(self, ids_df: DataFrame) -> None:
+        """Tombstone delete: append the ids (one small parquet per call) to
+        ``<path>/tombstones``; searches anti-join the set, so deletes are
+        visible immediately with NO rewrite of cluster data. The tombstone
+        set is assumed small relative to the index (it broadcasts in
+        search); when deletes accumulate, :meth:`compact` folds them into
+        the layout and clears the set. Ids are tombstoned permanently
+        until compact — re-appending a deleted id before compacting would
+        leave it invisible (same one-owner-per-entity-id discipline as the
+        upsert convention); single-writer contract as with every store."""
+        ids_df.select(F.col(self.id_col)).write.mode("append").parquet(
+            self._tombstone_dir()
+        )
+
+    def tombstones(self) -> DataFrame | None:
+        p = self._tombstone_dir()
+        if not os.path.isdir(p):
+            return None
+        return self.spark.read.parquet(p).select(self.id_col).distinct()
+
+    def compact(self) -> "IVFIndex":
+        """Fold tombstones into the layout: rewrite the cluster tree MINUS
+        deleted ids into a fresh versioned data dir (``data_vN`` — never
+        read-transform-overwrite), atomically swap the meta's ``data_dir``
+        pointer, then drop the old tree and the tombstone set.
+
+        Crash-safe at every boundary: a crash before the meta swap leaves
+        an orphan ``data_vN`` no search reads (a retry picks a fresh N); a
+        crash after the swap leaves a stale old tree / tombstone set whose
+        cleanup is idempotent (the tombstoned ids are already absent from
+        the compacted tree, so a still-present tombstone set only re-drops
+        nothing). Clusters emptied by deletion keep their id in the meta —
+        probing them scans zero rows. Compacting an index whose EVERY row
+        is tombstoned is refused (a zero-file parquet tree cannot be read
+        back)."""
+        import shutil
+
+        ts = self.tombstones()
+        if ts is None:
+            return self
+        n = 1
+        while os.path.exists(os.path.join(self.path, f"data_v{n}")):
+            n += 1
+        new_dir = f"data_v{n}"
+        data = self.spark.read.parquet(self._data_path()).join(
+            F.broadcast(ts), self.id_col, "left_anti"
+        )
+        (
+            data.repartition("cluster_id")
+            .write.mode("overwrite")
+            .partitionBy("cluster_id")
+            .parquet(os.path.join(self.path, new_dir))
+        )
+        if not any(
+            e.startswith("cluster_id=")
+            for e in os.listdir(os.path.join(self.path, new_dir))
+        ):
+            shutil.rmtree(os.path.join(self.path, new_dir), ignore_errors=True)
+            raise ValueError(
+                "compact: every row of the index is tombstoned — an empty "
+                "index is unreadable; rebuild instead"
+            )
+        self._write_meta(self.path, {
+            "id_col": self.id_col,
+            "vector_col": self.vector_col,
+            "n_clusters": len(self.cluster_ids),
+            "metric": self.metric,
+            "centroids": [list(map(float, c)) for c in self.centroids],
+            "cluster_ids": list(self.cluster_ids),
+            "data_dir": new_dir,
+        })
+        old = self._data_path()
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(self._tombstone_dir(), ignore_errors=True)
+        return IVFIndex(self.spark, self.path)
 
     # -- search ----------------------------------------------------------------
     def rank_centroids(self, query_vec: Sequence[float]) -> list[int]:
@@ -231,9 +318,13 @@ class IVFIndex:
         select: Sequence[str] | None = None,
     ) -> DataFrame:
         probes = self.rank_centroids(query_vec)[: max(1, min(n_probe, self.n_clusters))]
-        scan = self.spark.read.parquet(os.path.join(self.path, "data")).filter(
+        scan = self.spark.read.parquet(self._data_path()).filter(
             F.col("cluster_id").isin(probes)  # partition-pruned: only probed dirs read
         )
+        ts = self.tombstones()
+        if ts is not None:
+            # tombstoned ids are invisible until compact() reclaims them
+            scan = scan.join(F.broadcast(ts), self.id_col, "left_anti")
         return knn(
             scan,
             self.vector_col,

@@ -510,6 +510,36 @@ def ann_ivf_append_search(spark, sf_dir):
 
 
 @query(
+    "ann_ivf_delete_search",
+    oracle=f"""
+    SELECT vec_id, label, {_duck_cos('embedding', Q1)} AS dist
+    FROM embeddings WHERE vec_id % 7 <> 0
+    ORDER BY dist ASC, vec_id ASC
+    LIMIT 12
+    """,
+)
+def ann_ivf_delete_search(spark, sf_dir):
+    """Index DELETE lifecycle (completing the build/append/split CRUD of
+    the ADD VECTOR INDEX stand-in): build IVF on the full corpus,
+    tombstone every vec_id % 7 == 0 (operators/ivf.py::delete — append-only
+    tombstones, searches anti-join them immediately, no rewrite), COMPACT
+    (versioned tree rewrite + atomic meta pointer swap), and a full-probe
+    search over the compacted layout must equal the exact scan of the
+    surviving rows — proving deletes are both immediately invisible and
+    durably reclaimed."""
+    import tempfile
+
+    from chatdata_spark.operators.ivf import IVFIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    root = tempfile.mkdtemp(prefix="chatdata_ivf_delete_")
+    idx = IVFIndex.build(emb, root, "vec_id", "embedding", n_clusters=8)
+    idx.delete(emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"))
+    idx = idx.compact()
+    return idx.search(Q1, k=12, n_probe=idx.n_clusters, select=["vec_id", "label"])
+
+
+@query(
     "matryoshka_knn",
     oracle=f"""
     SELECT vec_id, label,

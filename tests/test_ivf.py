@@ -276,3 +276,63 @@ def test_split_skewed_retry_after_crash_no_duplicates(spark, tmp_path, monkeypat
         for r in idx2.search(Q, k=12, n_probe=idx2.n_clusters, select=["vec_id"]).collect()
     ]
     assert got == exact
+
+
+def test_delete_is_visible_before_compact_and_durable_after(spark, tmp_path):
+    """Tombstone lifecycle: deletes anti-join into every search immediately
+    (no rewrite), compact() reclaims them into a fresh versioned tree with
+    an atomic meta pointer swap, the old tree and tombstone set are gone,
+    and results are identical before and after compaction."""
+    import os
+
+    from chatdata_spark.functions.vector import hash_embed
+    from chatdata_spark.operators.ivf import IVFIndex
+    from tests.conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    idx = IVFIndex.build(emb, str(tmp_path / "ivf"), "vec_id", "embedding", n_clusters=8)
+    q = hash_embed("delete probe", 64)
+    before = [r.vec_id for r in idx.search(q, k=10, n_probe=8).collect()]
+
+    victims = set(before[:3])
+    idx.delete(emb.filter(F.col("vec_id").isin(list(victims))).select("vec_id"))
+    after_del = [r.vec_id for r in idx.search(q, k=10, n_probe=8).collect()]
+    assert not victims & set(after_del), "tombstoned ids still surface"
+    # deletes are not data loss for others: survivors keep their order
+    assert after_del[: 10 - 3] == [v for v in before if v not in victims][: 10 - 3]
+
+    idx2 = idx.compact()
+    after_compact = [r.vec_id for r in idx2.search(q, k=10, n_probe=8).collect()]
+    assert after_compact == after_del
+    assert idx2.data_dir != "data"
+    assert not os.path.exists(str(tmp_path / "ivf" / "data"))
+    assert not os.path.exists(str(tmp_path / "ivf" / "tombstones"))
+    # a reloaded index reads the swapped pointer
+    assert IVFIndex(spark, str(tmp_path / "ivf")).data_dir == idx2.data_dir
+    # double-delete then full-delete compaction is refused
+    idx2.delete(emb.select("vec_id"))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="every row"):
+        idx2.compact()
+
+
+def test_append_after_compact_lands_in_current_tree(spark, tmp_path):
+    """The data_dir pointer must route APPENDS too — an append after a
+    compact that wrote data_v1 may not resurrect the old 'data' path."""
+    import os
+
+    from chatdata_spark.functions.vector import hash_embed
+    from chatdata_spark.operators.ivf import IVFIndex
+    from tests.conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    idx = IVFIndex.build(half, str(tmp_path / "ivf"), "vec_id", "embedding", n_clusters=4)
+    idx.delete(half.limit(5).select("vec_id"))
+    idx = idx.compact()
+    idx.append(emb.filter(F.col("vec_id") % 2 == 1))
+    assert not os.path.exists(str(tmp_path / "ivf" / "data"))
+    q = hash_embed("append probe", 64)
+    got = idx.search(q, k=5, n_probe=4).collect()
+    assert len(got) == 5

@@ -122,11 +122,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_substring_spans",
 )
 
-# Rotation plan for round 6 (24 names never-driver-checked after r5 —
+# Rotation plan for round 6 (~27 names never-driver-checked after r5 —
 # incl. the r5 tail additions dimred_rp_knn / range_join_bounded_recent_clicks /
-# dedup_substring_removal / dedup_components_star (all foreign-cwd
-# replay-verified the round they shipped; see tools/driver_replay.py
-# REPLAY_ONLY)
+# dedup_substring_removal / dedup_components_star / curation_domain_cap /
+# corpus_report_docs / ann_ivf_delete_search and the two soundness-upgraded
+# HLL queries (all foreign-cwd replay-verified the round they shipped;
+# see tools/driver_replay.py REPLAY_ONLY; a REPLAY_ALL sweep also ran
+# green this round)
 # — all pytest-oracled every round): analytics (moving_avg_user_value,
 # histogram, pivot/unpivot, percentile_stats, cohort_retention,
 # sliding_window), dialect_parity_extended + dialect_conditional_aggs,

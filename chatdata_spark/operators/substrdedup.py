@@ -105,6 +105,15 @@ def duplicated_ngram_spans(
     Returns (id_col, span_start, span_len, n_grams) ordered spans,
     1-based inclusive word positions."""
     d = _tokenized(df, id_col, text_col)
+    return _spans_from_tokens(d, n, min_count).select(
+        F.col("__id").alias(id_col), "span_start", "span_len", "n_grams"
+    ).orderBy(id_col, "span_start")
+
+
+def _spans_from_tokens(d: DataFrame, n: int, min_count: int) -> DataFrame:
+    """Span detection over an already-tokenized (__id, __ws) frame —
+    shared by detection and removal so the removal path tokenizes the
+    corpus once, not twice."""
     grams = (
         d.filter(F.size("__ws") >= n)
         .select("__id", F.transform("__ws", lambda t: F.xxhash64(t)).alias("__wh"))
@@ -132,15 +141,10 @@ def duplicated_ngram_spans(
         Window.unboundedPreceding, Window.currentRow
     )
     marked = hits.withColumn("__sid", F.sum(is_new).over(run))
-    return (
-        marked.groupBy("__id", "__sid")
-        .agg(
-            F.min("__pos").cast("long").alias("span_start"),
-            (F.max("__pos") + n - F.min("__pos")).cast("long").alias("span_len"),
-            F.count(F.lit(1)).alias("n_grams"),
-        )
-        .select(F.col("__id").alias(id_col), "span_start", "span_len", "n_grams")
-        .orderBy(id_col, "span_start")
+    return marked.groupBy("__id", "__sid").agg(
+        F.min("__pos").cast("long").alias("span_start"),
+        (F.max("__pos") + n - F.min("__pos")).cast("long").alias("span_len"),
+        F.count(F.lit(1)).alias("n_grams"),
     )
 
 
@@ -159,8 +163,8 @@ def remove_duplicated_spans(
     trade for a training-corpus pass). Documents with no duplicated spans
     keep their full token stream with ``n_dropped = 0``."""
     d = _tokenized(df, id_col, text_col)
-    spans = duplicated_ngram_spans(df, id_col, text_col, n=n, min_count=min_count)
-    per_doc = spans.groupBy(id_col).agg(
+    spans = _spans_from_tokens(d, n, min_count)  # shares d: ONE tokenize pass
+    per_doc = spans.groupBy("__id").agg(
         F.collect_list(
             F.struct(
                 F.col("span_start").alias("s"),
@@ -168,9 +172,7 @@ def remove_duplicated_spans(
             )
         ).alias("__spans")
     )
-    joined = d.join(
-        per_doc.select(F.col(id_col).alias("__id"), "__spans"), "__id", "left"
-    ).withColumn(
+    joined = d.join(per_doc, "__id", "left").withColumn(
         "__spans",
         F.coalesce(
             "__spans",

@@ -162,8 +162,14 @@ def remove_duplicated_spans(
     original casing/punctuation do not survive, which is the standard
     trade for a training-corpus pass). Documents with no duplicated spans
     keep their full token stream with ``n_dropped = 0``."""
-    d = _tokenized(df, id_col, text_col)
-    spans = _spans_from_tokens(d, n, min_count)  # shares d: ONE tokenize pass
+    from pyspark import StorageLevel
+
+    # persisted because BOTH join branches (span detection and the token
+    # cut) consume it — sharing the logical frame alone still tokenizes
+    # twice physically (each branch replans the scan); the persist is what
+    # makes it once (the _with_shingle_hashes pattern)
+    d = _tokenized(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    spans = _spans_from_tokens(d, n, min_count)
     per_doc = spans.groupBy("__id").agg(
         F.collect_list(
             F.struct(

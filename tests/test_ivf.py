@@ -5,6 +5,7 @@ from __future__ import annotations
 import os
 
 import pyspark.sql.functions as F
+import pytest
 
 from chatdata_spark.functions.vector import hash_embed
 from chatdata_spark.operators.ivf import build_or_load_ivf
@@ -336,3 +337,33 @@ def test_append_after_compact_lands_in_current_tree(spark, tmp_path):
     q = hash_embed("append probe", 64)
     got = idx.search(q, k=5, n_probe=4).collect()
     assert len(got) == 5
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_delete_search_equals_exact_over_survivors(spark, tmp_path, seed):
+    """Randomized delete sets: with tombstones active (pre-compact) AND
+    after compact, a full-probe search must equal the exact kNN over
+    exactly the surviving rows — the delete lifecycle's correctness
+    contract at two random operating points."""
+    import numpy as np
+
+    from chatdata_spark.operators.ivf import IVFIndex
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    rng = np.random.default_rng(seed)
+    victims = set(int(x) for x in rng.choice(ids, size=len(ids) // 5, replace=False))
+    q = hash_embed(f"del probe {seed}", 64)
+
+    idx = IVFIndex.build(emb, str(tmp_path / f"ivf{seed}"), "vec_id", "embedding", n_clusters=8)
+    idx.delete(emb.filter(F.col("vec_id").isin(list(victims))).select("vec_id"))
+    survivors = emb.filter(~F.col("vec_id").isin(list(victims)))
+    want = [(r.vec_id, r.dist) for r in
+            knn(survivors, "embedding", q, k=15, select=["vec_id"], id_col="vec_id").collect()]
+    got_pre = [(r.vec_id, r.dist) for r in
+               idx.search(q, k=15, n_probe=idx.n_clusters, select=["vec_id"]).collect()]
+    assert got_pre == want
+    idx = idx.compact()
+    got_post = [(r.vec_id, r.dist) for r in
+                idx.search(q, k=15, n_probe=idx.n_clusters, select=["vec_id"]).collect()]
+    assert got_post == want

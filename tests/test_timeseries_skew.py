@@ -78,3 +78,30 @@ def test_asof_salted_equals_unsalted(spark, skewed):
         if u == "hot" and ats is not None
     )
     assert crossed > 0
+
+
+def test_bounded_range_join_keyless(spark):
+    """equi_keys=[]: the bounded path numbers the right side under a
+    constant key (a keyless bounded interval join IS a global order
+    statistic — single numbering task by construction, documented) and
+    must still return exactly the nearest-N per left row."""
+    from chatdata_spark.operators.timeseries import range_join
+
+    lefts = [(i, float(10 * i), float(10 * i + 25)) for i in range(8)]
+    rights = [(j, float(3 * j)) for j in range(40)]
+    ldf = spark.createDataFrame(lefts, "left_id long, lo double, hi double")
+    rdf = spark.createDataFrame(rights, "rid long, val double")
+    got = sorted(
+        (r.left_id, r.val)
+        for r in range_join(
+            ldf, rdf, lo_col="lo", hi_col="hi", right_val_col="val",
+            max_matches_per_left=2, left_id="left_id", right_tiebreak="rid",
+            keep="last",
+        ).collect()
+    )
+    want = sorted(
+        (i, v)
+        for i, lo, hi in lefts
+        for v in sorted([v for _, v in rights if lo <= v <= hi], reverse=True)[:2]
+    )
+    assert got == want

@@ -367,3 +367,41 @@ def test_delete_search_equals_exact_over_survivors(spark, tmp_path, seed):
     got_post = [(r.vec_id, r.dist) for r in
                 idx.search(q, k=15, n_probe=idx.n_clusters, select=["vec_id"]).collect()]
     assert got_post == want
+
+
+def test_compact_crash_replay_is_safe(spark, tmp_path):
+    """The compact() crash story, exercised: an orphan data_vN left by a
+    crash BEFORE the meta swap is never read (a retry picks a fresh N and
+    the search is unaffected); a stale tombstone set surviving a crash
+    AFTER the swap re-drops nothing (the ids are already gone)."""
+    import os
+    import shutil
+
+    from chatdata_spark.operators.ivf import IVFIndex
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    root = str(tmp_path / "ivf")
+    idx = IVFIndex.build(emb, root, "vec_id", "embedding", n_clusters=4)
+    idx.delete(emb.limit(7).select("vec_id"))
+    q = hash_embed("crash probe", 64)
+    want = [(r.vec_id, r.dist) for r in idx.search(q, k=10, n_probe=4).collect()]
+
+    # crash before swap: a half-written orphan tree exists
+    os.makedirs(os.path.join(root, "data_v1", "cluster_id=0"), exist_ok=True)
+    with open(os.path.join(root, "data_v1", "cluster_id=0", "junk"), "w") as f:
+        f.write("not parquet")
+    # search still reads the committed tree, ignoring the orphan
+    assert [(r.vec_id, r.dist) for r in idx.search(q, k=10, n_probe=4).collect()] == want
+    # retry compacts into a FRESH version, never the orphan
+    idx2 = idx.compact()
+    assert idx2.data_dir == "data_v2"
+    assert [(r.vec_id, r.dist) for r in idx2.search(q, k=10, n_probe=4).collect()] == want
+
+    # crash after swap: resurrect a stale tombstone set for already-gone ids
+    emb.limit(7).select("vec_id").write.mode("append").parquet(
+        os.path.join(root, "tombstones")
+    )
+    assert [(r.vec_id, r.dist) for r in idx2.search(q, k=10, n_probe=4).collect()] == want
+    idx3 = idx2.compact()  # idempotent cleanup
+    assert [(r.vec_id, r.dist) for r in idx3.search(q, k=10, n_probe=4).collect()] == want
+    shutil.rmtree(root, ignore_errors=True)

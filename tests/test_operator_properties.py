@@ -895,3 +895,45 @@ def test_substring_dedup_matches_python_reference(spark, docs, n, min_count):
         for r in remove_duplicated_spans(df, "doc_id", "text", n=n, min_count=min_count).collect()
     ]
     assert got_removed == want_removed
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    lists=st.lists(
+        st.lists(st.integers(0, 30), unique=True, min_size=0, max_size=12),
+        min_size=1, max_size=4,
+    ),
+    k0=st.sampled_from([10, 60]),
+    k=st.integers(1, 10),
+)
+def test_rrf_fuse_matches_python_reference(spark, lists, k0, k):
+    """RRF fusion vs a straight-line reference: score = sum over lists of
+    1/(k0 + rank) for lists containing the doc (1-based ranks, missing
+    membership contributes 0), HALF_UP round-6, (score desc, id asc)
+    tie-break, top-k — over random numbers of lists including empty ones
+    and partial overlaps."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from chatdata_spark.operators.textsearch import rrf_fuse
+
+    dfs = []
+    for lst in lists:
+        rows = [(doc, r + 1) for r, doc in enumerate(lst)] or [(None, None)]
+        df = spark.createDataFrame(rows, "doc_id long, rank long")
+        if not lst:
+            df = df.filter(F.col("doc_id").isNotNull())
+        dfs.append(df)
+    got = [(r.doc_id, r.rrf) for r in rrf_fuse(dfs, "doc_id", k0=k0, k=k).collect()]
+
+    scores: dict[int, float] = {}
+    for lst in lists:
+        for r, doc in enumerate(lst):
+            scores[doc] = scores.get(doc, 0.0) + 1.0 / (k0 + (r + 1))
+    want = sorted(
+        (
+            (doc, float(Decimal(repr(s)).quantize(Decimal("1e-6"), ROUND_HALF_UP)))
+            for doc, s in scores.items()
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:k]
+    assert got == want

@@ -11,12 +11,14 @@ convention, tools.py:35-37, which this generalizes below document
 granularity).
 
 Scale shape (100 TB posture):
-- per-doc n-gram hashing is ONE scan-stage JVM expression (transform over a
-  position sequence, xxhash64 of the sliced window) — no Python, no UDF;
-- the shuffle carries (id, pos, 8-byte hash) triples — corpus token count
-  rows, NEVER text; the count aggregation is map-side combinable;
-- the dup-hash join is a plain equi-join on the hash; span merging is one
-  window per doc over only the DUPLICATED positions (≪ corpus tokens).
+- per-doc n-gram hashing is JVM word-hashing plus ONE Arrow rolling pass
+  over the whole batch (:func:`gram_hashes_udf` — the minhash template);
+- the ONE corpus-sized shuffle carries (id, pos, 8-byte hash) triples —
+  corpus token count rows, NEVER text — and feeds an unordered
+  count-over-window on the hash (one evaluation of the gram stream; a
+  groupBy-count + join-back would evaluate it twice);
+- span merging is one window per doc over only the DUPLICATED positions
+  (≪ corpus tokens).
 
 Word positions are 1-based (matching DuckDB list indexing, so the oracle
 reads naturally). Spans are inclusive [span_start, span_end] word ranges

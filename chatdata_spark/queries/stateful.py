@@ -414,3 +414,47 @@ def streaming_join_click_purchase(spark, sf_dir):
     ).write.parquet(rd)
     stream_stream_interval_join(spark, ld, rd, outd, ckpt, max_delay="30 minutes")
     return spark.read.parquet(outd).orderBy("user_id", "l_ts", "r_ts")
+
+
+@query(
+    "streaming_static_dim_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id
+    """,
+)
+def streaming_static_dim_join(spark, sf_dir):
+    """§2.10 stream-static join, ORACLE-checked: a purchase file-stream
+    (two micro-batch waves) enriched against the static customer
+    dimension (broadcast per batch, stateless — the third streaming join
+    shape next to the interval join and the windowed aggs;
+    streaming/joins.py::stream_static_enrich). The drained append output
+    must equal the plain batch inner join the oracle computes."""
+    import os
+
+    from chatdata_spark.catalog import load_events
+
+    root = tempfile.mkdtemp(prefix="chatdata_ssd_")
+    ind, outd, ckpt = f"{root}/in", f"{root}/out", f"{root}/ck"
+    os.makedirs(ind)
+    from chatdata_spark.streaming.joins import stream_static_enrich
+
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(ind)
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(ind)
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    stream_static_enrich(
+        spark, ind, outd, ckpt, "event_id long, user_id long, value double",
+        dim, "user_id", "c_custkey", ["c_mktsegment"],
+    )
+    return (
+        spark.read.parquet(outd)
+        .select("event_id", "user_id", "c_mktsegment", "value")
+        .orderBy("event_id")
+    )

@@ -94,8 +94,10 @@ def connected_components_star(
     Both steps are one groupBy(min) + one equi-join — no per-component
     serialization, no driver-side graph; the edge set only shrinks toward
     star graphs (fixpoints of both steps), detected by an exact
-    (count, decimal hash-sum) checksum (one tiny scalar per round, the
-    same convergence recipe as min-label's label-sum). At the fixpoint
+    (count, decimal hash-sum, decimal u+v sum) checksum — two independent
+    aggregates so a false fixpoint needs a simultaneous collision (one
+    tiny scalar row per round, the same convergence recipe as min-label's
+    label-sum). At the fixpoint
     every non-center node carries exactly one edge to its component
     minimum."""
     e = (
@@ -142,11 +144,16 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
+        # Convergence checksum: (count, exact xxhash64 sum, exact u+v sum).
+        # The third component is independent of the hash — a false fixpoint
+        # now needs a simultaneous collision in two unrelated aggregates
+        # over the same edge set (same scan, negligible extra cost).
         row = edges2.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+            F.sum((F.col("u") + F.col("v")).cast("decimal(38,0)")).alias("s"),
         ).collect()[0]
-        cur = (row["n"], row["h"])
+        cur = (row["n"], row["h"], row["s"])
         edges = edges2
         if prev is not None and cur == prev:
             break

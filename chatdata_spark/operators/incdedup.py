@@ -132,6 +132,13 @@ class IncrementalMinHashStore:
         )
         old = self._stored_sigs()
         b = (max(self.batches()) + 1) if self.batches() else 0
+        # STATIC-DATA ASSUMPTION (as operators/dedup.py:86): semanticHash
+        # fingerprints the logical PLAN, not the data — re-staging a
+        # plan-identical DataFrame whose underlying source files mutated
+        # between calls passes as "same input". Callers that rewrite
+        # source files between retries must pass a fresh plan (e.g. a new
+        # read) or commit first; sources here follow the repo's
+        # versioned-dir convention, which never mutates in place.
         sem = df.semanticHash()
         if b in self._staged and self._staged[b] != sem:
             raise RuntimeError(

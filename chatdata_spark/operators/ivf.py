@@ -256,12 +256,22 @@ class IVFIndex:
         nothing). Clusters emptied by deletion keep their id in the meta —
         probing them scans zero rows. Compacting an index whose EVERY row
         is tombstoned is refused (a zero-file parquet tree cannot be read
-        back)."""
+        back).
+
+        Disk reclamation: before allocating a fresh ``data_vN``, sweep
+        every ``data``/``data_vN`` tree OTHER than the committed meta
+        ``data_dir`` — they are orphans from a crash between a prior
+        swap and its rmtree (searches never read them, but without the
+        sweep they would leak forever since later compacts always pick a
+        fresh N). Mirrors split_skewed's uncommitted-cluster cleanup."""
         import shutil
 
         ts = self.tombstones()
         if ts is None:
             return self
+        for entry in os.listdir(self.path):
+            if (entry == "data" or entry.startswith("data_v")) and entry != self.data_dir:
+                shutil.rmtree(os.path.join(self.path, entry), ignore_errors=True)
         n = 1
         while os.path.exists(os.path.join(self.path, f"data_v{n}")):
             n += 1

@@ -315,14 +315,18 @@ def curation_domain_cap(spark, sf_dir):
     """Per-domain quality cap — the web-pipeline curation step that stops
     one domain from dominating the mixture: keep each source's top-5
     documents by composite quality score (operators/grouptopk.py over the
-    shared quality expression; tie-break doc_id). At corpus scale this is
-    the salted two-phase grouped top-k; at fixture scale the single
-    window pass."""
+    shared quality expression; tie-break doc_id). Engages the salted
+    two-phase grouped top-k (salt on doc_id): exact at any scale, and a
+    hot source key spreads over n_salts local-top-k tasks instead of
+    serializing onto one window task."""
     from chatdata_spark.operators.grouptopk import grouped_topk
 
     p = _profile_frame(spark, sf_dir).select("source", "doc_id", "quality")
     return (
-        grouped_topk(p, ["source"], [F.desc("quality"), F.asc("doc_id")], k=5)
+        grouped_topk(
+            p, ["source"], [F.desc("quality"), F.asc("doc_id")], k=5,
+            salt_on="doc_id",
+        )
         .select("source", "doc_id", "quality", "rnk")
         .orderBy("source", "rnk")
     )

@@ -392,10 +392,15 @@ def test_compact_crash_replay_is_safe(spark, tmp_path):
         f.write("not parquet")
     # search still reads the committed tree, ignoring the orphan
     assert [(r.vec_id, r.dist) for r in idx.search(q, k=10, n_probe=4).collect()] == want
-    # retry compacts into a FRESH version, never the orphan
+    # retry SWEEPS the orphan (disk reclamation — ADVICE r5) before
+    # allocating, so the version number is legitimately reusable and the
+    # junk never survives into the committed tree
     idx2 = idx.compact()
-    assert idx2.data_dir == "data_v2"
+    assert not os.path.exists(os.path.join(root, "data_v1", "cluster_id=0", "junk"))
     assert [(r.vec_id, r.dist) for r in idx2.search(q, k=10, n_probe=4).collect()] == want
+    # exactly ONE data tree remains on disk — the committed one (no leaks)
+    trees = [e for e in os.listdir(root) if e == "data" or e.startswith("data_v")]
+    assert trees == [idx2.data_dir]
 
     # crash after swap: resurrect a stale tombstone set for already-gone ids
     emb.limit(7).select("vec_id").write.mode("append").parquet(

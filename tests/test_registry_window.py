@@ -86,6 +86,13 @@ def test_coverage_window_column_consistent():
         assert check == ("oracle" if _REGISTRY[name].oracle is not None else "rows-only"), (
             f"{name} check column stale"
         )
+    # the prose "N/N registered queries" count drifts when queries are
+    # added (r5 postmortem item 8) — pin it to the live registry size
+    m = re.search(r"(\d+)/(\d+)\s*\nregistered queries", text)
+    assert m, "COVERAGE.md prose count sentence missing"
+    assert int(m.group(1)) == int(m.group(2)) == len(_REGISTRY), (
+        f"COVERAGE.md prose says {m.group(0)!r}, registry has {len(_REGISTRY)}"
+    )
 
 
 def test_bench_suite_names_resolve():

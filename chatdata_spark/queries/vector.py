@@ -19,6 +19,33 @@ DIM = 64
 Q1 = hash_embed("q1", DIM)
 Q2 = hash_embed("q2", DIM)
 
+# ---- Containment rank margins for the approximate-ANN soundness oracles
+# (FIXTURES.md 'Empirically-pinned soundness oracles') -----------------------
+# ONE place to re-measure after a testdata regeneration or operating-point
+# change (recipe: tools/recall_curves.py / tests/test_lsh.py / tests/test_pq.py
+# report the observed max rank; keep a ~3x margin over it). The margins bound
+# how deep in the EXACT ranking an approximate result may legally sit; the
+# expected n_results / containment counts themselves are replay-derived in
+# the lazy oracles below (regeneration-proof), so only these depths are
+# empirical knobs.
+LSH_PROBE_RANK_MARGIN = 90  # observed max candidate rank <=26 (sf0.01/sf0.1)
+PQ_ADC_RANK_MARGIN = 45     # observed max reranked rank <=16 (sf0.01/sf0.1)
+KNN_JOIN_RANK_MARGIN = 45   # observed max pruned-pair rank <=19 (sf0.01/sf0.1)
+# Fraction of queries whose pruned (n_probe=2) best distance must equal the
+# exact top-1 — a RECALL property, so thresholded rather than pinned:
+# observed 50/50 on the committed fixtures, 49/50 on a different-seed
+# regeneration probe (the dry-run that motivated the threshold).
+KNN_JOIN_TOP1_MIN_FRAC = 0.9
+
+
+def _oracle_sf_dir() -> str:
+    """The fixture dir the driver's DuckDB views read (lazy replay oracles
+    must read the SAME files). Overridable for the regeneration dry-run
+    (tools/driver_replay.py REPLAY_SF pairs with this)."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
 
 def _duck_vec(vec) -> str:
     return "CAST([" + ",".join(repr(float(x)) for x in vec) + "] AS DOUBLE[])"
@@ -215,34 +242,72 @@ def ann_lsh_exact(spark, sf_dir):
     return lsh_search(idx, "embedding", Q1, k=12, n_tables=4, n_bits=0, select=["vec_id", "label"])
 
 
-@query(
-    "ann_lsh_probe",
-    oracle=f"""
-    SELECT CAST(12 AS BIGINT) AS n_results,
-           CAST(12 AS BIGINT) AS n_in_top90,
-           CAST(MIN({_duck_cos('embedding', Q1)}) AS DOUBLE) AS min_dist
-    FROM embeddings
-    """,
-)
+def _lsh_probe_expected() -> str:
+    """Lazy replay-derived oracle for ann_lsh_probe (de-brittled per the r5
+    verdict): the hyperplane signatures are deterministic shared code, so a
+    driver-side numpy replay over the driver's sf0.01 embeddings yields the
+    exact CANDIDATE ID SET at the registered operating point (an integer
+    set — no float-parity hazard). The expected stats are then derived in
+    DuckDB SQL from that set: n_results = LEAST(k, |C|) via LIMIT, the
+    containment count against DuckDB's own exact top-M (M =
+    LSH_PROBE_RANK_MARGIN), and min_dist = best candidate distance — all
+    float math stays on the proven _duck_cos path. Survives a testdata
+    regeneration by construction: a red here means the Spark plumbing
+    (scan-stage predicate, Arrow signature pass, rerank) disagrees with
+    the replay, never fixture drift."""
+    import duckdb
+    import numpy as np
+
+    from chatdata_spark.operators.lsh import _hyperplanes, _pack_keys, query_keys
+
+    rows = duckdb.sql(
+        "SELECT vec_id, embedding FROM "
+        f"read_parquet('{_oracle_sf_dir()}/embeddings.parquet')"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    planes = _hyperplanes(DIM, 16, 6, seed=7)
+    bits = (m @ planes.T) > 0.0
+    keys = _pack_keys(bits, 16, 6)
+    qk = set(query_keys(Q1, 16, 6, seed=7))
+    cand = ids[np.array([any(int(k) in qk for k in row) for row in keys])]
+    id_list = ",".join(str(int(i)) for i in sorted(cand))
+    return f"""
+    WITH cand AS (
+        SELECT vec_id, {_duck_cos('embedding', Q1)} AS dist
+        FROM embeddings WHERE vec_id IN ({id_list})
+    ),
+    topk AS (SELECT vec_id, dist FROM cand ORDER BY dist ASC, vec_id ASC LIMIT 12),
+    topm AS (SELECT vec_id FROM embeddings
+             ORDER BY {_duck_cos('embedding', Q1)} ASC, vec_id ASC
+             LIMIT {LSH_PROBE_RANK_MARGIN})
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM topk) AS n_results,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM topk t JOIN topm USING (vec_id)) AS n_in_top90,
+           (SELECT CAST(MIN(dist) AS DOUBLE) FROM topk) AS min_dist
+    """
+
+
+@query("ann_lsh_probe", oracle=_lsh_probe_expected)
 def ann_lsh_probe(spark, sf_dir):
     """LSH bucket-probe ANN at a real operating point (16 tables × 6 bits,
     ~25% candidate fraction): scan-stage arrays_overlap candidate filter,
     exact rerank. Approximate by design, so the oracle checks SOUNDNESS
-    invariants (the ann_ivf_pruned pattern): 12 results, all within the
-    exact top-90 (Spark full-scan kNN semi-join — the literal 12s go red
-    if the probe drops or mis-ranks candidates; empirical max rank is ≤26
-    at both compare scales), and the best returned distance equals the
-    global exact minimum (real SQL on the DuckDB side). The literal pins
-    are FIXTURE-EMPIRICAL: a testdata regeneration or operating-point
-    change can go red with no code bug — triage per FIXTURES.md
-    'Empirically-pinned soundness oracles' before suspecting the operator.
-    Recall curves live in tests/test_lsh.py and RECALL.md."""
+    invariants (the ann_ivf_pruned pattern): result count, containment of
+    every result within the exact top-LSH_PROBE_RANK_MARGIN (Spark
+    full-scan kNN semi-join vs DuckDB's own exact ranking), and the best
+    returned distance. Expected values are REPLAY-DERIVED (see
+    _lsh_probe_expected) so a testdata regeneration cannot go red without
+    a code bug; only the containment depth is an empirical knob
+    (LSH_PROBE_RANK_MARGIN — observed max rank ≤26 at both compare
+    scales). Recall curves live in tests/test_lsh.py and RECALL.md."""
     from chatdata_spark.operators.lsh import lsh_search
 
     idx = _lsh_indexed(spark, sf_dir, n_tables=16, n_bits=6)
     res = lsh_search(idx, "embedding", Q1, k=12, n_tables=16, n_bits=6, select=["vec_id"])
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    top90 = knn(emb, "embedding", Q1, k=90, select=["vec_id"], id_col="vec_id").select("vec_id")
+    top90 = knn(
+        emb, "embedding", Q1, k=LSH_PROBE_RANK_MARGIN, select=["vec_id"], id_col="vec_id"
+    ).select("vec_id")
     stats = res.agg(
         F.count(F.lit(1)).alias("n_results"), F.min("dist").cast("double").alias("min_dist")
     )
@@ -365,7 +430,7 @@ def knn_join_exact(spark, sf_dir):
     oracle="""
     WITH q AS (SELECT COUNT(*) AS n_queries FROM embeddings WHERE vec_id % 10 = 0)
     SELECT n_queries, n_queries * 5 AS n_pairs,
-           n_queries * 5 AS n_in_top45, n_queries AS n_top1_match
+           n_queries * 5 AS n_in_top45, TRUE AS top1_ok
     FROM q
     """,
 )
@@ -375,11 +440,18 @@ def knn_join_pruned(spark, sf_dir):
     checks SOUNDNESS invariants (the ann_ivf_pruned pattern) against the
     full-probe join — itself verified pair-for-pair by knn_join_exact's
     brute-force oracle: every query keeps exactly 5 pairs, every pruned
-    pair lands in that query's exact top-45 (empirical max rank ≤19 at
-    both compare scales), and every query's best pruned distance equals
-    its exact top-1 distance. The DuckDB side derives all four counts from
-    the query population, so a dropped query, short result page, escaped
-    candidate, or missed top-1 all go red. Recall curves: RECALL.md."""
+    pair lands in that query's exact top-KNN_JOIN_RANK_MARGIN (the one
+    empirical knob — observed max rank ≤19 at both compare scales; the
+    IVF centroids come from MLlib KMeans, which has no driver-side numpy
+    replay, so unlike ann_lsh_probe/ann_pq_adc this oracle keeps its
+    population-derived pins — triage a red per FIXTURES.md before
+    suspecting the operator), and at least KNN_JOIN_TOP1_MIN_FRAC of the
+    queries' best pruned distance equals their exact top-1 distance (a
+    recall property, so thresholded — the regeneration dry-run measured
+    49/50 at a different seed, which a hard pin would misreport as a
+    bug). The DuckDB side derives the counts from the query population,
+    so a dropped query, short result page, escaped candidate, or a
+    top-1 recall collapse all go red. Recall curves: RECALL.md."""
     from chatdata_spark.operators.knnjoin import knn_join
 
     idx = _ivf_index(spark, sf_dir)
@@ -389,7 +461,8 @@ def knn_join_pruned(spark, sf_dir):
     )
     pruned = knn_join(queries, idx, "vec_id", "embedding", k=5, n_probe=2)
     exact45 = knn_join(
-        queries, idx, "vec_id", "embedding", k=45, n_probe=idx.n_clusters
+        queries, idx, "vec_id", "embedding", k=KNN_JOIN_RANK_MARGIN,
+        n_probe=idx.n_clusters,
     )
     exact_top1 = exact45.groupBy("q_id").agg(F.min("dist").alias("exact_min"))
     per_q = pruned.groupBy("q_id").agg(
@@ -406,33 +479,96 @@ def knn_join_pruned(spark, sf_dir):
         ),
     )
     return stats.join(F.broadcast(contained)).select(
-        "n_queries", "n_pairs", "n_in_top45", "n_top1_match"
+        "n_queries",
+        "n_pairs",
+        "n_in_top45",
+        (
+            F.col("n_top1_match")
+            >= F.ceil(F.col("n_queries") * F.lit(KNN_JOIN_TOP1_MIN_FRAC))
+        ).alias("top1_ok"),
     )
 
 
-@query(
-    "ann_pq_adc",
-    oracle=f"""
-    SELECT CAST(10 AS BIGINT) AS n_results,
-           CAST(10 AS BIGINT) AS n_in_top45,
-           CAST(MIN({_duck_cos('embedding', Q1)}) AS DOUBLE) AS min_dist
-    FROM embeddings
-    """,
-)
+def _pq_adc_expected() -> str:
+    """Lazy replay-derived oracle for ann_pq_adc (de-brittled per the r5
+    verdict): the PQ build is deterministic (file-order bounded training
+    sample, fixed-seed numpy Lloyd k-means — operators/pq.py), so a
+    driver-side replay over the driver's sf0.01 embeddings reproduces the
+    codebooks, codes, ADC table and hence the exact SURVIVOR ID SET of
+    the k·refine screen (identical numpy expressions on identical floats
+    → identical argmin/ordering). The expected stats are then derived in
+    DuckDB SQL from that integer set — all final float math stays on the
+    proven _duck_cos path. Survives a testdata regeneration by
+    construction; a red means the distributed path (code scan, Arrow ADC
+    pass, rerank semi-join) disagrees with the replay."""
+    import numpy as np
+    import pyarrow.parquet as pa_pq
+
+    from chatdata_spark.operators.pq import _kmeans_1d
+
+    t = pa_pq.read_table(
+        f"{_oracle_sf_dir()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    m, train_rows, iters, seed, k, refine = 8, 4096, 12, 42, 10, 4
+    sample = x[:train_rows].copy()
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    dsub = x.shape[1] // m
+    books = np.stack(
+        [_kmeans_1d(sample[:, j * dsub: (j + 1) * dsub], 256, iters, seed + j) for j in range(m)]
+    )
+    if books.shape[1] < 256:
+        books = np.concatenate(
+            [books, np.repeat(books[:, :1, :], 256 - books.shape[1], axis=1)], axis=1
+        )
+    # encode (same expressions as PQIndex.build._encode, incl. the
+    # float32 round-trip of the Spark cast)
+    xe = x.astype(np.float32).astype(np.float64)
+    xe /= np.linalg.norm(xe, axis=1, keepdims=True)
+    codes = np.empty((xe.shape[0], m), dtype=np.int64)
+    for j in range(m):
+        sub = xe[:, j * dsub: (j + 1) * dsub]
+        cb = books[j]
+        codes[:, j] = (-2.0 * (sub @ cb.T) + (cb**2).sum(axis=1)[None, :]).argmin(axis=1)
+    q = np.asarray(Q1, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    table = np.stack(
+        [((q[j * dsub: (j + 1) * dsub][None, :] - books[j]) ** 2).sum(axis=1) for j in range(m)]
+    )
+    adc = table[np.arange(m)[None, :], codes].sum(axis=1)
+    order = np.lexsort((ids, adc))[: k * refine]  # (__adc asc, vec_id asc)
+    id_list = ",".join(str(int(i)) for i in sorted(ids[order]))
+    return f"""
+    WITH cand AS (
+        SELECT vec_id, {_duck_cos('embedding', Q1)} AS dist
+        FROM embeddings WHERE vec_id IN ({id_list})
+    ),
+    topk AS (SELECT vec_id, dist FROM cand ORDER BY dist ASC, vec_id ASC LIMIT {k}),
+    topm AS (SELECT vec_id FROM embeddings
+             ORDER BY {_duck_cos('embedding', Q1)} ASC, vec_id ASC
+             LIMIT {PQ_ADC_RANK_MARGIN})
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM topk) AS n_results,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM topk t JOIN topm USING (vec_id)) AS n_in_top45,
+           (SELECT CAST(MIN(dist) AS DOUBLE) FROM topk) AS min_dist
+    """
+
+
+@query("ann_pq_adc", oracle=_pq_adc_expected)
 def ann_pq_adc(spark, sf_dir):
     """PQ/ADC compressed-scan ANN: 8-byte codes replace 256-byte vectors
     (the scan reads ONLY the code column), distance = m table lookups per
     row via one Arrow fancy-index pass, exact cosine rerank of the top
     k·4 survivors. Approximate by design, so the oracle checks SOUNDNESS
-    invariants (the ann_ivf_pruned pattern): 10 reranked results, all
-    within the exact top-45 (empirical max rank ≤16 at both compare
-    scales), and — because the rerank is exact cosine — the best returned
-    distance equals the global exact minimum (real SQL on the DuckDB
-    side). Ordering by true distance within the page holds by
-    construction (the rerank sort key IS the exact distance). The literal
-    pins are FIXTURE-EMPIRICAL (see FIXTURES.md 'Empirically-pinned
-    soundness oracles' for the red-row triage recipe). Recall and
-    the 32x compression ratio are pinned in tests/test_pq.py; the raw
+    invariants (the ann_ivf_pruned pattern): result count, containment of
+    every reranked result within the exact top-PQ_ADC_RANK_MARGIN, and
+    the best returned distance. Expected values are REPLAY-DERIVED (see
+    _pq_adc_expected) so a testdata regeneration cannot go red without a
+    code bug; only the containment depth is an empirical knob
+    (PQ_ADC_RANK_MARGIN — observed max rank ≤16 at both compare scales).
+    Ordering by true distance within the page holds by construction (the
+    rerank sort key IS the exact distance). Recall and the 32x
+    compression ratio are pinned in tests/test_pq.py; the raw
     compressed-scan timing lives in bench.py."""
     from chatdata_spark.operators.pq import build_or_load_pq
 
@@ -443,7 +579,9 @@ def ann_pq_adc(spark, sf_dir):
         spark, e, shared_cache_path("pq", sf_dir, "m8"), "vec_id", "embedding", m=8
     )
     res = idx.search(e, Q1, k=10, refine=4, select=["vec_id"])
-    top45 = knn(e, "embedding", Q1, k=45, select=["vec_id"], id_col="vec_id").select("vec_id")
+    top45 = knn(
+        e, "embedding", Q1, k=PQ_ADC_RANK_MARGIN, select=["vec_id"], id_col="vec_id"
+    ).select("vec_id")
     stats = res.agg(
         F.count(F.lit(1)).alias("n_results"), F.min("dist").cast("double").alias("min_dist")
     )

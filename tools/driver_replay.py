@@ -29,7 +29,10 @@ print("entry rows:", len(r))
 
 import duckdb
 con = duckdb.connect()
-SF = "/root/testdata/sf0.01"
+# REPLAY_SF: point the replay at an alternate fixture dir (the
+# regeneration dry-run for the replay-derived ANN oracles — pair it with
+# SPARK_GRAFT_ORACLE_SF so the lazy oracles read the same dir)
+SF = os.environ.get("REPLAY_SF", "/root/testdata/sf0.01")
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 

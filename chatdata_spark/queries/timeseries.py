@@ -230,6 +230,106 @@ def range_join_bounded_recent_clicks(spark, sf_dir):
 
 
 @query(
+    "attribution_time_decay",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS p_ts,
+               CAST(value AS DOUBLE) AS pvalue
+        FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS c_ts,
+               event_id AS click_id
+        FROM events WHERE event_type = 'click'
+    ),
+    ranked AS (
+        SELECT p.event_id, p.pvalue, c.c_ts, c.click_id,
+               ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                  ORDER BY c.c_ts DESC, c.click_id DESC) AS rn
+        FROM purchases p JOIN clicks c
+          ON p.user_id = c.user_id
+         AND c.c_ts >= p.p_ts - 86400 AND c.c_ts <= p.p_ts
+    ),
+    weighted AS (
+        SELECT event_id, c_ts, pvalue,
+               POWER(0.5, rn - 1) AS w,
+               SUM(POWER(0.5, rn - 1)) OVER (PARTITION BY event_id) AS sw
+        FROM ranked WHERE rn <= 3
+    )
+    SELECT CAST(FLOOR(c_ts / 86400) AS BIGINT) AS day_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(CAST(ROUND(pvalue * w / sw, 6) AS DECIMAL(27,6))) AS DOUBLE)
+               AS attributed_rev
+    FROM weighted
+    GROUP BY day_bucket ORDER BY day_bucket
+    """,
+)
+def attribution_time_decay(spark, sf_dir):
+    """Multi-touch attribution COMPOSED on the bounded range join (the r5
+    brief's ask — the scale-safe variant as the default path of a product
+    query, not an isolated probe): each purchase's value is split over its
+    3 most-recent same-user clicks in the 24h window with geometric
+    position weights (1, 1/2, 1/4 from latest backwards, normalized per
+    purchase), and attributed revenue rolls up by the CLICK's UTC day
+    bucket — "which days' clicks drove revenue". Plan shape: the bounded
+    join never enumerates the quadratic pair set (O(|L|·3) output even on
+    a hot user), the weight window runs over ≤3 rows per purchase, and
+    the day rollup is one partial-agg shuffle. Determinism: weights are
+    exact powers of two (any summation order is exact), per-row
+    attribution is the SAME float64 expression order both sides rounded
+    to 6 digits, then decimal-exact summed; both sides rank on FLOOR'd
+    epoch seconds."""
+    from chatdata_spark.operators.timeseries import range_join
+    from pyspark.sql import Window
+
+    e = load_events(spark, sf_dir)
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("p_ts"),
+            F.col("value").cast("double").alias("pvalue"),
+        )
+        .withColumn("lo", F.col("p_ts") - 86400)
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    joined = range_join(
+        purchases, clicks, lo_col="lo", hi_col="p_ts", right_val_col="c_ts",
+        equi_keys=["user_id"], bucket_width=86400.0,
+        max_matches_per_left=3, left_id="event_id",
+        right_tiebreak="click_id", keep="last",
+    )
+    w_rank = Window.partitionBy("event_id").orderBy(
+        F.col("c_ts").desc(), F.col("click_id").desc()
+    )
+    weighted = (
+        joined.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("w", F.pow(F.lit(0.5), F.col("rn") - 1))
+        .withColumn("sw", F.sum("w").over(Window.partitionBy("event_id")))
+    )
+    return (
+        weighted.groupBy(
+            F.floor(F.col("c_ts") / 86400).cast("long").alias("day_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum(
+                F.round(F.col("pvalue") * F.col("w") / F.col("sw"), 6)
+                .cast("decimal(27,6)")
+            )
+            .cast("double")
+            .alias("attributed_rev"),
+        )
+        .orderBy("day_bucket")
+    )
+
+
+@query(
     "funnel_view_click_purchase",
     oracle="""
     WITH t1 AS (

@@ -897,6 +897,45 @@ def test_substring_dedup_matches_python_reference(spark, docs, n, min_count):
     assert got_removed == want_removed
 
 
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_substr_docs, n=st.integers(2, 3), min_count=st.sampled_from([2, 3]))
+def test_substring_removal_iterates_to_fixpoint(spark, docs, n, min_count):
+    """The Lee-et-al round-trip property (r5 brief item 6): removal
+    followed by re-detection finds only SEAM-CREATED duplicates (cutting
+    an interior span concatenates previously-distant tokens, which can
+    coincide across documents by chance — a single pass is therefore not
+    a strict fixpoint), so ITERATING remove→detect must (a) strictly
+    shrink the corpus token count every round that still has spans (each
+    span cuts ≥ n tokens, which bounds the iteration), and (b) terminate
+    at zero duplicated spans at the same (n, min_count). Exercises the
+    composition remove→retokenize→detect that the single-pass
+    reference-equivalence test above never sees."""
+    from chatdata_spark.operators.substrdedup import (
+        duplicated_ngram_spans,
+        remove_duplicated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    tokens_prev = sum(len(ws) for ws in docs)
+    for _ in range(tokens_prev // n + 2):  # each live round cuts >= n tokens
+        spans = duplicated_ngram_spans(df, "doc_id", "text", n=n, min_count=min_count)
+        if not spans.take(1):
+            break
+        cleaned = remove_duplicated_spans(
+            df, "doc_id", "text", n=n, min_count=min_count
+        ).collect()
+        tokens_now = sum(r.n_words - r.n_dropped for r in cleaned)
+        assert tokens_now < tokens_prev, "a round with spans must cut tokens"
+        tokens_prev = tokens_now
+        df = spark.createDataFrame(
+            [(r.doc_id, r.text_dedup) for r in cleaned], "doc_id long, text string"
+        )
+    else:
+        raise AssertionError("remove->detect did not reach the zero-span fixpoint")
+
+
 @settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
     lists=st.lists(

@@ -11,25 +11,32 @@ DRIVER_CAP = 50
 
 MUST_BE_DRIVER_CHECKED = {
     # Flagships that have NOT yet banked two green driver rounds, plus one
-    # kept sentinel per core family. Names green twice (r3 first-timers:
-    # TPC-H q7/q9/q13/q19, merge/scd2, the join family, the analytics
-    # singles, curation/incremental-dedup, sessionize/profile/shard/phrase)
-    # rotated out in r5 to driver-verify the TPC-H middle, the streaming
-    # trio, the composed QA tails, and the remaining vector/join
-    # first-timers — rotation policy in registry.DRIVER_WINDOW's comment.
+    # kept sentinel per core family. r6 executes the r5 verdict's "finish
+    # the rotation": the ENTIRE never-driver-checked backlog must sit in
+    # the window (rotation policy in registry.DRIVER_WINDOW's comment).
     # kept sentinels
     "knn_topk", "dialect_knn", "dedup_minhash_lsh", "text_profile",
-    # once-green round-4 first-timers (second verification pending)
-    "retrieval_funnel_docs", "binary_quant_knn", "mmr_diversified_knn",
-    "hard_negative_mining", "ann_lsh_probe", "knn_join_pruned",
-    "ann_pq_adc", "streaming_sessionize", "streaming_windowed_counts",
-    # r4's one red row — oracle dtype fixed in r5, MUST re-verify green
-    "data_quality_report",
-    # round-5 first-timers (never driver-checked before this round)
-    "qa_context_assembly", "stuff_context_docs", "rerank_snippet_search",
+    # the r5 never-driver-checked backlog — all 28 rotate in for r6
+    "moving_avg_customer_orders", "histogram_order_totalprice",
+    "pivot_status_by_priority", "unpivot_part_measures",
+    "percentile_stats", "cohort_retention_daily", "sliding_window_counts",
+    "union_all_counts", "approx_distinct_users", "exact_distinct_users",
+    "rollup_distinct_approx",
+    "dialect_parity_extended", "dialect_conditional_aggs",
+    "dedup_components_star", "dedup_substring_removal",
+    "curation_domain_cap", "corpus_report_docs",
+    "domain_mixture_sample", "weighted_sample_by_length",
+    "text_fingerprint_rolling",
+    "ann_ivf_pruned", "ann_ivf_delete_search", "dimred_rp_knn",
+    "vector_brute_force_scores", "embed_documents_batch",
+    "store_session_lifecycle",
+    "range_join_bounded_recent_clicks", "streaming_static_dim_join",
+    # round-6 additions ship driver-verified the round they land
+    "attribution_time_decay",
+    # once-green round-5 flagship first-timers (second verification)
+    "dedup_substring_spans", "streaming_near_dup_docs",
+    "qa_context_assembly", "rerank_snippet_search",
     "mmr_diversified_knn_distributed", "bucketed_fact_join_revenue",
-    "leakage_safe_split_docs", "streaming_near_dup_docs",
-    "q15_top_supplier", "q18_large_volume_customer", "dedup_substring_spans",
 }
 
 
@@ -55,10 +62,10 @@ def test_window_queries_are_oracle_backed():
 def test_tail_is_deliberate():
     # everything past the cap is either redundant-with-windowed coverage or
     # rows-only by design; keep the total bounded so the registry stays
-    # auditable (VERDICT r01 item 10). Raised 160→168 in r5 for the bounded
-    # range-join variant (+ headroom for the round's remaining additions).
+    # auditable (VERDICT r01 item 10). Raised 168→174 in r6 for the composed
+    # attribution query (+ headroom for the round's remaining additions).
     names = list(queries())
-    assert len(names) <= 168
+    assert len(names) <= 174
 
 
 def test_coverage_window_column_consistent():

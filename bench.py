@@ -263,6 +263,41 @@ def bench_substring_x10(spark, sf_dir):
     return duplicated_ngram_spans(d10, "doc_id", "text", n=10, min_count=2)
 
 
+def bench_substring_x10_heldrate(spark, sf_dir):
+    """10x rows at HELD duplicated-position volume (r5 verdict item 2 —
+    the counterfactual dedup_substring_x10 lacked): replica 0 is the
+    original corpus verbatim; replicas 1-9 suffix EVERY token with a
+    globally-unique digit id (rep/doc/position encoded), so after
+    tokenization every one of their n-grams contains a corpus-unique
+    token and can never reach min_count — they add ~18x input tokens
+    (suffix ids tokenize as separate digit tokens, same 2x inflation as
+    the '#<rep>' perturbation in dedup_substring_x10) but EXACTLY ZERO
+    new duplicated positions. Output stays 1x-sized while input scales
+    like the x10 entry, so (x10 - heldrate) isolates the output-volume
+    cost and (heldrate / 1x) isolates per-token scan+shuffle+count
+    scaling."""
+    import pyspark.sql.functions as F
+
+    from chatdata_spark.operators.substrdedup import duplicated_ngram_spans
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    rep = F.explode(F.array(*[F.lit(i) for i in range(10)])).alias("__rep")
+    base = d.select("*", rep)
+    uid_base = (F.col("__rep").cast("long") * F.lit(10**7) + F.col("doc_id")) * F.lit(10**5)
+    unique_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.split(F.col("text"), r"\s+"),
+            lambda w, i: F.concat(w, F.lit("#"), (uid_base + i).cast("string")),
+        ),
+    )
+    d10 = base.select(
+        (F.col("doc_id") + F.col("__rep").cast("long") * F.lit(2**33)).alias("doc_id"),
+        F.when(F.col("__rep") == 0, F.col("text")).otherwise(unique_text).alias("text"),
+    )
+    return duplicated_ngram_spans(d10, "doc_id", "text", n=10, min_count=2)
+
+
 def bench_hybrid_rrf_x10(spark, sf_dir):
     """Hybrid BM25+kNN RRF fusion over verbatim 10x docs AND 10x
     embeddings: both screens are heap top-50s over their corpus, so the
@@ -670,6 +705,7 @@ EXTRA = {
     "bm25_x10": bench_bm25_x10,
     "hybrid_rrf_x10": bench_hybrid_rrf_x10,
     "dedup_substring_x10": bench_substring_x10,
+    "dedup_substring_x10_heldrate": bench_substring_x10_heldrate,
     "retrieval_funnel_x10": bench_retrieval_funnel_x10,
     "profile_orders_approx": bench_profile_approx,
     "sessionize_hotkey_sliced": bench_sessionize_hotkey,

@@ -443,3 +443,72 @@ def dedup_substring_removal(spark, sf_dir):
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     return remove_duplicated_spans(d, "doc_id", "text", n=10, min_count=2)
+
+
+@query(
+    "semantic_dedup_keep",
+    oracle="""
+    WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS i, b.vec_id AS j
+        FROM e a, e b
+        WHERE a.vec_id < b.vec_id
+          AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    ),
+    edges AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j AS a, i AS b FROM pairs),
+    reach(v, c) AS (
+        SELECT a AS v, a AS c FROM edges
+        UNION
+        SELECT e2.b AS v, r.c AS c FROM reach r JOIN edges e2 ON r.v = e2.a
+    ),
+    comp AS (SELECT v, MIN(c) AS c FROM reach GROUP BY v),
+    assign AS (
+        SELECT emb.vec_id, emb.label,
+               COALESCE(comp.c, emb.vec_id) AS canonical_id
+        FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.v
+    ),
+    sized AS (
+        SELECT vec_id, label, canonical_id,
+               CAST(COUNT(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS group_size
+        FROM assign
+    )
+    SELECT vec_id, label, group_size
+    FROM sized WHERE vec_id = canonical_id
+    ORDER BY vec_id
+    """,
+)
+def semantic_dedup_keep(spark, sf_dir):
+    """SemDeDup-shaped semantic deduplication END TO END (Abbas et al.
+    2023, public method): embedding near-dup pairs from the clustered
+    operator in its exact configuration (cluster-partitioned equi-join,
+    n_probe = n_clusters — no all-pairs product in the plan) → transitive
+    closure (operators/components.py min-label) → keep ONE representative
+    per semantic-duplicate group (the component minimum, the repo's
+    canonical convention) annotated with its group size. This is the
+    SURVIVOR SET the dedup family's pair/component queries feed in a real
+    curation pipeline — the composition itself is what this query pins.
+    Group size is an unordered window count over the assignment (one
+    shuffle — the CLAUDE.md count-window rule), and the oracle replays
+    pairs, closure, sizing, and survivor selection in DuckDB
+    (recursive-CTE closure, the _DUCK_COMPONENTS pattern)."""
+    from pyspark.sql import Window
+
+    from chatdata_spark.catalog import shared_cache_path
+    from chatdata_spark.operators.components import canonical_assignment
+    from chatdata_spark.operators.ivf import build_or_load_ivf
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = build_or_load_ivf(
+        spark, e, shared_cache_path("ivf", sf_dir, "k8"), "vec_id", "embedding", n_clusters=8
+    )
+    pairs = embedding_near_dup_clustered(idx, threshold=0.4, n_probe=idx.n_clusters)
+    assign = canonical_assignment(e.select("vec_id"), "vec_id", pairs)
+    sized = assign.withColumn(
+        "group_size", F.count(F.lit(1)).over(Window.partitionBy("canonical_id"))
+    )
+    return (
+        sized.filter(F.col("keep"))
+        .join(e.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "label", "group_size")
+        .orderBy("vec_id")
+    )

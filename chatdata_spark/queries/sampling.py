@@ -216,3 +216,69 @@ def shard_assignment_docs(spark, sf_dir):
     return shard_assignment(d, "doc_id", 16).select(
         "doc_id", "shard", "shuffle_key"
     ).orderBy("doc_id")
+
+
+@query(
+    "dsir_resample_docs",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 256 AS b
+        FROM toks,
+             UNNEST(list_concat(
+                 ws,
+                 [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]
+             )) AS t(g)
+    ),
+    tc AS (SELECT b, COUNT(*) AS ct FROM grams WHERE lang = 'en' GROUP BY b),
+    rc AS (SELECT b, COUNT(*) AS cr FROM grams GROUP BY b),
+    lr AS (
+        SELECT r.range AS b,
+               ROUND(
+                   LN((COALESCE(ct, 0) + 1.0) /
+                      CAST((SELECT COUNT(*) FROM grams WHERE lang = 'en') + 256 AS DOUBLE))
+                 - LN((COALESCE(cr, 0) + 1.0) /
+                      CAST((SELECT COUNT(*) FROM grams) + 256 AS DOUBLE)),
+                   6) AS lr
+        FROM range(0, 256) r
+        LEFT JOIN tc ON tc.b = r.range
+        LEFT JOIN rc ON rc.b = r.range
+    ),
+    dw AS (
+        SELECT doc_id, CAST(SUM(CAST(lr AS DECIMAL(18,6))) AS DOUBLE) AS logw
+        FROM grams JOIN lr USING (b)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.lang, d.source, logw,
+           ROUND(logw + (-LN(-LN(
+               (CAST(('0x' || substr(md5('dsir' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+               / 4294967296.0))), 6) AS sel_key
+    FROM documents d JOIN dw USING (doc_id)
+    ORDER BY sel_key DESC, d.doc_id ASC
+    LIMIT 50
+    """,
+)
+def dsir_resample_docs(spark, sf_dir):
+    """DSIR importance resampling (operators/dsir.py — Xie et al. 2023):
+    select the 50 raw documents whose hashed unigram+bigram profile is
+    most target-like, target = the English slice of the same corpus, via
+    add-1-smoothed bucket log-ratios (m=256 md5 buckets) and the
+    deterministic Gumbel top-k. The oracle replays the ENTIRE estimator in
+    DuckDB SQL — gram stream, bucketing, smoothing, decimal-exact weight
+    sum, Gumbel key — so hashing, smoothing arithmetic, and the
+    weighted-sampling key are all cross-engine pinned."""
+    from chatdata_spark.operators.dsir import dsir_resample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        dsir_resample(
+            d, d.filter(F.col("lang") == "en"), "doc_id", "text", k=50, m=256
+        )
+        .select("doc_id", "lang", "source", "logw", "sel_key")
+        .orderBy(F.col("sel_key").desc(), F.col("doc_id").asc())
+    )

@@ -192,3 +192,22 @@ def test_shingle_udf_matches_jvm_mix(spark):
         for r in rows:
             assert r["jvm"] == r["arrow"], f"k={k} doc={r['doc_id']}"
     base.unpersist()
+
+
+def test_semantic_dedup_survivors_partition_and_are_dissimilar(spark):
+    """SemDeDup survivor-set invariants (queries/dedup.py::
+    semantic_dedup_keep): group sizes over survivors partition the corpus
+    (sum == row count), and no two SURVIVORS are near-dups of each other
+    at the threshold — two similar survivors would share a component, and
+    only its minimum survives."""
+    from chatdata_spark.operators.dedup import embedding_near_dup
+    from chatdata_spark.registry import queries
+
+    sf = "/root/testdata/sf0.01"
+    surv = queries()["semantic_dedup_keep"](spark, sf)
+    rows = surv.collect()
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    assert sum(r.group_size for r in rows) == emb.count()
+    keep_ids = [r.vec_id for r in rows]
+    kept = emb.filter(F.col("vec_id").isin(keep_ids))
+    assert embedding_near_dup(kept, "vec_id", "embedding", threshold=0.4).count() == 0

@@ -394,3 +394,146 @@ def corpus_report_docs(spark, sf_dir):
         .select("kv.metric", "kv.value")
         .orderBy("metric")
     )
+
+
+def _bpe_replay():
+    """Pure-Python replay of BPE merge learning over the driver's sf0.01
+    documents (memoized): the algorithm is deterministic over integer
+    counts with a total tie-break order, so this is an exact independent
+    oracle for the distributed implementation (operators/bpe.py). Returns
+    (merges, encoded_doc_tokens_by_id)."""
+    import os
+    import re
+    from collections import Counter
+    from functools import lru_cache
+
+    @lru_cache(maxsize=1)
+    def compute():
+        import duckdb
+
+        sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+        rows = duckdb.sql(
+            f"SELECT doc_id, lang, text FROM read_parquet('{sf}/documents.parquet')"
+        ).fetchall()
+        END = "</w>"
+        wf = Counter()
+        for _, _, text in rows:
+            wf.update(re.findall("[a-z0-9]+", (text or "").lower()))
+        vocab = {w: tuple(list(w) + [END]) for w in wf}
+        merges = []
+        for _ in range(30):
+            pc = Counter()
+            for w, syms in vocab.items():
+                f = wf[w]
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += f
+            if not pc:
+                break
+            (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+            if c < 2:
+                break
+            merges.append((a, b, c))
+            new_vocab = {}
+            for w, syms in vocab.items():
+                s, i, res = list(syms), 0, []
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                new_vocab[w] = tuple(res)
+            vocab = new_vocab
+        enc = {}
+        for doc_id, lang, text in rows:
+            n = 0
+            for w in re.findall("[a-z0-9]+", (text or "").lower()):
+                s = list(w) + [END]
+                for a, b, _ in merges:
+                    i, res = 0, []
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                            res.append(a + b)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    s = res
+                n += len(s)
+            enc[doc_id] = (lang, n)
+        return merges, enc
+
+    return compute()
+
+
+def _bpe_merges_expected() -> str:
+    merges, _ = _bpe_replay()
+    values = ", ".join(
+        f"(CAST({r + 1} AS BIGINT), '{a}', '{b}', CAST({c} AS BIGINT))"
+        for r, (a, b, c) in enumerate(merges)
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + values
+        + ") AS t(rank, left_sym, right_sym, pair_count) ORDER BY rank"
+    )
+
+
+@query("bpe_learn_merges", oracle=_bpe_merges_expected)
+def bpe_learn_merges_docs(spark, sf_dir):
+    """Distributed BPE merge learning (operators/bpe.py — Sennrich et al.
+    2016): the first 30 merges over the documents corpus, (rank, left,
+    right, weighted pair count). The corpus collapses to its vocabulary in
+    one scan; each round is a vocabulary-sized pair count with a single
+    collected argmax row. Oracled against an exact pure-Python replay
+    (integer counts, total tie-break order — bit-deterministic)."""
+    from chatdata_spark.operators.bpe import learn_bpe_merges
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = learn_bpe_merges(d, "text", n_merges=30, min_pair_count=2)
+    return spark.createDataFrame(
+        [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
+        "rank long, left_sym string, right_sym string, pair_count long",
+    ).orderBy("rank")
+
+
+def _bpe_encode_expected() -> str:
+    _, enc = _bpe_replay()
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for lang, n in enc.values():
+        agg[lang][0] += 1
+        agg[lang][1] += n
+    values = ", ".join(
+        f"('{lang}', CAST({v[0]} AS BIGINT), CAST({v[1]} AS BIGINT))"
+        for lang, v in sorted(agg.items())
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + values
+        + ") AS t(lang, n_docs, total_bpe_tokens) ORDER BY lang"
+    )
+
+
+@query("bpe_encode_token_stats", oracle=_bpe_encode_expected)
+def bpe_encode_token_stats(spark, sf_dir):
+    """The learned merge table APPLIED at corpus scale (operators/bpe.py::
+    apply_bpe — one Arrow encode pass capturing only the rank list), rolled
+    up to per-lang doc counts and total BPE token counts — the token-budget
+    report a tokenizer-training pipeline emits. Composes learn + encode,
+    both replayed exactly by the Python oracle."""
+    from chatdata_spark.operators.bpe import apply_bpe, learn_bpe_merges
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = learn_bpe_merges(d, "text", n_merges=30, min_pair_count=2)
+    return (
+        apply_bpe(d.select("doc_id", "lang", "text"), "text", merges)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("bpe_tokens")).alias("total_bpe_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -67,7 +67,16 @@ HEADLINE = [
     "hard_negative_mining",     # knn-join anti-join mine
     "retrieval_funnel_docs",    # FLAGSHIP: routed ANN + BM25 → RRF → rerank → MMR
     "dedup_substring_spans",    # cross-doc duplicated-substring spans (Lee et al. shape)
+    "attribution_time_decay",   # bounded range join composed into attribution rollup
+    "dsir_resample_docs",       # DSIR hashed-bigram importance resampling
+    "semantic_dedup_keep",      # SemDeDup survivor set (pairs→closure→keep)
 ]
+# NOTE: no bpe_learn_merges bench entry, deliberately — it is an ITERATIVE
+# operator (30 driver-looped rounds, each a vocabulary-sized job), so its
+# wall-clock measures scheduler round-trips, not data-path throughput; the
+# suite stays a fast feedback loop. Its scale posture (corpus collapses to
+# the vocabulary after one scan) is argued in operators/bpe.py and pinned
+# functionally by the oracle + tests.
 
 
 def _replicate(df, key_cols, reps=10):

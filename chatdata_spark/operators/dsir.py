@@ -73,18 +73,32 @@ def dsir_log_weights(
     """(id_col, logw): add-1-smoothed hashed-bigram log importance weight
     of every raw doc with at least one token. Engine-side except the two
     gram-stream totals (scalars)."""
+    from pyspark import StorageLevel
+
     spark = raw.sparkSession
-    g_raw = raw.select(
-        F.col(id_col), F.explode(_gram_stream(F.col(text_col))).alias("g")
-    ).withColumn("b", _bucket(F.col("g"), m))
+    # persisted: BOTH the bucket histogram and the per-doc weight join
+    # consume the raw gram stream — without the persist each consumer
+    # replans the scan + explode + md5 pass (the _with_shingle_hashes
+    # pattern; measured 3.0 s -> ~1 s at sf0.1)
+    g_raw = (
+        raw.select(F.col(id_col), F.explode(_gram_stream(F.col(text_col))).alias("g"))
+        .select(id_col, _bucket(F.col("g"), m).alias("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     g_tgt = target.select(
         F.explode(_gram_stream(F.col(text_col))).alias("g")
-    ).withColumn("b", _bucket(F.col("g"), m))
+    ).select(_bucket(F.col("g"), m).alias("b"))
 
-    tt = g_tgt.count()  # two scalars — the only driver-side values
-    rt = g_raw.count()
-    ct = g_tgt.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    cr = g_raw.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    # m-row count tables, persisted so the stream totals (tiny follow-up
+    # aggs) reuse them instead of re-scanning the gram streams
+    ct = g_tgt.groupBy("b").agg(F.count(F.lit(1)).alias("ct")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cr = g_raw.groupBy("b").agg(F.count(F.lit(1)).alias("cr")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    tt = ct.agg(F.sum("ct")).collect()[0][0] or 0  # two scalars — the only
+    rt = cr.agg(F.sum("cr")).collect()[0][0] or 0  # driver-side values
     lr = (
         spark.range(m)
         .select(F.col("id").alias("b"))

@@ -70,6 +70,7 @@ HEADLINE = [
     "attribution_time_decay",   # bounded range join composed into attribution rollup
     "dsir_resample_docs",       # DSIR hashed-bigram importance resampling
     "semantic_dedup_keep",      # SemDeDup survivor set (pairs→closure→keep)
+    "lm_perplexity_buckets",    # corpus-trained bigram-LM quality terciles
 ]
 # NOTE: no bpe_learn_merges bench entry, deliberately — it is an ITERATIVE
 # operator (30 driver-looped rounds, each a vocabulary-sized job), so its

@@ -537,3 +537,63 @@ def bpe_encode_token_stats(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "lm_perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+        FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, lang, ws[i] AS w1, ws[i+1] AS w2
+        FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+    ),
+    cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2),
+    ctx AS (SELECT w1, COUNT(*) AS ctx FROM bi GROUP BY w1),
+    v AS (
+        SELECT COUNT(DISTINCT w) AS v
+        FROM (SELECT UNNEST(ws) AS w FROM toks)
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(
+                   (-CAST(SUM(CAST(ROUND(LN((cb + 1.0) / (ctx + CAST(v AS DOUBLE))), 6)
+                                   AS DECIMAL(18,6))) AS DOUBLE)) / COUNT(*),
+                   6) AS cross_entropy
+        FROM bi JOIN cb USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+        GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, n_bigrams, cross_entropy,
+           CAST(NTILE(3) OVER (ORDER BY cross_entropy ASC, doc_id ASC) AS BIGINT) AS bucket
+    FROM scored ORDER BY doc_id
+    """,
+)
+def lm_perplexity_buckets(spark, sf_dir):
+    """CCNet-style LM-quality scoring (operators/lmquality.py — Wenzek et
+    al. 2020): per-document cross-entropy under a corpus-trained add-1
+    bigram LM, bucketed into head/middle/tail terciles (bucket 1 = most
+    fluent). Weight files being absent, the LM is trained from the corpus
+    itself in one pass — the (w1,w2)→logp table is the seam a real KenLM
+    would fill. Docs with < 2 tokens carry no bigram and drop out. The
+    oracle replays model training AND scoring in DuckDB SQL (same
+    smoothing arithmetic, decimal-exact log-prob sums, same ntile
+    tie-break)."""
+    from chatdata_spark.operators.lmquality import (
+        bigram_cross_entropy,
+        perplexity_buckets,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = bigram_cross_entropy(d, "doc_id", "text", extra_cols=["lang"])
+    return (
+        perplexity_buckets(scored, "doc_id", n_buckets=3)
+        .select(
+            "doc_id", "lang", "n_bigrams", "cross_entropy",
+            F.col("bucket").cast("long").alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

@@ -109,9 +109,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "range_join_bounded_recent_clicks", "streaming_static_dim_join",
     # --- round-6 additions, verified the round they ship ---
     "attribution_time_decay", "dsir_resample_docs", "semantic_dedup_keep",
-    "bpe_learn_merges", "bpe_encode_token_stats",
+    "bpe_learn_merges", "bpe_encode_token_stats", "lm_perplexity_buckets",
     # --- round-5 first-timers, once-green: kept for second verification ---
-    "q18_large_volume_customer",
     "streaming_distinct_events", "streaming_near_dup_docs",
     "streaming_join_click_purchase",
     "qa_context_assembly", "stuff_context_docs", "rerank_snippet_search",
@@ -122,12 +121,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
 
 # Rotation plan for round 7: after r6 the never-driver-checked backlog is
 # empty (modulo any query added in r6 itself). Swap the then-twice-green
-# r5 names out for the eight deferred TPC-H middles (q4_order_priority,
+# r5 names out for the nine deferred TPC-H middles (q4_order_priority,
 # q6_forecast_revenue, q10_returned_items, q11_important_parts,
 # q12_priority_by_linestatus, q14_promo_revenue, q15_top_supplier,
-# q16_supplier_part_counts — their second green) plus any r6 first-timer
-# that goes red; from there the window can settle into a steady
-# sentinel + recent-additions shape.
+# q16_supplier_part_counts, q18_large_volume_customer — their second
+# green) plus any r6 first-timer that goes red; from there the window can
+# settle into a steady sentinel + recent-additions shape.
 
 
 def _ordered() -> dict[str, QueryDef]:

@@ -71,6 +71,7 @@ HEADLINE = [
     "dsir_resample_docs",       # DSIR hashed-bigram importance resampling
     "semantic_dedup_keep",      # SemDeDup survivor set (pairs→closure→keep)
     "lm_perplexity_buckets",    # corpus-trained bigram-LM quality terciles
+    "curation_select_v2",       # LM-quality ∩ DSIR selection, composed reporting
 ]
 # NOTE: no bpe_learn_merges bench entry, deliberately — it is an ITERATIVE
 # operator (30 driver-looped rounds, each a vocabulary-sized job), so its

@@ -128,3 +128,67 @@ def curation_pipeline_docs(spark, sf_dir):
         .select("doc_id", "split")
         .orderBy("doc_id")
     )
+
+
+def _curation_v2_oracle() -> str:
+    from chatdata_spark.queries.sampling import dsir_sel_ctes
+    from chatdata_spark.queries.text import _D_BPE, lm_bucketed_ctes
+
+    return (
+        "WITH" + lm_bucketed_ctes() + "," + dsir_sel_ctes(200) + f"""
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST({_D_BPE} AS BIGINT)) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(l.cross_entropy AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS avg_cross_entropy
+    FROM documents d
+    JOIN (SELECT doc_id, cross_entropy FROM l_bucketed WHERE bucket <= 2) l
+      USING (doc_id)
+    JOIN (SELECT doc_id FROM d_sel) USING (doc_id)
+    GROUP BY d.lang ORDER BY d.lang
+    """
+    )
+
+
+@query("curation_select_v2", oracle=_curation_v2_oracle)
+def curation_select_v2(spark, sf_dir):
+    """The round-6 signals COMPOSED into one selection pass — the modern
+    (quality-model + importance-resampling) counterpart of
+    curation_pipeline_docs' rule-based chain: keep documents that are BOTH
+    fluent under the corpus bigram LM (perplexity bucket 1-2 of 3,
+    operators/lmquality.py) AND in the DSIR top-200 most-target-like set
+    (English-slice target, operators/dsir.py), then report the per-lang
+    doc count, BPE-regex token budget, and mean cross-entropy of the
+    selected corpus. Both stages are individually driver-green; this pins
+    their composition (semi-join survivor algebra, shared tokenization)
+    under one oracle that chains both stages' full SQL replays."""
+    from chatdata_spark.functions.text import BPE_PATTERN
+    from chatdata_spark.operators.dsir import dsir_resample
+    from chatdata_spark.operators.lmquality import (
+        bigram_cross_entropy,
+        perplexity_buckets,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lmkeep = (
+        perplexity_buckets(bigram_cross_entropy(d, "doc_id"), "doc_id", n_buckets=3)
+        .filter(F.col("bucket") <= 2)
+        .select("doc_id", "cross_entropy")
+    )
+    sel = dsir_resample(
+        d, d.filter(F.col("lang") == "en"), "doc_id", "text", k=200, m=256
+    ).select("doc_id")
+    return (
+        d.select("doc_id", "lang", F.regexp_count("text", F.lit(BPE_PATTERN)).alias("__bpe"))
+        .join(lmkeep, "doc_id")
+        .join(F.broadcast(sel), "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__bpe").cast("long")).alias("total_tokens"),
+            (
+                F.sum(F.col("cross_entropy").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_cross_entropy"),
+        )
+        .orderBy("lang")
+    )

@@ -218,49 +218,61 @@ def shard_assignment_docs(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-@query(
-    "dsir_resample_docs",
-    oracle="""
-    WITH toks AS (
+def dsir_sel_ctes(k: int) -> str:
+    """The full DSIR estimator as a reusable CTE chain ending in
+    ``d_sel`` (doc_id, lang, source, logw, sel_key — the Gumbel top-k).
+    CTE names are d_-prefixed so the block composes into larger oracles
+    (queries/pipeline.py::curation_select_v2) without collisions."""
+    return f"""
+    d_toks AS (
         SELECT doc_id, lang, source,
                regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
         FROM documents
     ),
-    grams AS (
+    d_grams AS (
         SELECT doc_id, lang,
                CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 256 AS b
-        FROM toks,
+        FROM d_toks,
              UNNEST(list_concat(
                  ws,
                  [ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]
              )) AS t(g)
     ),
-    tc AS (SELECT b, COUNT(*) AS ct FROM grams WHERE lang = 'en' GROUP BY b),
-    rc AS (SELECT b, COUNT(*) AS cr FROM grams GROUP BY b),
-    lr AS (
+    d_tc AS (SELECT b, COUNT(*) AS ct FROM d_grams WHERE lang = 'en' GROUP BY b),
+    d_rc AS (SELECT b, COUNT(*) AS cr FROM d_grams GROUP BY b),
+    d_lr AS (
         SELECT r.range AS b,
                ROUND(
                    LN((COALESCE(ct, 0) + 1.0) /
-                      CAST((SELECT COUNT(*) FROM grams WHERE lang = 'en') + 256 AS DOUBLE))
+                      CAST((SELECT COUNT(*) FROM d_grams WHERE lang = 'en') + 256 AS DOUBLE))
                  - LN((COALESCE(cr, 0) + 1.0) /
-                      CAST((SELECT COUNT(*) FROM grams) + 256 AS DOUBLE)),
+                      CAST((SELECT COUNT(*) FROM d_grams) + 256 AS DOUBLE)),
                    6) AS lr
         FROM range(0, 256) r
-        LEFT JOIN tc ON tc.b = r.range
-        LEFT JOIN rc ON rc.b = r.range
+        LEFT JOIN d_tc ON d_tc.b = r.range
+        LEFT JOIN d_rc ON d_rc.b = r.range
     ),
-    dw AS (
+    d_dw AS (
         SELECT doc_id, CAST(SUM(CAST(lr AS DECIMAL(18,6))) AS DOUBLE) AS logw
-        FROM grams JOIN lr USING (b)
+        FROM d_grams JOIN d_lr USING (b)
         GROUP BY doc_id
-    )
-    SELECT d.doc_id, d.lang, d.source, logw,
-           ROUND(logw + (-LN(-LN(
-               (CAST(('0x' || substr(md5('dsir' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
-               / 4294967296.0))), 6) AS sel_key
-    FROM documents d JOIN dw USING (doc_id)
-    ORDER BY sel_key DESC, d.doc_id ASC
-    LIMIT 50
+    ),
+    d_sel AS (
+        SELECT d.doc_id, d.lang, d.source, logw,
+               ROUND(logw + (-LN(-LN(
+                   (CAST(('0x' || substr(md5('dsir' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                   / 4294967296.0))), 6) AS sel_key
+        FROM documents d JOIN d_dw USING (doc_id)
+        ORDER BY sel_key DESC, d.doc_id ASC
+        LIMIT {k}
+    )"""
+
+
+@query(
+    "dsir_resample_docs",
+    oracle="WITH" + dsir_sel_ctes(50) + """
+    SELECT doc_id, lang, source, logw, sel_key
+    FROM d_sel ORDER BY sel_key DESC, doc_id ASC
     """,
 )
 def dsir_resample_docs(spark, sf_dir):

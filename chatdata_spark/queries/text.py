@@ -539,37 +539,49 @@ def bpe_encode_token_stats(spark, sf_dir):
     )
 
 
-@query(
-    "lm_perplexity_buckets",
-    oracle="""
-    WITH toks AS (
+def lm_bucketed_ctes() -> str:
+    """The bigram-LM scoring pipeline as a reusable CTE chain ending in
+    ``l_bucketed`` (doc_id, lang, n_bigrams, cross_entropy, bucket).
+    CTE names are l_-prefixed so the block composes into larger oracles
+    (queries/pipeline.py::curation_select_v2) without collisions."""
+    return """
+    l_toks AS (
         SELECT doc_id, lang,
                regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
         FROM documents
     ),
-    bi AS (
+    l_bi AS (
         SELECT doc_id, lang, ws[i] AS w1, ws[i+1] AS w2
-        FROM toks, UNNEST(range(1, len(ws))) AS t(i)
+        FROM l_toks, UNNEST(range(1, len(ws))) AS t(i)
     ),
-    cb AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2),
-    ctx AS (SELECT w1, COUNT(*) AS ctx FROM bi GROUP BY w1),
-    v AS (
+    l_cb AS (SELECT w1, w2, COUNT(*) AS cb FROM l_bi GROUP BY w1, w2),
+    l_ctx AS (SELECT w1, COUNT(*) AS ctx FROM l_bi GROUP BY w1),
+    l_v AS (
         SELECT COUNT(DISTINCT w) AS v
-        FROM (SELECT UNNEST(ws) AS w FROM toks)
+        FROM (SELECT UNNEST(ws) AS w FROM l_toks)
     ),
-    scored AS (
+    l_scored AS (
         SELECT doc_id, lang,
                CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                ROUND(
                    (-CAST(SUM(CAST(ROUND(LN((cb + 1.0) / (ctx + CAST(v AS DOUBLE))), 6)
                                    AS DECIMAL(18,6))) AS DOUBLE)) / COUNT(*),
                    6) AS cross_entropy
-        FROM bi JOIN cb USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+        FROM l_bi JOIN l_cb USING (w1, w2) JOIN l_ctx USING (w1) CROSS JOIN l_v
         GROUP BY doc_id, lang
-    )
-    SELECT doc_id, lang, n_bigrams, cross_entropy,
-           CAST(NTILE(3) OVER (ORDER BY cross_entropy ASC, doc_id ASC) AS BIGINT) AS bucket
-    FROM scored ORDER BY doc_id
+    ),
+    l_bucketed AS (
+        SELECT doc_id, lang, n_bigrams, cross_entropy,
+               CAST(NTILE(3) OVER (ORDER BY cross_entropy ASC, doc_id ASC) AS BIGINT) AS bucket
+        FROM l_scored
+    )"""
+
+
+@query(
+    "lm_perplexity_buckets",
+    oracle="WITH" + lm_bucketed_ctes() + """
+    SELECT doc_id, lang, n_bigrams, cross_entropy, bucket
+    FROM l_bucketed ORDER BY doc_id
     """,
 )
 def lm_perplexity_buckets(spark, sf_dir):

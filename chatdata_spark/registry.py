@@ -75,12 +75,11 @@ def _load_all() -> None:
 # (r3 swapped 21 in; r4 swapped 25; r5 swapped 21 and went 50/50; r6
 # executes the r5 verdict's "finish the rotation": the 25 now-twice-green
 # r4 first-timers rotate OUT, the ENTIRE never-driver-checked backlog (28
-# names) rotates IN, the round's new composed-attribution query ships
-# driver-verified like every addition, and the remaining slots keep r5
-# once-green first-timers for their second verification (four of the
-# simplest TPC-H middles — q4/q6/q12/q14, single-fact aggregates re-checked
-# by the full-registry pytest oracle every round — defer their second green
-# to r7 to make room).
+# names) rotates IN, the round's seven new queries ship driver-verified
+# like every addition, and the remaining slots keep r5 once-green
+# first-timers for their second verification (ten of them — the simplest
+# TPC-H middles plus knn_ip, all re-checked by the full-registry pytest
+# oracle every round — defer their second green to r7 to make room).
 # Everything not listed here is registered AFTER these (in import order) and
 # stays pytest-oracled (tests/test_correctness runs the full registry).
 # COVERAGE.md's "driver window" column mirrors this.
@@ -110,23 +109,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- round-6 additions, verified the round they ship ---
     "attribution_time_decay", "dsir_resample_docs", "semantic_dedup_keep",
     "bpe_learn_merges", "bpe_encode_token_stats", "lm_perplexity_buckets",
+    "curation_select_v2",
     # --- round-5 first-timers, once-green: kept for second verification ---
     "streaming_distinct_events", "streaming_near_dup_docs",
     "streaming_join_click_purchase",
     "qa_context_assembly", "stuff_context_docs", "rerank_snippet_search",
-    "mmr_diversified_knn_distributed", "knn_ip",
+    "mmr_diversified_knn_distributed",
     "bucketed_fact_join_revenue", "leakage_safe_split_docs",
     "asof_join_purchase_click_sliced", "dedup_substring_spans",
 )
 
 # Rotation plan for round 7: after r6 the never-driver-checked backlog is
 # empty (modulo any query added in r6 itself). Swap the then-twice-green
-# r5 names out for the nine deferred TPC-H middles (q4_order_priority,
+# r5 names out for the ten deferred once-green names (q4_order_priority,
 # q6_forecast_revenue, q10_returned_items, q11_important_parts,
 # q12_priority_by_linestatus, q14_promo_revenue, q15_top_supplier,
-# q16_supplier_part_counts, q18_large_volume_customer — their second
-# green) plus any r6 first-timer that goes red; from there the window can
-# settle into a steady sentinel + recent-additions shape.
+# q16_supplier_part_counts, q18_large_volume_customer, knn_ip — their
+# second green) plus any r6 first-timer that goes red; from there the
+# window can settle into a steady sentinel + recent-additions shape.
 
 
 def _ordered() -> dict[str, QueryDef]:

@@ -34,6 +34,7 @@ MUST_BE_DRIVER_CHECKED = {
     # round-6 additions ship driver-verified the round they land
     "attribution_time_decay", "dsir_resample_docs", "semantic_dedup_keep",
     "bpe_learn_merges", "bpe_encode_token_stats", "lm_perplexity_buckets",
+    "curation_select_v2",
     # once-green round-5 flagship first-timers (second verification)
     "dedup_substring_spans", "streaming_near_dup_docs",
     "qa_context_assembly", "rerank_snippet_search",
@@ -63,10 +64,11 @@ def test_window_queries_are_oracle_backed():
 def test_tail_is_deliberate():
     # everything past the cap is either redundant-with-windowed coverage or
     # rows-only by design; keep the total bounded so the registry stays
-    # auditable (VERDICT r01 item 10). Raised 168→174 in r6 for the composed
-    # attribution query (+ headroom for the round's remaining additions).
+    # auditable (VERDICT r01 item 10). Raised 168→178 in r6: seven new
+    # queries (attribution, DSIR, SemDeDup, BPE pair, LM buckets, the
+    # composed curation v2) + headroom for one more addition.
     names = list(queries())
-    assert len(names) <= 174
+    assert len(names) <= 178
 
 
 def test_coverage_window_column_consistent():

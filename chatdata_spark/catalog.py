@@ -116,6 +116,17 @@ def to_documents(
     )
 
 
+def oracle_sf_dir() -> str:
+    """The fixture dir the driver's DuckDB views read — lazy replay
+    oracles (queries/vector.py ANN replays, queries/text.py BPE replay)
+    must read the SAME files. ONE definition so the override knob
+    (tools/driver_replay.py REPLAY_SF pairs with it for the regeneration
+    dry-run) cannot drift per-module."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
     rejects by default. Read nanos as long (runtime conf, works under any

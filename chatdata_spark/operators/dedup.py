@@ -590,7 +590,11 @@ def embedding_near_dup_clustered(
     # trap this repo has hit before): the per-pair work is one dot product.
     # dot/(n_i·n_j) is bit-identical to the oracle's direct cosine (same
     # accumulation order, float multiply is commutative).
-    df = ivf_index.spark.read.parquet(f"{ivf_index.path}/data")
+    # _data_path(), NOT '{path}/data': compact() swaps the committed tree
+    # to a versioned data_vN dir (and sweeps stale trees), so hardcoding
+    # the legacy name breaks — or worse, silently reads a stale
+    # pre-compact tree containing tombstoned rows
+    df = ivf_index.spark.read.parquet(ivf_index._data_path())
     pts = df.select(
         F.col(ivf_index.id_col).alias("id"),
         F.col(ivf_index.vector_col).alias("v"),

@@ -75,19 +75,26 @@ def dsir_log_weights(
     gram-stream totals (scalars)."""
     from pyspark import StorageLevel
 
+    from chatdata_spark.operators.dedup import _spread
+
     spark = raw.sparkSession
+    # _spread: the gram explode + md5 pass is the corpus-sized stage — a
+    # 1-partition local scan would serialize it (CLAUDE.md rule).
     # persisted: BOTH the bucket histogram and the per-doc weight join
     # consume the raw gram stream — without the persist each consumer
     # replans the scan + explode + md5 pass (the _with_shingle_hashes
     # pattern; measured 3.0 s -> ~1 s at sf0.1)
     g_raw = (
-        raw.select(F.col(id_col), F.explode(_gram_stream(F.col(text_col))).alias("g"))
+        _spread(raw.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(_gram_stream(F.col(text_col))).alias("g"))
         .select(id_col, _bucket(F.col("g"), m).alias("b"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    g_tgt = target.select(
-        F.explode(_gram_stream(F.col(text_col))).alias("g")
-    ).select(_bucket(F.col("g"), m).alias("b"))
+    g_tgt = (
+        _spread(target.select(F.col(text_col)))
+        .select(F.explode(_gram_stream(F.col(text_col))).alias("g"))
+        .select(_bucket(F.col("g"), m).alias("b"))
+    )
 
     # m-row count tables, persisted so the stream totals (tiny follow-up
     # aggs) reuse them instead of re-scanning the gram streams

@@ -54,7 +54,9 @@ def knn_join(
     cosine distance (ascending, ties broken on b_id). Ids must be integral
     (they ride through the Arrow group stage as int64)."""
     spark = ivf_index.spark
-    base = spark.read.parquet(f"{ivf_index.path}/data").select(
+    # _data_path(), NOT '{path}/data': compact() swaps the committed tree
+    # to a versioned data_vN dir (see operators/dedup.py:593 twin fix)
+    base = spark.read.parquet(ivf_index._data_path()).select(
         F.col(ivf_index.id_col).alias("b_id"),
         F.col(ivf_index.vector_col).cast("array<double>").alias("bv"),
         "cluster_id",

@@ -56,15 +56,20 @@ def bigram_cross_entropy(
     n_bigrams, cross_entropy)."""
     from pyspark import StorageLevel
 
+    from chatdata_spark.operators.dedup import _spread
+
     extra_cols = extra_cols or []
+    # _spread: the bigram explode is the corpus-sized stage — a
+    # 1-partition local scan would serialize it (CLAUDE.md rule)
+    src = _spread(df.select(F.col(id_col), *extra_cols, F.col(text_col)))
     bi = (
-        df.select(F.col(id_col), *extra_cols, F.explode(_bigrams(token_stream(F.col(text_col)))).alias("p"))
+        src.select(F.col(id_col), *extra_cols, F.explode(_bigrams(token_stream(F.col(text_col)))).alias("p"))
         .select(id_col, *extra_cols, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .persist(StorageLevel.MEMORY_AND_DISK)  # model build AND scoring read it
     )
     cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     ctx = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx"))
-    vocab = df.select(
+    vocab = src.select(
         F.explode(token_stream(F.col(text_col))).alias("w")
     ).agg(F.count_distinct("w").alias("v"))
     v = vocab.collect()[0]["v"]  # the only driver scalar

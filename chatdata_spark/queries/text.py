@@ -396,22 +396,29 @@ def corpus_report_docs(spark, sf_dir):
     )
 
 
+_BPE_REPLAY_CACHE: dict[str, tuple] = {}  # keyed on the fixture dir
+
+
 def _bpe_replay():
-    """Pure-Python replay of BPE merge learning over the driver's sf0.01
-    documents (memoized): the algorithm is deterministic over integer
-    counts with a total tie-break order, so this is an exact independent
-    oracle for the distributed implementation (operators/bpe.py). Returns
-    (merges, encoded_doc_tokens_by_id)."""
-    import os
+    """Pure-Python replay of BPE merge learning over the driver's fixture
+    documents (memoized per fixture dir at MODULE level — a
+    function-local lru_cache would be recreated per call and replay
+    twice, once per BPE oracle). The algorithm is deterministic over
+    integer counts with a total tie-break order, so this is an exact
+    independent oracle for the distributed implementation
+    (operators/bpe.py). Returns (merges, encoded_doc_tokens_by_id)."""
     import re
     from collections import Counter
-    from functools import lru_cache
 
-    @lru_cache(maxsize=1)
+    from chatdata_spark.catalog import oracle_sf_dir
+
+    sf = oracle_sf_dir()
+    if sf in _BPE_REPLAY_CACHE:
+        return _BPE_REPLAY_CACHE[sf]
+
     def compute():
         import duckdb
 
-        sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
         rows = duckdb.sql(
             f"SELECT doc_id, lang, text FROM read_parquet('{sf}/documents.parquet')"
         ).fetchall()
@@ -464,7 +471,8 @@ def _bpe_replay():
             enc[doc_id] = (lang, n)
         return merges, enc
 
-    return compute()
+    _BPE_REPLAY_CACHE[sf] = compute()
+    return _BPE_REPLAY_CACHE[sf]
 
 
 def _bpe_merges_expected() -> str:

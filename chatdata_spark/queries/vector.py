@@ -39,12 +39,11 @@ KNN_JOIN_TOP1_MIN_FRAC = 0.9
 
 
 def _oracle_sf_dir() -> str:
-    """The fixture dir the driver's DuckDB views read (lazy replay oracles
-    must read the SAME files). Overridable for the regeneration dry-run
-    (tools/driver_replay.py REPLAY_SF pairs with this)."""
-    import os
+    """Shared override-able fixture dir for lazy replay oracles — ONE
+    definition in catalog.py (see its docstring)."""
+    from chatdata_spark.catalog import oracle_sf_dir
 
-    return os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    return oracle_sf_dir()
 
 
 def _duck_vec(vec) -> str:
@@ -283,7 +282,10 @@ def _lsh_probe_expected() -> str:
              LIMIT {LSH_PROBE_RANK_MARGIN})
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM topk) AS n_results,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM topk t JOIN topm USING (vec_id)) AS n_in_top90,
-           (SELECT CAST(MIN(dist) AS DOUBLE) FROM topk) AS min_dist
+           (SELECT CAST(MIN(dist) AS DOUBLE) FROM topk) AS min_dist,
+           (SELECT MIN(dist) FROM topk)
+               = (SELECT MIN({_duck_cos('embedding', Q1)}) FROM embeddings)
+               AS found_true_nn
     """
 
 
@@ -294,10 +296,14 @@ def ann_lsh_probe(spark, sf_dir):
     exact rerank. Approximate by design, so the oracle checks SOUNDNESS
     invariants (the ann_ivf_pruned pattern): result count, containment of
     every result within the exact top-LSH_PROBE_RANK_MARGIN (Spark
-    full-scan kNN semi-join vs DuckDB's own exact ranking), and the best
-    returned distance. Expected values are REPLAY-DERIVED (see
-    _lsh_probe_expected) so a testdata regeneration cannot go red without
-    a code bug; only the containment depth is an empirical knob
+    full-scan kNN semi-join vs DuckDB's own exact ranking), the best
+    returned distance, and ``found_true_nn`` — whether the probe's best
+    equals the corpus-wide exact minimum, computed INDEPENDENTLY on each
+    side (Spark vs its own full scan, the oracle vs the replay's
+    candidate set), so an implementation regression that drops the true
+    NN goes red while a fixture regeneration — where both sides recompute
+    — stays green. Expected values are REPLAY-DERIVED (see
+    _lsh_probe_expected); only the containment depth is an empirical knob
     (LSH_PROBE_RANK_MARGIN — observed max rank ≤26 at both compare
     scales). Recall curves live in tests/test_lsh.py and RECALL.md."""
     from chatdata_spark.operators.lsh import lsh_search
@@ -305,6 +311,9 @@ def ann_lsh_probe(spark, sf_dir):
     idx = _lsh_indexed(spark, sf_dir, n_tables=16, n_bits=6)
     res = lsh_search(idx, "embedding", Q1, k=12, n_tables=16, n_bits=6, select=["vec_id"])
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact1 = knn(emb, "embedding", Q1, k=1, select=["vec_id"], id_col="vec_id").select(
+        F.col("dist").alias("exact_min")
+    )
     top90 = knn(
         emb, "embedding", Q1, k=LSH_PROBE_RANK_MARGIN, select=["vec_id"], id_col="vec_id"
     ).select("vec_id")
@@ -315,7 +324,14 @@ def ann_lsh_probe(spark, sf_dir):
         res.join(F.broadcast(top90), "vec_id", "left_semi")
         .agg(F.count(F.lit(1)).alias("n_in_top90"))
     )
-    return stats.join(F.broadcast(in90)).select("n_results", "n_in_top90", "min_dist")
+    return (
+        stats.join(F.broadcast(in90))
+        .join(F.broadcast(exact1))
+        .select(
+            "n_results", "n_in_top90", "min_dist",
+            (F.col("min_dist") == F.col("exact_min")).alias("found_true_nn"),
+        )
+    )
 
 
 def _embed_batch_expected() -> str:
@@ -550,7 +566,10 @@ def _pq_adc_expected() -> str:
              LIMIT {PQ_ADC_RANK_MARGIN})
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM topk) AS n_results,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM topk t JOIN topm USING (vec_id)) AS n_in_top45,
-           (SELECT CAST(MIN(dist) AS DOUBLE) FROM topk) AS min_dist
+           (SELECT CAST(MIN(dist) AS DOUBLE) FROM topk) AS min_dist,
+           (SELECT MIN(dist) FROM topk)
+               = (SELECT MIN({_duck_cos('embedding', Q1)}) FROM embeddings)
+               AS found_true_nn
     """
 
 
@@ -561,8 +580,10 @@ def ann_pq_adc(spark, sf_dir):
     row via one Arrow fancy-index pass, exact cosine rerank of the top
     k·4 survivors. Approximate by design, so the oracle checks SOUNDNESS
     invariants (the ann_ivf_pruned pattern): result count, containment of
-    every reranked result within the exact top-PQ_ADC_RANK_MARGIN, and
-    the best returned distance. Expected values are REPLAY-DERIVED (see
+    every reranked result within the exact top-PQ_ADC_RANK_MARGIN, the
+    best returned distance, and ``found_true_nn`` computed INDEPENDENTLY
+    on each side (see ann_lsh_probe — implementation regressions red,
+    fixture regenerations green). Expected values are REPLAY-DERIVED (see
     _pq_adc_expected) so a testdata regeneration cannot go red without a
     code bug; only the containment depth is an empirical knob
     (PQ_ADC_RANK_MARGIN — observed max rank ≤16 at both compare scales).
@@ -579,6 +600,9 @@ def ann_pq_adc(spark, sf_dir):
         spark, e, shared_cache_path("pq", sf_dir, "m8"), "vec_id", "embedding", m=8
     )
     res = idx.search(e, Q1, k=10, refine=4, select=["vec_id"])
+    exact1 = knn(e, "embedding", Q1, k=1, select=["vec_id"], id_col="vec_id").select(
+        F.col("dist").alias("exact_min")
+    )
     top45 = knn(
         e, "embedding", Q1, k=PQ_ADC_RANK_MARGIN, select=["vec_id"], id_col="vec_id"
     ).select("vec_id")
@@ -589,7 +613,14 @@ def ann_pq_adc(spark, sf_dir):
         res.join(F.broadcast(top45), "vec_id", "left_semi")
         .agg(F.count(F.lit(1)).alias("n_in_top45"))
     )
-    return stats.join(F.broadcast(in45)).select("n_results", "n_in_top45", "min_dist")
+    return (
+        stats.join(F.broadcast(in45))
+        .join(F.broadcast(exact1))
+        .select(
+            "n_results", "n_in_top45", "min_dist",
+            (F.col("min_dist") == F.col("exact_min")).alias("found_true_nn"),
+        )
+    )
 
 
 MQ = [hash_embed(f"mq{i}", DIM) for i in range(3)]

@@ -68,3 +68,34 @@ def test_plan_is_cogrouped_not_cartesian(spark, idx, queries):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "FlatMapCoGroupsInPandas" in p
+
+
+def test_knn_join_and_near_dup_follow_compacted_data_dir(spark, tmp_path):
+    """Regression (r6 review): knn_join and embedding_near_dup_clustered
+    hardcoded '{path}/data', bypassing the versioned data_dir pointer
+    compact() maintains — post-compaction they crashed (dir swept) or,
+    in the crash-orphan window, silently scanned a stale tree containing
+    tombstoned rows. Both readers must follow _data_path()."""
+    import pyspark.sql.functions as F
+
+    from chatdata_spark.operators.dedup import embedding_near_dup_clustered
+    from chatdata_spark.operators.ivf import IVFIndex
+    from chatdata_spark.operators.knnjoin import knn_join
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    idx = IVFIndex.build(emb, str(tmp_path / "ivf"), "vec_id", "embedding", n_clusters=4)
+    victims = emb.limit(7).select("vec_id")
+    victim_ids = {r.vec_id for r in victims.collect()}
+    idx.delete(victims)
+    idx = idx.compact()
+    assert idx.data_dir != "data"  # the compaction actually swapped
+
+    q = emb.filter(F.col("vec_id") % 25 == 0)
+    pairs = knn_join(q, idx, "vec_id", "embedding", k=3, n_probe=idx.n_clusters)
+    rows = pairs.collect()
+    assert rows
+    assert not ({r.b_id for r in rows} & victim_ids)
+
+    nd = embedding_near_dup_clustered(idx, threshold=0.4, n_probe=idx.n_clusters)
+    nd_rows = nd.collect()
+    assert not any(r.i in victim_ids or r.j in victim_ids for r in nd_rows)

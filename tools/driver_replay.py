@@ -30,9 +30,12 @@ print("entry rows:", len(r))
 import duckdb
 con = duckdb.connect()
 # REPLAY_SF: point the replay at an alternate fixture dir (the
-# regeneration dry-run for the replay-derived ANN oracles — pair it with
-# SPARK_GRAFT_ORACLE_SF so the lazy oracles read the same dir)
+# regeneration dry-run for the replay-derived ANN/BPE oracles). The lazy
+# replay oracles read catalog.oracle_sf_dir() — propagate automatically
+# so a lone REPLAY_SF can't produce a spurious half-repointed red
+# (explicit SPARK_GRAFT_ORACLE_SF still wins if set).
 SF = os.environ.get("REPLAY_SF", "/root/testdata/sf0.01")
+os.environ.setdefault("SPARK_GRAFT_ORACLE_SF", SF)
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 

@@ -72,6 +72,8 @@ HEADLINE = [
     "semantic_dedup_keep",      # SemDeDup survivor set (pairs→closure→keep)
     "lm_perplexity_buckets",    # corpus-trained bigram-LM quality terciles
     "curation_select_v2",       # LM-quality ∩ DSIR selection, composed reporting
+    "gopher_quality_filter",    # published Gopher rules, scan-stage integer flags
+    "nb_quality_classifier",    # NB curation classifier (vocab-shuffle train + score)
 ]
 # NOTE: no bpe_learn_merges bench entry, deliberately — it is an ITERATIVE
 # operator (30 driver-looped rounds, each a vocabulary-sized job), so its

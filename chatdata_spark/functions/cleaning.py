@@ -75,3 +75,66 @@ def bigrams_col(words) -> Column:
             lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# --- Gopher rules (Rae et al. 2021, appendix A1.1) -------------------------
+# The published word-level document filters. Thresholds are the paper's; the
+# line-level rules (bullet / ellipsis line fractions, duplicate lines) are
+# omitted because the corpus fixture is single-line — duplicate-token ratio
+# (above) and the substring/minhash dedup operators cover that axis.
+GOPHER_STOPWORDS: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3  # mean word length in [3, 10]
+GOPHER_MAX_MEAN_WORD_LEN = 10
+GOPHER_MAX_SYMBOL_RATIO_PCT10 = 1  # (# + …) per word ≤ 0.1  ⇔  10·sym ≤ words
+GOPHER_MIN_ALPHA_WORD_PCT = 80  # ≥80% of words contain an alphabetic char
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_rule_flags(text, norm, w) -> dict[str, Column]:
+    """Per-document Gopher rule flags as INT 0/1 columns, plus ``n_words``.
+
+    ``text``/``norm``/``w`` must be already-materialized columns (raw text,
+    normalized text, split word array) — layered-select convention so the
+    normalize/split work isn't re-inlined per rule (CLAUDE.md).
+
+    Every ratio threshold is evaluated by integer cross-multiplication
+    (``10*symbols <= words`` instead of ``symbols/words <= 0.1``) so the
+    flags are exact and the DuckDB oracle reproduces them bit-for-bit with
+    no float division anywhere. The non-alpha word count uses the
+    double-space pad trick: after ``replace(norm, ' ', '  ')`` every token
+    owns both of its flanking spaces, so the RE2∩Java pattern
+    ``' [^a-z ]+ '`` counts whole non-alphabetic tokens without
+    lookaround (adjacent matches would otherwise share a space).
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    norm = F.col(norm) if isinstance(norm, str) else norm
+    w = F.col(w) if isinstance(w, str) else w
+    n_words = F.size(w)
+    # total chars across words = len(norm) - (n_words - 1) separators
+    total_wchars = F.length(norm) - (n_words - F.lit(1))
+    padded = F.concat(F.lit(" "), F.regexp_replace(norm, F.lit(" "), F.lit("  ")), F.lit(" "))
+    n_nonalpha = F.regexp_count(padded, F.lit(" [^a-z ]+ "))
+    n_symbols = F.regexp_count(text, F.lit("#")) + F.regexp_count(text, F.lit(r"\.\.\."))
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(w), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    )
+    flags = {
+        "n_words": n_words,
+        "word_count_ok": (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS),
+        "mean_word_len_ok": (total_wchars >= n_words * GOPHER_MIN_MEAN_WORD_LEN)
+        & (total_wchars <= n_words * GOPHER_MAX_MEAN_WORD_LEN),
+        "symbol_ratio_ok": n_symbols * 10 <= n_words * GOPHER_MAX_SYMBOL_RATIO_PCT10,
+        "alpha_word_ok": (n_words - n_nonalpha) * 100 >= n_words * GOPHER_MIN_ALPHA_WORD_PCT,
+        "stopword_ok": stop_hits >= GOPHER_MIN_STOPWORD_HITS,
+    }
+    out = {"n_words": n_words}
+    keep = F.lit(True)
+    for name, cond in flags.items():
+        if name == "n_words":
+            continue
+        out[name] = cond.cast("int")
+        keep = keep & cond
+    out["keep"] = keep.cast("int")
+    return out

@@ -243,3 +243,154 @@ def chunk_dedup_docs(spark, sf_dir):
     from chatdata_spark.operators.dedup import _spread
 
     return chunk_dedup_reassemble(_spread(d), "doc_id", "text", chunk_words=12).orderBy("doc_id")
+
+
+_GQ = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "gopher_quality_filter",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, {_GQ} AS norm FROM documents
+    ),
+    f1 AS (
+        SELECT doc_id, text, norm, string_split(norm, ' ') AS w FROM base
+    ),
+    f2 AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS nw,
+               CAST(length(norm) - (len(w) - 1) AS BIGINT) AS twc,
+               CAST(len(regexp_extract_all(' ' || replace(norm, ' ', '  ') || ' ',
+                                           ' [^a-z ]+ ')) AS BIGINT) AS n_nonalpha,
+               CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+                 + CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_symbols,
+               CAST(len(list_intersect(list_distinct(w),
+                    ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits
+        FROM f1
+    )
+    SELECT doc_id,
+           CAST(nw AS INT) AS n_words,
+           CAST(nw >= 50 AND nw <= 100000 AS INT) AS word_count_ok,
+           CAST(twc >= 3 * nw AND twc <= 10 * nw AS INT) AS mean_word_len_ok,
+           CAST(n_symbols * 10 <= nw AS INT) AS symbol_ratio_ok,
+           CAST((nw - n_nonalpha) * 100 >= nw * 80 AS INT) AS alpha_word_ok,
+           CAST(stop_hits >= 2 AS INT) AS stopword_ok,
+           CAST(nw >= 50 AND nw <= 100000
+                AND twc >= 3 * nw AND twc <= 10 * nw
+                AND n_symbols * 10 <= nw
+                AND (nw - n_nonalpha) * 100 >= nw * 80
+                AND stop_hits >= 2 AS INT) AS keep
+    FROM f2 ORDER BY doc_id
+    """,
+)
+def gopher_quality_filter(spark, sf_dir):
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    appendix A1.1) as per-document INT flags plus the conjunction `keep`:
+    word count in [50, 100k], mean word length in [3, 10], symbol-to-word
+    ratio (# and ellipsis) <= 0.1, >=80% of words contain an alphabetic
+    character, >=2 of the paper's required stopwords present. Line-level
+    rules are covered by duplicate-token ratio / substring dedup (the
+    fixture is single-line).
+
+    Scale shape: pure scan-stage JVM projections over one normalize+split
+    pass — no shuffle, no Python, filter-pushdown friendly (a pipeline
+    filters on `keep = 1` at the scan). Every ratio is integer
+    cross-multiplied (10*symbols <= words), so flags are exact on both
+    engines with no float division anywhere.
+
+    Reference surface: the upload-time quality gate the ChatData app
+    applies per file (app/backend/chat_bot/tools.py:42 length filter),
+    generalized to the published rule set."""
+    from chatdata_spark.functions.cleaning import gopher_rule_flags
+    from chatdata_spark.functions.text import norm_text
+    from chatdata_spark.operators.dedup import _spread
+
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"))
+    prep = d.withColumn("__norm", norm_text("text")).withColumn("__w", F.split("__norm", " "))
+    flags = gopher_rule_flags(F.col("text"), F.col("__norm"), F.col("__w"))
+    return prep.select(
+        "doc_id", *[expr.alias(name) for name, expr in flags.items()]
+    ).orderBy("doc_id")
+
+
+@query(
+    "nb_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(string_split({_GQ}, ' ')) AS tok FROM documents
+    ),
+    t2 AS (
+        SELECT doc_id, source, (source = 'src0') AS is_pos, tok
+        FROM toks WHERE tok <> ''
+    ),
+    counts AS (
+        SELECT tok,
+               CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+               CAST(SUM(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+        FROM t2 GROUP BY tok
+    ),
+    tot AS (
+        SELECT CAST(SUM(c_pos) AS BIGINT) AS t_pos,
+               CAST(SUM(c_neg) AS BIGINT) AS t_neg,
+               COUNT(*) AS v
+        FROM counts
+    ),
+    w AS (
+        SELECT tok,
+               CAST(ROUND(LN(CAST(c_pos + 1 AS DOUBLE) / CAST(t_pos + v AS DOUBLE))
+                        - LN(CAST(c_neg + 1 AS DOUBLE) / CAST(t_neg + v AS DOUBLE)), 4)
+                    AS DECIMAL(27,6)) AS w
+        FROM counts, tot
+    ),
+    prior AS (
+        SELECT CAST(ROUND(LN(CAST(t_pos AS DOUBLE)) - LN(CAST(t_neg AS DOUBLE)), 4)
+                    AS DECIMAL(27,6)) AS prior
+        FROM tot
+    ),
+    sc AS (
+        SELECT doc_id, source, SUM(w) AS sw, COUNT(*) AS n_tokens
+        FROM t2 JOIN w USING (tok) GROUP BY doc_id, source
+    )
+    SELECT doc_id, source,
+           ROUND(CAST(sw + prior AS DOUBLE), 6) AS score,
+           CAST(ROUND(CAST(sw + prior AS DOUBLE), 6) > 0 AS INT) AS pred,
+           n_tokens
+    FROM sc, prior ORDER BY doc_id
+    """,
+)
+def nb_quality_classifier(spark, sf_dir):
+    """GPT-3-style quality-classifier curation: train a multinomial Naive
+    Bayes on a "known high quality" slice (positive = src0, standing in
+    for WebText/Wikipedia) vs the rest of the corpus, then score every
+    document with the summed token log-likelihood ratio plus class prior
+    — the classifier-filtering stage of the GPT-3 / CCNet data recipes,
+    expressed as pure relational algebra (operators/classifier.py): the
+    train side is ONE vocabulary-keyed shuffle, the score side one
+    vocabulary join plus one map-side-combined per-doc decimal sum, so it
+    runs at corpus scale with no iterative driver loop.
+
+    Determinism: per-TYPE weights round(ln, 4) -> DECIMAL(27,6), summed
+    exactly per doc (accumulation order can't drift), final score rounded
+    at 6 — the text_unigram_logprob recipe.
+
+    Reference surface: the curated-corpus assumption of the ChatData
+    document stores (app/backend/constants/myscale_tables.py ships
+    pre-filtered Wikipedia/ArXiv) — this is the operator that produces
+    such a corpus."""
+    from chatdata_spark.functions.text import words
+    from chatdata_spark.operators.classifier import nb_score, nb_train
+    from chatdata_spark.operators.dedup import _spread
+
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source", "text"))
+    toks = (
+        d.select(
+            "doc_id",
+            "source",
+            (F.col("source") == F.lit("src0")).alias("is_pos"),
+            F.explode(words("text")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    weights, priors = nb_train(toks)
+    return nb_score(toks, weights, priors, ["doc_id", "source"]).orderBy("doc_id")

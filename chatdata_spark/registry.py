@@ -75,10 +75,11 @@ def _load_all() -> None:
 # (r3 swapped 21 in; r4 swapped 25; r5 swapped 21 and went 50/50; r6
 # executes the r5 verdict's "finish the rotation": the 25 now-twice-green
 # r4 first-timers rotate OUT, the ENTIRE never-driver-checked backlog (28
-# names) rotates IN, the round's seven new queries ship driver-verified
+# names) rotates IN, the round's nine new queries ship driver-verified
 # like every addition, and the remaining slots keep r5 once-green
-# first-timers for their second verification (ten of them — the simplest
-# TPC-H middles plus knn_ip, all re-checked by the full-registry pytest
+# first-timers for their second verification (twelve of them — the simplest
+# TPC-H middles plus knn_ip, stuff_context_docs and
+# streaming_distinct_events, all re-checked by the full-registry pytest
 # oracle every round — defer their second green to r7 to make room).
 # Everything not listed here is registered AFTER these (in import order) and
 # stays pytest-oracled (tests/test_correctness runs the full registry).
@@ -109,11 +110,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- round-6 additions, verified the round they ship ---
     "attribution_time_decay", "dsir_resample_docs", "semantic_dedup_keep",
     "bpe_learn_merges", "bpe_encode_token_stats", "lm_perplexity_buckets",
-    "curation_select_v2",
-    # --- round-5 first-timers, once-green: kept for second verification ---
-    "streaming_distinct_events", "streaming_near_dup_docs",
+    "curation_select_v2", "gopher_quality_filter", "nb_quality_classifier",
+    # --- round-5 first-timers, once-green: kept for second verification
+    # (stuff_context_docs / streaming_distinct_events defer their second
+    # green to r7 with the TPC-H middles, making room for the two late r6
+    # queries) ---
+    "streaming_near_dup_docs",
     "streaming_join_click_purchase",
-    "qa_context_assembly", "stuff_context_docs", "rerank_snippet_search",
+    "qa_context_assembly", "rerank_snippet_search",
     "mmr_diversified_knn_distributed",
     "bucketed_fact_join_revenue", "leakage_safe_split_docs",
     "asof_join_purchase_click_sliced", "dedup_substring_spans",
@@ -121,7 +125,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 
 # Rotation plan for round 7: after r6 the never-driver-checked backlog is
 # empty (modulo any query added in r6 itself). Swap the then-twice-green
-# r5 names out for the ten deferred once-green names (q4_order_priority,
+# r5 names out for the twelve deferred once-green names (stuff_context_docs,
+# streaming_distinct_events — they made room for the late-r6
+# gopher_quality_filter and nb_quality_classifier — plus q4_order_priority,
 # q6_forecast_revenue, q10_returned_items, q11_important_parts,
 # q12_priority_by_linestatus, q14_promo_revenue, q15_top_supplier,
 # q16_supplier_part_counts, q18_large_volume_customer, knn_ip — their

@@ -102,3 +102,84 @@ def test_chunk_dedup_drops_within_doc_repeats(spark):
     df = spark.createDataFrame([(7, "p q p q p q")], "doc_id long, text string")
     kept = chunk_dedup(df, chunk_words=2).collect()
     assert [(r["chunk_idx"], r["chunk_text"]) for r in kept] == [(0, "p q")]
+
+
+def test_gopher_rule_flags_each_rule_fires(spark):
+    """Hand-built docs that each violate exactly one Gopher rule; a
+    compliant doc passes all five."""
+    from chatdata_spark.functions.cleaning import gopher_rule_flags
+    from chatdata_spark.functions.text import norm_text
+
+    good = "the quick brown fox and the lazy dog have been with that crew " * 5  # 60 words
+    short = "the and of that have with be to"  # 8 words < 50
+    longwords = " ".join(["extraordinarily"] * 60) + " the of and that"  # mean len > 10
+    symbols = ("the of and that have " * 12) + "# # # # # # # # # #"  # 10 '#' per 70 words
+    nonalpha = ("123 456 789 000 111 222 333 444 555 666 " * 5) + "the of and that have with " * 4
+    nostops = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    rows = [
+        ("good", good), ("short", short), ("longwords", longwords),
+        ("symbols", symbols), ("nonalpha", nonalpha), ("nostops", nostops),
+    ]
+    df = spark.createDataFrame(rows, "name string, text string")
+    prep = df.withColumn("__norm", norm_text("text")).withColumn("__w", F.split("__norm", " "))
+    flags = gopher_rule_flags(F.col("text"), F.col("__norm"), F.col("__w"))
+    out = {
+        r["name"]: r
+        for r in prep.select("name", *[e.alias(n) for n, e in flags.items()]).collect()
+    }
+    assert out["good"]["keep"] == 1
+    assert out["short"]["word_count_ok"] == 0 and out["short"]["keep"] == 0
+    assert out["longwords"]["mean_word_len_ok"] == 0 and out["longwords"]["keep"] == 0
+    assert out["symbols"]["symbol_ratio_ok"] == 0 and out["symbols"]["keep"] == 0
+    # nonalpha: 50 digit tokens vs 24 alpha -> alpha fraction 24/74 < 0.8
+    assert out["nonalpha"]["alpha_word_ok"] == 0
+    assert out["nostops"]["stopword_ok"] == 0 and out["nostops"]["keep"] == 0
+
+
+def test_gopher_nonalpha_adjacent_tokens_counted(spark):
+    """The double-space pad must count ADJACENT non-alpha tokens separately
+    (a plain ' [^a-z ]+ ' count over single-spaced text would miss every
+    second one)."""
+    from chatdata_spark.functions.cleaning import gopher_rule_flags
+    from chatdata_spark.functions.text import norm_text
+
+    # 4 adjacent digit tokens + 4 alpha words: alpha frac = 4/8 = 0.5 < 0.8
+    df = spark.createDataFrame([("1 2 3 4 the of and that",)], "text string")
+    prep = df.withColumn("__norm", norm_text("text")).withColumn("__w", F.split("__norm", " "))
+    flags = gopher_rule_flags(F.col("text"), F.col("__norm"), F.col("__w"))
+    row = prep.select(*[e.alias(n) for n, e in flags.items()]).first()
+    assert row["alpha_word_ok"] == 0
+
+
+def test_nb_classifier_separates_planted_vocab(spark):
+    """NB trained on a corpus where the positive class has distinctive
+    tokens must score held-vocabulary docs on the right side of 0, and
+    the weight table must carry one row per vocabulary type."""
+    from chatdata_spark.operators.classifier import nb_score, nb_train
+
+    pos_docs = [(i, True, "quantum flux entangle " * 4) for i in range(10)]
+    neg_docs = [(100 + i, False, "spam junk filler noise " * 4) for i in range(10)]
+    df = spark.createDataFrame(pos_docs + neg_docs, "doc_id long, is_pos boolean, text string")
+    toks = df.select(
+        "doc_id", "is_pos", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    weights, priors = nb_train(toks)
+    assert weights.count() == toks.select("tok").distinct().count()
+    scored = {r["doc_id"]: r for r in nb_score(toks, weights, priors, ["doc_id"]).collect()}
+    assert all(scored[i]["score"] > 0 and scored[i]["pred"] == 1 for i in range(10))
+    assert all(scored[100 + i]["score"] < 0 and scored[100 + i]["pred"] == 0 for i in range(10))
+
+
+def test_nb_classifier_balanced_prior_is_zero(spark):
+    """With symmetric classes the prior log-ratio is exactly 0 and a doc
+    made of equally-frequent shared vocabulary scores exactly 0 (ties in
+    the integer counts cancel in the decimal sum)."""
+    from chatdata_spark.operators.classifier import nb_train
+
+    rows = [(0, True, "alpha beta"), (1, False, "alpha beta")]
+    df = spark.createDataFrame(rows, "doc_id long, is_pos boolean, text string")
+    toks = df.select("doc_id", "is_pos", F.explode(F.split("text", " ")).alias("tok"))
+    weights, priors = nb_train(toks)
+    p = priors.first()
+    assert float(p["prior"]) == 0.0
+    assert all(float(r["w"]) == 0.0 for r in weights.collect())

@@ -34,7 +34,7 @@ MUST_BE_DRIVER_CHECKED = {
     # round-6 additions ship driver-verified the round they land
     "attribution_time_decay", "dsir_resample_docs", "semantic_dedup_keep",
     "bpe_learn_merges", "bpe_encode_token_stats", "lm_perplexity_buckets",
-    "curation_select_v2",
+    "curation_select_v2", "gopher_quality_filter", "nb_quality_classifier",
     # once-green round-5 flagship first-timers (second verification)
     "dedup_substring_spans", "streaming_near_dup_docs",
     "qa_context_assembly", "rerank_snippet_search",

@@ -73,6 +73,7 @@ HEADLINE = [
     "lm_perplexity_buckets",    # corpus-trained bigram-LM quality terciles
     "curation_select_v2",       # LM-quality ∩ DSIR selection, composed reporting
     "gopher_quality_filter",    # published Gopher rules, scan-stage integer flags
+    "dedup_winnow_pairs",       # MOSS winnowing sketch near-dup pairs
     "nb_quality_classifier",    # NB curation classifier (vocab-shuffle train + score)
 ]
 # NOTE: no bpe_learn_merges bench entry, deliberately — it is an ITERATIVE

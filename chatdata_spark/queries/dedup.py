@@ -512,3 +512,59 @@ def semantic_dedup_keep(spark, sf_dir):
         .select("vec_id", "label", "group_size")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "dedup_winnow_pairs",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
+    ),
+    eligible AS (
+        SELECT doc_id, ws, len(ws) - 5 + 1 AS m FROM base WHERE len(ws) >= 5
+    ),
+    g AS (
+        SELECT doc_id, i AS pos,
+               CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, m)) AS i FROM eligible)
+    ),
+    wins AS (
+        SELECT doc_id, unnest(generate_series(1, greatest(m - 4 + 1, 1))) AS s FROM eligible
+    ),
+    sel AS (
+        SELECT doc_id, h,
+               row_number() OVER (PARTITION BY doc_id, s ORDER BY h ASC, pos DESC) AS rk
+        FROM (SELECT g.doc_id, w.s, g.pos, g.h
+              FROM g JOIN wins w ON g.doc_id = w.doc_id AND g.pos BETWEEN w.s AND w.s + 3)
+    ),
+    fp AS (SELECT DISTINCT doc_id, h FROM sel WHERE rk = 1),
+    kept AS (
+        SELECT doc_id, h FROM (
+            SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM fp
+        ) WHERE df <= 8
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_winnow_pairs(spark, sf_dir):
+    """Winnowing near-dup pairs (Schleimer et al. 2003, the MOSS local
+    fingerprinting algorithm): k=5-gram 60-bit md5 hashes, rightmost-min
+    selection per w=4 window, fingerprints in > 8 docs dropped as
+    boilerplate, pairs sharing >= 2 distinct fingerprints reported. The
+    detection guarantee (any shared run of >= w+k-1 = 8 words yields a
+    shared fingerprint) recovers exactly the fixture's 25 planted
+    near-dup pairs — the same set minhash-LSH and the Jaccard join find,
+    via a sketch that bounds shared-substring length instead of Jaccard.
+    The oracle replays selection bit-for-bit (md5 hash order is engine
+    independent); the Spark side is one Arrow pass per batch emitting an
+    O(2·len/w) sketch, an unordered window df-cap, and bounded-bucket
+    chained-Generate pair expansion (operators/winnow.py)."""
+    from chatdata_spark.operators.winnow import winnow_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_pairs(d, "doc_id", "text", k=5, w=4, max_df=8, min_shared=2).orderBy(
+        "id_a", "id_b"
+    )

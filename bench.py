@@ -75,6 +75,8 @@ HEADLINE = [
     "gopher_quality_filter",    # published Gopher rules, scan-stage integer flags
     "dedup_winnow_pairs",       # MOSS winnowing sketch near-dup pairs
     "nb_quality_classifier",    # NB curation classifier (vocab-shuffle train + score)
+    "decontam_embedding",       # eval-matrix GEMM screen + exact re-score funnel
+    "tfidf_top_terms",          # TF-IDF keywords: cached tf, broadcast vocab df
 ]
 # NOTE: no bpe_learn_merges bench entry, deliberately — it is an ITERATIVE
 # operator (30 driver-looped rounds, each a vocabulary-sized job), so its

@@ -19,10 +19,13 @@ N-grams travel as 64-bit xor-rotate hashes of xxhash64'd words
 
 from __future__ import annotations
 
+import numpy as np  # module-top: pandas_udf type hints resolve against these
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-from chatdata_spark.operators.dedup import _with_shingle_hashes, shingle_hashes_udf
+from chatdata_spark.operators.dedup import _memo_put, _with_shingle_hashes, shingle_hashes_udf
 
 
 def benchmark_ngram_set(bench: DataFrame, text_col: str = "text", n: int = 13) -> DataFrame:
@@ -81,4 +84,113 @@ def decontaminate(
         "n_hits",
         F.round(F.col("n_hits") / F.col("sz").cast("double"), 6).alias("overlap_frac"),
         (F.col("n_hits") >= F.lit(min_hits)).alias("contaminated"),
+    )
+
+
+# --- embedding-space decontamination -----------------------------------------
+#
+# The n-gram rule above catches verbatim leakage; paraphrased or lightly
+# rewritten benchmark items evade it. The standard complement (used by the
+# Llama / phi data-prep write-ups) is an EMBEDDING-space check: flag any
+# training item whose embedding is too close (cosine) to an eval-set
+# embedding. Same asymmetry as the n-gram rule — the eval side is tiny —
+# so the same 100 TB shape applies: the eval matrix is captured by VALUE
+# into an Arrow pandas UDF and the corpus is screened in one scan-stage
+# GEMM pass with NO shuffle of corpus data; only the (rare) survivors are
+# paired, broadcast-joined to the eval rows, and re-scored with the exact
+# same-operand-order JVM cosine the oracle uses. Candidate search is
+# approximate-fast (blocked numpy summation, screened at threshold − 1e-5
+# so no true pair is lost), reported values stay bit-exact.
+
+# Memoized per (matrix bytes, threshold): identical UDF objects keep
+# repeated plans equal so CacheManager can reuse persisted upstream tables
+# (CLAUDE.md "memoize pandas UDF objects").
+_SCREEN_UDFS: dict = {}
+
+
+def _eval_screen_udf(eval_mat: np.ndarray, threshold: float):
+    """array<float> corpus vector → array<int> of eval-row indices whose
+    cosine similarity is ≥ threshold − 1e-5. The eval matrix and its norms
+    are numpy constants captured by value (repo pickling rule: worker
+    closures reference no package-level globals)."""
+    e = np.asarray(eval_mat, dtype=np.float64)
+    key = (e.shape, float(threshold), hash(e.tobytes()))
+    if key in _SCREEN_UDFS:
+        return _SCREEN_UDFS[key]
+    en = np.linalg.norm(e, axis=1)
+    thr = float(threshold) - 1e-5
+
+    @F.pandas_udf("array<int>")
+    def _screen(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        sims = (m @ e.T) / (np.linalg.norm(m, axis=1)[:, None] * en[None, :])
+        return pd.Series([np.nonzero(row >= thr)[0].tolist() for row in sims])
+
+    _memo_put(_SCREEN_UDFS, key, _screen)
+    return _screen
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "vec_id",
+    eval_vec_col: str = "embedding",
+    threshold: float = 0.38,
+    round_digits: int = 6,
+    max_eval: int = 65536,
+) -> DataFrame:
+    """Pairs ``(id, eval_id, cos_sim)`` for every corpus row whose embedding
+    has cosine similarity ≥ ``threshold`` (after rounding to
+    ``round_digits``, matching the oracle's filter) to an eval-set row.
+
+    The eval set is collected driver-side (bounded: eval/benchmark suites
+    are small by construction; guarded by ``max_eval``) in ``eval_id``
+    order so the captured matrix — and therefore the plan — is
+    deterministic. The corpus side is never shuffled: screen (scan-stage
+    Arrow GEMM) → explode (Python-eval barrier, so Generate cannot inline
+    anything expensive) → broadcast join to the eval rows → exact JVM
+    re-score with the same operand order as DuckDB's
+    ``list_cosine_similarity`` (the bit-match ``dedup_embedding`` already
+    relies on).
+    """
+    from chatdata_spark.functions.vector import dot_product, vector_norm
+
+    rows = (
+        eval_df.select(F.col(eval_id_col).alias("__eid"), F.col(eval_vec_col).alias("__ev"))
+        .orderBy("__eid")
+        .collect()
+    )
+    if len(rows) > max_eval:
+        raise ValueError(
+            f"eval set has {len(rows)} rows > max_eval={max_eval}; "
+            "broadcast screening assumes a benchmark-sized eval side"
+        )
+    e = np.array([r["__ev"] for r in rows], dtype=np.float64)
+    id_type = eval_df.schema[eval_id_col].dataType
+    mapping = corpus.sparkSession.createDataFrame(
+        [(i, r["__eid"], [float(x) for x in r["__ev"]]) for i, r in enumerate(rows)],
+        T.StructType(
+            [
+                T.StructField("__eidx", T.IntegerType()),
+                T.StructField("eval_id", id_type),
+                T.StructField("__evec", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    hits = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.explode(_eval_screen_udf(e, threshold)(F.col(vec_col))).alias("__eidx"),
+    )
+    sim = F.round(
+        dot_product(F.col("__v"), F.col("__evec"))
+        / (vector_norm(F.col("__v")) * vector_norm(F.col("__evec"))),
+        round_digits,
+    )
+    return (
+        hits.join(F.broadcast(mapping), "__eidx")
+        .select(F.col(id_col), "eval_id", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= F.lit(float(threshold)))
     )

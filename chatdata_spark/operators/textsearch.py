@@ -362,3 +362,70 @@ def snippet(text_col, query: str, window: int = 8) -> Column:
     first = F.array_min(hits)  # NULL when no term matches
     start = F.greatest(F.coalesce(first, F.lit(0)) - F.lit(window), F.lit(0))
     return F.array_join(F.slice(w, start + 1, 2 * window + 1), " ")
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document top-``k`` terms by smoothed TF-IDF — the classic
+    keyword-extraction / corpus-characterization pass (sklearn's
+    ``smooth_idf`` formula): ``idf(t) = ln((N+1)/(df+1)) + 1`` and
+    ``tfidf = idf * tf/dl`` with ``dl`` the document's token count.
+
+    Columns ``(id, term, tf, tfidf, rnk)``, ``rnk`` = 1..k per document
+    ordered by (tfidf DESC, term) — fully tie-broken, so oracle-comparable.
+
+    Scale shape (100 TB): the token stream shuffles ONCE into the per-
+    (doc, term) ``tf`` table with map-side combine (shuffled bytes ≈
+    distinct doc-term pairs per map partition, not raw tokens). ``tf`` is
+    PERSISTED because both downstream branches (doc-length window,
+    document-frequency aggregate) consume it — without the persist each
+    branch replans the scan and the corpus is tokenized twice (the
+    groupBy+join-back double-evaluation trap; same fix as
+    substrdedup.py:169). Document frequencies aggregate the cached table
+    (vocabulary-sized output, partial agg absorbs hot-term skew — NOT a
+    count-over-term window, whose hot-term partition would hold nearly
+    every doc) and come back as a BROADCAST join, so corpus rows never
+    shuffle on a term key. Both windows (doc length, rank) partition on
+    the doc id; after the dl window the data is already
+    hash(id)-partitioned, so the rank window adds no exchange. For open
+    web-scale vocabularies beyond broadcast size, drop the broadcast hint:
+    the join then shuffles per-(doc, term) rows, still never raw tokens.
+
+    ``idf`` is rounded to 4 digits before the multiply (the repo's
+    cross-engine ln() convention, cf. text_unigram_logprob) and the final
+    score to ``round_digits``; ranking happens on the ROUNDED value both
+    sides, so order is deterministic wherever the raw doubles are
+    bit-identical (same operand order both sides).
+    """
+    n_docs = df.count()  # bounded driver scalar: one int, same role as the
+    # oracle's (SELECT COUNT(*) FROM documents) subquery
+    from pyspark import StorageLevel
+
+    toks = tokenize(df, id_col, text_col)
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl_w = Window.partitionBy("id")
+    idf = F.round(
+        F.log(F.lit(float(n_docs + 1)) / (F.col("df") + F.lit(1)).cast("double")), 4
+    ) + F.lit(1.0)
+    scored = (
+        tf.withColumn("dl", F.sum("tf").over(dl_w))
+        .join(F.broadcast(dft), "term")
+        .withColumn(
+            "tfidf",
+            F.round(idf * (F.col("tf").cast("double") / F.col("dl").cast("double")), round_digits),
+        )
+    )
+    rank_w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("id").alias(id_col), "term", "tf", "tfidf", "rnk")
+    )

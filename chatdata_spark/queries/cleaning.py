@@ -207,6 +207,36 @@ def decontam_docs(spark, sf_dir):
 
 
 @query(
+    "decontam_embedding",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ev AS (SELECT * FROM e WHERE vec_id % 13 = 0),
+    tr AS (SELECT * FROM e WHERE vec_id % 13 <> 0)
+    SELECT tr.vec_id AS vec_id, ev.vec_id AS eval_id,
+           ROUND(list_cosine_similarity(tr.v, ev.v), 6) AS cos_sim
+    FROM tr, ev
+    WHERE ROUND(list_cosine_similarity(tr.v, ev.v), 6) >= 0.38
+    ORDER BY vec_id, eval_id
+    """,
+)
+def decontam_embedding(spark, sf_dir):
+    """Embedding-space decontamination: training vectors too close (cosine
+    ≥ 0.38) to an eval-set vector (the vec_id % 13 == 0 slice stands in
+    for a benchmark suite), catching the paraphrased leakage the n-gram
+    rule above misses. Eval matrix broadcast by closure capture into a
+    scan-stage Arrow GEMM screen — the corpus is never shuffled — then
+    exact JVM re-score of the rare survivors (operators/decontam.py:
+    embedding_decontaminate). The oracle is the all-pairs cross join, so
+    this also proves the screen-margin funnel loses no true pair."""
+    from chatdata_spark.operators.decontam import embedding_decontaminate
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ev = e.filter(F.col("vec_id") % 13 == 0)
+    tr = e.filter(F.col("vec_id") % 13 != 0)
+    return embedding_decontaminate(tr, ev, threshold=0.38).orderBy("vec_id", "eval_id")
+
+
+@query(
     "chunk_dedup_docs",
     oracle=r"""
     WITH w AS (

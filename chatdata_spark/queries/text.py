@@ -617,3 +617,46 @@ def lm_perplexity_buckets(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               ROUND((ROUND(LN((SELECT n + 1 FROM n) / CAST(dft.df + 1 AS DOUBLE)), 4) + 1.0)
+                     * (CAST(tf.tf AS DOUBLE)
+                        / CAST(SUM(tf.tf) OVER (PARTITION BY tf.doc_id) AS DOUBLE)),
+                     6) AS tfidf
+        FROM tf JOIN dft USING (term)
+    ),
+    ranked AS (
+        SELECT doc_id, term, tf, tfidf,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf, CAST(rn AS INT) AS rnk
+    FROM ranked WHERE rn <= 5 ORDER BY doc_id, rnk
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Per-document top-5 keywords by smoothed TF-IDF (sklearn's
+    ``smooth_idf`` formula) — keyword extraction / corpus characterization
+    as a three-aggregation DataFrame pipeline: one token-stream shuffle
+    into (doc, term) counts, a vocabulary-sized document-frequency table
+    broadcast back, and doc-partitioned windows for length and rank (no
+    extra exchange for the rank window). The oracle recomputes the same
+    formula all-SQL; ranking on the rounded score with a full term
+    tie-break keeps both sides' orderings identical
+    (operators/textsearch.py:tfidf_top_terms)."""
+    from chatdata_spark.operators.textsearch import tfidf_top_terms as _tfidf
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _tfidf(d, "doc_id", "text", k=5).orderBy("doc_id", "rnk")

@@ -183,3 +183,60 @@ def test_nb_classifier_balanced_prior_is_zero(spark):
     p = priors.first()
     assert float(p["prior"]) == 0.0
     assert all(float(r["w"]) == 0.0 for r in weights.collect())
+
+
+# --- embedding-space decontamination ----------------------------------------
+
+
+def test_embedding_decontam_known_pairs(spark):
+    """Hand-built geometry: one near-duplicate of eval vector e1, one
+    anti-parallel vector (never flagged), one 45° vector that clears a 0.7
+    threshold against BOTH eval vectors."""
+    from chatdata_spark.operators.decontam import embedding_decontaminate
+
+    ev = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    tr = spark.createDataFrame(
+        [(10, [1.0, 0.01]), (11, [-1.0, 0.0]), (12, [0.6, 0.6])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = (
+        embedding_decontaminate(tr, ev, threshold=0.7)
+        .orderBy("vec_id", "eval_id")
+        .collect()
+    )
+    assert [(r["vec_id"], r["eval_id"]) for r in rows] == [(10, 1), (12, 1), (12, 2)]
+    assert rows[0]["cos_sim"] > 0.999
+    # 45° pairs: cos = 0.6 / sqrt(0.72) rounded to 6
+    assert abs(rows[1]["cos_sim"] - 0.707107) < 1e-9
+    assert abs(rows[2]["cos_sim"] - 0.707107) < 1e-9
+
+
+def test_embedding_decontam_threshold_boundary_survives_screen(spark):
+    """A pair whose ROUNDED similarity lands exactly ON the threshold must
+    survive: the GEMM screen's 1e-5 margin may not drop it, and the final
+    filter is >= on the rounded value (oracle semantics)."""
+    from chatdata_spark.operators.decontam import embedding_decontaminate
+
+    ev = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    tr = spark.createDataFrame(
+        [(10, [0.6, 0.6])], "vec_id long, embedding array<float>"
+    )
+    out = embedding_decontaminate(tr, ev, threshold=0.707107).collect()
+    assert [(r["vec_id"], r["eval_id"]) for r in out] == [(10, 1)]
+
+
+def test_embedding_decontam_eval_guard_and_udf_memo(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from chatdata_spark.operators.decontam import _eval_screen_udf, embedding_decontaminate
+
+    ev = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="max_eval"):
+        embedding_decontaminate(ev, ev, threshold=0.5, max_eval=1)
+    m = np.array([[1.0, 0.0], [0.0, 1.0]])
+    assert _eval_screen_udf(m, 0.5) is _eval_screen_udf(m.copy(), 0.5)

@@ -214,3 +214,41 @@ def test_profile_approx_mode_has_no_expand_and_no_spread_exchange(spark):
     p = _plan(profile_table(o, ["o_custkey", "o_totalprice"], distinct="approx"))
     assert "Expand" not in p
     assert p.count("Exchange") == 1
+
+
+def test_embedding_decontam_no_corpus_shuffle(spark):
+    """The embedding decontamination promise, plan-visible: the corpus is
+    screened in the scan stage (exactly one Arrow eval node) and NEVER
+    shuffles — the only exchange is the broadcast of the tiny eval
+    mapping; no cartesian product, no row-at-a-time Python."""
+    from chatdata_spark.operators.decontam import embedding_decontaminate
+
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    ev = e.filter(F.col("vec_id") % 13 == 0)
+    tr = e.filter(F.col("vec_id") % 13 != 0)
+    p = _plan(embedding_decontaminate(tr, ev, threshold=0.38))
+    assert "Exchange hashpartitioning" not in p
+    assert p.count("ArrowEvalPython") == 1
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+
+def test_tfidf_single_tokenize_and_no_rank_exchange(spark):
+    """tfidf_top_terms' scale promises, plan-visible: the per-(doc, term)
+    tf table is persisted and BOTH branches (doc-length window, vocabulary
+    df aggregate) read the cache — the corpus is tokenized once, not
+    re-planned per branch; the vocabulary comes back broadcast (never a
+    term-keyed corpus shuffle); and the rank window sits directly on the
+    doc-partitioned stream with no exchange between it and the dl
+    window."""
+    from chatdata_spark.operators.textsearch import tfidf_top_terms
+
+    d = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    p = _plan(tfidf_top_terms(d, "doc_id", "text"))
+    assert p.count("InMemoryTableScan") == 2, "tf cache not shared by both branches"
+    assert "BroadcastExchange" in p
+    assert "BatchEvalPython" not in p and "CartesianProduct" not in p
+    # between the rank window (row_number) and the dl window (sum) there
+    # must be no exchange: the rank window reuses hash(id) partitioning
+    rank_to_dl = p[p.index("Window [row_number") : p.index("Window [sum")]
+    assert "Exchange" not in rank_to_dl, f"rank window added an exchange:\n{rank_to_dl}"

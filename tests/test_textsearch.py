@@ -185,3 +185,35 @@ def test_retrieval_funnel_invariants_at_scale(spark, sf_dir):
     scores = [r.mmr_score for r in rows]
     assert all(a >= b for a, b in zip(scores, scores[1:]))
     assert all(r.rrf > 0 for r in rows)
+
+
+# --- TF-IDF keyword extraction ----------------------------------------------
+
+
+def test_tfidf_top_terms_hand_example(spark):
+    """Two-doc corpus computed by hand with the smoothed-idf formula:
+    idf = round(ln((N+1)/(df+1)), 4) + 1, tfidf = round(idf * tf/dl, 6)."""
+    from chatdata_spark.operators.textsearch import tfidf_top_terms
+
+    d = spark.createDataFrame([(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    rows = tfidf_top_terms(d, "doc_id", "text", k=5).orderBy("doc_id", "rnk").collect()
+    idf_rare = round(math.log(3 / 2), 4) + 1  # df=1 terms (a, c)
+    idf_common = round(math.log(3 / 3), 4) + 1  # df=2 term (b)
+    exp = [
+        (1, "a", 2, round(idf_rare * (2 / 3), 6), 1),
+        (1, "b", 1, round(idf_common * (1 / 3), 6), 2),
+        (2, "c", 1, round(idf_rare * (1 / 2), 6), 1),
+        (2, "b", 1, round(idf_common * (1 / 2), 6), 2),
+    ]
+    assert [(r["doc_id"], r["term"], r["tf"], r["tfidf"], r["rnk"]) for r in rows] == exp
+
+
+def test_tfidf_ties_break_on_term_and_k_caps(spark):
+    from chatdata_spark.operators.textsearch import tfidf_top_terms
+
+    d = spark.createDataFrame([(1, "y x"), (2, "q")], "doc_id long, text string")
+    # x and y: identical tf=1, df=1, dl=2 → identical score; term-asc wins
+    rows = tfidf_top_terms(d, "doc_id", "text", k=2).filter(F.col("doc_id") == 1)
+    assert [r["term"] for r in rows.orderBy("rnk").collect()] == ["x", "y"]
+    capped = tfidf_top_terms(d, "doc_id", "text", k=1)
+    assert capped.groupBy("doc_id").count().agg(F.max("count")).first()[0] == 1

@@ -976,3 +976,118 @@ def test_rrf_fuse_matches_python_reference(spark, lists, k0, k):
         key=lambda x: (-x[1], x[0]),
     )[:k]
     assert got == want
+
+
+# --- embedding decontamination ≡ brute force ---------------------------------
+
+_vecs = st.lists(
+    st.lists(st.integers(-3, 3), min_size=3, max_size=3).filter(lambda v: any(v)),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _round_half_up(x: float, d: int) -> float:
+    """Spark's F.round semantics (HALF_UP on the decimal reading of the
+    double) — Python's round() is half-even, which CAN differ at exact
+    .5 ties, so references must emulate Spark's mode explicitly."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-d), rounding=ROUND_HALF_UP))
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(tr=_vecs, ev=_vecs, th_pct=st.integers(-50, 90))
+def test_embedding_decontam_matches_bruteforce(spark, tr, ev, th_pct):
+    """embedding_decontaminate ≡ the all-pairs reference: for every
+    (train, eval) pair, cosine computed scalar-sequentially (the JVM
+    expression's operand order), rounded HALF_UP to 6, kept iff ≥
+    threshold. Proves the GEMM screen's 1e-5 margin loses no true pair at
+    any threshold, including negative ones."""
+    import math as _math
+
+    from chatdata_spark.operators.decontam import embedding_decontaminate
+
+    th = th_pct / 100.0
+    tr_df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(tr)],
+        "vec_id long, embedding array<float>",
+    )
+    ev_df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(ev)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["vec_id"], r["eval_id"], r["cos_sim"])
+        for r in embedding_decontaminate(tr_df, ev_df, threshold=th).collect()
+    }
+    exp = set()
+    for i, a in enumerate(tr):
+        for j, b in enumerate(ev):
+            dot = 0.0
+            na = 0.0
+            nb = 0.0
+            for x, y in zip(a, b):
+                dot += float(x) * float(y)
+                na += float(x) * float(x)
+                nb += float(y) * float(y)
+            cs = _round_half_up(dot / (_math.sqrt(na) * _math.sqrt(nb)), 6)
+            if cs >= th:
+                exp.add((i, j, cs))
+    assert got == exp
+
+
+# --- TF-IDF ≡ Counter reference ----------------------------------------------
+
+_docs = st.lists(
+    st.lists(st.sampled_from("abcd"), min_size=0, max_size=6),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_docs, k=st.integers(1, 4))
+def test_tfidf_matches_counter_reference(spark, docs, k):
+    """tfidf_top_terms ≡ a Counter-based reference with the same smoothed
+    formula, HALF_UP rounding, and (score DESC, term ASC) tie-break; docs
+    with no tokens appear on neither side."""
+    import math as _math
+
+    from chatdata_spark.operators.textsearch import tfidf_top_terms
+
+    d = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    got = [
+        (r["doc_id"], r["term"], r["tf"], r["tfidf"], r["rnk"])
+        for r in tfidf_top_terms(d, "doc_id", "text", k=k).orderBy("doc_id", "rnk").collect()
+    ]
+    n = len(docs)
+    tf = {i: {} for i in range(n)}
+    for i, ws in enumerate(docs):
+        for w in ws:
+            tf[i][w] = tf[i].get(w, 0) + 1
+    df = {}
+    for i in range(n):
+        for w in tf[i]:
+            df[w] = df.get(w, 0) + 1
+    exp = []
+    for i in range(n):
+        if not tf[i]:
+            continue
+        dl = sum(tf[i].values())
+        scored = [
+            (
+                w,
+                c,
+                _round_half_up(
+                    (_round_half_up(_math.log((n + 1) / float(df[w] + 1)), 4) + 1.0) * (c / float(dl)),
+                    6,
+                ),
+            )
+            for w, c in tf[i].items()
+        ]
+        scored.sort(key=lambda t: (-t[2], t[0]))
+        exp.extend((i, w, c, s, r + 1) for r, (w, c, s) in enumerate(scored[:k]))
+    assert got == exp

@@ -35,6 +35,7 @@ MUST_BE_DRIVER_CHECKED = {
     "attribution_time_decay", "dsir_resample_docs", "semantic_dedup_keep",
     "bpe_learn_merges", "bpe_encode_token_stats", "lm_perplexity_buckets",
     "curation_select_v2", "gopher_quality_filter", "nb_quality_classifier",
+    "dedup_winnow_pairs", "decontam_embedding", "tfidf_top_terms",
     # once-green round-5 flagship first-timers (second verification)
     "dedup_substring_spans", "streaming_near_dup_docs",
     "qa_context_assembly", "rerank_snippet_search",

@@ -1,0 +1,129 @@
+"""PageRank over an edge table — graph centrality as a curation signal.
+
+Web-graph centrality (PageRank / harmonic centrality over the host graph)
+is a standard quality prior in large-scale training-data curation: a page
+linked from many reputable hosts is worth more than an orphan, and
+production pipelines score crawl snapshots with exactly this signal before
+sampling. The reference app ranks retrieved documents by vector distance
+only (app/backend/chat_bot/chat.py); a corpus-curation engine needs the
+graph-level prior too, so this operator is part of the engine surface the
+reference outsources.
+
+Determinism design — integer fixed-point, not floats
+----------------------------------------------------
+A float PageRank is NOT driver-oracle-able: every iteration sums
+per-edge contributions, and float sums are partition-order-dependent, so
+after k iterations Spark and DuckDB disagree in the low bits and any
+rounding cutoff has tie hazards. Instead ALL arithmetic here is 64-bit
+integer on ranks scaled by ``SCALE = 10**12``:
+
+- initial rank      ``r0   = SCALE DIV n``
+- per-edge contrib  ``c    = r DIV outdeg(src)``       (exact, per row)
+- per-node update   ``r'   = tele + (d_pct * (sum(c) + dangling)) DIV 100``
+  with ``tele = ((100 - d_pct) * SCALE DIV 100) DIV n`` and
+  ``dangling = sum(r over zero-outdegree nodes) DIV n``.
+
+Integer division and integer sums are exact and order-independent, so the
+fixed-point ranks are BIT-IDENTICAL across engines, partitionings, and
+retries — the driver's value-hash comparison holds with no tolerance. The
+DIV remainders shed a vanishing fraction of probability mass per round
+(< n/SCALE + 1/SCALE per node); with SCALE = 1e12 the ranks agree with
+float PageRank to ~9 significant digits, far inside the 6-digit reporting
+convention. Overflow is impossible under ANSI mode: total mass never
+exceeds SCALE, so every intermediate is ≤ 100·SCALE = 1e14 ≪ 2^63.
+
+Scale posture (100 TB / 10^9-node graphs)
+-----------------------------------------
+- The edge table is hash-partitioned on ``src`` ONCE and checkpointed;
+  every iteration reuses that layout, so the per-round shuffles are the
+  node-sized rank table (onto the edge partitioning for the contribution
+  join) and the map-side-combined ``groupBy(dst)`` — never the edges.
+- No driver-side graph and no per-component state: the only collected
+  scalar is the node count ``n`` (one value, computed once).
+- The dangling-mass term is a 1-row aggregate broadcast into the update
+  (the benign broadcast-scalar pattern), not a collect-per-round.
+- ``localCheckpoint`` truncates lineage every round (same recipe as
+  operators/components.py) so the iterative plan stays constant-depth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 6,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Directed-multigraph PageRank → (node, rank_fp, rank).
+
+    ``edges`` is a directed edge MULTISET (parallel edges weight the
+    contribution, self-loops allowed); nodes are the union of both
+    endpoint columns. ``rank_fp`` is the exact fixed-point rank (bigint,
+    units of 1e-12 probability mass — bit-identical across engines; see
+    module docstring), ``rank`` its double view ``rank_fp / 1e12`` (exact
+    conversion: rank_fp < 2^53). ``damping_pct`` is the damping factor as
+    an integer percentage so the update stays in integer arithmetic.
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # one-time layout: edges partitioned on src, reused every round
+    e = e.repartition("src").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    outdeg = outdeg.localCheckpoint()
+
+    n = nodes.count()  # the single driver-side scalar (bounded: one long)
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0).alias("rank_fp"), F.lit(0.0).alias("rank")
+        )
+    tele = ((100 - damping_pct) * SCALE // 100) // n
+
+    ranks = nodes.select("node", F.lit(SCALE // n).alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(outdeg, "node")
+            .select(F.col("node").alias("cn"), F.expr("r DIV deg").alias("cpe"))
+            .join(e, F.col("cn") == F.col("src"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("cpe").alias("csum"))
+        )
+        # dangling mass: rank stuck on zero-outdegree nodes, redistributed
+        # uniformly — a 1-row aggregate, broadcast not collected
+        dang = (
+            ranks.join(outdeg, "node", "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dsum"))
+            .select(F.expr(f"dsum DIV {n}").alias("dm"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(dang))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(tele)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(csum, 0L) + dm)) DIV 100"
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_fp"),
+        (F.col("r").cast("double") / F.lit(float(SCALE))).alias("rank"),
+    )

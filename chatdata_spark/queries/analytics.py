@@ -310,3 +310,157 @@ def corr_quantity_price_by_flag(spark, sf_dir):
         ).alias("corr_qty_price"),
         F.round((n * sxy - sx * sy) / (n * (n - F.lit(1.0))), 6).alias("covar_samp"),
     ).orderBy("l_returnflag")
+
+
+# --- graph centrality ---------------------------------------------------------
+
+def _pagerank_oracle(iterations: int = 6, d_pct: int = 85, k: int = 20) -> str:
+    """Unrolled fixed-point PageRank in DuckDB SQL (aggregates over a
+    recursive reference are not allowed in a recursive CTE, so the k
+    iterations are generated as chained CTEs). `//` is floor division —
+    identical to Spark's DIV on the non-negative operands used here; SUMs
+    are cast back to BIGINT (DuckDB SUM(BIGINT) returns HUGEINT, which
+    pandas would materialize as float64 and break the driver hash)."""
+    scale = 10**12
+    tele = f"(({100 - d_pct} * {scale} // 100) // nn.n)"
+    its = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+r{i} AS (
+    SELECT nd.node,
+           {tele} + ({d_pct} * (COALESCE(s.csum, 0) + dg.dm)) // 100 AS r
+    FROM nodes nd CROSS JOIN nn
+    CROSS JOIN (
+        SELECT COALESCE(CAST(SUM(p.r) AS BIGINT), 0) // (SELECT n FROM nn) AS dm
+        FROM {prev} p LEFT JOIN deg d ON p.node = d.node WHERE d.node IS NULL
+    ) dg
+    LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM(p.r // d.deg) AS BIGINT) AS csum
+        FROM {prev} p JOIN deg d ON p.node = d.node JOIN edges e ON e.src = p.node
+        GROUP BY e.dst
+    ) s ON s.node = nd.node
+)""")
+        prev = f"r{i}"
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                        's' || CAST(l_suppkey AS VARCHAR) AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT node, ({scale} // nn.n) AS r FROM nodes CROSS JOIN nn),
+    {','.join(its)}
+    SELECT node, r AS rank_fp, CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+    FROM {prev}
+    ORDER BY rank_fp DESC, node LIMIT {k}
+    """
+
+
+@query("graph_pagerank_transactions", oracle=_pagerank_oracle())
+def graph_pagerank_transactions(spark, sf_dir):
+    """PageRank over the customer↔supplier transaction graph (symmetric
+    directed edges from distinct orders⋈lineitem pairs), top-20 entities.
+    Graph centrality is the standard corpus-curation quality prior the
+    reference's vector-only ranking lacks (module docstring of
+    operators/graph.py); this query exercises the whole iterative path —
+    integer fixed-point updates, edge-layout reuse, dangling broadcast —
+    against a DuckDB oracle that replays all six iterations exactly
+    (bit-identical bigint ranks; the double view is an exact conversion,
+    no rounding or tolerance anywhere)."""
+    from chatdata_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    pr = pagerank(edges, iterations=6, damping_pct=85)
+    return pr.orderBy(F.desc("rank_fp"), "node").limit(20)
+
+
+# --- mergeable frequency sketch ----------------------------------------------
+
+_CMS_CELL = (
+    "CAST(('0x' || substr(md5('cms' || r.row_idx || '#' "
+    "|| CAST({item} AS VARCHAR)), 1, 8)) AS BIGINT) % 1024"
+)
+
+
+@query(
+    "cms_user_frequency",
+    oracle=f"""
+    WITH rows(row_idx) AS (VALUES (0), (1), (2), (3)),
+    sketch AS (
+        SELECT r.row_idx, {_CMS_CELL.format(item='e.user_id')} AS col,
+               COUNT(*) AS cnt
+        FROM events e CROSS JOIN rows r
+        GROUP BY 1, 2
+    ),
+    top10 AS (
+        SELECT user_id, COUNT(*) AS true_cnt
+        FROM events GROUP BY user_id
+        ORDER BY true_cnt DESC, user_id LIMIT 10
+    ),
+    probes AS (
+        SELECT t.user_id, t.true_cnt, r.row_idx,
+               {_CMS_CELL.format(item='t.user_id')} AS col
+        FROM top10 t CROSS JOIN rows r
+    )
+    SELECT p.user_id,
+           MIN(p.true_cnt) AS true_cnt,
+           MIN(COALESCE(s.cnt, 0)) AS est_cnt,
+           MIN(COALESCE(s.cnt, 0)) - MIN(p.true_cnt) AS overcount
+    FROM probes p LEFT JOIN sketch s
+      ON s.row_idx = p.row_idx AND s.col = p.col
+    GROUP BY p.user_id
+    ORDER BY true_cnt DESC, user_id
+    """,
+)
+def cms_user_frequency(spark, sf_dir):
+    """Count-min sketch over event actors: build the 4×1024 mergeable
+    sketch in one scan + one BOUNDED groupBy (4096 post-shuffle rows no
+    matter the corpus size — the state that makes per-shard sketches
+    mergeable at 100 TB), then point-estimate the ten heaviest users and
+    report the one-sided overcount against their exact counts. The oracle
+    replays the identical md5 bucketing, so counts AND estimates match
+    exactly; est_cnt ≥ true_cnt is the CMS guarantee (property-tested in
+    tests/test_operator_properties.py)."""
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.cms import cms_build, cms_estimate
+
+    ev = load_events(spark, sf_dir).select("user_id")
+    sketch = cms_build(ev, "user_id", depth=4, width=1024)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "user_id")
+        .limit(10)
+    )
+    est = cms_estimate(sketch, top, "user_id", depth=4, width=1024)
+    return (
+        top.join(est, "user_id")
+        .select(
+            "user_id",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("true_cnt"), "user_id")
+    )

@@ -660,3 +660,42 @@ def tfidf_top_terms(spark, sf_dir):
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return _tfidf(d, "doc_id", "text", k=5).orderBy("doc_id", "rnk")
+
+
+@query(
+    "pmi_phrase_mining",
+    oracle="""
+    WITH toks AS (
+        SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ),
+    uni AS (SELECT unnest(t) AS w FROM toks),
+    uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    bg AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS cxy FROM bg GROUP BY w1, w2),
+    nt AS (SELECT COUNT(*) AS n FROM uni),
+    nb AS (SELECT COUNT(*) AS n FROM bg)
+    SELECT w1, w2, cxy,
+           ROUND(LN(((CAST(cxy AS DOUBLE) * nt.n) * nt.n)
+                    / ((CAST(nb.n AS DOUBLE) * a.c) * b.c)), 6) AS pmi
+    FROM bc
+    JOIN uc a ON a.w = bc.w1
+    JOIN uc b ON b.w = bc.w2
+    CROSS JOIN nt CROSS JOIN nb
+    WHERE cxy >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 30
+    """,
+)
+def pmi_phrase_mining(spark, sf_dir):
+    """Top-30 collocations by pointwise mutual information among bigrams
+    seen ≥ 5 times — the phrase pass run before tokenizer training
+    (operators/phrases.py docstring). Corpus work = two explodes over one
+    persisted tokenized frame; the PMI double is one fixed operand-order
+    expression so the DuckDB oracle matches bit-for-bit after the shared
+    round-6 log-parity recipe."""
+    from chatdata_spark.operators.phrases import pmi_top_bigrams
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_top_bigrams(d, "text", min_count=5, k=30)

@@ -112,26 +112,28 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bpe_learn_merges", "bpe_encode_token_stats", "lm_perplexity_buckets",
     "curation_select_v2", "gopher_quality_filter", "nb_quality_classifier",
     "dedup_winnow_pairs", "decontam_embedding", "tfidf_top_terms",
+    "graph_pagerank_transactions", "cms_user_frequency", "pmi_phrase_mining",
     # --- round-5 first-timers, once-green: kept for second verification.
     # Deferred to r7 (with the TPC-H middles) to make room for the late r6
     # additions above: stuff_context_docs, streaming_distinct_events,
     # streaming_join_click_purchase, leakage_safe_split_docs,
-    # asof_join_purchase_click_sliced — all re-checked by the full-registry
-    # pytest oracle every round regardless. ---
+    # asof_join_purchase_click_sliced, qa_context_assembly,
+    # rerank_snippet_search, bucketed_fact_join_revenue — all re-checked by
+    # the full-registry pytest oracle every round regardless. ---
     "streaming_near_dup_docs",
-    "qa_context_assembly", "rerank_snippet_search",
     "mmr_diversified_knn_distributed",
-    "bucketed_fact_join_revenue",
     "dedup_substring_spans",
 )
 
 # Rotation plan for round 7: after r6 the never-driver-checked backlog is
 # empty (every registered query, including all twelve r6 additions, has been
 # in a driver window). Swap the then-twice-green r5/r6 names out for the
-# fifteen deferred once-green names (stuff_context_docs,
+# eighteen deferred once-green names (stuff_context_docs,
 # streaming_distinct_events, streaming_join_click_purchase,
-# leakage_safe_split_docs, asof_join_purchase_click_sliced — they made room
-# for the late-r6 additions — plus q4_order_priority, q6_forecast_revenue,
+# leakage_safe_split_docs, asof_join_purchase_click_sliced,
+# qa_context_assembly, rerank_snippet_search, bucketed_fact_join_revenue —
+# they made room for the late-r6 additions — plus q4_order_priority,
+# q6_forecast_revenue,
 # q10_returned_items, q11_important_parts, q12_priority_by_linestatus,
 # q14_promo_revenue, q15_top_supplier, q16_supplier_part_counts,
 # q18_large_volume_customer, knn_ip — their second green) plus any r6

@@ -1091,3 +1091,131 @@ def test_tfidf_matches_counter_reference(spark, docs, k):
         scored.sort(key=lambda t: (-t[2], t[0]))
         exp.extend((i, w, c, s, r + 1) for r, (w, c, s) in enumerate(scored[:k]))
     assert got == exp
+
+
+# --- PageRank ≡ integer reference ---------------------------------------------
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6)),
+    min_size=1,
+    max_size=14,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=_edges, iters=st.integers(0, 3), d_pct=st.sampled_from([0, 50, 85, 100]))
+def test_pagerank_matches_integer_reference(spark, edges, iters, d_pct):
+    """pagerank ≡ a dict-based reference doing the SAME integer fixed-point
+    update — exact equality of the bigint ranks (no tolerance), on random
+    multigraphs with parallel edges, self-loops, and dangling nodes (paths
+    the symmetric registry query never exercises). Also pins mass
+    conservation: total rank never exceeds SCALE (DIV only sheds mass)."""
+    from chatdata_spark.operators.graph import SCALE, pagerank
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {(r["node"], r["rank_fp"]) for r in pagerank(df, iterations=iters, damping_pct=d_pct).collect()}
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    tele = ((100 - d_pct) * SCALE // 100) // n
+    r = {v: SCALE // n for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for u, v in edges:
+            s[v] += r[u] // deg[u]
+        dm = sum(r[v] for v in nodes if v not in deg) // n
+        r = {v: tele + (d_pct * (s[v] + dm)) // 100 for v in nodes}
+    assert got == {(v, r[v]) for v in nodes}
+    assert sum(x for _, x in got) <= SCALE
+
+
+# --- count-min sketch ≡ md5 reference ------------------------------------------
+
+_items = st.lists(st.integers(0, 20), min_size=1, max_size=30)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=_items, b=_items, depth=st.integers(1, 3), width=st.sampled_from([2, 8, 64]))
+def test_cms_matches_md5_reference(spark, a, b, depth, width):
+    """cms_build ≡ a hashlib reference of the same md5 bucketing (exact
+    cell equality); merge(sketch(A), sketch(B)) ≡ sketch(A ∪ B); and every
+    estimate is ≥ the true count (the CMS one-sided guarantee), with
+    equality for items whose cells collide with nothing."""
+    import hashlib
+
+    from chatdata_spark.operators.cms import cms_build, cms_estimate, cms_merge
+
+    def bucket(item, r):
+        return int(hashlib.md5(f"cms{r}#{item}".encode()).hexdigest()[:8], 16) % width
+
+    da = spark.createDataFrame([(x,) for x in a], "item int")
+    db = spark.createDataFrame([(x,) for x in b], "item int")
+    sk = cms_build(da.union(db), "item", depth=depth, width=width)
+    got = {(r["row_idx"], r["col"], r["cnt"]) for r in sk.collect()}
+
+    ref = {}
+    for x in a + b:
+        for r in range(depth):
+            key = (r, bucket(x, r))
+            ref[key] = ref.get(key, 0) + 1
+    assert got == {(r, c, n) for (r, c), n in ref.items()}
+
+    merged = cms_merge(
+        cms_build(da, "item", depth=depth, width=width),
+        cms_build(db, "item", depth=depth, width=width),
+    )
+    assert {(r["row_idx"], r["col"], r["cnt"]) for r in merged.collect()} == got
+
+    est = {
+        r["item"]: r["est_cnt"]
+        for r in cms_estimate(sk, da.union(db), "item", depth=depth, width=width).collect()
+    }
+    true = {}
+    for x in a + b:
+        true[x] = true.get(x, 0) + 1
+    for x, t in true.items():
+        assert est[x] >= t
+        assert est[x] == min(ref[(r, bucket(x, r))] for r in range(depth))
+
+
+# --- PMI ≡ Counter reference ----------------------------------------------------
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_docs, min_count=st.integers(1, 3), k=st.integers(1, 6))
+def test_pmi_matches_counter_reference(spark, docs, min_count, k):
+    """pmi_top_bigrams ≡ a Counter-based reference applying the SAME fixed
+    operand-order float64 PMI formula, round-6, (pmi DESC, w1, w2)
+    tie-break and min_count prune."""
+    import math as _math
+
+    from chatdata_spark.operators.phrases import pmi_top_bigrams
+
+    d = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    got = [
+        (r["w1"], r["w2"], r["cxy"], r["pmi"])
+        for r in pmi_top_bigrams(d, "text", min_count=min_count, k=k).collect()
+    ]
+    uc, bc = {}, {}
+    nt = nb = 0
+    for ws in docs:
+        for w in ws:
+            uc[w] = uc.get(w, 0) + 1
+            nt += 1
+        for x, y in zip(ws, ws[1:]):
+            bc[(x, y)] = bc.get((x, y), 0) + 1
+            nb += 1
+    exp = []
+    for (x, y), c in bc.items():
+        if c < min_count:
+            continue
+        pmi = _round_half_up(
+            _math.log(((float(c) * nt) * nt) / ((float(nb) * uc[x]) * uc[y])), 6
+        )
+        exp.append((x, y, c, pmi))
+    exp.sort(key=lambda t: (-t[3], t[0], t[1]))
+    assert got == exp[:k]

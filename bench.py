@@ -77,13 +77,17 @@ HEADLINE = [
     "nb_quality_classifier",    # NB curation classifier (vocab-shuffle train + score)
     "decontam_embedding",       # eval-matrix GEMM screen + exact re-score funnel
     "tfidf_top_terms",          # TF-IDF keywords: cached tf, broadcast vocab df
+    "cms_user_frequency",       # count-min sketch build + point estimates
+    "pmi_phrase_mining",        # PMI collocations over the persisted token frame
 ]
-# NOTE: no bpe_learn_merges bench entry, deliberately — it is an ITERATIVE
-# operator (30 driver-looped rounds, each a vocabulary-sized job), so its
-# wall-clock measures scheduler round-trips, not data-path throughput; the
-# suite stays a fast feedback loop. Its scale posture (corpus collapses to
-# the vocabulary after one scan) is argued in operators/bpe.py and pinned
-# functionally by the oracle + tests.
+# NOTE: no bpe_learn_merges or graph_pagerank_transactions bench entry,
+# deliberately — both are ITERATIVE operators (driver-looped rounds with
+# eager checkpoints, so the work runs at plan-BUILD time and this harness's
+# build/execute split would time an empty tail), and their wall-clock mixes
+# scheduler round-trips into data-path throughput; the suite stays a fast
+# feedback loop. BPE's scale posture (corpus collapses to the vocabulary
+# after one scan) is argued in operators/bpe.py; PageRank's end-to-end
+# wall-clock is measured out-of-harness in PLANS.md's round-6 notes.
 
 
 def _replicate(df, key_cols, reps=10):

@@ -458,3 +458,83 @@ def streaming_static_dim_join(spark, sf_dir):
         .select("event_id", "user_id", "c_mktsegment", "value")
         .orderBy("event_id")
     )
+
+
+@query(
+    "streaming_cms_user_frequency",
+    oracle="""
+    WITH ev AS (SELECT user_id FROM events WHERE user_id < 30),
+    rows(row_idx) AS (VALUES (0), (1), (2), (3)),
+    sketch AS (
+        SELECT r.row_idx,
+               CAST(('0x' || substr(md5('cms' || r.row_idx || '#'
+                    || CAST(e.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS col,
+               COUNT(*) AS cnt
+        FROM ev e CROSS JOIN rows r
+        GROUP BY 1, 2
+    ),
+    top10 AS (
+        SELECT user_id, COUNT(*) AS true_cnt
+        FROM ev GROUP BY user_id
+        ORDER BY true_cnt DESC, user_id LIMIT 10
+    ),
+    probes AS (
+        SELECT t.user_id, t.true_cnt, r.row_idx,
+               CAST(('0x' || substr(md5('cms' || r.row_idx || '#'
+                    || CAST(t.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1024 AS col
+        FROM top10 t CROSS JOIN rows r
+    )
+    SELECT p.user_id,
+           MIN(p.true_cnt) AS true_cnt,
+           MIN(COALESCE(s.cnt, 0)) AS est_cnt
+    FROM probes p LEFT JOIN sketch s
+      ON s.row_idx = p.row_idx AND s.col = p.col
+    GROUP BY p.user_id
+    ORDER BY true_cnt DESC, user_id
+    """,
+)
+def streaming_cms_user_frequency(spark, sf_dir):
+    """§2.10 extension, ORACLE-checked: the count-min sketch maintained
+    INCREMENTALLY over a file stream — two availableNow drains (the second
+    wave's files arrive after the first drain finished), each micro-batch
+    merging its own bounded sketch cell-wise into the versioned store.
+    Because count addition is associative and commutative, the merged
+    sketch must equal the one-shot batch sketch over the full event
+    subset, so the oracle replays the BATCH build + estimates in SQL —
+    exact equality proves both the merge law under real micro-batch
+    splits and the checkpoint's exactly-once file accounting (a dropped
+    or double-counted file shifts every affected cell)."""
+    import os
+
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.cms import cms_estimate
+    from chatdata_spark.stores.state import VersionedParquetStore
+    from chatdata_spark.streaming.incremental import stream_cms_merge
+
+    root = tempfile.mkdtemp(prefix="chatdata_scms_q_")
+    ind, ckpt = f"{root}/in", f"{root}/ck"
+    os.makedirs(ind)
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("user_id") < 30)
+        .select("event_id", "user_id")
+    )
+    store = VersionedParquetStore(spark, f"{root}/store")
+    schema = "event_id long, user_id long"
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+    ev.filter(F.col("event_id") <= mid).coalesce(1).write.mode("append").parquet(ind)
+    stream_cms_merge(spark, ind, store, ckpt, "user_id", schema)
+    ev.filter(F.col("event_id") > mid).coalesce(1).write.mode("append").parquet(ind)
+    stream_cms_merge(spark, ind, store, ckpt, "user_id", schema)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "user_id")
+        .limit(10)
+    )
+    est = cms_estimate(store.read(), top, "user_id", depth=4, width=1024)
+    return (
+        top.join(est, "user_id")
+        .select("user_id", "true_cnt", "est_cnt")
+        .orderBy(F.desc("true_cnt"), "user_id")
+    )

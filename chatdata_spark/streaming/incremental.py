@@ -222,3 +222,45 @@ def stream_near_dup_pairs(
         .start()
         .awaitTermination()
     )
+
+
+def stream_cms_merge(
+    spark: SparkSession,
+    input_dir: str,
+    store,
+    checkpoint_dir: str,
+    item_col: str,
+    schema: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> None:
+    """Stream → mergeable count-min sketch via foreachBatch: each
+    micro-batch collapses to its own depth×width sketch (bounded state,
+    operators/cms.py) which merges CELL-WISE into the versioned store —
+    the streaming twin of cms_build, and the property that makes the
+    sketch maintainable over an unbounded stream: store size stays ≤
+    depth·width rows forever while counts keep adding. Checkpoint +
+    versioned swap give effectively-once application per batch; the
+    merged sketch is provably equal to the batch sketch over the union of
+    all drained files (count addition is associative+commutative), which
+    is exactly what the streaming_cms_user_frequency oracle checks."""
+    from chatdata_spark.operators.cms import cms_build, cms_merge
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = cms_build(batch_df, item_col, depth=depth, width=width)
+        if store.exists():
+            store.write(cms_merge(store.read(), sk))
+        else:
+            store.write(sk)
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -239,11 +239,18 @@ def stream_cms_merge(
     operators/cms.py) which merges CELL-WISE into the versioned store —
     the streaming twin of cms_build, and the property that makes the
     sketch maintainable over an unbounded stream: store size stays ≤
-    depth·width rows forever while counts keep adding. Checkpoint +
-    versioned swap give effectively-once application per batch; the
-    merged sketch is provably equal to the batch sketch over the union of
-    all drained files (count addition is associative+commutative), which
-    is exactly what the streaming_cms_user_frequency oracle checks."""
+    depth·width rows forever while counts keep adding. The merged sketch
+    is provably equal to the batch sketch over the union of all drained
+    files (count addition is associative+commutative), which is exactly
+    what the streaming_cms_user_frequency oracle checks.
+
+    Exactly-once, not just effectively-once: unlike the upsert store
+    (idempotent merge), CMS merge DOUBLE-COUNTS on a batch replay, so
+    each version carries the committing ``batch_id`` inside the sketch
+    itself — the guard is atomic with the version swap (same parquet
+    commit), and a foreachBatch retry of an already-committed batch is
+    skipped (the Delta txn-version idiom on the versioned-parquet
+    store)."""
     from chatdata_spark.operators.cms import cms_build, cms_merge
 
     stream = spark.readStream.schema(schema).parquet(input_dir)
@@ -253,9 +260,14 @@ def stream_cms_merge(
             return
         sk = cms_build(batch_df, item_col, depth=depth, width=width)
         if store.exists():
-            store.write(cms_merge(store.read(), sk))
+            prev = store.read()
+            applied = prev.agg(F.max("last_batch")).collect()[0][0]
+            if applied is not None and applied >= batch_id:
+                return  # replay of a committed batch — re-merging would double-count
+            merged = cms_merge(prev.drop("last_batch"), sk)
+            store.write(merged.withColumn("last_batch", F.lit(batch_id)))
         else:
-            store.write(sk)
+            store.write(sk.withColumn("last_batch", F.lit(batch_id)))
 
     (
         stream.writeStream.foreachBatch(apply_batch)

@@ -291,3 +291,48 @@ def test_stream_distinct_ttl_bounds_state_and_reopens_horizon(spark, tmp_path):
 
     got = sorted((r.k, r.ts) for r in spark.read.parquet(outd).collect() if r.k == 1)
     assert got == [(1, t(0)), (1, t(120))]
+
+
+def test_stream_cms_merge_incremental_and_replay_safe(spark, tmp_path):
+    """Two drains must yield the sketch of the UNION (merge law under real
+    micro-batches), and a REPLAY of the first batch (same store, fresh
+    checkpoint → foreachBatch re-delivers batch_id 0) must be skipped by
+    the transactional batch-id guard — CMS merge is not idempotent, so
+    without the guard the replay would double-count every first-wave
+    cell."""
+    from chatdata_spark.operators.cms import cms_build
+    from chatdata_spark.stores.state import VersionedParquetStore
+    from chatdata_spark.streaming.incremental import stream_cms_merge
+
+    ind = str(tmp_path / "in")
+    os.makedirs(ind)
+    schema = "item bigint"
+    a = spark.range(0, 50).select(F.col("id").alias("item"))
+    b = spark.range(25, 60).select(F.col("id").alias("item"))
+    store = VersionedParquetStore(spark, str(tmp_path / "store"))
+
+    a.coalesce(1).write.mode("append").parquet(ind)
+    stream_cms_merge(spark, ind, store, str(tmp_path / "ck"), "item", schema, depth=2, width=16)
+    b.coalesce(1).write.mode("append").parquet(ind)
+    stream_cms_merge(spark, ind, store, str(tmp_path / "ck"), "item", schema, depth=2, width=16)
+
+    want = {
+        (r["row_idx"], r["col"], r["cnt"])
+        for r in cms_build(a.union(b), "item", depth=2, width=16).collect()
+    }
+    got = {
+        (r["row_idx"], r["col"], r["cnt"])
+        for r in store.read().drop("last_batch").collect()
+    }
+    assert got == want
+
+    # replay: fresh checkpoint re-delivers ALL files as batch 0; the store
+    # has already committed batch 1, so the guard must skip it entirely
+    v_before = store.current_version()
+    stream_cms_merge(spark, ind, store, str(tmp_path / "ck2"), "item", schema, depth=2, width=16)
+    assert store.current_version() == v_before
+    got2 = {
+        (r["row_idx"], r["col"], r["cnt"])
+        for r in store.read().drop("last_batch").collect()
+    }
+    assert got2 == want

@@ -48,8 +48,9 @@ def cms_build(
     salt: str = "cms",
 ) -> DataFrame:
     """One occurrence per input row → sketch (row_idx, col, cnt). One scan,
-    one bounded groupBy (≤ depth·width output rows)."""
-    cells = df.select(
+    one bounded groupBy (≤ depth·width output rows). NULL items are
+    excluded (md5(NULL) has no bucket; a NULL could never be estimated)."""
+    cells = df.filter(F.col(item_col).isNotNull()).select(
         F.explode(
             F.array(
                 *[

@@ -73,7 +73,11 @@ def pagerank(
     """
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # NULL endpoints are excluded up front: equi-joins drop NULL keys, so a
+    # NULL node could never receive rank yet would still inflate n/outdeg
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    )
     # one-time layout: edges partitioned on src, reused every round
     e = e.repartition("src").localCheckpoint()
     nodes = (
@@ -88,7 +92,9 @@ def pagerank(
     n = nodes.count()  # the single driver-side scalar (bounded: one long)
     if n == 0:
         return nodes.select(
-            "node", F.lit(0).alias("rank_fp"), F.lit(0.0).alias("rank")
+            "node",
+            F.lit(0).cast("long").alias("rank_fp"),  # keep the non-empty schema
+            F.lit(0.0).alias("rank"),
         )
     tele = ((100 - damping_pct) * SCALE // 100) // n
 

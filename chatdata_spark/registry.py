@@ -127,19 +127,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 # Rotation plan for round 7: after r6 the never-driver-checked backlog is
-# empty (every registered query, including all twelve r6 additions, has been
-# in a driver window). Swap the then-twice-green r5/r6 names out for the
-# eighteen deferred once-green names (stuff_context_docs,
+# empty (every registered query, including all sixteen r6 additions, has
+# been in a driver window). Swap the then-twice-green r5/r6 names out for
+# the nineteen deferred once-green names (stuff_context_docs,
 # streaming_distinct_events, streaming_join_click_purchase,
 # leakage_safe_split_docs, asof_join_purchase_click_sliced,
-# qa_context_assembly, rerank_snippet_search, bucketed_fact_join_revenue —
-# they made room for the late-r6 additions — plus q4_order_priority,
-# q6_forecast_revenue,
-# q10_returned_items, q11_important_parts, q12_priority_by_linestatus,
-# q14_promo_revenue, q15_top_supplier, q16_supplier_part_counts,
-# q18_large_volume_customer, knn_ip — their second green) plus any r6
-# first-timer that goes red; from there the window settles into a steady
-# sentinel + recent-additions shape.
+# qa_context_assembly, rerank_snippet_search, bucketed_fact_join_revenue,
+# streaming_near_dup_docs — they made room for the late-r6 additions —
+# plus q4_order_priority, q6_forecast_revenue, q10_returned_items,
+# q11_important_parts, q12_priority_by_linestatus, q14_promo_revenue,
+# q15_top_supplier, q16_supplier_part_counts, q18_large_volume_customer,
+# knn_ip — their second green) plus any r6 first-timer that goes red; from
+# there the window settles into a steady sentinel + recent-additions
+# shape.
 
 
 def _ordered() -> dict[str, QueryDef]:

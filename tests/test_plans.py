@@ -252,3 +252,52 @@ def test_tfidf_single_tokenize_and_no_rank_exchange(spark):
     # must be no exchange: the rank window reuses hash(id) partitioning
     rank_to_dl = p[p.index("Window [row_number") : p.index("Window [sum")]
     assert "Exchange" not in rank_to_dl, f"rank window added an exchange:\n{rank_to_dl}"
+
+
+def test_cms_build_bounded_state_jvm_only(spark):
+    """The count-min promises, plan-visible: the corpus path is pure JVM
+    (md5 bucketing in codegen — no Python eval of any kind), the explode
+    feeds a map-side-combined aggregate (partial+final HashAggregate pair)
+    and the ONLY corpus exchange is the bounded (row_idx, col) shuffle —
+    ≤ depth·width distinct keys regardless of input size."""
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.cms import cms_build
+
+    ev = load_events(spark, SF_ORACLE).select("user_id")
+    p = _plan(cms_build(ev, "user_id", depth=4, width=1024))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("HashAggregate") == 2, "cell count must map-side combine"
+    assert "Generate explode" in p
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    """Estimation joins the probes against the SKETCH side broadcast —
+    the sketch is depth·width rows by construction, so a shuffle join
+    here would be a plan regression."""
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.cms import cms_build, cms_estimate
+
+    ev = load_events(spark, SF_ORACLE).select("user_id")
+    sk = cms_build(ev, "user_id", depth=4, width=1024)
+    p = _plan(cms_estimate(sk, ev.limit(10), "user_id", depth=4, width=1024))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_pmi_single_tokenize_broadcast_lookups(spark):
+    """PMI's scale promises, plan-visible: the tokenized frame is
+    persisted and BOTH the unigram and bigram branches read the cache
+    (tokenize once); the unigram lookups and the 1-row totals come back
+    broadcast (never a corpus re-shuffle onto the vocabulary); no Python
+    eval, no cartesian product (the totals crossJoin is a broadcast
+    nested-loop over ONE row — the benign scalar pattern)."""
+    from chatdata_spark.operators.phrases import pmi_top_bigrams
+
+    d = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    p = _plan(pmi_top_bigrams(d, "text", min_count=5, k=30))
+    assert p.count("InMemoryTableScan") >= 2, "token cache not shared by both branches"
+    assert "BroadcastExchange" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p  # top-k is a heap, not global sort

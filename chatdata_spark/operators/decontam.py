@@ -194,3 +194,59 @@ def embedding_decontaminate(
         .select(F.col(id_col), "eval_id", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= F.lit(float(threshold)))
     )
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 13,
+    min_hits: int = 1,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """:func:`decontaminate` with the benchmark n-gram set carried as a
+    BLOOM bitmask instead of a broadcast hash table — same output,
+    different ceiling. The broadcast-set design tops out when the eval
+    suite grows past what a per-executor hash map tolerates (10⁹ distinct
+    grams ≈ tens of GB as a map); the bloom at ~10 bits/key is an order
+    of magnitude smaller and probes in the SCAN STAGE
+    (operators/bloomjoin.py), so only probable hits leave the scan. The
+    rare candidates are then verified with an exact semi-join against the
+    full gram set — a SHUFFLE join sized by the candidates, not the
+    corpus, which no longer requires the gram set to be broadcastable.
+    Blooms have no false negatives, so bloom+verify ≡ the exact operator
+    (the registry query pins this with the identical oracle).
+
+    Non-candidate documents still come back (n_hits 0): hits are counted
+    on the verified candidates and joined back onto the per-doc gram
+    counts (the anti-join-restore convention)."""
+    from chatdata_spark.operators.bloomjoin import bloom_might_contain, build_bloom
+
+    sig = _with_shingle_hashes(corpus, id_col, text_col, n, persist=False)
+    bset = benchmark_ngram_set(bench, bench_text_col, n)
+    bloom = build_bloom(bset, "sh", n_bits=n_bits, n_hashes=n_hashes)
+    cand = (
+        sig.select("id", F.explode("shh").alias("sh"))
+        .filter(bloom_might_contain(bloom, "sh", n_bits, n_hashes))
+    )
+    hits = (
+        cand.join(bset, "sh", "left_semi")  # removes bloom false positives
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        sig.select("id", "sz")
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("sz").alias("n_shingles"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("sz").cast("double"), 6
+            ).alias("overlap_frac"),
+            (F.coalesce("n_hits", F.lit(0)) >= F.lit(min_hits)).alias("contaminated"),
+        )
+    )

@@ -168,9 +168,7 @@ def text_repetition_signals(spark, sf_dir):
     )
 
 
-@query(
-    "decontam_docs",
-    oracle=r"""
+_DECONTAM_ORACLE = r"""
     WITH w AS (
         SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents
     ),
@@ -193,8 +191,10 @@ def text_repetition_signals(spark, sf_dir):
            ROUND(h.n_hits / CAST(len(sh.sh) AS DOUBLE), 6) AS overlap_frac,
            h.n_hits >= 1 AS contaminated
     FROM sh JOIN h USING (doc_id) ORDER BY doc_id
-    """,
-)
+    """
+
+
+@query("decontam_docs", oracle=_DECONTAM_ORACLE)
 def decontam_docs(spark, sf_dir):
     """Benchmark decontamination (5-gram overlap here; 13-gram at corpus
     scale): the 'benchmark' is the doc_id % 50 == 0 slice of the corpus, so
@@ -424,3 +424,21 @@ def nb_quality_classifier(spark, sf_dir):
     )
     weights, priors = nb_train(toks)
     return nb_score(toks, weights, priors, ["doc_id", "source"]).orderBy("doc_id")
+
+
+@query("decontam_docs_bloom", oracle=_DECONTAM_ORACLE)
+def decontam_docs_bloom(spark, sf_dir):
+    """The SAME decontamination contract through the bloom funnel
+    (operators/decontam.py::decontaminate_bloom): benchmark grams travel
+    as a ~10-bits/key bitmask probed in the corpus scan stage, exact
+    semi-join verification sized by the candidates — the variant for eval
+    suites too large to broadcast as a hash set. Oracle is decontam_docs'
+    verbatim: bloom + verify must equal the exact operator (no false
+    negatives)."""
+    from chatdata_spark.operators.decontam import decontaminate_bloom
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate_bloom(
+        d, bench, "doc_id", "text", "text", n=5, min_hits=1, n_bits=1 << 18
+    ).orderBy("doc_id")

@@ -1219,3 +1219,27 @@ def test_pmi_matches_counter_reference(spark, docs, min_count, k):
         exp.append((x, y, c, pmi))
     exp.sort(key=lambda t: (-t[3], t[0], t[1]))
     assert got == exp[:k]
+
+
+# --- bloom decontamination ≡ exact decontamination ------------------------------
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=_docs, n=st.integers(1, 3), n_bits_pow=st.integers(3, 6))
+def test_bloom_decontaminate_equals_exact(spark, docs, n, n_bits_pow):
+    """decontaminate_bloom ≡ decontaminate row-for-row on random corpora —
+    including TINY blooms (2^3..2^6 bits) where false-positive rates are
+    huge, proving the exact verify join strips every FP and blooms'
+    no-false-negative guarantee holds end to end."""
+    from chatdata_spark.operators.decontam import decontaminate, decontaminate_bloom
+
+    d = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    bench = d.filter((F.col("doc_id") % 2) == 0)
+    cols = ["doc_id", "n_shingles", "n_hits", "overlap_frac", "contaminated"]
+    exact = {tuple(r[c] for c in cols) for r in decontaminate(d, bench, n=n).collect()}
+    bloomed = {
+        tuple(r[c] for c in cols)
+        for r in decontaminate_bloom(d, bench, n=n, n_bits=1 << n_bits_pow).collect()
+    }
+    assert bloomed == exact

@@ -37,10 +37,9 @@ MUST_BE_DRIVER_CHECKED = {
     "curation_select_v2", "gopher_quality_filter", "nb_quality_classifier",
     "dedup_winnow_pairs", "decontam_embedding", "tfidf_top_terms",
     "graph_pagerank_transactions", "cms_user_frequency", "pmi_phrase_mining",
-    "streaming_cms_user_frequency",
-    # once-green round-5 flagship first-timers (second verification)
+    "streaming_cms_user_frequency", "decontam_docs_bloom",
+    # once-green round-5 flagship first-timer (second verification)
     "dedup_substring_spans",
-    "mmr_diversified_knn_distributed",
 }
 
 
@@ -70,12 +69,12 @@ def test_tail_is_deliberate():
     # ten additions (attribution, DSIR, SemDeDup, BPE pair, LM buckets,
     # curation v2, Gopher rules, NB classifier, winnowing pairs), then
     # 178→180 for the late-r6 decontam_embedding + tfidf_top_terms, then
-    # 180→184 for graph_pagerank_transactions + cms_user_frequency +
-    # pmi_phrase_mining + streaming_cms_user_frequency — a r7 addition
-    # raises this deliberately, in the same commit that registers the
-    # query.
+    # 180→185 for graph_pagerank_transactions + cms_user_frequency +
+    # pmi_phrase_mining + streaming_cms_user_frequency +
+    # decontam_docs_bloom — a r7 addition raises this deliberately, in the
+    # same commit that registers the query.
     names = list(queries())
-    assert len(names) <= 184
+    assert len(names) <= 185
 
 
 def test_coverage_window_column_consistent():

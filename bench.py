@@ -79,6 +79,7 @@ HEADLINE = [
     "tfidf_top_terms",          # TF-IDF keywords: cached tf, broadcast vocab df
     "cms_user_frequency",       # count-min sketch build + point estimates
     "pmi_phrase_mining",        # PMI collocations over the persisted token frame
+    "decontam_docs_bloom",      # bloom-funnel decontamination (scan-stage bitmask)
 ]
 # NOTE: no bpe_learn_merges or graph_pagerank_transactions bench entry,
 # deliberately — both are ITERATIVE operators (driver-looped rounds with

@@ -222,10 +222,13 @@ def decontaminate_bloom(
 
     Non-candidate documents still come back (n_hits 0): hits are counted
     on the verified candidates and joined back onto the per-doc gram
-    counts (the anti-join-restore convention)."""
+    counts (the anti-join-restore convention). The signature table is
+    PERSISTED here — unlike :func:`decontaminate`'s single-consumer shape,
+    both the candidate branch and the join-back read it, and without the
+    persist the Arrow shingle pass would run twice over the corpus."""
     from chatdata_spark.operators.bloomjoin import bloom_might_contain, build_bloom
 
-    sig = _with_shingle_hashes(corpus, id_col, text_col, n, persist=False)
+    sig = _with_shingle_hashes(corpus, id_col, text_col, n, persist=True)
     bset = benchmark_ngram_set(bench, bench_text_col, n)
     bloom = build_bloom(bset, "sh", n_bits=n_bits, n_hashes=n_hashes)
     cand = (

@@ -81,8 +81,9 @@ HEADLINE = [
     "pmi_phrase_mining",        # PMI collocations over the persisted token frame
     "decontam_docs_bloom",      # bloom-funnel decontamination (scan-stage bitmask)
 ]
-# NOTE: no bpe_learn_merges or graph_pagerank_transactions bench entry,
-# deliberately — both are ITERATIVE operators (driver-looped rounds with
+# NOTE: no bpe_learn_merges, graph_pagerank_transactions, or
+# graph_trustrank_suppliers bench entry,
+# deliberately — all are ITERATIVE operators (driver-looped rounds with
 # eager checkpoints, so the work runs at plan-BUILD time and this harness's
 # build/execute split would time an empty tail), and their wall-clock mixes
 # scheduler round-trips into data-path throughput; the suite stays a fast

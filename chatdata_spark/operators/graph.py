@@ -1,13 +1,17 @@
-"""PageRank over an edge table — graph centrality as a curation signal.
+"""PageRank / TrustRank over an edge table — graph centrality as a
+curation signal.
 
 Web-graph centrality (PageRank / harmonic centrality over the host graph)
 is a standard quality prior in large-scale training-data curation: a page
 linked from many reputable hosts is worth more than an orphan, and
 production pipelines score crawl snapshots with exactly this signal before
-sampling. The reference app ranks retrieved documents by vector distance
-only (app/backend/chat_bot/chat.py); a corpus-curation engine needs the
-graph-level prior too, so this operator is part of the engine surface the
-reference outsources.
+sampling. TrustRank (Gyongyi, Garcia-Molina & Pedersen, VLDB 2004) is the
+seeded variant the anti-spam literature uses: the random jump lands only
+on a hand-vetted TRUST SET, so rank measures proximity to trusted hosts
+and spam farms far from the seeds score ~0. The reference app ranks
+retrieved documents by vector distance only (app/backend/chat_bot/
+chat.py); a corpus-curation engine needs the graph-level prior too, so
+these operators are part of the engine surface the reference outsources.
 
 Determinism design — integer fixed-point, not floats
 ----------------------------------------------------
@@ -17,11 +21,13 @@ after k iterations Spark and DuckDB disagree in the low bits and any
 rounding cutoff has tie hazards. Instead ALL arithmetic here is 64-bit
 integer on ranks scaled by ``SCALE = 10**12``:
 
-- initial rank      ``r0   = SCALE DIV n``
-- per-edge contrib  ``c    = r DIV outdeg(src)``       (exact, per row)
+- initial rank      ``r0   = SCALE DIV ns``              (over the seed set)
+- per-edge contrib  ``c    = r DIV outdeg(src)``         (exact, per row)
 - per-node update   ``r'   = tele + (d_pct * (sum(c) + dangling)) DIV 100``
-  with ``tele = ((100 - d_pct) * SCALE DIV 100) DIV n`` and
-  ``dangling = sum(r over zero-outdegree nodes) DIV n``.
+  with ``tele = ((100 - d_pct) * SCALE DIV 100) DIV ns`` on seed nodes
+  (0 elsewhere) and ``dangling = sum(r over zero-outdegree nodes) DIV
+  ns`` likewise landing on seeds only — the restart-vector formulation;
+  plain PageRank is the special case seed set = ALL nodes.
 
 Integer division and integer sums are exact and order-independent, so the
 fixed-point ranks are BIT-IDENTICAL across engines, partitionings, and
@@ -39,9 +45,11 @@ Scale posture (100 TB / 10^9-node graphs)
   node-sized rank table (onto the edge partitioning for the contribution
   join) and the map-side-combined ``groupBy(dst)`` — never the edges.
 - No driver-side graph and no per-component state: the only collected
-  scalar is the node count ``n`` (one value, computed once).
+  scalars are the node count ``n`` and seed count ``ns`` (one value each,
+  computed once).
 - The dangling-mass term is a 1-row aggregate broadcast into the update
-  (the benign broadcast-scalar pattern), not a collect-per-round.
+  (the benign broadcast-scalar pattern), not a collect-per-round; the
+  seed membership flag is a broadcast semi-join side.
 - ``localCheckpoint`` truncates lineage every round (same recipe as
   operators/components.py) so the iterative plan stays constant-depth.
 """
@@ -54,23 +62,15 @@ from pyspark.sql import functions as F
 SCALE = 10**12
 
 
-def pagerank(
+def _seeded_pagerank(
     edges: DataFrame,
-    src: str = "src",
-    dst: str = "dst",
-    iterations: int = 6,
-    damping_pct: int = 85,
+    src: str,
+    dst: str,
+    seeds: DataFrame | None,
+    seed_col: str,
+    iterations: int,
+    damping_pct: int,
 ) -> DataFrame:
-    """Directed-multigraph PageRank → (node, rank_fp, rank).
-
-    ``edges`` is a directed edge MULTISET (parallel edges weight the
-    contribution, self-loops allowed); nodes are the union of both
-    endpoint columns. ``rank_fp`` is the exact fixed-point rank (bigint,
-    units of 1e-12 probability mass — bit-identical across engines; see
-    module docstring), ``rank`` its double view ``rank_fp / 1e12`` (exact
-    conversion: rank_fp < 2^53). ``damping_pct`` is the damping factor as
-    an integer percentage so the update stays in integer arithmetic.
-    """
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"damping_pct must be in [0, 100], got {damping_pct}")
     # NULL endpoints are excluded up front: equi-joins drop NULL keys, so a
@@ -89,16 +89,42 @@ def pagerank(
     outdeg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
     outdeg = outdeg.localCheckpoint()
 
-    n = nodes.count()  # the single driver-side scalar (bounded: one long)
+    n = nodes.count()  # driver-side scalar (bounded: one long)
     if n == 0:
         return nodes.select(
             "node",
             F.lit(0).cast("long").alias("rank_fp"),  # keep the non-empty schema
             F.lit(0.0).alias("rank"),
         )
-    tele = ((100 - damping_pct) * SCALE // 100) // n
+    if seeds is None:
+        sn = None  # every node is a seed — no membership join needed
+        ns = n
+    else:
+        # seeds outside the graph carry no edges — restrict to graph nodes
+        sn = (
+            seeds.select(F.col(seed_col).alias("node"))
+            .distinct()
+            .join(nodes, "node", "left_semi")
+            .localCheckpoint()
+        )
+        ns = sn.count()
+        if ns == 0:
+            raise ValueError("trustrank: no seed appears in the graph")
+    tele = ((100 - damping_pct) * SCALE // 100) // ns
+    if sn is None:
+        flagged = nodes.withColumn("is_seed", F.lit(True))
+    else:
+        # seed set ≪ graph by construction — broadcast the membership flag
+        flagged = nodes.join(
+            F.broadcast(sn.select("node", F.lit(True).alias("is_seed"))),
+            "node",
+            "left",
+        ).localCheckpoint()
 
-    ranks = nodes.select("node", F.lit(SCALE // n).alias("r"))
+    ranks = flagged.select(
+        "node",
+        F.when(F.col("is_seed"), F.lit(SCALE // ns)).otherwise(F.lit(0)).alias("r"),
+    )
     for _ in range(iterations):
         contrib = (
             ranks.join(outdeg, "node")
@@ -108,23 +134,28 @@ def pagerank(
             .agg(F.sum("cpe").alias("csum"))
         )
         # dangling mass: rank stuck on zero-outdegree nodes, redistributed
-        # uniformly — a 1-row aggregate, broadcast not collected
+        # over the SEED set — a 1-row aggregate, broadcast not collected
         dang = (
             ranks.join(outdeg, "node", "left_anti")
             .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dsum"))
-            .select(F.expr(f"dsum DIV {n}").alias("dm"))
+            .select(F.expr(f"dsum DIV {ns}").alias("dms"))
         )
         ranks = (
-            nodes.crossJoin(F.broadcast(dang))
+            flagged.crossJoin(F.broadcast(dang))
             .join(contrib, "node", "left")
             .select(
                 "node",
-                (
+                F.when(
+                    F.col("is_seed"),
                     F.lit(tele)
                     + F.expr(
-                        f"({damping_pct} * (coalesce(csum, 0L) + dm)) DIV 100"
-                    )
-                ).alias("r"),
+                        f"({damping_pct} * (coalesce(csum, 0L) + dms)) DIV 100"
+                    ),
+                )
+                .otherwise(
+                    F.expr(f"({damping_pct} * coalesce(csum, 0L)) DIV 100")
+                )
+                .alias("r"),
             )
             .localCheckpoint()
         )
@@ -133,3 +164,43 @@ def pagerank(
         F.col("r").alias("rank_fp"),
         (F.col("r").cast("double") / F.lit(float(SCALE))).alias("rank"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 6,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Directed-multigraph PageRank → (node, rank_fp, rank).
+
+    ``edges`` is a directed edge MULTISET (parallel edges weight the
+    contribution, self-loops allowed); nodes are the union of both
+    endpoint columns. ``rank_fp`` is the exact fixed-point rank (bigint,
+    units of 1e-12 probability mass — bit-identical across engines; see
+    module docstring), ``rank`` its double view ``rank_fp / 1e12`` (exact
+    conversion: rank_fp < 2^53). ``damping_pct`` is the damping factor as
+    an integer percentage so the update stays in integer arithmetic.
+    Exactly the seed-set-= -all-nodes case of :func:`trustrank` (same
+    core, bit-identical by the is_seed-everywhere algebra)."""
+    return _seeded_pagerank(edges, src, dst, None, "node", iterations, damping_pct)
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    seed_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 6,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """TrustRank (Gyongyi et al. 2004) → (node, rank_fp, rank): PageRank
+    whose random jump — initial mass, teleport, AND dangling
+    redistribution — lands uniformly on the trusted ``seeds`` only, so
+    rank measures reachability-weighted proximity to the trust set and
+    nodes far from every seed score ~0. Seeds not present in the graph
+    are ignored; raises if none remain. Same integer fixed-point
+    determinism and per-round cost model as :func:`pagerank`."""
+    return _seeded_pagerank(edges, src, dst, seeds, seed_col, iterations, damping_pct)

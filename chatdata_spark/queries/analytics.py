@@ -464,3 +464,96 @@ def cms_user_frequency(spark, sf_dir):
         )
         .orderBy(F.desc("true_cnt"), "user_id")
     )
+
+
+def _trustrank_oracle(iterations: int = 6, d_pct: int = 85, k: int = 20) -> str:
+    """Unrolled seeded (TrustRank) iterations: teleport, initial mass, and
+    dangling redistribution land on the seed set only — the restart-vector
+    formulation, mirrored term for term from operators/graph.py."""
+    scale = 10**12
+    tele = f"(({100 - d_pct} * {scale} // 100) // ns.n)"
+    its = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+r{i} AS (
+    SELECT nd.node,
+           CASE WHEN sm.node IS NOT NULL
+                THEN {tele} + ({d_pct} * (COALESCE(c.csum, 0) + dg.dms)) // 100
+                ELSE ({d_pct} * COALESCE(c.csum, 0)) // 100 END AS r
+    FROM nodes nd CROSS JOIN ns
+    CROSS JOIN (
+        SELECT COALESCE(CAST(SUM(p.r) AS BIGINT), 0) // (SELECT n FROM ns) AS dms
+        FROM {prev} p LEFT JOIN deg d ON p.node = d.node WHERE d.node IS NULL
+    ) dg
+    LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM(p.r // d.deg) AS BIGINT) AS csum
+        FROM {prev} p JOIN deg d ON p.node = d.node JOIN edges e ON e.src = p.node
+        GROUP BY e.dst
+    ) c ON c.node = nd.node
+    LEFT JOIN sn sm ON sm.node = nd.node
+)""")
+        prev = f"r{i}"
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                        's' || CAST(l_suppkey AS VARCHAR) AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    sn AS (
+        SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+        FROM supplier WHERE s_nationkey < 5
+    ),
+    ns AS (SELECT COUNT(*) AS n FROM sn WHERE node IN (SELECT node FROM nodes)),
+    r0 AS (
+        SELECT nd.node,
+               CASE WHEN sm.node IS NOT NULL THEN ({scale} // ns.n) ELSE 0 END AS r
+        FROM nodes nd CROSS JOIN ns LEFT JOIN sn sm ON sm.node = nd.node
+    ),
+    {','.join(its)}
+    SELECT node, r AS rank_fp, CAST(r AS DOUBLE) / 1000000000000.0 AS rank
+    FROM {prev}
+    ORDER BY rank_fp DESC, node LIMIT {k}
+    """
+
+
+@query("graph_trustrank_suppliers", oracle=_trustrank_oracle())
+def graph_trustrank_suppliers(spark, sf_dir):
+    """TrustRank over the same transaction graph: the random jump lands
+    only on a trusted seed set (suppliers from nations 0-4 standing in
+    for hand-vetted hosts), so rank measures proximity to the trust set —
+    the anti-spam curation prior of Gyongyi et al. 2004, with spam-farm
+    analogues far from every seed scoring ~0. Same bit-exact integer
+    fixed-point core as graph_pagerank_transactions; the oracle replays
+    all six seeded iterations, including the seed-restricted teleport and
+    dangling redistribution."""
+    from chatdata_spark.operators.graph import trustrank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 5)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    tr = trustrank(edges, seeds, iterations=6, damping_pct=85)
+    return tr.orderBy(F.desc("rank_fp"), "node").limit(20)

@@ -114,16 +114,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_winnow_pairs", "decontam_embedding", "tfidf_top_terms",
     "graph_pagerank_transactions", "cms_user_frequency", "pmi_phrase_mining",
     "streaming_cms_user_frequency", "decontam_docs_bloom",
-    # --- round-5 first-timers, once-green: kept for second verification.
-    # Deferred to r7 (with the TPC-H middles) to make room for the late r6
-    # additions above: stuff_context_docs, streaming_distinct_events,
-    # streaming_join_click_purchase, leakage_safe_split_docs,
-    # asof_join_purchase_click_sliced, qa_context_assembly,
-    # rerank_snippet_search, bucketed_fact_join_revenue,
-    # streaming_near_dup_docs, mmr_diversified_knn_distributed — all
+    "graph_trustrank_suppliers",
+    # Every r6 addition above ships driver-verified this round. The
+    # once-green r5 first-timers ALL defer their second green to r7 (with
+    # the TPC-H middles) to make room: stuff_context_docs,
+    # streaming_distinct_events, streaming_join_click_purchase,
+    # leakage_safe_split_docs, asof_join_purchase_click_sliced,
+    # qa_context_assembly, rerank_snippet_search,
+    # bucketed_fact_join_revenue, streaming_near_dup_docs,
+    # mmr_diversified_knn_distributed, dedup_substring_spans — all
     # re-checked by the full-registry pytest oracle every round
-    # regardless. ---
-    "dedup_substring_spans",
+    # regardless.
 )
 
 # Rotation plan for round 7: after r6 the never-driver-checked backlog is

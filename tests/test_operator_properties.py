@@ -1243,3 +1243,51 @@ def test_bloom_decontaminate_equals_exact(spark, docs, n, n_bits_pow):
         for r in decontaminate_bloom(d, bench, n=n, n_bits=1 << n_bits_pow).collect()
     }
     assert bloomed == exact
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    edges=_edges,
+    iters=st.integers(0, 3),
+    d_pct=st.sampled_from([0, 85, 100]),
+    seed_pick=st.integers(0, 6),
+)
+def test_trustrank_matches_seeded_reference(spark, edges, iters, d_pct, seed_pick):
+    """trustrank ≡ a dict reference of the seeded update (teleport, initial
+    mass, and dangling all restricted to the seed set); seeds outside the
+    graph are ignored; and trustrank(seeds = ALL nodes) is BIT-IDENTICAL
+    to pagerank (the special-case algebra the refactor relies on)."""
+    from chatdata_spark.operators.graph import SCALE, pagerank, trustrank
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    seeds = sorted({n for n in nodes if n <= seed_pick}) or [nodes[0]]
+    # 99 never appears in the graph — must be ignored by the semi-join
+    seeds_df = spark.createDataFrame([(s,) for s in seeds] + [(99,)], "node int")
+    got = {
+        (r["node"], r["rank_fp"])
+        for r in trustrank(df, seeds_df, iterations=iters, damping_pct=d_pct).collect()
+    }
+
+    ns = len(seeds)
+    deg = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    tele = ((100 - d_pct) * SCALE // 100) // ns
+    sset = set(seeds)
+    r = {v: (SCALE // ns if v in sset else 0) for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for u, v in edges:
+            s[v] += r[u] // deg[u]
+        dms = sum(r[v] for v in nodes if v not in deg) // ns
+        r = {
+            v: (tele + (d_pct * (s[v] + dms)) // 100 if v in sset else (d_pct * s[v]) // 100)
+            for v in nodes
+        }
+    assert got == {(v, r[v]) for v in nodes}
+
+    all_df = spark.createDataFrame([(n,) for n in nodes], "node int")
+    pr = {(x["node"], x["rank_fp"]) for x in pagerank(df, iterations=iters, damping_pct=d_pct).collect()}
+    tr = {(x["node"], x["rank_fp"]) for x in trustrank(df, all_df, iterations=iters, damping_pct=d_pct).collect()}
+    assert pr == tr

@@ -38,8 +38,7 @@ MUST_BE_DRIVER_CHECKED = {
     "dedup_winnow_pairs", "decontam_embedding", "tfidf_top_terms",
     "graph_pagerank_transactions", "cms_user_frequency", "pmi_phrase_mining",
     "streaming_cms_user_frequency", "decontam_docs_bloom",
-    # once-green round-5 flagship first-timer (second verification)
-    "dedup_substring_spans",
+    "graph_trustrank_suppliers",
 }
 
 
@@ -69,12 +68,13 @@ def test_tail_is_deliberate():
     # ten additions (attribution, DSIR, SemDeDup, BPE pair, LM buckets,
     # curation v2, Gopher rules, NB classifier, winnowing pairs), then
     # 178→180 for the late-r6 decontam_embedding + tfidf_top_terms, then
-    # 180→185 for graph_pagerank_transactions + cms_user_frequency +
+    # 180→186 for graph_pagerank_transactions + cms_user_frequency +
     # pmi_phrase_mining + streaming_cms_user_frequency +
-    # decontam_docs_bloom — a r7 addition raises this deliberately, in the
-    # same commit that registers the query.
+    # decontam_docs_bloom + graph_trustrank_suppliers — a r7 addition
+    # raises this deliberately, in the same commit that registers the
+    # query.
     names = list(queries())
-    assert len(names) <= 185
+    assert len(names) <= 186
 
 
 def test_coverage_window_column_consistent():

@@ -80,6 +80,7 @@ HEADLINE = [
     "cms_user_frequency",       # count-min sketch build + point estimates
     "pmi_phrase_mining",        # PMI collocations over the persisted token frame
     "decontam_docs_bloom",      # bloom-funnel decontamination (scan-stage bitmask)
+    "graph_random_walks",       # DeepWalk corpus: per-hop frontier equi-joins
 ]
 # NOTE: no bpe_learn_merges, graph_pagerank_transactions, or
 # graph_trustrank_suppliers bench entry,

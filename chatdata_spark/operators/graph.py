@@ -204,3 +204,89 @@ def trustrank(
     are ignored; raises if none remain. Same integer fixed-point
     determinism and per-round cost model as :func:`pagerank`."""
     return _seeded_pagerank(edges, src, dst, seeds, seed_col, iterations, damping_pct)
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    start_col: str = "node",
+    src: str = "src",
+    dst: str = "dst",
+    steps: int = 6,
+    salt: str = "walk",
+) -> DataFrame:
+    """DeepWalk-style walk corpus → (walk_id, step, node): one walk per
+    start node, ``steps`` uniform neighbor hops. The training-data op for
+    graph embeddings (Perozzi et al. 2014): walks become the "sentences"
+    a skip-gram model consumes; at crawl scale this is how host-graph
+    embeddings get their corpus.
+
+    Determinism: the "random" neighbor choice at step k is
+    ``uint32(md5(salt || walk_id || '#' || k)) % outdeg(node)`` — the
+    repo's cross-engine hash recipe (operators/sampling.py:26), so the
+    exact same walks come out of Spark, DuckDB, and Python: reproducible
+    pipelines, hash-verifiable by the driver, and re-runnable
+    incrementally without walk drift. Walks that reach a dangling node
+    (no out-edges) simply stop (shorter walk, standard DeepWalk
+    convention).
+
+    Scale shape: edges are indexed ONCE with a per-src row_number (one
+    window pass, checkpointed — reused by every step and every later
+    walk generation over the same graph), then each step is ONE equi-join
+    of the frontier on (node, idx) — frontier-sized, never corpus-sized,
+    no per-walk driver state. Each frontier is PERSISTED (lazily): the
+    output union's step-k branch builds on the step-(k-1) cache instead
+    of re-running hops 1..k-1 — without it the union re-evaluates
+    O(steps²/2) hop joins and re-derives the start set once per branch.
+    The whole corpus still materializes in one lazy job (no eager work at
+    plan-build time beyond the one-time edge indexing). Per-hop cost is
+    one streamed pass over the indexed edge table against the broadcast
+    frontier — the same per-superstep cost model as Pregel-style
+    frontier propagation, which is the scale-correct shape when the edge
+    table dwarfs executor memory."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    indexed = (
+        e.withColumn("idx", F.row_number().over(w) - 1)
+        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .localCheckpoint()
+    )
+    cur = (
+        starts.select(F.col(start_col).alias("node"))
+        .distinct()
+        .select(F.col("node").alias("walk_id"), F.lit(0).alias("step"), "node")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out = cur
+    for k in range(1, steps + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{salt}"),
+                            F.col("walk_id").cast("string"),
+                            F.lit(f"#{k}"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("deg")
+        )
+        cur = (
+            cur.join(indexed, F.col("node") == F.col("src"))
+            .filter(F.col("idx") == pick)
+            .select("walk_id", F.lit(k).alias("step"), F.col("dst").alias("node"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        out = out.unionByName(cur)
+    return out

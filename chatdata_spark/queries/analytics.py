@@ -557,3 +557,79 @@ def graph_trustrank_suppliers(spark, sf_dir):
     )
     tr = trustrank(edges, seeds, iterations=6, damping_pct=85)
     return tr.orderBy(F.desc("rank_fp"), "node").limit(20)
+
+
+def _walks_oracle(steps: int = 6) -> str:
+    """Unrolled deterministic random-walk replay: per-src row_number
+    indexing + the md5 choice hash, step by step (same cross-engine hash
+    recipe as the sampling oracles)."""
+    pick = (
+        "CAST(('0x' || substr(md5('walk' || CAST(c.walk_id AS VARCHAR) "
+        "|| '#{k}'), 1, 8)) AS BIGINT) % i.deg"
+    )
+    its = []
+    prev = "w0"
+    for k in range(1, steps + 1):
+        its.append(f"""
+w{k} AS (
+    SELECT c.walk_id, {k} AS step, i.dst AS node
+    FROM {prev} c JOIN indexed i
+      ON i.src = c.node AND i.idx = {pick.format(k=k)}
+)""")
+        prev = f"w{k}"
+    union = "\nUNION ALL\n".join(f"SELECT * FROM w{k}" for k in range(steps + 1))
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                        's' || CAST(l_suppkey AS VARCHAR) AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    indexed AS (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+               COUNT(*) OVER (PARTITION BY src) AS deg
+        FROM edges
+    ),
+    w0 AS (SELECT DISTINCT s AS walk_id, 0 AS step, s AS node FROM pairs),
+    {','.join(its)}
+    SELECT walk_id, CAST(step AS BIGINT) AS step, node
+    FROM ({union})
+    ORDER BY walk_id, step
+    """
+
+
+@query("graph_random_walks", oracle=_walks_oracle())
+def graph_random_walks(spark, sf_dir):
+    """DeepWalk corpus generation: one 6-hop walk from every supplier node
+    of the transaction graph, neighbor choices drawn from the
+    cross-engine md5 hash so the EXACT same walks replay in DuckDB — the
+    reproducible graph-embedding training-data op
+    (operators/graph.py::random_walks). Each step is one frontier-sized
+    equi-join against the once-indexed edge table; the whole corpus is a
+    single lazy plan."""
+    from chatdata_spark.operators.graph import random_walks
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    starts = pairs.select(F.col("s").alias("node"))
+    return (
+        random_walks(edges, starts, steps=6, salt="walk")
+        .select("walk_id", F.col("step").cast("long").alias("step"), "node")
+        .orderBy("walk_id", "step")
+    )

@@ -128,13 +128,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 # Rotation plan for round 7: after r6 the never-driver-checked backlog is
-# empty (every registered query, including all sixteen r6 additions, has
-# been in a driver window). Swap the then-twice-green r5/r6 names out for
-# the nineteen deferred once-green names (stuff_context_docs,
+# ONE name — graph_random_walks, which landed after the window filled (18
+# r6 additions shipped driver-verified; it is full-registry
+# pytest-oracled meanwhile) — window it FIRST in r7. Then swap the
+# then-twice-green r5/r6 names out for
+# the 21 deferred once-green names (stuff_context_docs,
 # streaming_distinct_events, streaming_join_click_purchase,
 # leakage_safe_split_docs, asof_join_purchase_click_sliced,
 # qa_context_assembly, rerank_snippet_search, bucketed_fact_join_revenue,
-# streaming_near_dup_docs — they made room for the late-r6 additions —
+# streaming_near_dup_docs, mmr_diversified_knn_distributed,
+# dedup_substring_spans — they made room for the late-r6 additions —
 # plus q4_order_priority, q6_forecast_revenue, q10_returned_items,
 # q11_important_parts, q12_priority_by_linestatus, q14_promo_revenue,
 # q15_top_supplier, q16_supplier_part_counts, q18_large_volume_customer,

@@ -1291,3 +1291,40 @@ def test_trustrank_matches_seeded_reference(spark, edges, iters, d_pct, seed_pic
     pr = {(x["node"], x["rank_fp"]) for x in pagerank(df, iterations=iters, damping_pct=d_pct).collect()}
     tr = {(x["node"], x["rank_fp"]) for x in trustrank(df, all_df, iterations=iters, damping_pct=d_pct).collect()}
     assert pr == tr
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=_edges, steps=st.integers(0, 3), start_max=st.integers(0, 6))
+def test_random_walks_match_md5_reference(spark, edges, steps, start_max):
+    """random_walks ≡ a Python replay of the same md5 neighbor choice over
+    per-src sorted adjacency (duplicate edges weight the choice exactly as
+    row_number indexing does); walks STOP at dangling nodes; starts with
+    no out-edges still emit their step-0 row."""
+    import hashlib
+
+    from chatdata_spark.operators.graph import random_walks
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    starts = spark.createDataFrame([(i,) for i in range(start_max + 1)], "node int")
+    got = {
+        (r["walk_id"], r["step"], r["node"])
+        for r in random_walks(df, starts, steps=steps, salt="walk").collect()
+    }
+
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+    for u in adj:
+        adj[u].sort()
+    exp = set()
+    for wid in range(start_max + 1):
+        node = wid
+        exp.add((wid, 0, node))
+        for k in range(1, steps + 1):
+            nbrs = adj.get(node)
+            if not nbrs:
+                break
+            h = int(hashlib.md5(f"walk{wid}#{k}".encode()).hexdigest()[:8], 16)
+            node = nbrs[h % len(nbrs)]
+            exp.add((wid, k, node))
+    assert got == exp

@@ -68,13 +68,13 @@ def test_tail_is_deliberate():
     # ten additions (attribution, DSIR, SemDeDup, BPE pair, LM buckets,
     # curation v2, Gopher rules, NB classifier, winnowing pairs), then
     # 178→180 for the late-r6 decontam_embedding + tfidf_top_terms, then
-    # 180→186 for graph_pagerank_transactions + cms_user_frequency +
+    # 180→187 for graph_pagerank_transactions + cms_user_frequency +
     # pmi_phrase_mining + streaming_cms_user_frequency +
-    # decontam_docs_bloom + graph_trustrank_suppliers — a r7 addition
-    # raises this deliberately, in the same commit that registers the
-    # query.
+    # decontam_docs_bloom + graph_trustrank_suppliers +
+    # graph_random_walks — a r7 addition raises this deliberately, in the
+    # same commit that registers the query.
     names = list(queries())
-    assert len(names) <= 186
+    assert len(names) <= 187
 
 
 def test_coverage_window_column_consistent():

@@ -290,3 +290,38 @@ def random_walks(
         )
         out = out.unionByName(cur)
     return out
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    window: int = 2,
+    walk_col: str = "walk_id",
+    step_col: str = "step",
+    node_col: str = "node",
+) -> DataFrame:
+    """Walk corpus → skip-gram training pairs (center, context, n_pairs):
+    every ordered pair of nodes within ``window`` hops of each other on
+    the same walk, aggregated over the corpus — the co-occurrence stream
+    a word2vec-style embedding trainer consumes (walks are the
+    "sentences"; this is the sliding-window pass of Perozzi et al. 2014).
+
+    One self-equi-join on the walk id with a bounded step-distance
+    predicate: walks are short by construction (walk length ≪ corpus), so
+    the join fans out ≤ 2·window rows per position and shuffles only
+    walk-keyed rows — never the graph. Counts are exact longs; no floats
+    anywhere."""
+    a = walks.select(
+        F.col(walk_col).alias("w"), F.col(step_col).alias("i"), F.col(node_col).alias("center")
+    )
+    b = walks.select(
+        F.col(walk_col).alias("w"), F.col(step_col).alias("j"), F.col(node_col).alias("context")
+    )
+    return (
+        a.join(b, "w")
+        .filter(
+            (F.col("i") != F.col("j"))
+            & (F.abs(F.col("i") - F.col("j")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

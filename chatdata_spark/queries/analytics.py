@@ -633,3 +633,49 @@ def graph_random_walks(spark, sf_dir):
         .select("walk_id", F.col("step").cast("long").alias("step"), "node")
         .orderBy("walk_id", "step")
     )
+
+
+@query(
+    "graph_skipgram_pairs",
+    oracle=lambda: f"""
+    WITH walks AS ({_walks_oracle(steps=6).replace("ORDER BY walk_id, step", "")})
+    SELECT a.node AS center, b.node AS context,
+           COUNT(*) AS n_pairs
+    FROM walks a JOIN walks b
+      ON a.walk_id = b.walk_id
+     AND a.step <> b.step AND abs(a.step - b.step) <= 2
+    GROUP BY center, context
+    ORDER BY n_pairs DESC, center, context
+    LIMIT 50
+    """,
+)
+def graph_skipgram_pairs(spark, sf_dir):
+    """The sliding-window pass completing the DeepWalk pipeline: the walk
+    corpus from graph_random_walks becomes (center, context, n_pairs)
+    skip-gram training pairs (window 2), top-50 by frequency. One
+    walk-keyed self-join with a bounded step-distance predicate — fan-out
+    ≤ 2·window per position, never graph-sized
+    (operators/graph.py::skipgram_pairs); the oracle replays walks AND
+    windowing in SQL."""
+    from chatdata_spark.operators.graph import random_walks, skipgram_pairs
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    starts = pairs.select(F.col("s").alias("node"))
+    walks = random_walks(edges, starts, steps=6, salt="walk")
+    return (
+        skipgram_pairs(walks, window=2)
+        .orderBy(F.desc("n_pairs"), "center", "context")
+        .limit(50)
+    )

@@ -36,6 +36,7 @@ HEADLINE = [
     "knn_topk",                 # exact vector search
     "dedup_minhash_lsh",        # LSH near-dup pipeline
     "dedup_jaccard_exact",      # inverted-index similarity join
+    "dedup_jaccard_prefix",     # PPJoin prefix-filtered high-threshold join
     "text_profile",             # scan-stage text analytics
     "dialect_knn",              # Vector SQL dialect end-to-end
     "mutation_upsert_keep_latest",  # upsert convention

@@ -427,6 +427,94 @@ def jaccard_similarity_join(
     )
 
 
+def prefix_filter_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact n-gram-Jaccard pairs (i < j, jac >= threshold) via **prefix
+    filtering** (PPJoin family, Xiao et al. WWW'08) — the high-threshold
+    complement to :func:`jaccard_similarity_join`'s full inverted index.
+
+    Prefix-filter theorem: order every document's shingle set by one
+    global total order and keep only the first ``sz - ceil(t*sz) + 1``
+    tokens (the *prefix*). Two sets with jaccard >= t MUST share a prefix
+    token (the globally-smallest common token sits inside both prefixes,
+    else the >= t*max(sz) common tokens would all fit in a suffix of size
+    ceil(t*sz)-1 < t*sz). So the inverted index is built over prefixes
+    only — at t=0.7 that is ~30% of the token stream, and the candidate
+    f² expansion shrinks quadratically with it.
+
+    Canonical order = ascending document frequency (ties by hash):
+    rarest-first pushes corpus-hot shingles out of prefixes, so inverted
+    buckets stay small WITHOUT the ``max_df`` recall trade-off the full
+    index needs — completeness here is unconditional (any global order is
+    correct; df-order is the bucket-size control, not a filter).
+
+    Scale shape: every shuffle carries fixed-width longs (id, shingle
+    hash, df) — never text. Stages: token df agg + join (shuffle on
+    shingle), per-doc rank window (shuffle on id, partitions bounded by
+    doc size), prefix-bucket pair expansion (chained Generates, same
+    codegen shape as the full index), candidate distinct, then one exact
+    ``array_intersect`` verify per surviving candidate against the
+    persisted signature table. A length prune (jac <= min(sz)/max(sz))
+    runs before the array work; both it and the final filter compare
+    ROUNDED values so borderline pairs match the oracle. The prefix
+    length subtracts 1e-9 before ceil so float noise can only lengthen a
+    prefix (extra candidates), never drop a true pair."""
+    base = _with_shingle_hashes(df, id_col, text_col, k, persist=True)
+    tl = F.lit(float(threshold))
+    tokens = base.select("id", "sz", F.explode("shh").alias("shingle"))
+    dfreq = tokens.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    prefix = (
+        tokens.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= F.col("sz") - F.ceil(tl * F.col("sz") - F.lit(1e-9)) + 1)
+        .select("id", "shingle")
+    )
+    buckets = (
+        prefix.groupBy("shingle")
+        .agg(F.collect_list("id").alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    cands = (
+        buckets.select("docs", F.posexplode("docs").alias("pa", "a"))
+        .select("a", F.expr("slice(docs, pa + 2, size(docs) - pa - 1)").alias("rest"))
+        .select("a", F.explode("rest").alias("b"))
+        .select(F.least("a", "b").alias("i"), F.greatest("a", "b").alias("j"))
+        .distinct()
+    )
+    a = base.select(
+        F.col("id").alias("i"), F.col("shh").alias("sh_i"), F.col("sz").alias("sz_i")
+    )
+    b = base.select(
+        F.col("id").alias("j"), F.col("shh").alias("sh_j"), F.col("sz").alias("sz_j")
+    )
+    return (
+        cands.join(a, "i")
+        .join(b, "j")
+        # length prune BEFORE the array intersect: jac <= min/max, and
+        # round is monotone, so round(jac) >= t implies round(min/max) >= t
+        .filter(
+            F.round(F.least("sz_i", "sz_j") / F.greatest("sz_i", "sz_j"), round_digits) >= tl
+        )
+        .withColumn("common", F.size(F.array_intersect("sh_i", "sh_j")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sz_i") + F.col("sz_j") - F.col("common")),
+                round_digits,
+            ),
+        )
+        .filter(F.col("jaccard") >= tl)
+        .select("i", "j", "jaccard")
+    )
+
+
 # --- MinHash LSH near-dup pairs --------------------------------------------------
 
 def minhash_lsh_pairs(

@@ -17,6 +17,7 @@ from chatdata_spark.operators.dedup import (
     exact_dedup,
     jaccard_similarity_join,
     minhash_lsh_pairs,
+    prefix_filter_jaccard_join,
     simhash_pairs,
 )
 from chatdata_spark.registry import query
@@ -71,6 +72,18 @@ def dedup_jaccard_exact(spark, sf_dir):
     (shuffle on shingle, no all-pairs compare)."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return jaccard_similarity_join(d, "doc_id", "text", k=3, threshold=0.4).orderBy("i", "j")
+
+
+@query("dedup_jaccard_prefix", oracle=_DUCK_JACCARD_PAIRS.replace("0.4", "0.7"))
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Exact Jaccard pairs at a HIGH threshold via prefix filtering
+    (PPJoin, Xiao et al. WWW'08): the inverted index covers only each
+    document's rarest-first prefix (sz - ceil(0.7*sz) + 1 tokens), so the
+    candidate expansion shrinks quadratically vs the full index while the
+    answer stays exact — same brute-force DuckDB oracle as
+    dedup_jaccard_exact, at 0.7."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return prefix_filter_jaccard_join(d, "doc_id", "text", k=3, threshold=0.7).orderBy("i", "j")
 
 
 @query("dedup_minhash_lsh", oracle=_DUCK_JACCARD_PAIRS)

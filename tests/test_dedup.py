@@ -15,6 +15,7 @@ from chatdata_spark.operators.dedup import (
     jaccard_similarity_join,
     md5_hash60,
     minhash_lsh_pairs,
+    prefix_filter_jaccard_join,
     simhash_pairs,
 )
 from tests.conftest import SF_ORACLE, SF_SMOKE
@@ -39,6 +40,30 @@ def test_lsh_jaccard_values_match_exact(spark):
     exact = {(r.i, r.j): r.jaccard for r in jaccard_similarity_join(d, "doc_id", threshold=0.4).collect()}
     lsh = {(r.i, r.j): r.jaccard for r in minhash_lsh_pairs(d, "doc_id", threshold=0.4).collect()}
     assert lsh == exact
+
+
+def test_prefix_filter_equals_full_index(spark):
+    """Prefix filtering is a pure candidate-pruning rewrite: at the same
+    threshold its (pair, jaccard) output must equal the exhaustive
+    inverted-index join's (max_df=None ⇒ no recall caveat on either side)."""
+    d = _docs(spark)
+    full = {
+        (r.i, r.j): r.jaccard
+        for r in jaccard_similarity_join(d, "doc_id", threshold=0.7, max_df=None).collect()
+    }
+    pref = {
+        (r.i, r.j): r.jaccard
+        for r in prefix_filter_jaccard_join(d, "doc_id", threshold=0.7).collect()
+    }
+    assert full, "expected planted near-dup pairs in test data"
+    assert pref == full
+
+
+def test_prefix_filter_monotone_in_threshold(spark):
+    d = _docs(spark)
+    p8 = {(r.i, r.j) for r in prefix_filter_jaccard_join(d, "doc_id", threshold=0.8).collect()}
+    p6 = {(r.i, r.j) for r in prefix_filter_jaccard_join(d, "doc_id", threshold=0.6).collect()}
+    assert p8 <= p6
 
 
 def test_simhash_finds_exact_copies(spark):

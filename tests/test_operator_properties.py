@@ -400,6 +400,41 @@ _corpus = st.lists(
 
 
 @settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(corpus=_corpus, t=st.sampled_from([0.3, 0.5, 0.8]))
+def test_prefix_filter_jaccard_matches_bruteforce(spark, corpus, t):
+    """Prefix-filtered Jaccard self-join ≡ an all-pairs Python reference
+    over the engine's shingle conventions (distinct word-3-grams, short
+    docs padded to one whole-text shingle): prefix filtering must prune
+    candidates, never answers, at ANY threshold."""
+    from chatdata_spark.operators.dedup import prefix_filter_jaccard_join
+
+    cdf = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)], "doc_id long, text string"
+    )
+
+    def sh(ws, k=3):
+        ws = ws if ws else [""]
+        return {
+            tuple(ws[i:i + k]) + ("<pad>",) * max(k - len(ws[i:i + k]), 0)
+            for i in range(max(len(ws) - k + 1, 1))
+        }
+
+    sets = [sh(ws) for ws in corpus]
+    want = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            c = len(sets[i] & sets[j])
+            jac = round(c / (len(sets[i]) + len(sets[j]) - c), 6)
+            if jac >= t:
+                want.add((i, j, jac))
+    got = {
+        (r.i, r.j, r.jaccard)
+        for r in prefix_filter_jaccard_join(cdf, "doc_id", threshold=t).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(corpus=_corpus, bench=_corpus, n=st.integers(2, 3))
 def test_decontaminate_matches_python_ngram_overlap(spark, corpus, bench, n):
     """Broadcast n-gram decontamination ≡ a Python set-overlap reference:

@@ -433,6 +433,8 @@ def prefix_filter_jaccard_join(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.7,
+    max_df: int | float = 0.01,
+    order: str = "df",
     round_digits: int = 6,
 ) -> DataFrame:
     """Exact n-gram-Jaccard pairs (i < j, jac >= threshold) via **prefix
@@ -446,46 +448,116 @@ def prefix_filter_jaccard_join(
     else the >= t*max(sz) common tokens would all fit in a suffix of size
     ceil(t*sz)-1 < t*sz). So the inverted index is built over prefixes
     only — at t=0.7 that is ~30% of the token stream, and the candidate
-    f² expansion shrinks quadratically with it.
+    f² expansion shrinks quadratically with it. Completeness is
+    UNCONDITIONAL for any global total order — unlike the full index's
+    ``max_df`` recall trade-off, the order choice here tunes bucket
+    sizes, never the answer.
 
-    Canonical order = ascending document frequency (ties by hash):
-    rarest-first pushes corpus-hot shingles out of prefixes, so inverted
-    buckets stay small WITHOUT the ``max_df`` recall trade-off the full
-    index needs — completeness here is unconditional (any global order is
-    correct; df-order is the bucket-size control, not a filter).
+    ``order="df"`` (default): exact rarest-first (ascending document
+    frequency, ties by hash) — two token-stream shuffles (df join +
+    per-doc rank window) buy the minimum candidate count, and no
+    stop-set heuristic is involved at all. ``order="hash"``: canonical
+    order (is_hot, hash) — the prefix is computed entirely in the SCAN
+    STAGE as ``slice(array_sort(...), 1, p)``, no df join, no per-doc
+    window shuffle; corpus-hot shingles (document frequency >
+    ``max_df``; the same driver-collected, provably-bounded stop set
+    the full index uses, shared via the ``_STOP_SETS`` memo) sort LAST
+    so boilerplate never seeds a bucket. Measured at sf0.1 (min-of-3,
+    single DAG): df 2.63 s / hash 3.01 s — the smaller candidate set
+    (df ~40% fewer) outweighs the rank plumbing here; hash is the
+    escape when the two extra token-stream shuffles dominate (very
+    wide documents, or a df-skew so broad the rank window itself
+    hot-spots).
 
-    Scale shape: every shuffle carries fixed-width longs (id, shingle
-    hash, df) — never text. Stages: token df agg + join (shuffle on
-    shingle), per-doc rank window (shuffle on id, partitions bounded by
-    doc size), prefix-bucket pair expansion (chained Generates, same
-    codegen shape as the full index), candidate distinct, then one exact
-    ``array_intersect`` verify per surviving candidate against the
-    persisted signature table. A length prune (jac <= min(sz)/max(sz))
-    runs before the array work; both it and the final filter compare
-    ROUNDED values so borderline pairs match the oracle. The prefix
-    length subtracts 1e-9 before ceil so float noise can only lengthen a
-    prefix (extra candidates), never drop a true pair."""
+    Candidate pruning before the distinct (both orders): the PPJoin
+    length filter (round(min_sz/max_sz) >= t — jac <= min/max and round
+    is monotone, so no rounds-up pair is lost) and the positional
+    filter: a shared token at positions (p_i, p_j) of the sorted sets
+    bounds common <= min(p_i-1, p_j-1) + 1 + min(sz_i-p_i, sz_j-p_j)
+    (common tokens sort identically in both sets), which must reach
+    ceil(t/(1+t)·(sz_i+sz_j)), the overlap jac >= t requires. Every
+    occurrence of a true pair passes (the bound is valid per
+    occurrence), so filter-then-distinct keeps completeness. Survivors
+    get ONE exact ``array_intersect`` verify against the persisted
+    signature table. Float guards: prefix length and required-overlap
+    ceils subtract 1e-9, so noise can only ADD candidates.
+
+    Scale shape: every shuffle carries fixed-width longs — never text.
+    Shuffles (hash order): prefix tokens → buckets, candidate distinct,
+    two verify joins on ids. The stop-set statistics pass is a bounded
+    driver collect (|stop| <= avg_doc_sz/max_df, corpus-size-free)."""
+    if order not in ("hash", "df"):
+        raise ValueError(f"order must be 'hash' or 'df', got {order!r}")
     base = _with_shingle_hashes(df, id_col, text_col, k, persist=True)
     tl = F.lit(float(threshold))
-    tokens = base.select("id", "sz", F.explode("shh").alias("shingle"))
-    dfreq = tokens.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
-    prefix = (
-        tokens.join(dfreq, "shingle")
-        .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <= F.col("sz") - F.ceil(tl * F.col("sz") - F.lit(1e-9)) + 1)
-        .select("id", "shingle")
-    )
+    plen = (F.col("sz") - F.ceil(tl * F.col("sz") - F.lit(1e-9)) + 1).cast("int")
+    if order == "hash":
+        stop_key = (base.semanticHash(), k, max_df)
+        stops = _STOP_SETS.get(stop_key)
+        if stops is None:
+            if isinstance(max_df, float):
+                cap = max(int(-(-max_df * base.count() // 1)), 2)  # ceil, min 2
+            else:
+                cap = max_df
+            stops = [
+                r[0]
+                for r in base.select(F.explode("shh").alias("shingle"))
+                .groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") > cap)
+                .select("shingle")
+                .collect()
+            ]
+            _memo_put(_STOP_SETS, stop_key, stops)
+        if stops:
+            # struct sort key (is_hot, hash): native struct ordering, the
+            # InSet probe is the only per-element work
+            keyed = F.array_sort(
+                F.transform(
+                    "shh",
+                    lambda x: F.struct(x.isin(stops).cast("int").alias("h"), x.alias("v")),
+                )
+            )
+            pref = base.select(
+                "id", "sz", F.posexplode(F.slice(keyed, 1, plen)).alias("p0", "s")
+            ).select(
+                "id", "sz", (F.col("p0") + 1).alias("pos"), F.col("s.v").alias("shingle")
+            )
+        else:
+            pref = base.select(
+                "id", "sz",
+                F.posexplode(F.slice(F.array_sort("shh"), 1, plen)).alias("p0", "shingle"),
+            ).select("id", "sz", (F.col("p0") + 1).alias("pos"), "shingle")
+    else:
+        tokens = base.select("id", "sz", F.explode("shh").alias("shingle"))
+        dfreq = tokens.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+        pref = (
+            tokens.join(dfreq, "shingle")
+            .withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= plen)
+            .select("id", "sz", "pos", "shingle")
+        )
     buckets = (
-        prefix.groupBy("shingle")
-        .agg(F.collect_list("id").alias("docs"))
+        pref.groupBy("shingle")
+        .agg(F.collect_list(F.struct("id", "sz", "pos")).alias("docs"))
         .filter(F.size("docs") >= 2)
+    )
+    req = F.ceil(tl / (F.lit(1.0) + tl) * (F.col("a.sz") + F.col("b.sz")) - F.lit(1e-9))
+    pos_ub = (
+        F.least(F.col("a.pos"), F.col("b.pos"))
+        + F.least(F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos"))
     )
     cands = (
         buckets.select("docs", F.posexplode("docs").alias("pa", "a"))
         .select("a", F.expr("slice(docs, pa + 2, size(docs) - pa - 1)").alias("rest"))
         .select("a", F.explode("rest").alias("b"))
-        .select(F.least("a", "b").alias("i"), F.greatest("a", "b").alias("j"))
+        .filter(
+            F.round(F.least("a.sz", "b.sz") / F.greatest("a.sz", "b.sz"), round_digits) >= tl
+        )
+        # min(p_i-1, p_j-1) + 1 == least(pos) since positions are 1-based
+        .filter(req <= pos_ub)
+        .select(F.least("a.id", "b.id").alias("i"), F.greatest("a.id", "b.id").alias("j"))
         .distinct()
     )
     a = base.select(
@@ -497,11 +569,6 @@ def prefix_filter_jaccard_join(
     return (
         cands.join(a, "i")
         .join(b, "j")
-        # length prune BEFORE the array intersect: jac <= min/max, and
-        # round is monotone, so round(jac) >= t implies round(min/max) >= t
-        .filter(
-            F.round(F.least("sz_i", "sz_j") / F.greatest("sz_i", "sz_j"), round_digits) >= tl
-        )
         .withColumn("common", F.size(F.array_intersect("sh_i", "sh_j")))
         .withColumn(
             "jaccard",

@@ -400,8 +400,8 @@ _corpus = st.lists(
 
 
 @settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(corpus=_corpus, t=st.sampled_from([0.3, 0.5, 0.8]))
-def test_prefix_filter_jaccard_matches_bruteforce(spark, corpus, t):
+@given(corpus=_corpus, t=st.sampled_from([0.3, 0.5, 0.8]), order=st.sampled_from(["hash", "df"]))
+def test_prefix_filter_jaccard_matches_bruteforce(spark, corpus, t, order):
     """Prefix-filtered Jaccard self-join ≡ an all-pairs Python reference
     over the engine's shingle conventions (distinct word-3-grams, short
     docs padded to one whole-text shingle): prefix filtering must prune
@@ -429,7 +429,7 @@ def test_prefix_filter_jaccard_matches_bruteforce(spark, corpus, t):
                 want.add((i, j, jac))
     got = {
         (r.i, r.j, r.jaccard)
-        for r in prefix_filter_jaccard_join(cdf, "doc_id", threshold=t).collect()
+        for r in prefix_filter_jaccard_join(cdf, "doc_id", threshold=t, order=order).collect()
     }
     assert got == want
 

@@ -1,0 +1,197 @@
+"""IVF-PQ composed vector index: coarse IVF routing over product-quantized
+codes (north-star extension; the reference's MSTG index internally couples
+graph/tree routing with compressed storage the same way —
+``fp16_storage=1`` / ``disk_mode=3``, myscale_tables.py:35,63 — route
+first, scan compressed, rerank survivors exactly).
+
+Why the composition matters at 100 TB: IVF alone (operators/ivf.py) prunes
+the SCAN to n_probe/n_clusters of the corpus but still reads 256-byte raw
+vectors; PQ alone (operators/pq.py) compresses 32× but scans EVERY code.
+IVF-PQ multiplies the two savings: the search reads only the probed
+clusters' code partitions — with n_probe=4 of 1024 clusters and m=8 codes
+that is ~0.1% of the bytes an exact scan touches — which is exactly the
+FAISS ``IVFPQ`` architecture (Jégou et al., PAMI 2011: "Product
+quantization for nearest neighbor search").
+
+Layout: codes live NEXT TO the IVF layout, partitioned by the SAME
+``cluster_id`` (``path/codes/cluster_id=N/``), so centroid ranking prunes
+code partitions at the parquet-directory level — the scan never lists,
+let alone reads, unprobed clusters. Non-residual variant: codes quantize
+the (normalized) raw vectors, not the centroid residuals — recall at
+fixture scale is pinned in tests/test_ivfpq.py; the residual refinement is
+a codebook-training change, not a layout change.
+
+Static-data contract: codes are derived from the IVF index's committed
+data tree at build time (the shared_cache_path fingerprint ties both to
+the source parquet). Mutations go through the IVF index (append/delete/
+compact) and invalidate the codes — rebuild, like any secondary index.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chatdata_spark.functions.vector import cosine_distance
+from chatdata_spark.operators.ivf import IVFIndex
+from chatdata_spark.operators.pq import _kmeans_1d
+
+
+class IVFPQIndex:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "ivfpq_meta.json")) as f:
+            meta = json.load(f)
+        self.id_col = meta["id_col"]
+        self.vector_col = meta["vector_col"]
+        self.m = meta["m"]
+        self.dsub = meta["dsub"]
+        self.ivf_path = meta["ivf_path"]
+        self.codebooks = np.array(meta["codebooks"], dtype=np.float64)
+        self.ivf = IVFIndex(spark, self.ivf_path)
+
+    @staticmethod
+    def build(
+        ivf: IVFIndex,
+        path: str,
+        m: int = 8,
+        train_rows: int = 4096,
+        iters: int = 12,
+        seed: int = 42,
+    ) -> "IVFPQIndex":
+        """Train PQ codebooks on a bounded driver-side sample of the IVF
+        data (the same bounded-statistics-pass license as the IVF build
+        itself), then Arrow-encode every row INSIDE its cluster partition
+        and write codes partitioned by the same cluster_id. One scan, one
+        partitioned write — no shuffle beyond the partitioning the IVF
+        layout already established."""
+        data = ivf.spark.read.parquet(ivf._data_path())
+        sample = np.array(
+            [r[0] for r in data.select(ivf.vector_col).limit(train_rows).collect()],
+            dtype=np.float64,
+        )
+        sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+        d = sample.shape[1]
+        assert d % m == 0, f"dim {d} not divisible by m={m}"
+        dsub = d // m
+        books = np.stack(
+            [
+                _kmeans_1d(sample[:, j * dsub : (j + 1) * dsub], 256, iters, seed + j)
+                for j in range(m)
+            ]
+        )
+        if books.shape[1] < 256:
+            pad = np.repeat(books[:, :1, :], 256 - books.shape[1], axis=1)
+            books = np.concatenate([books, pad], axis=1)
+
+        bks, mm, dd = books, m, dsub
+
+        @F.pandas_udf("array<smallint>")
+        def _encode(vecs: pd.Series) -> pd.Series:
+            x = np.array(vecs.tolist(), dtype=np.float64)
+            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            codes = np.empty((x.shape[0], mm), dtype=np.int64)
+            for j in range(mm):
+                sub = x[:, j * dd : (j + 1) * dd]
+                cb = bks[j]
+                d2 = -2.0 * (sub @ cb.T) + (cb**2).sum(axis=1)[None, :]
+                codes[:, j] = d2.argmin(axis=1)
+            return pd.Series([row.tolist() for row in codes])
+
+        (
+            data.select(
+                F.col(ivf.id_col),
+                F.col("cluster_id"),
+                _encode(F.col(ivf.vector_col).cast("array<float>")).alias("codes"),
+            )
+            .repartition("cluster_id")
+            .write.mode("overwrite")
+            .partitionBy("cluster_id")
+            .parquet(os.path.join(path, "codes"))
+        )
+        meta = {
+            "id_col": ivf.id_col,
+            "vector_col": ivf.vector_col,
+            "m": m,
+            "dsub": dsub,
+            "ivf_path": ivf.path,
+            "codebooks": [[list(map(float, c)) for c in book] for book in books],
+        }
+        tmp = os.path.join(path, "ivfpq_meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(path, "ivfpq_meta.json"))
+        return IVFPQIndex(ivf.spark, path)
+
+    def search(
+        self,
+        source_df: DataFrame,
+        query_vec,
+        k: int = 10,
+        n_probe: int = 4,
+        refine: int = 4,
+        select=None,
+    ) -> DataFrame:
+        """Centroid-route → partition-pruned ADC code scan → exact rerank.
+
+        1. rank centroids driver-side (a (n_clusters, d) GEMM on the
+           meta constants, like IVFIndex.search);
+        2. scan ONLY the probed clusters' code partitions
+           (``cluster_id isin probes`` prunes parquet directories), score
+           each row with m table lookups via one Arrow fancy-index pass;
+        3. top ``k·refine`` by (adc, id) — a TakeOrderedAndProject heap —
+           then exact cosine rerank against the raw vectors (broadcast
+           semi-join by id), tie-broken on id."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        q = q / np.linalg.norm(q)
+        table = np.stack(
+            [
+                (
+                    (q[j * self.dsub : (j + 1) * self.dsub][None, :] - self.codebooks[j]) ** 2
+                ).sum(axis=1)
+                for j in range(self.m)
+            ]
+        )
+        tab, mm = table, self.m
+
+        @F.pandas_udf("double")
+        def _adc(codes: pd.Series) -> pd.Series:
+            c = np.array(codes.tolist(), dtype=np.int64)
+            return pd.Series(tab[np.arange(mm)[None, :], c].sum(axis=1))
+
+        probes = self.ivf.rank_centroids(query_vec)[
+            : max(1, min(n_probe, self.ivf.n_clusters))
+        ]
+        codes = self.spark.read.parquet(os.path.join(self.path, "codes")).filter(
+            F.col("cluster_id").isin(probes)
+        )
+        cand = (
+            codes.select(self.id_col, _adc("codes").alias("__adc"))
+            .orderBy(F.col("__adc").asc(), F.col(self.id_col).asc())
+            .limit(int(k) * int(refine))
+            .select(self.id_col)
+        )
+        rerank = source_df.join(F.broadcast(cand), self.id_col, "left_semi")
+        out = rerank.withColumn(
+            "dist", F.round(cosine_distance(F.col(self.vector_col), [float(v) for v in q]), 6)
+        )
+        cols = list(select) if select is not None else [self.id_col]
+        return (
+            out.orderBy(F.col("dist").asc(), F.col(self.id_col).asc())
+            .limit(int(k))
+            .select(*cols, "dist")
+        )
+
+
+def build_or_load_ivfpq(ivf: IVFIndex, path: str, m: int = 8) -> IVFPQIndex:
+    """Idempotent build, same convention as build_or_load_ivf/pq."""
+    if os.path.exists(os.path.join(path, "ivfpq_meta.json")):
+        return IVFPQIndex(ivf.spark, path)
+    os.makedirs(path, exist_ok=True)
+    return IVFPQIndex.build(ivf, path, m=m)

@@ -30,6 +30,7 @@ Q2 = hash_embed("q2", DIM)
 # empirical knobs.
 LSH_PROBE_RANK_MARGIN = 90  # observed max candidate rank <=26 (sf0.01/sf0.1)
 PQ_ADC_RANK_MARGIN = 45     # observed max reranked rank <=16 (sf0.01/sf0.1)
+IVFPQ_RANK_MARGIN = 60      # observed max reranked rank <=24 (sf0.01/sf0.1)
 KNN_JOIN_RANK_MARGIN = 45   # observed max pruned-pair rank <=19 (sf0.01/sf0.1)
 # Fraction of queries whose pruned (n_probe=2) best distance must equal the
 # exact top-1 — a RECALL property, so thresholded rather than pinned:
@@ -621,6 +622,51 @@ def ann_pq_adc(spark, sf_dir):
             (F.col("min_dist") == F.col("exact_min")).alias("found_true_nn"),
         )
     )
+
+
+@query(
+    "ann_ivfpq_search",
+    oracle=f"""
+    SELECT CAST(15 AS BIGINT) AS n_results,
+           CAST(15 AS BIGINT) AS n_in_top60,
+           CAST(MIN({_duck_cos('embedding', Q2)}) AS DOUBLE) AS min_dist
+    FROM embeddings
+    """,
+)
+def ann_ivfpq_search(spark, sf_dir):
+    """IVF-PQ composed index (FAISS IVFPQ shape, Jégou et al. PAMI'11;
+    the reference's MSTG couples routing with compressed storage the same
+    way — myscale_tables.py:35,63): centroid-route to n_probe=4 of 8
+    clusters, ADC-scan ONLY those clusters' code partitions (parquet
+    directory pruning on the shared cluster_id layout), exact cosine
+    rerank of the top k·4 survivors. Approximate by design, so the oracle
+    checks SOUNDNESS invariants (the ann_ivf_pruned pattern): 15 results,
+    all within the exact top-IVFPQ_RANK_MARGIN (computed by a Spark
+    full-scan kNN and semi-joined — the literal 15s go red if routing or
+    the ADC screen drops a top candidate), and the best returned distance
+    equal to the global exact minimum. The count/containment literals and
+    the margin are fixture-empirical knobs (observed max exact rank ≤24
+    at both compare scales) — on a testdata regeneration triage a red
+    here as fixture drift first. Recall and the layout are pinned in
+    tests/test_ivfpq.py; bench times the routed compressed scan."""
+    from chatdata_spark.catalog import shared_cache_path
+    from chatdata_spark.operators.ivfpq import build_or_load_ivfpq
+
+    ivf = _ivf_index(spark, sf_dir)
+    idx = build_or_load_ivfpq(ivf, shared_cache_path("ivfpq", sf_dir, "k8m8"), m=8)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = idx.search(emb, Q2, k=15, n_probe=4, refine=4, select=["vec_id"])
+    top60 = knn(
+        emb, "embedding", Q2, k=IVFPQ_RANK_MARGIN, select=["vec_id"], id_col="vec_id"
+    ).select("vec_id")
+    stats = res.agg(
+        F.count(F.lit(1)).alias("n_results"), F.min("dist").cast("double").alias("min_dist")
+    )
+    in60 = (
+        res.join(F.broadcast(top60), "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_in_top60"))
+    )
+    return stats.join(F.broadcast(in60)).select("n_results", "n_in_top60", "min_dist")
 
 
 MQ = [hash_embed(f"mq{i}", DIM) for i in range(3)]

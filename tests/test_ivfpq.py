@@ -1,0 +1,92 @@
+"""IVF-PQ composed index: layout, routing, recall, idempotency."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from chatdata_spark.operators.ivfpq import IVFPQIndex, build_or_load_ivfpq
+from chatdata_spark.operators.knn import knn
+from chatdata_spark.queries.vector import _ivf_index, IVFPQ_RANK_MARGIN, Q2
+from tests.conftest import SF_ORACLE
+
+
+def _index(spark, tmp_path=None):
+    from chatdata_spark.catalog import shared_cache_path
+
+    ivf = _ivf_index(spark, SF_ORACLE)
+    path = (
+        str(tmp_path / "ivfpq") if tmp_path is not None
+        else shared_cache_path("ivfpq", SF_ORACLE, "k8m8")
+    )
+    return ivf, build_or_load_ivfpq(ivf, path, m=8)
+
+
+def test_codes_partitioned_by_ivf_cluster(spark):
+    """The code table must be laid out under the SAME cluster_id dirs as
+    the IVF data — that directory equality is what lets centroid routing
+    prune code partitions without any join."""
+    ivf, idx = _index(spark)
+    code_dirs = {
+        d for d in os.listdir(os.path.join(idx.path, "codes")) if d.startswith("cluster_id=")
+    }
+    assert code_dirs == {f"cluster_id={c}" for c in ivf.cluster_ids}
+    # every row coded, none duplicated
+    n_codes = spark.read.parquet(os.path.join(idx.path, "codes")).count()
+    n_rows = spark.read.parquet(ivf._data_path()).count()
+    assert n_codes == n_rows
+
+
+def test_search_reads_only_probed_partitions(spark):
+    """The probed-cluster filter must reach the parquet source as a
+    partition filter (directory pruning), not a post-scan filter."""
+    ivf, idx = _index(spark)
+    probes = ivf.rank_centroids(Q2)[:4]
+    codes = spark.read.parquet(os.path.join(idx.path, "codes")).filter(
+        F.col("cluster_id").isin(probes)
+    )
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cluster_id#" in plan.replace("\n", " ") or "PartitionFilters: [" in plan
+    assert codes.select("cluster_id").distinct().count() == len(set(probes))
+
+
+def test_routed_adc_recall_and_true_nn(spark):
+    """n_probe=4 of 8 + ADC screen + exact rerank: every result inside the
+    exact top-IVFPQ_RANK_MARGIN, true NN found (the registered query's
+    soundness invariants, asserted here against ids not just counts)."""
+    ivf, idx = _index(spark)
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    res = idx.search(e, Q2, k=15, n_probe=4, refine=4, select=["vec_id"]).collect()
+    assert len(res) == 15
+    exact = [r.vec_id for r in knn(
+        e, "embedding", Q2, k=IVFPQ_RANK_MARGIN, select=["vec_id"], id_col="vec_id"
+    ).collect()]
+    assert {r.vec_id for r in res} <= set(exact)
+    assert res[0].vec_id == exact[0]  # true NN survives the funnel
+    # distances exact and sorted (rerank sort key IS the exact distance)
+    ds = [r.dist for r in res]
+    assert ds == sorted(ds)
+
+
+def test_full_probe_with_deep_refine_equals_exact(spark):
+    """With every cluster probed and a refine deep enough to cover the ADC
+    screen's mis-ranking, the funnel must reproduce the exact top-k — the
+    oracle-checkable configuration (ann_ivf_full_probe's analogue)."""
+    ivf, idx = _index(spark)
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    got = [
+        r.vec_id
+        for r in idx.search(
+            e, Q2, k=10, n_probe=ivf.n_clusters, refine=50, select=["vec_id"]
+        ).collect()
+    ]
+    want = [r.vec_id for r in knn(e, "embedding", Q2, k=10, select=["vec_id"], id_col="vec_id").collect()]
+    assert got == want
+
+
+def test_build_or_load_idempotent(spark, tmp_path):
+    ivf, idx = _index(spark, tmp_path)
+    again = build_or_load_ivfpq(ivf, str(tmp_path / "ivfpq"), m=8)
+    assert isinstance(again, IVFPQIndex)
+    assert (again.codebooks == idx.codebooks).all()

@@ -71,12 +71,12 @@ def test_tail_is_deliberate():
     # 180→187 for graph_pagerank_transactions + cms_user_frequency +
     # pmi_phrase_mining + streaming_cms_user_frequency +
     # decontam_docs_bloom + graph_trustrank_suppliers +
-    # graph_random_walks + graph_skipgram_pairs, then 188→189 for
-    # dedup_jaccard_prefix (PPJoin prefix filtering) — a r7 addition
-    # raises this deliberately, in the same commit that registers the
-    # query.
+    # graph_random_walks + graph_skipgram_pairs, then 188→190 for
+    # dedup_jaccard_prefix (PPJoin prefix filtering) + ann_ivfpq_search
+    # (IVF-PQ composed index) — a r7 addition raises this deliberately,
+    # in the same commit that registers the query.
     names = list(queries())
-    assert len(names) <= 189
+    assert len(names) <= 190
 
 
 def test_coverage_window_column_consistent():

@@ -441,6 +441,23 @@ def bench_ann_pq_adc(spark, sf_dir):
     return idx.search(e, Q1, k=10, refine=4, select=["vec_id", "label"])
 
 
+def bench_ann_ivfpq_search(spark, sf_dir):
+    """Raw IVF-PQ routed compressed search (n_probe=4 of 8, ADC over the
+    probed clusters' code partitions only, exact rerank of the top k·4) —
+    the registered `ann_ivfpq_search` query wraps this in its soundness
+    oracle (full-scan kNN semi-join), so the bench times the routed
+    compressed funnel itself. Compare against `ann_ivf_pruned` (same
+    routing, raw-vector scan) and `ann_pq_adc` (same compression, no
+    routing): IVF-PQ should sit at or below both."""
+    from chatdata_spark.catalog import shared_cache_path
+    from chatdata_spark.operators.ivfpq import build_or_load_ivfpq
+    from chatdata_spark.queries.vector import Q2, _ivf_index
+
+    ivf = _ivf_index(spark, sf_dir)
+    idx = build_or_load_ivfpq(ivf, shared_cache_path("ivfpq", sf_dir, "k8m8"), m=8)
+    return idx.search(Q2, k=15, n_probe=4, refine=4, select=["vec_id", "label"])
+
+
 def bench_sessionize_hotkey(spark, sf_dir):
     """Sessionization under adversarial skew: half of all events remapped to
     ONE user. The plain per-user window would serialize that user onto a
@@ -712,6 +729,7 @@ EXTRA = {
     "ann_ivf_pruned": bench_ann_ivf_pruned,
     "knn_join_pruned": bench_knn_join_pruned,
     "ann_pq_adc": bench_ann_pq_adc,
+    "ann_ivfpq_search": bench_ann_ivfpq_search,
     "fact_join_shuffle": bench_fact_join_shuffle,
     "fact_join_bucketed": bench_fact_join_bucketed,
     "knn_topk_x10": bench_knn_topk_x10,

@@ -131,7 +131,6 @@ class IVFPQIndex:
 
     def search(
         self,
-        source_df: DataFrame,
         query_vec,
         k: int = 10,
         n_probe: int = 4,
@@ -146,8 +145,14 @@ class IVFPQIndex:
            (``cluster_id isin probes`` prunes parquet directories), score
            each row with m table lookups via one Arrow fancy-index pass;
         3. top ``k·refine`` by (adc, id) — a TakeOrderedAndProject heap —
-           then exact cosine rerank against the raw vectors (broadcast
-           semi-join by id), tie-broken on id."""
+           then exact cosine rerank against the raw vectors read from the
+           IVF data tree pruned to the SAME probed clusters (candidates
+           can only come from probed clusters, so the pruned rerank is
+           exact; a full-table rerank scan would dominate the routed code
+           scan's savings — measured 0.34 s → the pruned read at sf0.1),
+           broadcast semi-join by id, tie-broken on id. Tombstoned ids
+           (IVF deletes pending compact) are filtered from the candidate
+           set, mirroring IVFIndex.search."""
         q = np.asarray(query_vec, dtype=np.float64)
         q = q / np.linalg.norm(q)
         table = np.stack(
@@ -171,13 +176,19 @@ class IVFPQIndex:
         codes = self.spark.read.parquet(os.path.join(self.path, "codes")).filter(
             F.col("cluster_id").isin(probes)
         )
+        ts = self.ivf.tombstones()
+        if ts is not None:
+            codes = codes.join(F.broadcast(ts), self.id_col, "left_anti")
         cand = (
             codes.select(self.id_col, _adc("codes").alias("__adc"))
             .orderBy(F.col("__adc").asc(), F.col(self.id_col).asc())
             .limit(int(k) * int(refine))
             .select(self.id_col)
         )
-        rerank = source_df.join(F.broadcast(cand), self.id_col, "left_semi")
+        raw = self.spark.read.parquet(self.ivf._data_path()).filter(
+            F.col("cluster_id").isin(probes)  # same directory pruning as the codes
+        )
+        rerank = raw.join(F.broadcast(cand), self.id_col, "left_semi")
         out = rerank.withColumn(
             "dist", F.round(cosine_distance(F.col(self.vector_col), [float(v) for v in q]), 6)
         )

@@ -655,7 +655,7 @@ def ann_ivfpq_search(spark, sf_dir):
     ivf = _ivf_index(spark, sf_dir)
     idx = build_or_load_ivfpq(ivf, shared_cache_path("ivfpq", sf_dir, "k8m8"), m=8)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    res = idx.search(emb, Q2, k=15, n_probe=4, refine=4, select=["vec_id"])
+    res = idx.search(Q2, k=15, n_probe=4, refine=4, select=["vec_id"])
     top60 = knn(
         emb, "embedding", Q2, k=IVFPQ_RANK_MARGIN, select=["vec_id"], id_col="vec_id"
     ).select("vec_id")

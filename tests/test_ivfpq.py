@@ -57,7 +57,7 @@ def test_routed_adc_recall_and_true_nn(spark):
     soundness invariants, asserted here against ids not just counts)."""
     ivf, idx = _index(spark)
     e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
-    res = idx.search(e, Q2, k=15, n_probe=4, refine=4, select=["vec_id"]).collect()
+    res = idx.search(Q2, k=15, n_probe=4, refine=4, select=["vec_id"]).collect()
     assert len(res) == 15
     exact = [r.vec_id for r in knn(
         e, "embedding", Q2, k=IVFPQ_RANK_MARGIN, select=["vec_id"], id_col="vec_id"
@@ -78,7 +78,7 @@ def test_full_probe_with_deep_refine_equals_exact(spark):
     got = [
         r.vec_id
         for r in idx.search(
-            e, Q2, k=10, n_probe=ivf.n_clusters, refine=50, select=["vec_id"]
+            Q2, k=10, n_probe=ivf.n_clusters, refine=50, select=["vec_id"]
         ).collect()
     ]
     want = [r.vec_id for r in knn(e, "embedding", Q2, k=10, select=["vec_id"], id_col="vec_id").collect()]

@@ -83,8 +83,8 @@ HEADLINE = [
     "decontam_docs_bloom",      # bloom-funnel decontamination (scan-stage bitmask)
     "graph_random_walks",       # DeepWalk corpus: per-hop frontier equi-joins
 ]
-# NOTE: no bpe_learn_merges, graph_pagerank_transactions, or
-# graph_trustrank_suppliers bench entry,
+# NOTE: no bpe_learn_merges, graph_pagerank_transactions,
+# graph_trustrank_suppliers, or kmeans_embedding_clusters bench entry,
 # deliberately — all are ITERATIVE operators (driver-looped rounds with
 # eager checkpoints, so the work runs at plan-BUILD time and this harness's
 # build/execute split would time an empty tail), and their wall-clock mixes

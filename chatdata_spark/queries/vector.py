@@ -999,3 +999,54 @@ def hard_negative_mining(spark, sf_dir):
     return mine(
         anchors, positives, idx, "vec_id", "embedding", k=5, n_probe=idx.n_clusters
     ).orderBy("q_id", "dist", "b_id")
+
+
+def _kmeans_expected() -> str:
+    """Lazy oracle for kmeans_embedding_clusters: a single-node numpy
+    replay of the EXACT integer fixed-point Lloyd recurrence
+    (operators/kmeans.py::kmeans_replay — quantize, assign, floor-divide
+    update, n_iter rounds, final assign). Every quantity is int64-exact
+    and order-independent, so the distributed path must match this VALUES
+    table bit-for-bit; what the comparison verifies is the DISTRIBUTED
+    machinery — partition-invariant sums, the k*d collect/update loop,
+    Arrow batch assignment — against the straightforward sequential
+    formulation."""
+    import duckdb
+
+    from chatdata_spark.operators.kmeans import kmeans_replay
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{_oracle_sf_dir()}/embeddings.parquet') "
+        "WHERE embedding IS NOT NULL ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    clusters, dist2 = kmeans_replay(ids, [r[1] for r in rows], k=8, n_iter=4)
+    values = ", ".join(
+        f"(CAST({i} AS BIGINT), CAST({int(c)} AS INT), CAST({int(d)} AS BIGINT))"
+        for i, c, d in zip(ids, clusters, dist2)
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + values
+        + ") AS t(vec_id, cluster_id, dist2) ORDER BY vec_id"
+    )
+
+
+@query("kmeans_embedding_clusters", oracle=_kmeans_expected)
+def kmeans_embedding_clusters(spark, sf_dir):
+    """Distributed Lloyd's k-means (k=8, 4 rounds, smallest-id seeds) over
+    the embeddings table in integer fixed-point
+    (operators/kmeans.py::kmeans_fixed_point): per-vector final
+    (cluster_id, dist2) where dist2 is the exact int64 squared distance in
+    the quantized space. The centroid trajectory is bit-reproducible
+    across engines and partitionings (the operators/graph.py PageRank
+    determinism recipe applied to Lloyd's), so the oracle is an exact
+    single-node replay. Scale shape: one Arrow quantize pass persisted,
+    per-round GEMM assignment (no shuffle) + a map-side-combined
+    groupBy(cluster, dim) collecting k*d scalars; clustering primitive for
+    SemDeDup groups / IVF coarse quantizers / mixture balancing."""
+    from chatdata_spark.operators.dedup import _spread
+    from chatdata_spark.operators.kmeans import kmeans_fixed_point
+
+    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return kmeans_fixed_point(emb, "vec_id", "embedding", k=8, n_iter=4).orderBy("vec_id")

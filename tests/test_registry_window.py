@@ -73,10 +73,11 @@ def test_tail_is_deliberate():
     # decontam_docs_bloom + graph_trustrank_suppliers +
     # graph_random_walks + graph_skipgram_pairs, then 188→190 for
     # dedup_jaccard_prefix (PPJoin prefix filtering) + ann_ivfpq_search
-    # (IVF-PQ composed index) — a r7 addition raises this deliberately,
+    # (IVF-PQ composed index), then 190→191 for kmeans_embedding_clusters
+    # (fixed-point Lloyd's) — a r7 addition raises this deliberately,
     # in the same commit that registers the query.
     names = list(queries())
-    assert len(names) <= 190
+    assert len(names) <= 191
 
 
 def test_coverage_window_column_consistent():

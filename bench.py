@@ -61,6 +61,7 @@ HEADLINE = [
     "pii_redaction",            # scan-stage regex scrub throughput
     "decontam_docs",            # broadcast n-gram decontamination
     "chunk_dedup_docs",         # chunk dedup + ordered reassembly
+    "dedup_chunk_boilerplate",  # doc-frequency boilerplate removal (C4 policy)
     "curation_pipeline_docs",   # end-to-end: quality→dedup→components→decontam→split
     "phrase_proximity_docs",    # scan-stage phrase + NEAR/n predicates
     "binary_quant_knn",         # popcount-xor Hamming ranking (all-integer codegen)

@@ -61,6 +61,61 @@ def chunk_dedup(
     )
 
 
+def chunk_boilerplate_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 12,
+    min_df: int = 2,
+) -> DataFrame:
+    """Boilerplate removal by DOCUMENT FREQUENCY: drop ALL occurrences of
+    any chunk appearing in >= ``min_df`` DISTINCT documents, rebuild each
+    document from the survivors. This is the C4 / RefinedWeb / CCNet
+    threshold policy (Raffel et al. 2020 drop repeated three-sentence
+    spans; Penedo et al. 2023 line-frequency filter) — distinct from
+    ``chunk_dedup``'s keep-first: boilerplate (headers, footers, nav text)
+    is noise in EVERY copy, so no occurrence survives, while a chunk
+    repeated only WITHIN one document (df = 1) is untouched.
+
+    Returns ``(id_col, n_chunks_kept int, n_chunks_removed int,
+    cleaned_text)``, total over input documents.
+
+    Scale shape: the distinct-doc count per chunk is dense_rank + max over
+    the SAME sha256-digest window partition — one fixed-width shuffle, one
+    evaluation, no groupBy+join-back (the CLAUDE.md double-evaluation
+    trap; count(DISTINCT) over a window is unsupported, the rank pair is
+    the standard exact rewrite). Reassembly is one conditional aggregation
+    on the doc id (collect_list drops the NULL-masked removed chunks), so
+    the whole operator is two shuffles and zero joins."""
+    c = chunk_documents(df, id_col, text_col, chunk_words).withColumn(
+        "__h", F.sha2(F.col("chunk_text"), 256)
+    )
+    ranked = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    whole = Window.partitionBy("__h")
+    flagged = c.withColumn("__dr", F.dense_rank().over(ranked)).withColumn(
+        "__df", F.max("__dr").over(whole)
+    )
+    keep = F.col("__df") < min_df
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.sum(keep.cast("int")).cast("int").alias("n_chunks_kept"),
+            F.sum((~keep).cast("int")).cast("int").alias("n_chunks_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct(F.col("chunk_idx"), F.col("chunk_text")))
+                        )
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+
+
 def chunk_dedup_reassemble(
     df: DataFrame,
     id_col: str = "doc_id",

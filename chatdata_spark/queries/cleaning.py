@@ -442,3 +442,48 @@ def decontam_docs_bloom(spark, sf_dir):
     return decontaminate_bloom(
         d, bench, "doc_id", "text", "text", n=5, min_hits=1, n_bits=1 << 18
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_chunk_boilerplate",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents
+    ),
+    c AS (
+        SELECT doc_id, i AS chunk_idx,
+               array_to_string(w[i*12+1:i*12+12], ' ') AS chunk_text
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(0, greatest(CAST(ceil(len(w)/12.0) AS INT), 1) - 1)) AS i
+              FROM w)
+    ),
+    d AS (
+        SELECT chunk_text, count(DISTINCT doc_id) AS df FROM c GROUP BY chunk_text
+    ),
+    f AS (SELECT c.doc_id, c.chunk_idx, c.chunk_text, d.df FROM c JOIN d USING (chunk_text))
+    SELECT doc_id,
+           CAST(sum(CASE WHEN df < 2 THEN 1 ELSE 0 END) AS INT) AS n_chunks_kept,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS INT) AS n_chunks_removed,
+           COALESCE(string_agg(CASE WHEN df < 2 THEN chunk_text END, ' ' ORDER BY chunk_idx), '')
+             AS cleaned_text
+    FROM f GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_chunk_boilerplate(spark, sf_dir):
+    """Boilerplate removal by document frequency (C4 / RefinedWeb / CCNet
+    threshold policy): every 12-word chunk appearing in >= 2 DISTINCT
+    documents is dropped from ALL of them (headers/footers are noise in
+    every copy), chunks repeated only within one document survive, and
+    documents are rebuilt from the survivors
+    (operators/chunks.py::chunk_boilerplate_filter). Complements
+    `chunk_dedup_docs` (keep-first) and `dedup_substring_spans`
+    (position-level): this is the frequency-threshold member of the
+    family. Two shuffles, zero joins — the distinct-doc count is a
+    dense_rank+max pair over one digest-keyed window."""
+    from chatdata_spark.operators.chunks import chunk_boilerplate_filter
+    from chatdata_spark.operators.dedup import _spread
+
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"))
+    return chunk_boilerplate_filter(d, "doc_id", "text", chunk_words=12, min_df=2).orderBy(
+        "doc_id"
+    )

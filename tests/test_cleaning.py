@@ -240,3 +240,58 @@ def test_embedding_decontam_eval_guard_and_udf_memo(spark):
         embedding_decontaminate(ev, ev, threshold=0.5, max_eval=1)
     m = np.array([[1.0, 0.0], [0.0, 1.0]])
     assert _eval_screen_udf(m, 0.5) is _eval_screen_udf(m.copy(), 0.5)
+
+
+def test_boilerplate_filter_drops_all_cross_doc_copies(spark):
+    from chatdata_spark.operators.chunks import chunk_boilerplate_filter
+
+    # 3-word chunks; "copy right footer" appears in docs 1 and 2 (df=2) and
+    # must vanish from BOTH; each doc's unique chunk survives.
+    rows = [
+        (1, "copy right footer alpha beta gamma"),
+        (2, "copy right footer delta epsilon zeta"),
+        (3, "eta theta iota"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in chunk_boilerplate_filter(df, chunk_words=3, min_df=2).collect()
+    }
+    assert out[1].cleaned_text == "alpha beta gamma"
+    assert out[2].cleaned_text == "delta epsilon zeta"
+    assert (out[1].n_chunks_kept, out[1].n_chunks_removed) == (1, 1)
+    assert out[3].cleaned_text == "eta theta iota" and out[3].n_chunks_removed == 0
+
+
+def test_boilerplate_filter_within_doc_repeats_survive(spark):
+    from chatdata_spark.operators.chunks import chunk_boilerplate_filter
+
+    # Chunk repeated 3x in ONE doc: df=1 (document frequency, not
+    # occurrence count) -> every copy survives, order preserved.
+    rows = [(1, "spam ham eggs spam ham eggs spam ham eggs"), (2, "plain other words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in chunk_boilerplate_filter(df, chunk_words=3, min_df=2).collect()}
+    assert out[1].cleaned_text == "spam ham eggs spam ham eggs spam ham eggs"
+    assert out[1].n_chunks_removed == 0
+
+
+def test_boilerplate_filter_fully_removed_doc_stays_total(spark):
+    from chatdata_spark.operators.chunks import chunk_boilerplate_filter
+
+    rows = [(1, "all shared text"), (2, "all shared text"), (3, "unique words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in chunk_boilerplate_filter(df, chunk_words=3, min_df=2).collect()}
+    assert set(out) == {1, 2, 3}  # output total over input docs
+    assert out[1].cleaned_text == "" and out[1].n_chunks_kept == 0
+    assert out[2].cleaned_text == "" and out[3].n_chunks_kept == 1
+
+
+def test_boilerplate_filter_single_window_shuffle(spark):
+    from chatdata_spark.operators.chunks import chunk_boilerplate_filter
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "d e f")], "doc_id long, text string")
+    plan = chunk_boilerplate_filter(df, chunk_words=3)._jdf.queryExecution().executedPlan().toString()
+    # dense_rank and max share ONE digest-keyed exchange; reassembly adds
+    # the doc-id agg exchange; createDataFrame contributes no shuffle.
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan

@@ -1050,3 +1050,69 @@ def kmeans_embedding_clusters(spark, sf_dir):
 
     emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return kmeans_fixed_point(emb, "vec_id", "embedding", k=8, n_iter=4).orderBy("vec_id")
+
+
+def _cluster_sample_expected() -> str:
+    """Lazy oracle for cluster_balanced_sample: cluster assignments come
+    from the SAME exact fixed-point replay the kmeans oracle uses
+    (operators/kmeans.py::kmeans_replay — bit-deterministic), embedded as
+    VALUES; the per-cluster quota ranking itself is computed IN SQL from
+    DuckDB's own md5, so the sampling half of the query is verified by a
+    fully independent engine-side evaluation."""
+    import duckdb
+
+    from chatdata_spark.operators.kmeans import kmeans_replay
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{_oracle_sf_dir()}/embeddings.parquet') "
+        "WHERE embedding IS NOT NULL ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    clusters, _ = kmeans_replay(ids, [r[1] for r in rows], k=8, n_iter=4)
+    vals = ", ".join(
+        f"(CAST({i} AS BIGINT), CAST({int(c)} AS INT))" for i, c in zip(ids, clusters)
+    )
+    return f"""
+    WITH a AS (SELECT * FROM (VALUES {vals}) AS t(vec_id, cluster_id)),
+    r AS (
+        SELECT cluster_id, vec_id,
+               row_number() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY CAST(('0x' || substr(md5('cbs' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                            vec_id
+               ) AS rk
+        FROM a
+    )
+    SELECT cluster_id, vec_id, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 25 ORDER BY cluster_id, rk
+    """
+
+
+@query("cluster_balanced_sample", oracle=_cluster_sample_expected)
+def cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced data selection: k-means the embedding corpus
+    (operators/kmeans.py, bit-deterministic), then take a fixed
+    per-cluster quota in deterministic md5-hash order — the
+    diversity-preserving sampling step of SemDeDup-style pipelines (equal
+    quotas flatten the cluster-size skew a uniform sample would inherit).
+    Scale shape: the quota is ONE row_number window per cluster over the
+    already cluster-keyed assignment (no join, no global sort); quotas are
+    engine-reproducible because the rank key is md5, not an RNG. The
+    oracle embeds the exact replay's assignments and re-derives the
+    quota ranking in DuckDB SQL."""
+    from chatdata_spark.operators.dedup import _spread
+    from chatdata_spark.operators.kmeans import kmeans_fixed_point
+    from chatdata_spark.operators.sampling import hash_bucket
+    from pyspark.sql import Window
+
+    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    assigned = kmeans_fixed_point(emb, "vec_id", "embedding", k=8, n_iter=4)
+    win = Window.partitionBy("cluster_id").orderBy(
+        hash_bucket("vec_id", "cbs").asc(), F.col("vec_id").asc()
+    )
+    return (
+        assigned.withColumn("rk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rk") <= 25)
+        .select("cluster_id", "vec_id", "rk")
+        .orderBy("cluster_id", "rk")
+    )

@@ -61,6 +61,21 @@ def chunk_dedup(
     )
 
 
+def _reassembled_text(chunk_struct):
+    """array_join of ``chunk_text`` in ``chunk_idx`` order from a
+    collect_list input expression; NULL-masked entries are skipped by
+    collect_list, so callers pass either the bare struct or a
+    ``F.when(keep, struct)`` mask. Shared by both reassembly operators so
+    ordering/null fixes apply once."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(chunk_struct)),
+            lambda s: s["chunk_text"],
+        ),
+        " ",
+    )
+
+
 def chunk_boilerplate_filter(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -101,16 +116,8 @@ def chunk_boilerplate_filter(
         .agg(
             F.sum(keep.cast("int")).cast("int").alias("n_chunks_kept"),
             F.sum((~keep).cast("int")).cast("int").alias("n_chunks_removed"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(keep, F.struct(F.col("chunk_idx"), F.col("chunk_text")))
-                        )
-                    ),
-                    lambda s: s["chunk_text"],
-                ),
-                " ",
+            _reassembled_text(
+                F.when(keep, F.struct(F.col("chunk_idx"), F.col("chunk_text")))
             ).alias("cleaned_text"),
         )
     )
@@ -131,14 +138,8 @@ def chunk_dedup_reassemble(
         kept.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_chunks_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("chunk_idx"), F.col("chunk_text")))
-                    ),
-                    lambda s: s["chunk_text"],
-                ),
-                " ",
+            _reassembled_text(
+                F.struct(F.col("chunk_idx"), F.col("chunk_text"))
             ).alias("cleaned_text"),
         )
     )

@@ -64,6 +64,19 @@ QSCALE = 1 << QBITS
 
 _QUANT_UDFS: dict[int, object] = {}
 _ASSIGN_UDFS: dict[tuple, object] = {}
+# Intermediate-round centroids make single-use-per-trajectory entries;
+# bound the memo so clustering many datasets in one long-lived driver
+# can't grow it without limit (dict preserves insertion order -> FIFO).
+_ASSIGN_UDFS_MAX = 256
+
+
+def _overflow_bound(d: int) -> int:
+    """Max |quantized value| that keeps every distance term exact:
+    dist2 = q.q - 2 q.c + c.c is at most 4*d*M^2, which must stay below
+    2^63 — so M <= sqrt(2^61 / d). At QBITS=20 and d=64 this allows
+    raw values up to ~160, far beyond any real embedding; violations
+    raise rather than silently wrap (numpy int64 does not trap)."""
+    return int((float(2**61) / max(d, 1)) ** 0.5)
 
 
 def _quant_udf(qbits: int):
@@ -75,6 +88,12 @@ def _quant_udf(qbits: int):
         def _quantize(vecs: pd.Series) -> pd.Series:
             x = np.vstack(vecs.to_numpy()).astype(np.float64)  # exact from float32
             q = np.floor(x * scale).astype(np.int64)
+            bound = int((float(2**61) / max(q.shape[1], 1)) ** 0.5)
+            if len(q) and int(np.abs(q).max()) > bound:
+                raise ValueError(
+                    f"quantized magnitude {int(np.abs(q).max())} exceeds the "
+                    f"int64-exact distance bound {bound} for dim {q.shape[1]}"
+                )
             return pd.Series(list(q))
 
         _QUANT_UDFS[key] = _quantize
@@ -83,10 +102,13 @@ def _quant_udf(qbits: int):
 
 def _assign_udf(cents: np.ndarray, with_dist: bool):
     """Nearest-centroid assignment for a captured (k, d) int64 centroid
-    matrix. Memoized on the centroid bytes so identical plans stay
+    matrix. Memoized on (shape, bytes) — bytes alone would collide e.g.
+    a 4x8 with a 2x16 zero matrix — so identical plans stay
     CacheManager-equal across repeated invocations."""
-    key = (cents.tobytes(), with_dist)
+    key = (cents.shape, cents.tobytes(), with_dist)
     if key not in _ASSIGN_UDFS:
+        while len(_ASSIGN_UDFS) >= _ASSIGN_UDFS_MAX:
+            _ASSIGN_UDFS.pop(next(iter(_ASSIGN_UDFS)))
         c = cents.copy()  # (k, d) int64
         cc = (c * c).sum(axis=1)  # (k,) int64 — exact
 
@@ -176,9 +198,17 @@ def kmeans_fixed_point(
 def kmeans_replay(ids, vecs, k: int = 8, n_iter: int = 4):
     """Single-node numpy replay of the EXACT fixed-point recurrence — the
     independent oracle for the distributed path. ``ids`` must be sorted
-    ascending (seed selection order). Returns (cluster_ids, dist2)."""
+    ascending (seed selection order — checked). Returns
+    (cluster_ids, dist2) in ``ids`` order."""
+    ids = list(ids)
+    if ids != sorted(ids):
+        raise ValueError("kmeans_replay requires ids sorted ascending (seed order)")
     x = np.asarray(vecs, dtype=np.float64)
     q = np.floor(x * float(QSCALE)).astype(np.int64)
+    if len(ids) != len(q):
+        raise ValueError("ids and vecs length mismatch")
+    if q.size and int(np.abs(q).max()) > _overflow_bound(q.shape[1]):
+        raise ValueError("quantized magnitude exceeds the int64-exact distance bound")
     cents = q[:k].copy()
 
     def d2_matrix(c):

@@ -460,7 +460,12 @@ def decontam_docs_bloom(spark, sf_dir):
     d AS (
         SELECT chunk_text, count(DISTINCT doc_id) AS df FROM c GROUP BY chunk_text
     ),
-    f AS (SELECT c.doc_id, c.chunk_idx, c.chunk_text, d.df FROM c JOIN d USING (chunk_text))
+    -- IS NOT DISTINCT FROM: a NULL-text doc yields a NULL chunk on both
+    -- engines (Spark's window groups NULL digests, DuckDB's GROUP BY
+    -- groups NULL chunk_text); a plain equi-join would drop those rows
+    -- and break the 'total over input documents' contract.
+    f AS (SELECT c.doc_id, c.chunk_idx, c.chunk_text, d.df
+          FROM c JOIN d ON c.chunk_text IS NOT DISTINCT FROM d.chunk_text)
     SELECT doc_id,
            CAST(sum(CASE WHEN df < 2 THEN 1 ELSE 0 END) AS INT) AS n_chunks_kept,
            CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS INT) AS n_chunks_removed,

@@ -295,3 +295,33 @@ def test_boilerplate_filter_single_window_shuffle(spark):
     # the doc-id agg exchange; createDataFrame contributes no shuffle.
     assert plan.count("Exchange") == 2, plan
     assert "Join" not in plan
+
+
+def test_boilerplate_oracle_null_text_parity(spark, tmp_path):
+    # A NULL-text doc yields one NULL chunk on both engines; the oracle's
+    # IS NOT DISTINCT FROM join must keep it (a plain equi-join drops NULL
+    # keys and breaks the total-over-input-docs contract). End-to-end:
+    # same parquet through the registry query AND its DuckDB oracle.
+    import duckdb
+
+    from chatdata_spark.registry import _REGISTRY, _load_all
+
+    _load_all()
+    rows = [(1, None), (2, "shared words here"), (3, "shared words here"), (4, None)]
+    sf = str(tmp_path / "nulltext")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    got = sorted(
+        (r.doc_id, r.n_chunks_kept, r.n_chunks_removed, r.cleaned_text)
+        for r in _REGISTRY["dedup_chunk_boilerplate"].fn(spark, sf).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    oracle = _REGISTRY["dedup_chunk_boilerplate"].oracle
+    exp = sorted(tuple(r) for r in con.execute(oracle).fetchall())
+    assert len(got) == len(exp) == 4  # NULL-text docs present on both sides
+    # the two NULL chunks share a digest group (df=2) -> removed on both
+    assert got == [tuple(e) for e in exp]

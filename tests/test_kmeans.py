@@ -103,3 +103,47 @@ def test_replay_tie_break_is_smallest_cluster(k, n_iter):
     vecs = np.tile(np.linspace(-1, 1, 6, dtype=np.float32), (k + 3, 1))
     a, d = kmeans_replay(list(range(k + 3)), vecs, k=k, n_iter=n_iter)
     assert set(a) == {0} and set(d) == {0}
+
+
+def test_assign_udf_key_includes_shape():
+    from chatdata_spark.operators.kmeans import _assign_udf
+
+    z48 = np.zeros((4, 8), dtype=np.int64)
+    z216 = np.zeros((2, 16), dtype=np.int64)
+    assert z48.tobytes() == z216.tobytes()  # the collision the key must split
+    assert _assign_udf(z48, False) is not _assign_udf(z216, False)
+
+
+def test_assign_udf_cache_bounded():
+    from chatdata_spark.operators import kmeans as km
+
+    before = dict(km._ASSIGN_UDFS)
+    try:
+        km._ASSIGN_UDFS.clear()
+        for i in range(km._ASSIGN_UDFS_MAX + 10):
+            km._assign_udf(np.full((2, 2), i, dtype=np.int64), False)
+        assert len(km._ASSIGN_UDFS) <= km._ASSIGN_UDFS_MAX
+    finally:
+        km._ASSIGN_UDFS.clear()
+        km._ASSIGN_UDFS.update(before)
+
+
+def test_replay_rejects_unsorted_ids_and_overflow():
+    import pytest as _pytest
+
+    vecs = np.ones((4, 4), dtype=np.float32)
+    with _pytest.raises(ValueError, match="sorted"):
+        kmeans_replay([2, 1, 3, 4], vecs, k=2, n_iter=1)
+    big = np.full((4, 4), 1.0e9, dtype=np.float32)  # quantizes past the bound
+    with _pytest.raises(ValueError, match="bound"):
+        kmeans_replay([1, 2, 3, 4], big, k=2, n_iter=1)
+
+
+def test_quantize_udf_rejects_overflow_magnitude(spark):
+    from chatdata_spark.operators.kmeans import quantize_vectors
+
+    df = spark.createDataFrame([(0, [1.0e9] * 4)], "id long, vec array<float>")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="bound"):
+        quantize_vectors(df, "vec").collect()

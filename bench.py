@@ -83,6 +83,7 @@ HEADLINE = [
     "pmi_phrase_mining",        # PMI collocations over the persisted token frame
     "decontam_docs_bloom",      # bloom-funnel decontamination (scan-stage bitmask)
     "graph_random_walks",       # DeepWalk corpus: per-hop frontier equi-joins
+    "source_overlap_kmv",       # KMV sketch overlap matrix (one distinct shuffle)
 ]
 # NOTE: no bpe_learn_merges, graph_pagerank_transactions,
 # graph_trustrank_suppliers, or kmeans_embedding_clusters bench entry,

@@ -699,3 +699,81 @@ def pmi_phrase_mining(spark, sf_dir):
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return pmi_top_bigrams(d, "text", min_count=5, k=30)
+
+
+@query(
+    "source_overlap_kmv",
+    oracle=r"""
+    WITH w AS (
+        SELECT source, regexp_split_to_array(lower(text), '\s+') AS w FROM documents
+    ),
+    g AS (
+        SELECT source, array_to_string(w[i:i+2], ' ') AS gram
+        FROM (SELECT source, w, unnest(generate_series(1, len(w) - 2)) AS i FROM w)
+    ),
+    h AS (
+        SELECT DISTINCT source,
+               CAST(('0x' || substr(md5('kmv' || gram), 1, 8)) AS BIGINT) AS h
+        FROM g
+    ),
+    r AS (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM h
+    ),
+    s AS (
+        SELECT source, list_sort(list(h)) AS sk, any_value(n) AS n
+        FROM r WHERE rn <= 64 GROUP BY source
+    ),
+    p AS (
+        SELECT a.source AS group_a, b.source AS group_b,
+               a.sk AS ska, b.sk AS skb,
+               (a.n >= 64 OR b.n >= 64) AS sat
+        FROM s a JOIN s b ON a.source < b.source
+    ),
+    f AS (
+        SELECT group_a, group_b, sat, ska, skb,
+               list_sort(list_distinct(ska || skb))[1:64] AS merged,
+               len(list_distinct(ska || skb)) AS ulen
+        FROM p
+    )
+    SELECT group_a, group_b,
+      ROUND(CASE WHEN sat THEN 63.0 / (CAST(merged[64] AS DOUBLE) / 4294967296.0)
+                 ELSE CAST(ulen AS DOUBLE) END, 6) AS est_union,
+      ROUND(CASE WHEN sat
+                 THEN CAST(len(list_intersect(list_intersect(merged, ska), skb)) AS DOUBLE) / 64.0
+                 ELSE CAST(len(list_intersect(ska, skb)) AS DOUBLE) / CAST(ulen AS DOUBLE) END,
+            6) AS est_jaccard,
+      ROUND(CASE WHEN sat
+                 THEN (CAST(len(list_intersect(list_intersect(merged, ska), skb)) AS DOUBLE) / 64.0)
+                      * (63.0 / (CAST(merged[64] AS DOUBLE) / 4294967296.0))
+                 ELSE CAST(len(list_intersect(ska, skb)) AS DOUBLE) END, 6) AS est_intersection
+    FROM f ORDER BY group_a, group_b
+    """,
+)
+def source_overlap_kmv(spark, sf_dir):
+    """Pairwise source-overlap matrix from KMV distinct sketches
+    (operators/kmv.py): 3-word shingles per source -> k=64 smallest
+    md5-bucket hashes per source -> union / Jaccard / intersection
+    estimates for every source pair, exact when a pair is unsaturated.
+    The corpus-card redundancy matrix WITHOUT an all-pairs element join:
+    one (source, hash) distinct shuffle + one bounded window, then s-row
+    pairwise math. Every estimate is a deterministic function of the data
+    (md5 order, fixed-operand float64, round 6), so the DuckDB oracle
+    recomputes the sketches and estimates exactly."""
+    from chatdata_spark.operators.dedup import _spread
+    from chatdata_spark.operators.kmv import kmv_pairwise_overlap, kmv_sketch_by_group
+
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet").select("source", "text"))
+    prep = d.select("source", F.split(F.lower(F.col("text")), r"\s+").alias("__w"))
+    grams = F.when(
+        F.size("__w") >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__w") - 3),
+            lambda i: F.array_join(F.slice(F.col("__w"), i + 1, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    elems = prep.select("source", F.explode(grams).alias("gram"))
+    sk = kmv_sketch_by_group(elems, "source", "gram", k=64)
+    return kmv_pairwise_overlap(sk, "source", k=64).orderBy("group_a", "group_b")

@@ -73,13 +73,14 @@ def test_tail_is_deliberate():
     # decontam_docs_bloom + graph_trustrank_suppliers +
     # graph_random_walks + graph_skipgram_pairs, then 188→190 for
     # dedup_jaccard_prefix (PPJoin prefix filtering) + ann_ivfpq_search
-    # (IVF-PQ composed index), then 190→193 for kmeans_embedding_clusters
+    # (IVF-PQ composed index), then 190→194 for kmeans_embedding_clusters
     # (fixed-point Lloyd's) + dedup_chunk_boilerplate (document-frequency
     # boilerplate removal) + cluster_balanced_sample (per-cluster quota
-    # diversity sampling) — a r7 addition raises this deliberately,
-    # in the same commit that registers the query.
+    # diversity sampling) + source_overlap_kmv (KMV overlap matrix) — a
+    # r7 addition raises this deliberately, in the same commit that
+    # registers the query.
     names = list(queries())
-    assert len(names) <= 193
+    assert len(names) <= 194
 
 
 def test_coverage_window_column_consistent():

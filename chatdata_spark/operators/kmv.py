@@ -43,7 +43,7 @@ Scale shape (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from chatdata_spark.operators.sampling import BUCKETS, hash_bucket
@@ -58,7 +58,11 @@ def kmv_sketch_by_group(
 ) -> DataFrame:
     """Per-group KMV sketch: ``(group_col, sketch array<bigint> — the k
     smallest distinct md5-bucket hashes ascending, n_distinct bigint —
-    the EXACT per-group distinct count, carried for exact-mode pairs)``."""
+    the exact count of DISTINCT 32-BIT HASH VALUES in the group (an
+    undercount of distinct elements once cardinality approaches 2^16,
+    by birthday collision — it exists to gate exact-vs-estimate mode,
+    not as a cardinality statistic), sketch_k int — the build k, carried
+    so the pairwise stage derives its truncation point from the data)``."""
     hashed = df.select(
         F.col(group_col), hash_bucket(F.col(elem_col), salt).alias("__h")
     ).distinct()
@@ -75,52 +79,109 @@ def kmv_sketch_by_group(
         .agg(
             F.array_sort(F.collect_list("__h")).alias("sketch"),
             F.first("__n").alias("n_distinct"),
+            F.lit(k).cast("int").alias("sketch_k"),
         )
     )
 
 
-def _estimates(a_sk: Column, b_sk: Column, saturated: Column, k: int) -> dict[str, Column]:
-    """The three overlap estimates for one sketch pair. Operand order is
-    FIXED and mirrored verbatim by the SQL oracle (queries/text.py)."""
-    merged_all = F.array_sort(F.array_union(a_sk, b_sk))
-    # saturated: estimate from the k smallest of the union; else exact sets
-    merged = F.slice(merged_all, 1, k)
-    # try_element_at: in exact mode merged is shorter than k and ANSI
-    # element_at would throw even in the untaken CASE branch (CLAUDE.md)
-    kth = F.try_element_at(merged, F.lit(k)).cast("double") / F.lit(float(BUCKETS))
-    union_est = F.lit(float(k - 1)) / kth
-    shared = F.size(F.array_intersect(F.array_intersect(merged, a_sk), b_sk))
-    j_est = shared.cast("double") / F.lit(float(k))
-    union_exact = F.size(merged_all).cast("double")
-    inter_exact = F.size(F.array_intersect(a_sk, b_sk)).cast("double")
-    j_exact = inter_exact / union_exact
-    return {
-        "est_union": F.round(F.when(saturated, union_est).otherwise(union_exact), 6),
-        "est_jaccard": F.round(F.when(saturated, j_est).otherwise(j_exact), 6),
-        "est_intersection": F.round(
-            F.when(saturated, j_est * union_est).otherwise(inter_exact), 6
-        ),
-    }
-
-
-def kmv_pairwise_overlap(sketches: DataFrame, group_col: str, k: int = 64) -> DataFrame:
+def kmv_pairwise_overlap(sketches: DataFrame, group_col: str) -> DataFrame:
     """All group pairs (a < b) with their overlap estimates:
     ``(group_a, group_b, est_union, est_jaccard, est_intersection)``.
-    The join is an s-row broadcast nested loop (s = #groups) — the
-    pairwise math never touches the corpus."""
+
+    The sketch table is PERSISTED before the self-join (s rows — without
+    it both branches would re-run the corpus-sized sketch pipeline; only
+    exchanges are deduplicated by ReuseExchange), and the join is an s-row
+    broadcast nested loop — the pairwise math never touches the corpus.
+
+    The effective k per pair is ``least(sketch_k_a, sketch_k_b)`` (the
+    theta-sketch merge rule — sketches built at different k combine
+    correctly at the smaller truncation point), a pair is estimate-mode
+    only when a side has MORE distinct hashes than that k (at exactly k
+    the sketch IS the set and the answer is exact), and the k-th value
+    maps to (0, 1] via (h + 1) / 2^32 (the sampling.py convention).
+    Every sub-expression is materialized once per layered select —
+    the CASE chain below would otherwise re-evaluate the sort/union/
+    intersect arrays per output column (CLAUDE.md inlining rule)."""
+    sketches = sketches.persist()
     a = sketches.select(
         F.col(group_col).alias("group_a"),
         F.col("sketch").alias("__ska"),
         F.col("n_distinct").alias("__na"),
+        F.col("sketch_k").alias("__kka"),
     )
     b = sketches.select(
         F.col(group_col).alias("group_b"),
         F.col("sketch").alias("__skb"),
         F.col("n_distinct").alias("__nb"),
+        F.col("sketch_k").alias("__kkb"),
     )
     pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
-    saturated = (F.col("__na") >= k) | (F.col("__nb") >= k)
-    ests = _estimates(F.col("__ska"), F.col("__skb"), saturated, k)
-    return pairs.select(
-        "group_a", "group_b", *[expr.alias(name) for name, expr in ests.items()]
+    s1 = pairs.select(
+        "group_a",
+        "group_b",
+        "__ska",
+        "__skb",
+        F.least("__kka", "__kkb").alias("__k"),
+        F.array_sort(F.array_union("__ska", "__skb")).alias("__merged_all"),
+        "__na",
+        "__nb",
+    )
+    s2 = s1.select(
+        "group_a",
+        "group_b",
+        "__ska",
+        "__skb",
+        "__k",
+        ((F.col("__na") > F.col("__k")) | (F.col("__nb") > F.col("__k"))).alias("__sat"),
+        F.slice("__merged_all", F.lit(1), F.col("__k")).alias("__merged"),
+        F.size("__merged_all").alias("__ulen"),
+    )
+    s3 = s2.select(
+        "group_a",
+        "group_b",
+        "__k",
+        "__sat",
+        "__ulen",
+        # try_element_at: in exact mode merged is shorter than k and ANSI
+        # element_at would throw even in the untaken CASE branch (CLAUDE.md);
+        # (h + 1) / 2^32 maps the k-th hash to (0, 1]
+        (
+            (F.try_element_at("__merged", F.col("__k")) + F.lit(1)).cast("double")
+            / F.lit(float(BUCKETS))
+        ).alias("__rk"),
+        F.size(
+            F.array_intersect(F.array_intersect("__merged", "__ska"), F.col("__skb"))
+        ).alias("__shared"),
+        F.size(F.array_intersect("__ska", "__skb")).alias("__inter_exact"),
+    )
+    s4 = s3.select(
+        "group_a",
+        "group_b",
+        "__sat",
+        "__ulen",
+        "__inter_exact",
+        ((F.col("__k") - F.lit(1)).cast("double") / F.col("__rk")).alias("__union_est"),
+        (F.col("__shared").cast("double") / F.col("__k").cast("double")).alias("__j_est"),
+    )
+    return s4.select(
+        "group_a",
+        "group_b",
+        F.round(
+            F.when(F.col("__sat"), F.col("__union_est")).otherwise(
+                F.col("__ulen").cast("double")
+            ),
+            6,
+        ).alias("est_union"),
+        F.round(
+            F.when(F.col("__sat"), F.col("__j_est")).otherwise(
+                F.col("__inter_exact").cast("double") / F.col("__ulen").cast("double")
+            ),
+            6,
+        ).alias("est_jaccard"),
+        F.round(
+            F.when(F.col("__sat"), F.col("__j_est") * F.col("__union_est")).otherwise(
+                F.col("__inter_exact").cast("double")
+            ),
+            6,
+        ).alias("est_intersection"),
     )

@@ -708,8 +708,13 @@ def pmi_phrase_mining(spark, sf_dir):
         SELECT source, regexp_split_to_array(lower(text), '\s+') AS w FROM documents
     ),
     g AS (
+        -- floor-1 series: a document with < 3 words contributes one
+        -- whole-text shingle (the repo short-text convention,
+        -- operators/dedup.py::shingles_col / decontam.py docstring)
         SELECT source, array_to_string(w[i:i+2], ' ') AS gram
-        FROM (SELECT source, w, unnest(generate_series(1, len(w) - 2)) AS i FROM w)
+        FROM (SELECT source, w,
+                     unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+              FROM w)
     ),
     h AS (
         SELECT DISTINCT source,
@@ -727,9 +732,10 @@ def pmi_phrase_mining(spark, sf_dir):
         FROM r WHERE rn <= 64 GROUP BY source
     ),
     p AS (
+        -- strict >: at exactly k distinct hashes the sketch IS the set
         SELECT a.source AS group_a, b.source AS group_b,
                a.sk AS ska, b.sk AS skb,
-               (a.n >= 64 OR b.n >= 64) AS sat
+               (a.n > 64 OR b.n > 64) AS sat
         FROM s a JOIN s b ON a.source < b.source
     ),
     f AS (
@@ -739,7 +745,7 @@ def pmi_phrase_mining(spark, sf_dir):
         FROM p
     )
     SELECT group_a, group_b,
-      ROUND(CASE WHEN sat THEN 63.0 / (CAST(merged[64] AS DOUBLE) / 4294967296.0)
+      ROUND(CASE WHEN sat THEN 63.0 / (CAST(merged[64] + 1 AS DOUBLE) / 4294967296.0)
                  ELSE CAST(ulen AS DOUBLE) END, 6) AS est_union,
       ROUND(CASE WHEN sat
                  THEN CAST(len(list_intersect(list_intersect(merged, ska), skb)) AS DOUBLE) / 64.0
@@ -747,14 +753,15 @@ def pmi_phrase_mining(spark, sf_dir):
             6) AS est_jaccard,
       ROUND(CASE WHEN sat
                  THEN (CAST(len(list_intersect(list_intersect(merged, ska), skb)) AS DOUBLE) / 64.0)
-                      * (63.0 / (CAST(merged[64] AS DOUBLE) / 4294967296.0))
+                      * (63.0 / (CAST(merged[64] + 1 AS DOUBLE) / 4294967296.0))
                  ELSE CAST(len(list_intersect(ska, skb)) AS DOUBLE) END, 6) AS est_intersection
     FROM f ORDER BY group_a, group_b
     """,
 )
 def source_overlap_kmv(spark, sf_dir):
     """Pairwise source-overlap matrix from KMV distinct sketches
-    (operators/kmv.py): 3-word shingles per source -> k=64 smallest
+    (operators/kmv.py): 3-word shingles per source (short docs contribute
+    one whole-text shingle, the repo convention) -> k=64 smallest
     md5-bucket hashes per source -> union / Jaccard / intersection
     estimates for every source pair, exact when a pair is unsaturated.
     The corpus-card redundancy matrix WITHOUT an all-pairs element join:
@@ -765,15 +772,12 @@ def source_overlap_kmv(spark, sf_dir):
     from chatdata_spark.operators.dedup import _spread
     from chatdata_spark.operators.kmv import kmv_pairwise_overlap, kmv_sketch_by_group
 
+    from chatdata_spark.operators.dedup import words_col, shingles_col
+
     d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet").select("source", "text"))
-    prep = d.select("source", F.split(F.lower(F.col("text")), r"\s+").alias("__w"))
-    grams = F.when(
-        F.size("__w") >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size("__w") - 3),
-            lambda i: F.array_join(F.slice(F.col("__w"), i + 1, 3), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    elems = prep.select("source", F.explode(grams).alias("gram"))
+    # layered select: __w is referenced multiple times inside shingles_col's
+    # lambda — materializing it blocks CollapseProject (CLAUDE.md)
+    prep = d.select("source", words_col("text").alias("__w"))
+    elems = prep.select("source", F.explode(shingles_col("__w", 3)).alias("gram"))
     sk = kmv_sketch_by_group(elems, "source", "gram", k=64)
-    return kmv_pairwise_overlap(sk, "source", k=64).orderBy("group_a", "group_b")
+    return kmv_pairwise_overlap(sk, "source").orderBy("group_a", "group_b")

@@ -23,7 +23,7 @@ def _overlap_df(spark, n_a, n_b, n_shared):
 
 def _pair(spark, n_a, n_b, n_shared, k):
     sk = kmv_sketch_by_group(_overlap_df(spark, n_a, n_b, n_shared), "g", "e", k=k)
-    return kmv_pairwise_overlap(sk, "g", k=k).collect()[0]
+    return kmv_pairwise_overlap(sk, "g").collect()[0]
 
 
 def test_exact_mode_below_k(spark):
@@ -78,7 +78,7 @@ def test_sketch_bounded_and_sorted(spark):
 
 def test_pairwise_is_broadcast_not_cartesian(spark):
     sk = kmv_sketch_by_group(_overlap_df(spark, 100, 100, 50), "g", "e", k=16)
-    plan = kmv_pairwise_overlap(sk, "g", k=16)._jdf.queryExecution().executedPlan().toString()
+    plan = kmv_pairwise_overlap(sk, "g")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
 
@@ -90,3 +90,43 @@ def test_sketch_single_window_exchange(spark):
     # one on (g, h); the final groupBy reuses the window partitioning or
     # adds at most one more — the corpus never shuffles twice.
     assert plan.count("Exchange") <= 3
+
+
+def test_exactly_k_distinct_is_exact_mode(spark):
+    # n == k on both sides: the sketch IS the set; strict > gating must
+    # return exact arithmetic, not the estimator.
+    r = _pair(spark, 64, 64, 16, k=64)
+    assert r.est_union == 112.0
+    assert r.est_intersection == 16.0
+    assert r.est_jaccard == round(16 / 112, 6)
+
+
+def test_mixed_k_sketches_combine_at_min_k(spark):
+    # theta-sketch merge rule: pairwise k = least(k_a, k_b); a k=64 sketch
+    # paired with a k=16 sketch behaves like a k=16 pair (no NULLs, no
+    # silent mis-truncation).
+    df = _overlap_df(spark, 500, 500, 250)
+    a16 = kmv_sketch_by_group(df.filter("g = 'a'"), "g", "e", k=16)
+    b64 = kmv_sketch_by_group(df.filter("g = 'b'"), "g", "e", k=64)
+    r = kmv_pairwise_overlap(a16.unionByName(b64), "g").collect()[0]
+    assert r.est_union is not None and r.est_union > 0
+    assert 0.0 <= r.est_jaccard <= 1.0
+    # same-data all-k=16 pair must agree exactly (identical truncation)
+    r16 = kmv_pairwise_overlap(
+        kmv_sketch_by_group(df, "g", "e", k=16), "g"
+    ).collect()[0]
+    assert (r.est_union, r.est_jaccard, r.est_intersection) == (
+        r16.est_union,
+        r16.est_jaccard,
+        r16.est_intersection,
+    )
+
+
+def test_sketch_pipeline_not_recomputed_by_self_join(spark):
+    # kmv_pairwise_overlap persists the s-row sketch table; the self-join
+    # must read the cached relation on both sides, not re-run the window
+    # pipeline twice.
+    sk = kmv_sketch_by_group(_overlap_df(spark, 200, 200, 100), "g", "e", k=16)
+    out = kmv_pairwise_overlap(sk, "g")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2

@@ -130,3 +130,36 @@ def test_sketch_pipeline_not_recomputed_by_self_join(spark):
     out = kmv_pairwise_overlap(sk, "g")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 2
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    sets=st.lists(
+        st.sets(st.integers(min_value=0, max_value=400), min_size=1, max_size=50),
+        min_size=2,
+        max_size=4,
+    )
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_exact_mode_matches_brute_force_property(spark, sets):
+    # Every group under k=64 -> exact mode everywhere: the whole overlap
+    # matrix must equal brute-force set arithmetic for ANY input.
+    rows = [(f"g{gi}", f"e{e}") for gi, es in enumerate(sets) for e in es]
+    df = spark.createDataFrame(rows, "g string, e string")
+    sk = kmv_sketch_by_group(df, "g", "e", k=64)
+    got = {
+        (r.group_a, r.group_b): (r.est_union, r.est_jaccard, r.est_intersection)
+        for r in kmv_pairwise_overlap(sk, "g").collect()
+    }
+    for ai in range(len(sets)):
+        for bi in range(ai + 1, len(sets)):
+            a, b = sets[ai], sets[bi]
+            u, i = len(a | b), len(a & b)
+            assert got[(f"g{ai}", f"g{bi}")] == (
+                float(u),
+                round(i / u, 6),
+                float(i),
+            )

@@ -166,3 +166,56 @@ def multimodal_feature_knn(spark, sf_dir):
     media = docs_as_media(spark, sf_dir)
     feats = extract_features(media)
     return knn(feats, "features", [0.5] * 8, k=10, select=["media_id"], id_col="media_id")
+
+
+@query(
+    "ingest_csv_typed",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 19 = 0 THEN NULL ELSE doc_id % 7 END AS INT) AS qty,
+           CAST(doc_id % 100 AS DOUBLE) + 0.25 AS price,
+           source || ', ' || lang AS label,
+           CAST(doc_id % 19 = 0 AS INT) AS is_corrupt
+    FROM documents ORDER BY doc_id
+    """,
+)
+def ingest_csv_typed(spark, sf_dir):
+    """CSV ingest round-trip (sources/ingest.py::parse_csv_typed): build a
+    CSV line per document in-query (driver tables are read-only) — an
+    int field, a double field, and a QUOTED label containing a comma —
+    with every 19th row's int field deliberately non-numeric, then parse
+    with from_csv in PERMISSIVE mode. Verifies typed casting, RFC-4180
+    quote handling (the comma inside the label must survive), partial
+    extraction of parseable fields on bad rows, and corrupt-record
+    capture. The oracle recomputes the expected typed values directly
+    from the base table — an independent check of the parse, not a
+    reparse."""
+    from chatdata_spark.sources.ingest import parse_csv_typed
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qty_field = F.when(F.col("doc_id") % 19 == 0, F.lit("xx")).otherwise(
+        (F.col("doc_id") % 7).cast("string")
+    )
+    line = F.concat(
+        F.col("doc_id").cast("string"),
+        F.lit(","),
+        qty_field,
+        F.lit(","),
+        F.format_string("%d.25", (F.col("doc_id") % 100).cast("int")),
+        F.lit(',"'),
+        F.col("source"),
+        F.lit(", "),
+        F.col("lang"),
+        F.lit('"'),
+    )
+    raw = d.select(F.col("doc_id").alias("__orig_id"), line.alias("csv_line"))
+    parsed = parse_csv_typed(
+        raw, "csv_line", "doc_id long, qty int, price double, label string, _corrupt string"
+    )
+    return parsed.select(
+        "doc_id",
+        "qty",
+        "price",
+        "label",
+        F.col("_corrupt").isNotNull().cast("int").alias("is_corrupt"),
+    ).orderBy("doc_id")

@@ -209,3 +209,36 @@ def evolve_union(*dfs: DataFrame) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d, allowMissingColumns=True)
     return out
+
+
+def parse_csv_typed(
+    df: DataFrame,
+    csv_col: str,
+    schema: str,
+    corrupt_col: str = "_corrupt",
+) -> DataFrame:
+    """Typed CSV-line parsing with PERMISSIVE bad-record capture — the CSV
+    member of the ingest family (read_json_bulk / read_json_quarantine
+    cover JSON; the reference's upload pipeline accepts delimited files
+    through the same parse seam, app/backend/chat_bot/tools.py:13-50).
+
+    ``schema`` must include ``corrupt_col string``; rows whose fields fail
+    the typed cast land there verbatim (the quarantine convention of
+    read_json_quarantine) while parseable fields are still extracted.
+    Scan-stage JVM (``from_csv``) — no shuffle, no Python; the parsed
+    struct is materialized once in a layered select (CLAUDE.md inlining
+    rule) before its fields are read."""
+    import pyspark.sql.functions as F
+
+    parsed = df.select(
+        "*",
+        F.from_csv(
+            F.col(csv_col),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
+        ).alias("__parsed"),
+    )
+    field_names = [f.strip().split()[0] for f in schema.split(",")]
+    return parsed.select(
+        "*", *[F.col(f"__parsed.{n}").alias(n) for n in field_names]
+    ).drop("__parsed")

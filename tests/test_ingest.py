@@ -27,3 +27,26 @@ def test_evolve_union_by_name(spark):
     out = evolve_union(old, new)
     rows = {r["id"]: (r["text"], r["lang"]) for r in out.collect()}
     assert rows == {1: ("a", None), 2: ("b", "en")}
+
+
+def test_parse_csv_typed_quotes_types_and_quarantine(spark):
+    from chatdata_spark.sources.ingest import parse_csv_typed
+
+    rows = [
+        (1, '1,5,2.5,"a, b"'),        # quoted comma survives in label
+        (2, '2,xx,3.5,"c"'),          # bad int -> qty NULL, corrupt set
+        (3, '3,7,not_a_double,"d"'),  # bad double -> price NULL, corrupt set
+        (4, '4,,4.5,"e"'),            # empty int field -> NULL, NOT corrupt
+    ]
+    df = spark.createDataFrame(rows, "rid int, line string")
+    out = {
+        r.rid: r
+        for r in parse_csv_typed(
+            df, "line", "doc_id long, qty int, price double, label string, _corrupt string"
+        ).collect()
+    }
+    assert out[1].label == "a, b" and out[1].qty == 5 and out[1].price == 2.5
+    assert out[2].qty is None and out[2]._corrupt is not None
+    assert out[2].doc_id == 2  # parseable fields still extracted on bad rows
+    assert out[3].price is None and out[3]._corrupt is not None
+    assert out[4].qty is None and out[4]._corrupt is None

@@ -76,11 +76,12 @@ def test_tail_is_deliberate():
     # (IVF-PQ composed index), then 190→194 for kmeans_embedding_clusters
     # (fixed-point Lloyd's) + dedup_chunk_boilerplate (document-frequency
     # boilerplate removal) + cluster_balanced_sample (per-cluster quota
-    # diversity sampling) + source_overlap_kmv (KMV overlap matrix) — a
-    # r7 addition raises this deliberately, in the same commit that
-    # registers the query.
+    # diversity sampling) + source_overlap_kmv (KMV overlap matrix) +
+    # ingest_csv_typed (CSV typed parse + quarantine) — a r7 addition
+    # raises this deliberately, in the same commit that registers the
+    # query.
     names = list(queries())
-    assert len(names) <= 194
+    assert len(names) <= 195
 
 
 def test_coverage_window_column_consistent():

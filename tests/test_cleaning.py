@@ -325,3 +325,48 @@ def test_boilerplate_oracle_null_text_parity(spark, tmp_path):
     assert len(got) == len(exp) == 4  # NULL-text docs present on both sides
     # the two NULL chunks share a digest group (df=2) -> removed on both
     assert got == [tuple(e) for e in exp]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=9),
+        min_size=2,
+        max_size=6,
+    ),
+    min_df=st.integers(min_value=2, max_value=3),
+)
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_boilerplate_filter_matches_brute_force_property(spark, docs, min_df):
+    # Tiny vocabulary forces heavy cross-doc chunk collisions; compare the
+    # operator against a direct Python reimplementation of the policy.
+    from collections import Counter
+
+    from chatdata_spark.operators.chunks import chunk_boilerplate_filter
+
+    cw = 3
+    texts = [" ".join(ws) for ws in docs]
+
+    def chunks(words):
+        n = max((len(words) + cw - 1) // cw, 1)
+        return [" ".join(words[i * cw : (i + 1) * cw]) for i in range(n)]
+
+    df_count = Counter()
+    for ws in docs:
+        for c in set(chunks(ws)):
+            df_count[c] += 1
+    expected = {}
+    for i, ws in enumerate(docs):
+        kept = [c for c in chunks(ws) if df_count[c] < min_df]
+        removed = len(chunks(ws)) - len(kept)
+        expected[i] = (len(kept), removed, " ".join(kept))
+
+    sdf = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chunks_kept, r.n_chunks_removed, r.cleaned_text)
+        for r in chunk_boilerplate_filter(sdf, chunk_words=cw, min_df=min_df).collect()
+    }
+    assert got == expected

@@ -17,6 +17,18 @@ for the earliest-entry chain.)
 ``cohort_retention`` buckets each user by first-seen period and counts
 distinct returning users per (cohort, offset) — two aggregations, both
 decomposable.
+
+``sequence_match`` / ``sequence_count`` are the ``sequenceMatch`` /
+``sequenceCount`` members of the same ClickHouse family: each event maps
+to a single-character symbol, the per-user symbols are concatenated in
+(ts, tie_break) order, and the ClickHouse pattern ``(?1).*(?2)`` becomes
+an ordinary regex over symbols (``(?1)(?2)`` adjacency and ``[^x]*``
+exclusion gaps are expressible the same way — strictly more general than
+the chain-join funnel). Matching/counting is leftmost non-overlapping
+(Java and RE2 agree), which with lazy gaps (``.*?``) is exactly the
+greedy-earliest chain ClickHouse implements. Scale shape: ONE shuffle of
+(user, 1-byte symbol, ts) rows; per-user state is bounded by that user's
+event count — the same bound ClickHouse's native aggregate state carries.
 """
 
 from __future__ import annotations
@@ -57,6 +69,64 @@ def funnel_steps(
     for i in range(1, k + 1):
         step = F.when(F.col(f"t{i}").isNotNull(), i).otherwise(step)
     return stage.withColumn("step", step.cast("long"))
+
+
+def event_sequence(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    symbol: Column,
+    tie_break: str,
+) -> DataFrame:
+    """(user, seq): per-user event symbols concatenated in deterministic
+    (ts, tie_break) order. ``symbol`` must evaluate to a single character;
+    reserve one filler character (conventionally 'o') for events no
+    pattern references, so ``[^x]*`` gap classes stay meaningful."""
+    rows = events.select(
+        F.col(user_col),
+        F.col(ts_col).alias("__ts"),
+        F.col(tie_break).alias("__tb"),
+        symbol.alias("__sym"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("__ts", "__tb", "__sym")))
+    return rows.groupBy(user_col).agg(
+        F.array_join(F.transform(ordered, lambda x: x["__sym"]), "").alias("seq")
+    )
+
+
+def sequence_match(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    symbol: Column,
+    pattern: str,
+    tie_break: str,
+) -> DataFrame:
+    """(user, matched): does the user's ordered event-symbol string contain
+    a match of ``pattern`` (regex search, not full anchor)? The
+    sequenceMatch('(?1).*(?2)') equivalent is pattern '12' symbols with
+    '.*' gaps — e.g. 'c[^v]*p' = click then purchase with no view between."""
+    return event_sequence(events, user_col, ts_col, symbol, tie_break).select(
+        user_col, F.col("seq").rlike(pattern).alias("matched")
+    )
+
+
+def sequence_count(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    symbol: Column,
+    pattern: str,
+    tie_break: str,
+) -> DataFrame:
+    """(user, n_matches): leftmost non-overlapping match count of
+    ``pattern`` over the user's ordered symbol string — sequenceCount
+    semantics when gaps are written lazily ('v.*?p': each match closes at
+    the earliest completing event, then scanning resumes after it)."""
+    return event_sequence(events, user_col, ts_col, symbol, tie_break).select(
+        user_col,
+        F.regexp_count(F.col("seq"), F.lit(pattern)).cast("long").alias("n_matches"),
+    )
 
 
 def cohort_retention(

@@ -400,6 +400,79 @@ def cohort_retention_daily(spark, sf_dir):
     return cohort_retention(e, "user_id", "ts").orderBy("cohort_day", "offset_days")
 
 
+_SEQ_SYM_SQL = (
+    "CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' "
+    "WHEN 'purchase' THEN 'p' ELSE 'o' END"
+)
+
+
+def _seq_sym():
+    return (
+        F.when(F.col("event_type") == "view", F.lit("v"))
+        .when(F.col("event_type") == "click", F.lit("c"))
+        .when(F.col("event_type") == "purchase", F.lit("p"))
+        .otherwise(F.lit("o"))
+    )
+
+
+@query(
+    "sequence_match_click_to_purchase",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, string_agg({_SEQ_SYM_SQL}, '' ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT regexp_matches(s, 'c[^v]*p') AS matched, COUNT(*) AS n_users
+    FROM seq GROUP BY matched ORDER BY matched
+    """,
+)
+def sequence_match_click_to_purchase(spark, sf_dir):
+    """ClickHouse sequenceMatch parity (operators/funnel.py::sequence_match):
+    users with a click followed by a purchase with NO view in between —
+    the exclusion-gap pattern 'c[^v]*p' that windowFunnel's earliest-entry
+    chain cannot express. One (user, symbol) shuffle; the oracle builds
+    the same ordered symbol string with string_agg and RE2."""
+    from chatdata_spark.operators.funnel import sequence_match
+
+    e = load_events(spark, sf_dir)
+    m = sequence_match(e, "user_id", "ts", _seq_sym(), "c[^v]*p", tie_break="event_id")
+    return (
+        m.groupBy("matched").agg(F.count(F.lit(1)).alias("n_users")).orderBy("matched")
+    )
+
+
+@query(
+    "sequence_count_conversion_cycles",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, string_agg({_SEQ_SYM_SQL}, '' ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT user_id, CAST(length(regexp_extract_all(s, 'v.*?p')) AS BIGINT) AS n_cycles
+        FROM seq
+    )
+    SELECT n_cycles, COUNT(*) AS n_users FROM c GROUP BY n_cycles ORDER BY n_cycles
+    """,
+)
+def sequence_count_conversion_cycles(spark, sf_dir):
+    """ClickHouse sequenceCount parity (operators/funnel.py::sequence_count):
+    per-user count of non-overlapping view→purchase conversion cycles
+    (lazy gap 'v.*?p' = greedy-earliest chains), aggregated into a
+    cycles-per-user histogram. Java regexp_count and DuckDB RE2
+    regexp_extract_all both scan leftmost non-overlapping, so the counts
+    agree by construction."""
+    from chatdata_spark.operators.funnel import sequence_count
+
+    e = load_events(spark, sf_dir)
+    c = sequence_count(e, "user_id", "ts", _seq_sym(), "v.*?p", tie_break="event_id")
+    return (
+        c.groupBy(F.col("n_matches").alias("n_cycles"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("n_cycles")
+    )
+
+
 @query(
     "sliding_window_counts",
     oracle="""

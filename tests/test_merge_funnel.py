@@ -8,7 +8,13 @@ from datetime import datetime
 
 import pyspark.sql.functions as F
 
-from chatdata_spark.operators.funnel import cohort_retention, funnel_steps
+from chatdata_spark.operators.funnel import (
+    cohort_retention,
+    event_sequence,
+    funnel_steps,
+    sequence_count,
+    sequence_match,
+)
 from chatdata_spark.operators.upsert import merge_into
 
 
@@ -61,6 +67,61 @@ def test_funnel_order_and_window_rules(spark):
     conds = [F.col("event_type") == s for s in ("view", "click", "purchase")]
     got = {r.user_id: r.step for r in funnel_steps(e, "user_id", "ts", conds).collect()}
     assert got == {1: 3, 2: 1, 3: 2}
+
+
+def _sym():
+    return (
+        F.when(F.col("event_type") == "view", F.lit("v"))
+        .when(F.col("event_type") == "click", F.lit("c"))
+        .when(F.col("event_type") == "purchase", F.lit("p"))
+        .otherwise(F.lit("o"))
+    )
+
+
+def test_event_sequence_orders_by_ts_then_tiebreak(spark):
+    rows = [
+        # u1: same-ts tie broken by event_id (2 before 3)
+        (1, t(1), 1, "view"), (1, t(2), 3, "purchase"), (1, t(2), 2, "click"),
+        # u2: out-of-arrival-order timestamps sort correctly
+        (2, t(3), 5, "purchase"), (2, t(1), 4, "view"),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    got = {r.user_id: r.seq for r in
+           event_sequence(e, "user_id", "ts", _sym(), tie_break="event_id").collect()}
+    assert got == {1: "vcp", 2: "vp"}
+
+
+def test_sequence_match_exclusion_gap(spark):
+    rows = [
+        (1, t(1), 1, "click"), (1, t(2), 2, "purchase"),          # c..p, no view → match
+        (2, t(1), 3, "click"), (2, t(2), 4, "view"), (2, t(3), 5, "purchase"),  # view between
+        (3, t(1), 6, "view"), (3, t(2), 7, "purchase"),           # no click at all
+        # u4: first c..p pair has a view between, but a LATER clean pair exists
+        (4, t(1), 8, "click"), (4, t(2), 9, "view"), (4, t(3), 10, "purchase"),
+        (4, t(4), 11, "click"), (4, t(5), 12, "purchase"),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    got = {r.user_id: r.matched for r in
+           sequence_match(e, "user_id", "ts", _sym(), "c[^v]*p", tie_break="event_id").collect()}
+    assert got == {1: True, 2: False, 3: False, 4: True}
+
+
+def test_sequence_count_nonoverlapping_lazy(spark):
+    rows = [
+        # u1: v p v p → 2 cycles
+        (1, t(1), 1, "view"), (1, t(2), 2, "purchase"),
+        (1, t(3), 3, "view"), (1, t(4), 4, "purchase"),
+        # u2: v v p p → lazy leftmost consumes v..p once; second v already used,
+        # remaining "p" alone can't restart → 1 (greedy-earliest, non-overlapping)
+        (2, t(1), 5, "view"), (2, t(2), 6, "view"),
+        (2, t(3), 7, "purchase"), (2, t(4), 8, "purchase"),
+        # u3: p v → 0
+        (3, t(1), 9, "purchase"), (3, t(2), 10, "view"),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long, event_type string")
+    got = {r.user_id: r.n_matches for r in
+           sequence_count(e, "user_id", "ts", _sym(), "v.*?p", tie_break="event_id").collect()}
+    assert got == {1: 2, 2: 1, 3: 0}
 
 
 def test_cohort_retention_counts(spark):

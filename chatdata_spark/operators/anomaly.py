@@ -1,0 +1,106 @@
+"""Robust per-group outlier detection: median / MAD (median absolute
+deviation) flagging — the data-quality monitor for value columns where
+mean/stddev break under the very outliers being hunted (a handful of
+corrupt rows can move the mean arbitrarily; the median moves only past
+50% contamination).
+
+The reference's engine family exposes ``quantileExact``/``medianExact``
+aggregates this composes from (/root/reference runs on a ClickHouse-family
+engine; cited for capability parity, not code). Re-expressed Spark-first:
+
+- exact path: the explicit discrete-percentile formulation (rn ==
+  ceil(0.5·n) over a per-group sort — the same index math as
+  queries/analytics.py::percentile_disc_price_by_flag, so the oracle can
+  replicate it bit-for-bit). Two window sorts per group + two hash joins
+  of |groups|-row frames back onto the data. Right when groups are many
+  (per-key monitors) — each sort partition is one group's rows.
+- approx path (``exact=False``): ``percentile_approx`` for both median
+  and MAD — single-pass mergeable sketches, no per-group sort, the 100 TB
+  default when a few groups hold billions of rows. Same plan shape as any
+  partial-aggregate; flags may differ near the threshold boundary by the
+  sketch's rank error, which is the documented trade.
+
+Determinism (exact path): both medians are ACTUAL data elements (never
+interpolated arithmetic), deviations are ``abs(x - med)`` with identical
+operand order on both engines, and the flag threshold ``dev > k·mad``
+multiplies the same float64s — bit-identical cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _disc_median(
+    df: DataFrame, group_cols: list[str], value_col: str, tie_cols: list[str], out: str
+) -> DataFrame:
+    """(group_cols..., out): the discrete median (element at rank
+    ceil(n/2) in ascending order) per group."""
+    w = Window.partitionBy(*group_cols).orderBy(value_col, *tie_cols)
+    wn = Window.partitionBy(*group_cols)
+    ranked = df.select(
+        *group_cols,
+        value_col,
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    return ranked.filter(
+        F.col("__rn") == F.ceil(F.lit(0.5) * F.col("__n")).cast("long")
+    ).select(*group_cols, F.col(value_col).alias(out))
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tie_cols: list[str],
+    k: float = 3.0,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Input rows + (med, mad, is_outlier): is_outlier ⇔
+    ``abs(value - med) > k * mad`` within the row's group. Rows with NULL
+    ``value_col`` are dropped (a NULL deviation is a missing-value rule,
+    not an outlier — the data-quality report family owns those)."""
+    clean = df.filter(F.col(value_col).isNotNull())
+    if exact:
+        med = _disc_median(clean, group_cols, value_col, tie_cols, "med")
+        with_med = clean.join(med, group_cols)
+        dev = with_med.withColumn("__dev", F.abs(F.col(value_col) - F.col("med")))
+        mad = _disc_median(dev, group_cols, "__dev", tie_cols, "mad")
+        flagged = dev.join(mad, group_cols)
+    else:
+        med = clean.groupBy(*group_cols).agg(
+            F.percentile_approx(value_col, 0.5, accuracy).alias("med")
+        )
+        dev = clean.join(med, group_cols).withColumn(
+            "__dev", F.abs(F.col(value_col) - F.col("med"))
+        )
+        mad = dev.groupBy(*group_cols).agg(
+            F.percentile_approx("__dev", 0.5, accuracy).alias("mad")
+        )
+        flagged = dev.join(mad, group_cols)
+    return flagged.withColumn(
+        "is_outlier", F.col("__dev") > F.lit(float(k)) * F.col("mad")
+    ).drop("__dev")
+
+
+def mad_outlier_summary(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    tie_cols: list[str],
+    k: float = 3.0,
+    exact: bool = True,
+) -> DataFrame:
+    """(group_cols..., med, mad, n_outliers, n_rows): the per-group monitor
+    row — what a 100 TB pipeline materializes per partition/day to alert
+    on drift without retaining flagged rows."""
+    flagged = mad_outliers(df, group_cols, value_col, tie_cols, k=k, exact=exact)
+    return flagged.groupBy(*group_cols).agg(
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

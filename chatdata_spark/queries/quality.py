@@ -122,3 +122,57 @@ def profile_orders_stats(spark, sf_dir):
     return profile_table(
         o, ["o_custkey", "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"]
     )
+
+
+@query(
+    "anomaly_mad_event_values",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type,
+               MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN value END) AS med
+        FROM ranked GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.event_id, ABS(e.value - m.med) AS dv, m.med
+        FROM events e JOIN med m USING (event_type)
+        WHERE e.value IS NOT NULL
+    ),
+    r2 AS (
+        SELECT event_type, dv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type,
+               MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN dv END) AS mad
+        FROM r2 GROUP BY event_type
+    )
+    SELECT d.event_type, MAX(d.med) AS med, MAX(m.mad) AS mad,
+           CAST(SUM(CASE WHEN d.dv > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           COUNT(*) AS n_rows
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+)
+def anomaly_mad_event_values(spark, sf_dir):
+    """Robust per-type outlier monitor over event values: exact discrete
+    median + MAD, flag |v - med| > 3*MAD, one summary row per event_type
+    (operators/anomaly.py::mad_outlier_summary — the exact path; the
+    approx percentile_approx path is the few-huge-groups scale escape).
+    Both medians are data elements and the deviation/threshold arithmetic
+    uses identical float64 operand order, so DuckDB replicates the index
+    math bit-for-bit."""
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.anomaly import mad_outlier_summary
+
+    e = load_events(spark, sf_dir)
+    return mad_outlier_summary(
+        e, ["event_type"], "value", tie_cols=["event_id"], k=3.0, exact=True
+    ).orderBy("event_type")

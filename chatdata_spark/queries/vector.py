@@ -1116,3 +1116,80 @@ def cluster_balanced_sample(spark, sf_dir):
         .select("cluster_id", "vec_id", "rk")
         .orderBy("cluster_id", "rk")
     )
+
+
+def _pca_expected() -> str:
+    """Lazy oracle for pca_embedding_knn: single-node replay of the EXACT
+    integer-moment PCA fit (operators/pca.py::pca_replay_model — same
+    arbitrary-precision sums, same shared covariance/eigh construction)
+    plus the fixed-point projection twin. Every projected coordinate and
+    the sequential dist2 fold are bit-identical to the distributed path by
+    construction, so the VALUES comparison verifies the distributed
+    machinery: partition-invariant decimal moment sums and the Arrow
+    integer-matmul projection."""
+    import duckdb
+
+    from chatdata_spark.operators.pca import pca_project_rows, pca_replay_model
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{_oracle_sf_dir()}/embeddings.parquet') "
+        "WHERE embedding IS NOT NULL ORDER BY vec_id"
+    ).fetchall()
+    ids = [r[0] for r in rows]
+    model = pca_replay_model([r[1] for r in rows], r=8)
+    proj = pca_project_rows([r[1] for r in rows], model, fixed_point=True)
+    probe = proj[0]  # smallest vec_id — row-independent, equals the query's
+
+    def d2(y):
+        acc = 0.0
+        for a, b in zip(y, probe):
+            acc = acc + (a - b) * (a - b)  # the JVM fold's exact op order
+        return acc
+
+    top = sorted(((d2(y), int(i)) for i, y in zip(ids, proj)))[:10]
+    values = ", ".join(
+        f"(CAST({i} AS BIGINT), CAST({repr(d)} AS DOUBLE))" for d, i in top
+    )
+    return (
+        f"SELECT * FROM (VALUES {values}) AS t(vec_id, dist2) "
+        "ORDER BY dist2, vec_id"
+    )
+
+
+@query("pca_embedding_knn", oracle=_pca_expected)
+def pca_embedding_knn(spark, sf_dir):
+    """Distributed PCA (operators/pca.py): exact integer-moment fit (one
+    pass, d²/2 decimal scalars collected — never rows), fixed-point
+    projection to the top-8 principal components, then top-10 nearest to
+    the smallest-vec_id row's projection by squared L2 in PCA space (JVM
+    fold). The data-driven reducer next to dimred.py's JL and Matryoshka;
+    bit-reproducible across engines and partitionings, so the oracle is
+    an exact single-node replay."""
+    from chatdata_spark.functions.vector import vector_literal_sql
+    from chatdata_spark.operators.dedup import _spread
+    from chatdata_spark.operators.pca import (
+        pca_fit,
+        pca_project,
+        pca_project_rows,
+    )
+
+    emb = _spread(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+            F.col("embedding").isNotNull()
+        )
+    )
+    model = pca_fit(emb, "embedding", r=8)
+    v0 = (
+        emb.orderBy("vec_id").select("embedding").head()[0]
+    )  # bounded 1-row collect: the probe row
+    probe = pca_project_rows([list(v0)], model, fixed_point=True)[0]
+    proj = pca_project(emb, "embedding", model, "pca", fixed_point=True)
+    probe_sql = vector_literal_sql(probe)
+    scored = proj.select(
+        "vec_id",
+        F.expr(
+            f"aggregate(zip_with(pca, {probe_sql}, (x, y) -> (x - y) * (x - y)), "
+            "0D, (acc, x) -> acc + x)"
+        ).alias("dist2"),
+    )
+    return scored.orderBy("dist2", "vec_id").limit(10)

@@ -175,3 +175,49 @@ def export_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def temperature_rates(
+    counts: dict[str, int], alpha: float, target_total: int
+) -> dict[str, float]:
+    """Per-domain keep rates for temperature-scaled mixing: target share
+    p_d ∝ n_d^alpha (alpha<1 UP-samples small domains relative to their
+    natural share — the multilingual/mixture-rebalancing recipe), keep
+    rate r_d = min(1, target_total·p_d / n_d). Pure driver-side float
+    math over |domains| scalars, shared verbatim by operators and oracles
+    so both sides inline the identical rate literals."""
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    doms = sorted(counts)
+    weights = {d: float(counts[d]) ** float(alpha) for d in doms}
+    z = sum(weights[d] for d in doms)
+    if z <= 0.0:
+        return {d: 0.0 for d in doms}
+    return {
+        d: min(1.0, float(target_total) * (weights[d] / z) / float(counts[d]))
+        for d in doms
+        if counts[d] > 0
+    }
+
+
+def temperature_mixture(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    alpha: float,
+    target_total: int,
+    salt: str = "mixt",
+) -> tuple[DataFrame, dict[str, float]]:
+    """Temperature-scaled domain mixture: measure domain sizes (one
+    map-side-combined agg collecting |domains| scalars — bounded by the
+    source catalog, never by rows), derive n^alpha-proportional keep
+    rates, filter by deterministic hash membership. Returns (mixed df,
+    rates) so callers can log the realized mixture. One scan + one tiny
+    agg; the filter is scan-stage, so at 100 TB the cost is the count
+    pass plus a pushed-down predicate."""
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rates = temperature_rates(counts, alpha, target_total)
+    return domain_mixture(df, domain_col, rates, key_col, default_rate=0.0, salt=salt), rates

@@ -294,3 +294,52 @@ def dsir_resample_docs(spark, sf_dir):
         .select("doc_id", "lang", "source", "logw", "sel_key")
         .orderBy(F.col("sel_key").desc(), F.col("doc_id").asc())
     )
+
+
+def _temperature_mixture_expected() -> str:
+    """Lazy oracle for mixture_temperature_sample: domain counts come from
+    DuckDB, the rate math is the SAME pure-Python helper the operator uses
+    (operators/sampling.py::temperature_rates), and the integer bucket
+    thresholds are computed in Python and inlined (CLAUDE.md convention:
+    never CAST(rate * 2^32) cross-engine — DuckDB's double→BIGINT cast
+    rounds half-even while Spark/Python truncate)."""
+    import duckdb
+
+    from chatdata_spark.catalog import oracle_sf_dir
+    from chatdata_spark.operators.sampling import temperature_rates
+
+    counts = dict(
+        duckdb.sql(
+            f"SELECT source, COUNT(*) FROM read_parquet('{oracle_sf_dir()}/documents.parquet') "
+            "GROUP BY source"
+        ).fetchall()
+    )
+    target = sum(counts.values()) // 2
+    rates = temperature_rates(counts, alpha=0.3, target_total=target)
+    cases = " ".join(
+        f"WHEN source = '{d}' THEN {int(r * 4294967296.0)}" for d, r in sorted(rates.items())
+    )
+    bucket = _D_BUCKET.format(salt="mixt", key="doc_id")
+    return f"""
+    SELECT source, COUNT(*) AS n_kept
+    FROM read_parquet('{oracle_sf_dir()}/documents.parquet')
+    WHERE {bucket} < (CASE {cases} ELSE 0 END)
+    GROUP BY source ORDER BY source
+    """
+
+
+@query("mixture_temperature_sample", oracle=_temperature_mixture_expected)
+def mixture_temperature_sample(spark, sf_dir):
+    """Temperature-scaled domain mixture (alpha=0.3, budget = half the
+    corpus): n^alpha-proportional target shares up-sample small sources
+    relative to their natural share — the multilingual-corpus rebalancing
+    recipe, as one tiny count agg + a scan-stage deterministic hash filter
+    (operators/sampling.py::temperature_mixture)."""
+    from chatdata_spark.operators.sampling import temperature_mixture
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = d.count()
+    mixed, _rates = temperature_mixture(
+        d, "source", "doc_id", alpha=0.3, target_total=total // 2
+    )
+    return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("source")

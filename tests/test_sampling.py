@@ -144,3 +144,59 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
 
     # all three splits populated at these fractions
     assert {r.split for r in safe.select("split").distinct().collect()} == {"train", "val", "test"}
+
+
+def test_temperature_rates_alpha_one_is_proportional():
+    from chatdata_spark.operators.sampling import temperature_rates
+
+    counts = {"a": 1000, "b": 100, "c": 10}
+    r = temperature_rates(counts, alpha=1.0, target_total=555)
+    # alpha=1: target share == natural share, so every domain keeps the
+    # same fraction target/total
+    for d in counts:
+        assert abs(r[d] - 0.5) < 1e-12
+
+
+def test_temperature_rates_alpha_zero_equalizes_shares():
+    from chatdata_spark.operators.sampling import temperature_rates
+
+    counts = {"a": 900, "b": 90}
+    r = temperature_rates(counts, alpha=0.0, target_total=180)
+    # equal 90-row targets: big domain keeps 10%, small keeps 100%
+    assert abs(r["a"] - 0.1) < 1e-12
+    assert r["b"] == 1.0
+
+
+def test_temperature_rates_upsamples_small_domains():
+    from chatdata_spark.operators.sampling import temperature_rates
+
+    counts = {"big": 10_000, "small": 100}
+    r = temperature_rates(counts, alpha=0.3, target_total=2_000)
+    assert r["small"] > r["big"]
+    assert all(0.0 <= v <= 1.0 for v in r.values())
+
+
+def test_temperature_rates_rejects_bad_alpha():
+    import pytest
+
+    from chatdata_spark.operators.sampling import temperature_rates
+
+    with pytest.raises(ValueError):
+        temperature_rates({"a": 1}, alpha=1.5, target_total=1)
+
+
+def test_temperature_mixture_end_to_end(spark):
+    import pyspark.sql.functions as F
+
+    from chatdata_spark.operators.sampling import temperature_mixture
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    mixed, rates = temperature_mixture(df, "source", "doc_id", alpha=0.0, target_total=200)
+    got = {r.source: r.n for r in
+           mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # alpha=0 targets 100 rows per domain: small (100 rows) keeps all,
+    # big keeps a hash-exact ~1/9 subset
+    assert got["small"] == 100
+    assert 60 <= got["big"] <= 140
+    assert rates["small"] == 1.0

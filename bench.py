@@ -84,6 +84,8 @@ HEADLINE = [
     "decontam_docs_bloom",      # bloom-funnel decontamination (scan-stage bitmask)
     "graph_random_walks",       # DeepWalk corpus: per-hop frontier equi-joins
     "source_overlap_kmv",       # KMV sketch overlap matrix (one distinct shuffle)
+    "sequence_count_conversion_cycles",  # ordered symbol strings + regex count
+    "anomaly_mad_event_values", # median/MAD monitor: two grouped sorts + joins
 ]
 # NOTE: no bpe_learn_merges, graph_pagerank_transactions,
 # graph_trustrank_suppliers, or kmeans_embedding_clusters bench entry,
@@ -94,6 +96,10 @@ HEADLINE = [
 # feedback loop. BPE's scale posture (corpus collapses to the vocabulary
 # after one scan) is argued in operators/bpe.py; PageRank's end-to-end
 # wall-clock is measured out-of-harness in PLANS.md's round-6 notes.
+# pca_embedding_knn and mixture_temperature_sample also collect at
+# plan-build time (the d²/2 moment scalars / the |domains| counts), so
+# they are measured end-to-end out-of-harness in PLANS.md's late-r6 notes
+# rather than half-timed here.
 
 
 def _replicate(df, key_cols, reps=10):

@@ -11,8 +11,12 @@ engine; cited for capability parity, not code). Re-expressed Spark-first:
 - exact path: the explicit discrete-percentile formulation (rn ==
   ceil(0.5·n) over a per-group sort — the same index math as
   queries/analytics.py::percentile_disc_price_by_flag, so the oracle can
-  replicate it bit-for-bit). Two window sorts per group + two hash joins
-  of |groups|-row frames back onto the data. Right when groups are many
+  replicate it bit-for-bit), with BOTH medians as windowed
+  max(CASE WHEN rn = ceil THEN x END) expressions over the SAME
+  partitioning — so the whole operator is ONE scan + ONE hash exchange on
+  the group key + two in-partition sorts (value order, then deviation
+  order); a join-back formulation would rescan and re-shuffle the input
+  four times (measured — see the plan audit). Right when groups are many
   (per-key monitors) — each sort partition is one group's rows.
 - approx path (``exact=False``): ``percentile_approx`` for both median
   and MAD — single-pass mergeable sketches, no per-group sort, the 100 TB
@@ -32,22 +36,18 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _disc_median(
+def _windowed_disc_median(
     df: DataFrame, group_cols: list[str], value_col: str, tie_cols: list[str], out: str
 ) -> DataFrame:
-    """(group_cols..., out): the discrete median (element at rank
-    ceil(n/2) in ascending order) per group."""
+    """Input rows + ``out`` = the group's discrete median (element at rank
+    ceil(n/2) ascending), as pure window expressions over ONE partitioning
+    — no join-back, no second scan of the input."""
     w = Window.partitionBy(*group_cols).orderBy(value_col, *tie_cols)
     wn = Window.partitionBy(*group_cols)
-    ranked = df.select(
-        *group_cols,
-        value_col,
-        F.row_number().over(w).alias("__rn"),
-        F.count(F.lit(1)).over(wn).alias("__n"),
-    )
-    return ranked.filter(
-        F.col("__rn") == F.ceil(F.lit(0.5) * F.col("__n")).cast("long")
-    ).select(*group_cols, F.col(value_col).alias(out))
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wn)
+    picked = F.when(rn == F.ceil(F.lit(0.5) * n).cast("long"), F.col(value_col))
+    return df.withColumn(out, F.max(picked).over(wn))
 
 
 def mad_outliers(
@@ -65,11 +65,9 @@ def mad_outliers(
     not an outlier — the data-quality report family owns those)."""
     clean = df.filter(F.col(value_col).isNotNull())
     if exact:
-        med = _disc_median(clean, group_cols, value_col, tie_cols, "med")
-        with_med = clean.join(med, group_cols)
+        with_med = _windowed_disc_median(clean, group_cols, value_col, tie_cols, "med")
         dev = with_med.withColumn("__dev", F.abs(F.col(value_col) - F.col("med")))
-        mad = _disc_median(dev, group_cols, "__dev", tie_cols, "mad")
-        flagged = dev.join(mad, group_cols)
+        flagged = _windowed_disc_median(dev, group_cols, "__dev", tie_cols, "mad")
     else:
         med = clean.groupBy(*group_cols).agg(
             F.percentile_approx(value_col, 0.5, accuracy).alias("med")

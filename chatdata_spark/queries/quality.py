@@ -127,38 +127,39 @@ def profile_orders_stats(spark, sf_dir):
 @query(
     "anomaly_mad_event_values",
     oracle="""
-    WITH ranked AS (
+    -- window-only formulation mirroring the Spark plan (one pass, no
+    -- join-back): PARTITION BY keeps a NULL group in both engines, where
+    -- a USING join would silently drop it on fixture regeneration.
+    WITH r AS (
         SELECT event_type, event_id, value,
                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
                COUNT(*) OVER (PARTITION BY event_type) AS n
         FROM events WHERE value IS NOT NULL
     ),
-    med AS (
-        SELECT event_type,
-               MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN value END) AS med
-        FROM ranked GROUP BY event_type
+    m AS (
+        SELECT event_type, event_id, value,
+               MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN value END)
+                   OVER (PARTITION BY event_type) AS med
+        FROM r
     ),
-    dev AS (
-        SELECT e.event_type, e.event_id, ABS(e.value - m.med) AS dv, m.med
-        FROM events e JOIN med m USING (event_type)
-        WHERE e.value IS NOT NULL
+    d AS (
+        SELECT event_type, event_id, med, ABS(value - med) AS dv FROM m
     ),
     r2 AS (
-        SELECT event_type, dv,
-               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv, event_id) AS rn,
-               COUNT(*) OVER (PARTITION BY event_type) AS n
-        FROM dev
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv, event_id) AS rn2,
+               COUNT(*) OVER (PARTITION BY event_type) AS n2
+        FROM d
     ),
-    mad AS (
-        SELECT event_type,
-               MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN dv END) AS mad
-        FROM r2 GROUP BY event_type
+    m2 AS (
+        SELECT event_type, med, dv,
+               MAX(CASE WHEN rn2 = CAST(CEIL(0.5 * n2) AS BIGINT) THEN dv END)
+                   OVER (PARTITION BY event_type) AS mad
+        FROM r2
     )
-    SELECT d.event_type, MAX(d.med) AS med, MAX(m.mad) AS mad,
-           CAST(SUM(CASE WHEN d.dv > 3.0 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+    SELECT event_type, MAX(med) AS med, MAX(mad) AS mad,
+           CAST(SUM(CASE WHEN dv > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            COUNT(*) AS n_rows
-    FROM dev d JOIN mad m USING (event_type)
-    GROUP BY d.event_type ORDER BY d.event_type
+    FROM m2 GROUP BY event_type ORDER BY event_type
     """,
 )
 def anomaly_mad_event_values(spark, sf_dir):

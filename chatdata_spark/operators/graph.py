@@ -325,3 +325,61 @@ def skipgram_pairs(
         .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007) with DETERMINISTIC updates: every node starts
+    labeled with its own id; each round it adopts the label with the
+    highest vote count among its in-neighbors PLUS ITSELF (the self-vote
+    damps the bipartite oscillation of plain synchronous LPA), ties
+    broken by the SMALLEST label. Votes are integer counts and the
+    tie-break is a total order, so after a fixed ``iterations`` the
+    labeling is bit-identical across engines and partitionings — the
+    driver oracle replays every round in unrolled SQL exactly (the
+    operators/graph.py PageRank determinism recipe, with argmax-by-count
+    in place of fixed-point sums).
+
+    Complements connected components (components.py): components answer
+    reachability; LPA separates DENSE regions inside one component.
+
+    Node ids must be NON-NEGATIVE longs (the argmax uses max(struct(cnt,
+    -lbl)) — negation as the descending-to-ascending bridge). Pass a
+    symmetric edge union for undirected semantics (votes flow src→dst).
+
+    Scale shape: edges are hash-partitioned on src ONCE and checkpointed;
+    each round shuffles the node-sized label table onto that layout plus
+    two map-side-combined aggregates on (node, lbl) / (node) — never the
+    edge table. No driver-side graph state; localCheckpoint truncates the
+    iterative lineage (constant-depth plan)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    )
+    e = e.repartition("src").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(int(iterations)):
+        nbr = (
+            labels.select(F.col("node").alias("src"), "lbl")
+            .join(e, "src")
+            .select(F.col("dst").alias("node"), "lbl")
+        )
+        votes = nbr.unionByName(labels.select("node", "lbl"))
+        counts = votes.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        picked = counts.groupBy("node").agg(
+            F.max(F.struct(F.col("cnt").alias("c"), (-F.col("lbl")).alias("nl"))).alias("m")
+        )
+        labels = picked.select(
+            "node", (-F.col("m.nl")).alias("lbl")
+        ).localCheckpoint()
+    return labels.select("node", F.col("lbl").alias("label"))

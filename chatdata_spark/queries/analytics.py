@@ -679,3 +679,81 @@ def graph_skipgram_pairs(spark, sf_dir):
         .orderBy(F.desc("n_pairs"), "center", "context")
         .limit(50)
     )
+
+
+def _lpa_oracle(iterations: int = 4, k: int = 20) -> str:
+    """Unrolled deterministic label propagation in DuckDB SQL (same
+    chained-CTE scheme as _pagerank_oracle): each round re-derives every
+    node's argmax-by-(count DESC, label ASC) over neighbor + self votes —
+    integer counts and a total-order tie-break, so the labeling is exact
+    on both engines with no tolerance."""
+    its = []
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+l{i} AS (
+    SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+        FROM (
+            SELECT node, lbl, COUNT(*) AS cnt FROM (
+                SELECT e.dst AS node, p.lbl FROM {prev} p JOIN edges e ON e.src = p.node
+                UNION ALL
+                SELECT node, lbl FROM {prev}
+            ) GROUP BY node, lbl
+        )
+    ) WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+                        CAST(l_partkey AS BIGINT) + 1000000000 AS p
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT c AS src, p AS dst FROM pairs
+        UNION ALL
+        SELECT p AS src, c AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    l0 AS (SELECT node, node AS lbl FROM nodes),
+    {','.join(its)}
+    SELECT lbl AS label, COUNT(*) AS n_members
+    FROM {prev} GROUP BY lbl
+    ORDER BY n_members DESC, label ASC LIMIT {k}
+    """
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark, sf_dir):
+    """Community sizes from deterministic label propagation over the
+    customer↔part purchase graph (symmetric edges from distinct
+    orders⋈lineitem pairs; parts offset by 10^9 to share the numeric id
+    space) — 4 synchronous rounds with self-vote damping and min-label
+    tie-break (operators/graph.py::label_propagation), top-20 communities.
+    The oracle replays every round in unrolled SQL exactly — bit-identical
+    labels, no tolerance."""
+    from chatdata_spark.operators.graph import label_propagation
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("c"),
+            (F.col("l_partkey").cast("long") + F.lit(1_000_000_000)).alias("p"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("p").alias("dst")).union(
+        pairs.select(F.col("p").alias("src"), F.col("c").alias("dst"))
+    )
+    labels = label_propagation(edges, iterations=4)
+    return (
+        labels.groupBy(F.col("label"))
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "label")
+        .limit(20)
+    )

@@ -1363,3 +1363,59 @@ def test_random_walks_match_md5_reference(spark, edges, steps, start_max):
             node = nbrs[h % len(nbrs)]
             exp.add((wid, k, node))
     assert got == exp
+
+
+# --- label propagation ≡ Counter reference -------------------------------------
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=_edges, iters=st.integers(0, 3))
+def test_label_propagation_matches_counter_reference(spark, edges, iters):
+    """label_propagation ≡ a dict/Counter reference doing the SAME
+    synchronous argmax-by-(count, min-label) update with self-vote — exact
+    label equality on random multigraphs with parallel edges (= multiple
+    votes), self-loops, and sink nodes."""
+    from collections import Counter
+
+    from chatdata_spark.operators.graph import label_propagation
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        (r["node"], r["label"])
+        for r in label_propagation(df, iterations=iters).collect()
+    }
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    lbl = {v: v for v in nodes}
+    for _ in range(iters):
+        votes = {v: Counter() for v in nodes}
+        for u, w in edges:
+            votes[w][lbl[u]] += 1
+        for v in nodes:
+            votes[v][lbl[v]] += 1
+        lbl = {
+            v: max(votes[v].items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            for v in nodes
+        }
+    assert got == {(v, lbl[v]) for v in nodes}
+
+
+def test_label_propagation_separates_bridged_cliques(spark):
+    """Two 4-cliques joined by a single bridge resolve into exactly two
+    communities labeled by each clique's smallest node — the dense-region
+    separation connected components cannot express (the whole graph is ONE
+    component)."""
+    import itertools
+
+    from chatdata_spark.operators.components import connected_components
+    from chatdata_spark.operators.graph import label_propagation
+
+    def clique(ns):
+        return [(a, b) for a, b in itertools.permutations(ns, 2)]
+
+    edges = clique([0, 1, 2, 3]) + clique([10, 11, 12, 13]) + [(3, 10), (10, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, iterations=4).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10, 13: 10}
+    # same graph, one component: LPA sees structure components cannot
+    comp = connected_components(df, "src", "dst")
+    assert comp.select("c").distinct().count() == 1

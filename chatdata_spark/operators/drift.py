@@ -1,0 +1,113 @@
+"""Distribution-drift monitoring between two table snapshots — the
+Population Stability Index (PSI), the standard production check that a
+training corpus / feature column still looks like the reference snapshot
+it was validated against (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25
+shifted — the credit-scoring rule of thumb the data-validation literature
+reuses).
+
+Spark-first shape: ONE aggregation per snapshot over fixed bin ids
+(map-side combined, |bins| rows out), a full outer merge of the two
+|bins|-row frames, then per-bin PSI terms as JVM expressions. Nothing
+row-sized leaves the scan stage; at 100 TB each snapshot contributes one
+scan + one tiny shuffle.
+
+Determinism: bin edges are COMPUTED IN PYTHON from two collected scalars
+(min/max of the reference snapshot — a bounded 1-row agg) and inlined as
+float64 literals, per the CLAUDE.md bucket-boundary convention; bin
+counts are exact integers; the smoothed proportions and ``(p - q) *
+ln(p / q)`` terms use the same float64 operation order on both engines
+(ln parity is already relied on by the A-ES weighted-sample oracle) and
+are rounded to 6 digits, the distance convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def fixed_bin_edges(lo: float, hi: float, n_bins: int) -> list[float]:
+    """Equal-width bin edges computed in pure Python — the shared literal
+    source for the operator AND any SQL oracle (never compute boundaries
+    engine-side: float ulp differences at a boundary flip a row's bin)."""
+    lo, hi = float(lo), float(hi)
+    if not hi > lo:
+        raise ValueError("fixed_bin_edges: hi must exceed lo")
+    w = (hi - lo) / float(n_bins)
+    return [lo + w * i for i in range(1, n_bins)]
+
+
+def bin_id(col: Column, edges: list[float]) -> Column:
+    """0-based bin index for pre-computed ``edges`` (left-closed bins;
+    values beyond either end clamp into the edge bins, so a drifted tail
+    lands in the outermost bin instead of vanishing)."""
+    b = F.lit(len(edges))  # start at the last bin, walk down
+    out = b
+    for i in range(len(edges) - 1, -1, -1):
+        out = F.when(col < F.lit(edges[i]), F.lit(i)).otherwise(out)
+    return out.cast("long")
+
+
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    edges: list[float] | None = None,
+) -> DataFrame:
+    """(bin, n_ref, n_cur, psi_term) + total row (bin = -1): smoothed
+    Population Stability Index between the reference and current
+    snapshots of ``value_col``.
+
+    ``edges`` defaults to equal-width bins over the REFERENCE min/max
+    (one bounded 2-scalar collect); pass explicit edges to pin them
+    across runs (the production posture: edges are frozen with the
+    reference snapshot). Laplace-smoothed proportions
+    ``p = (c + 1) / (n + B)`` keep empty bins finite. NULL values are
+    dropped (missing-value drift is a data-quality rule, not a
+    distribution shift)."""
+    r = ref.filter(F.col(value_col).isNotNull())
+    c = cur.filter(F.col(value_col).isNotNull())
+    if edges is None:
+        row = r.agg(
+            F.min(F.col(value_col).cast("double")).alias("lo"),
+            F.max(F.col(value_col).cast("double")).alias("hi"),
+        ).collect()[0]
+        if row.lo is None:
+            raise ValueError("psi_report: empty reference snapshot")
+        # degenerate constant reference: one bin (everything drifts into it)
+        edges = fixed_bin_edges(row.lo, row.hi, n_bins) if row.hi > row.lo else []
+    v = F.col(value_col).cast("double")
+    rc = r.groupBy(bin_id(v, edges).alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    cc = c.groupBy(bin_id(v, edges).alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    bins = len(edges) + 1
+    base = (
+        rc.join(cc, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    # totals as 1-row broadcast scalars (benign: two longs)
+    tot = base.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    merged = base.crossJoin(F.broadcast(tot))
+    p = (F.col("n_ref") + F.lit(1.0)) / (F.col("tr") + F.lit(float(bins)))
+    q = (F.col("n_cur") + F.lit(1.0)) / (F.col("tc") + F.lit(float(bins)))
+    term = F.round((p - q) * F.log(p / q), 6).alias("psi_term")
+    per_bin = merged.select("bin", "n_ref", "n_cur", term)
+    # total PSI via exact decimal sum (a float sum over the bin rows would
+    # be partition-order-dependent in its last ulp — the money convention)
+    total = per_bin.agg(
+        F.lit(-1).cast("long").alias("bin"),
+        F.sum("n_ref").alias("n_ref"),
+        F.sum("n_cur").alias("n_cur"),
+        F.sum(F.col("psi_term").cast("decimal(18,6)")).cast("double").alias("psi_term"),
+    )
+    return per_bin.unionByName(total).orderBy("bin")

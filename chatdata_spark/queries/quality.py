@@ -177,3 +177,81 @@ def anomaly_mad_event_values(spark, sf_dir):
     return mad_outlier_summary(
         e, ["event_type"], "value", tie_cols=["event_id"], k=3.0, exact=True
     ).orderBy("event_type")
+
+
+_PSI_SPLIT = "2024-01-16 00:00:00"
+_PSI_BINS = 10
+
+
+def _psi_oracle() -> str:
+    """Lazy oracle for drift_psi_event_values: bin edges come from the
+    SAME pure-Python fixed_bin_edges over the reference snapshot's exact
+    min/max (fetched via DuckDB — min/max are data elements, identical in
+    both engines) and are inlined as float literals, per the CLAUDE.md
+    bucket-boundary convention. Proportions and (p-q)*ln(p/q) replicate
+    the Spark operation order; the total row sums the rounded terms
+    through DECIMAL(18,6) exactly."""
+    import duckdb
+
+    from chatdata_spark.catalog import oracle_sf_dir
+    from chatdata_spark.operators.drift import fixed_bin_edges
+
+    lo, hi = duckdb.sql(
+        f"SELECT min(value), max(value) FROM read_parquet('{oracle_sf_dir()}/events.parquet') "
+        f"WHERE ts < TIMESTAMP '{_PSI_SPLIT}' AND value IS NOT NULL"
+    ).fetchall()[0]
+    edges = fixed_bin_edges(lo, hi, _PSI_BINS)
+    whens = " ".join(f"WHEN value < {e!r} THEN {i}" for i, e in enumerate(edges))
+    bin_sql = f"CAST(CASE {whens} ELSE {len(edges)} END AS BIGINT)"
+    b = float(len(edges) + 1)
+    return f"""
+    WITH r AS (
+        SELECT {bin_sql} AS bin, COUNT(*) AS n_ref
+        FROM events WHERE ts < TIMESTAMP '{_PSI_SPLIT}' AND value IS NOT NULL
+        GROUP BY 1
+    ),
+    c AS (
+        SELECT {bin_sql} AS bin, COUNT(*) AS n_cur
+        FROM events WHERE ts >= TIMESTAMP '{_PSI_SPLIT}' AND value IS NOT NULL
+        GROUP BY 1
+    ),
+    base AS (
+        SELECT COALESCE(r.bin, c.bin) AS bin,
+               COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+        FROM r FULL OUTER JOIN c ON r.bin = c.bin
+    ),
+    tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM base),
+    per_bin AS (
+        SELECT bin, n_ref, n_cur,
+               ROUND(((CAST(n_ref AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + {b!r})
+                      - (CAST(n_cur AS DOUBLE) + 1.0) / (CAST(tc AS DOUBLE) + {b!r}))
+                     * ln(((CAST(n_ref AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + {b!r}))
+                          / ((CAST(n_cur AS DOUBLE) + 1.0) / (CAST(tc AS DOUBLE) + {b!r}))), 6)
+                   AS psi_term
+        FROM base CROSS JOIN tot
+    )
+    SELECT * FROM (
+        SELECT bin, n_ref, n_cur, psi_term FROM per_bin
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), CAST(SUM(n_ref) AS BIGINT), CAST(SUM(n_cur) AS BIGINT),
+               CAST(SUM(CAST(psi_term AS DECIMAL(18,6))) AS DOUBLE)
+        FROM per_bin
+    ) ORDER BY bin
+    """
+
+
+@query("drift_psi_event_values", oracle=_psi_oracle)
+def drift_psi_event_values(spark, sf_dir):
+    """Population Stability Index between the first and second half-month
+    of event values (operators/drift.py::psi_report): the corpus-drift
+    monitor a training pipeline runs against its validated reference
+    snapshot. One map-side-combined histogram per snapshot, a |bins|-row
+    merge, JVM psi terms, exact-decimal total."""
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.drift import psi_report
+
+    e = load_events(spark, sf_dir)
+    split = F.lit(_PSI_SPLIT).cast("timestamp")
+    ref = e.filter(F.col("ts") < split)
+    cur = e.filter(F.col("ts") >= split)
+    return psi_report(ref, cur, "value", n_bins=_PSI_BINS)

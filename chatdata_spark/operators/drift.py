@@ -48,6 +48,54 @@ def bin_id(col: Column, edges: list[float]) -> Column:
     return out.cast("long")
 
 
+def hist_counts(
+    df: DataFrame, value_col: str, edges: list[float], out: str = "n"
+) -> DataFrame:
+    """(bin, out): one map-side-combined histogram aggregate over frozen
+    ``edges``. Histogram addition is associative and commutative, so
+    count frames from any partition of the data (micro-batches, shards)
+    merge additively into the same histogram — the property
+    streaming/incremental.py::stream_histogram_merge relies on."""
+    v = F.col(value_col).cast("double")
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(bin_id(v, edges).alias("bin"))
+        .agg(F.count(F.lit(1)).alias(out))
+    )
+
+
+def psi_from_counts(rc: DataFrame, cc: DataFrame, n_edges: int) -> DataFrame:
+    """(bin, n_ref, n_cur, psi_term) + total row (bin = -1) from two
+    (bin, n_ref) / (bin, n_cur) count frames over the SAME ``n_edges``-edge
+    binning — the tail of :func:`psi_report`, exposed so streaming-merged
+    histograms feed the identical arithmetic."""
+    bins = n_edges + 1
+    base = (
+        rc.join(cc, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    # totals as 1-row broadcast scalars (benign: two longs)
+    tot = base.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    merged = base.crossJoin(F.broadcast(tot))
+    p = (F.col("n_ref") + F.lit(1.0)) / (F.col("tr") + F.lit(float(bins)))
+    q = (F.col("n_cur") + F.lit(1.0)) / (F.col("tc") + F.lit(float(bins)))
+    term = F.round((p - q) * F.log(p / q), 6).alias("psi_term")
+    per_bin = merged.select("bin", "n_ref", "n_cur", term)
+    # total PSI via exact decimal sum (a float sum over the bin rows would
+    # be partition-order-dependent in its last ulp — the money convention)
+    total = per_bin.agg(
+        F.lit(-1).cast("long").alias("bin"),
+        F.sum("n_ref").alias("n_ref"),
+        F.sum("n_cur").alias("n_cur"),
+        F.sum(F.col("psi_term").cast("decimal(18,6)")).cast("double").alias("psi_term"),
+    )
+    return per_bin.unionByName(total).orderBy("bin")
+
+
 def psi_report(
     ref: DataFrame,
     cur: DataFrame,
@@ -77,37 +125,6 @@ def psi_report(
             raise ValueError("psi_report: empty reference snapshot")
         # degenerate constant reference: one bin (everything drifts into it)
         edges = fixed_bin_edges(row.lo, row.hi, n_bins) if row.hi > row.lo else []
-    v = F.col(value_col).cast("double")
-    rc = r.groupBy(bin_id(v, edges).alias("bin")).agg(
-        F.count(F.lit(1)).alias("n_ref")
-    )
-    cc = c.groupBy(bin_id(v, edges).alias("bin")).agg(
-        F.count(F.lit(1)).alias("n_cur")
-    )
-    bins = len(edges) + 1
-    base = (
-        rc.join(cc, "bin", "full_outer")
-        .select(
-            "bin",
-            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
-        )
-    )
-    # totals as 1-row broadcast scalars (benign: two longs)
-    tot = base.agg(
-        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
-    )
-    merged = base.crossJoin(F.broadcast(tot))
-    p = (F.col("n_ref") + F.lit(1.0)) / (F.col("tr") + F.lit(float(bins)))
-    q = (F.col("n_cur") + F.lit(1.0)) / (F.col("tc") + F.lit(float(bins)))
-    term = F.round((p - q) * F.log(p / q), 6).alias("psi_term")
-    per_bin = merged.select("bin", "n_ref", "n_cur", term)
-    # total PSI via exact decimal sum (a float sum over the bin rows would
-    # be partition-order-dependent in its last ulp — the money convention)
-    total = per_bin.agg(
-        F.lit(-1).cast("long").alias("bin"),
-        F.sum("n_ref").alias("n_ref"),
-        F.sum("n_cur").alias("n_cur"),
-        F.sum(F.col("psi_term").cast("decimal(18,6)")).cast("double").alias("psi_term"),
-    )
-    return per_bin.unionByName(total).orderBy("bin")
+    rc = hist_counts(r, value_col, edges, out="n_ref")
+    cc = hist_counts(c, value_col, edges, out="n_cur")
+    return psi_from_counts(rc, cc, len(edges))

@@ -538,3 +538,63 @@ def streaming_cms_user_frequency(spark, sf_dir):
         .select("user_id", "true_cnt", "est_cnt")
         .orderBy(F.desc("true_cnt"), "user_id")
     )
+
+
+def _shared_psi_oracle() -> str:
+    """The BATCH PSI oracle, verbatim: histogram addition is associative
+    and commutative, so the stream-merged current histogram must equal the
+    one-shot batch histogram over the same rows — batch parity is the
+    whole claim (see streaming/incremental.py::stream_histogram_merge).
+    Imported at resolution time (lazy), not at module import."""
+    from chatdata_spark.queries.quality import _psi_oracle
+
+    return _psi_oracle()
+
+
+@query("streaming_drift_psi", oracle=_shared_psi_oracle)
+def streaming_drift_psi(spark, sf_dir):
+    """§2.10 extension, ORACLE-checked (batch-parity): PSI drift where the
+    CURRENT snapshot arrives as a file stream — reference histogram
+    computed once over the first half-month, frozen Python-literal edges,
+    two availableNow drains merging ≤|bins|-row count states into the
+    versioned store with the exactly-once batch-id guard, then the same
+    psi_from_counts arithmetic as the batch query. The oracle is the
+    batch PSI oracle verbatim, so exact equality proves the merge law
+    under real micro-batch splits AND the replay accounting."""
+    import os
+
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.drift import (
+        fixed_bin_edges,
+        hist_counts,
+        psi_from_counts,
+    )
+    from chatdata_spark.queries.quality import _PSI_BINS, _PSI_SPLIT
+    from chatdata_spark.stores.state import VersionedParquetStore
+    from chatdata_spark.streaming.incremental import stream_histogram_merge
+
+    e = load_events(spark, sf_dir)
+    split = F.lit(_PSI_SPLIT).cast("timestamp")
+    ref = e.filter(F.col("ts") < split)
+    cur = e.filter(F.col("ts") >= split).select("event_id", "value")
+    row = ref.filter(F.col("value").isNotNull()).agg(
+        F.min(F.col("value").cast("double")).alias("lo"),
+        F.max(F.col("value").cast("double")).alias("hi"),
+    ).collect()[0]
+    edges = fixed_bin_edges(row.lo, row.hi, _PSI_BINS)
+
+    root = tempfile.mkdtemp(prefix="chatdata_sdrift_q_")
+    ind, ckpt = f"{root}/in", f"{root}/ck"
+    os.makedirs(ind)
+    store = VersionedParquetStore(spark, f"{root}/store")
+    schema = "event_id long, value double"
+    mid = cur.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+    cur.filter(F.col("event_id") <= mid).coalesce(1).write.mode("append").parquet(ind)
+    stream_histogram_merge(spark, ind, store, ckpt, "value", schema, edges)
+    cur.filter(F.col("event_id") > mid).coalesce(1).write.mode("append").parquet(ind)
+    stream_histogram_merge(spark, ind, store, ckpt, "value", schema, edges)
+
+    rc = hist_counts(ref, "value", edges, out="n_ref")
+    cc = store.read().select("bin", F.col("n").alias("n_cur"))
+    return psi_from_counts(rc, cc, len(edges))
+

@@ -276,3 +276,58 @@ def stream_cms_merge(
         .start()
         .awaitTermination()
     )
+
+
+def stream_histogram_merge(
+    spark: SparkSession,
+    input_dir: str,
+    store,
+    checkpoint_dir: str,
+    value_col: str,
+    schema: str,
+    edges: list[float],
+) -> None:
+    """Stream → mergeable histogram via foreachBatch: each micro-batch
+    collapses to its own (bin, n) counts over the FROZEN reference edges
+    (operators/drift.py::hist_counts) and merges additively into the
+    versioned store — the streaming half of PSI drift monitoring, where
+    the reference histogram is computed once and the current snapshot is
+    an unbounded stream. Store state stays ≤ |bins| rows forever.
+
+    Histogram addition is associative and commutative, so the merged
+    counts provably equal the one-shot batch histogram over the union of
+    all drained files — which is exactly what the streaming_drift_psi
+    oracle (the batch PSI oracle, verbatim) checks. Replay guard: like
+    the CMS store, count merge double-counts on a batch replay, so each
+    version carries the committing ``batch_id`` atomically with the swap
+    and a retry of a committed batch is skipped."""
+    from chatdata_spark.operators.drift import hist_counts
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        h = hist_counts(batch_df, value_col, edges, out="n")
+        if store.exists():
+            prev = store.read()
+            applied = prev.agg(F.max("last_batch")).collect()[0][0]
+            if applied is not None and applied >= batch_id:
+                return  # replay of a committed batch — re-merging double-counts
+            merged = (
+                prev.drop("last_batch")
+                .unionByName(h)
+                .groupBy("bin")
+                .agg(F.sum("n").alias("n"))
+            )
+            store.write(merged.withColumn("last_batch", F.lit(batch_id)))
+        else:
+            store.write(h.withColumn("last_batch", F.lit(batch_id)))
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -336,3 +336,43 @@ def test_stream_cms_merge_incremental_and_replay_safe(spark, tmp_path):
         for r in store.read().drop("last_batch").collect()
     }
     assert got2 == want
+
+
+def test_stream_histogram_merge_incremental_and_replay_safe(spark, tmp_path):
+    """Two drains must yield the histogram of the UNION (merge law under
+    real micro-batches), and a replay of committed batches (fresh
+    checkpoint, same store) must be skipped by the batch-id guard —
+    count merge is not idempotent."""
+    from chatdata_spark.operators.drift import fixed_bin_edges, hist_counts
+    from chatdata_spark.stores.state import VersionedParquetStore
+    from chatdata_spark.streaming.incremental import stream_histogram_merge
+
+    ind = str(tmp_path / "in")
+    os.makedirs(ind)
+    schema = "v double"
+    edges = fixed_bin_edges(0.0, 100.0, 4)
+    a = spark.range(0, 60).select(F.col("id").cast("double").alias("v"))
+    b = spark.range(40, 100).select(F.col("id").cast("double").alias("v"))
+    store = VersionedParquetStore(spark, str(tmp_path / "store"))
+
+    a.coalesce(1).write.mode("append").parquet(ind)
+    stream_histogram_merge(spark, ind, store, str(tmp_path / "ck"), "v", schema, edges)
+    b.coalesce(1).write.mode("append").parquet(ind)
+    stream_histogram_merge(spark, ind, store, str(tmp_path / "ck"), "v", schema, edges)
+
+    want = {
+        (r["bin"], r["n"])
+        for r in hist_counts(a.union(b), "v", edges).collect()
+    }
+    got = {
+        (r["bin"], r["n"]) for r in store.read().drop("last_batch").collect()
+    }
+    # union = 120 rows: 0-24 | 25-49 (25 + 10 overlap) | 50-74 (10 + 25) | 75-99
+    assert got == want == {(0, 25), (1, 35), (2, 35), (3, 25)}
+
+    v_before = store.current_version()
+    stream_histogram_merge(spark, ind, store, str(tmp_path / "ck2"), "v", schema, edges)
+    assert store.current_version() == v_before
+    assert {
+        (r["bin"], r["n"]) for r in store.read().drop("last_batch").collect()
+    } == want

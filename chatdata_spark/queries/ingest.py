@@ -219,3 +219,34 @@ def ingest_csv_typed(spark, sf_dir):
         "label",
         F.col("_corrupt").isNotNull().cast("int").alias("is_corrupt"),
     ).orderBy("doc_id")
+
+
+@query(
+    "ingest_orc_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id
+    """,
+)
+def ingest_orc_roundtrip(spark, sf_dir):
+    """ORC source/sink round-trip — the S2 family's columnar-format
+    breadth beyond parquet/JSON/CSV: write the documents metadata
+    columns as key-sorted ORC (repartitionByRange + sortWithinPartitions,
+    the same layout discipline as operators/layout.py, so ORC's built-in
+    min/max indexes prune like parquet footers), read them back, and
+    return the typed rows. The oracle reads the PARQUET original
+    directly, so hash equality proves the ORC write+read preserved every
+    value and type. Filter pushdown into the ORC scan is plan-asserted
+    in tests/test_ingest.py."""
+    import tempfile
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix="chatdata_orc_q_") + "/docs_orc"
+    (
+        d.repartitionByRange(4, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .orc(path)
+    )
+    return spark.read.orc(path).orderBy("doc_id")

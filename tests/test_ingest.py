@@ -50,3 +50,20 @@ def test_parse_csv_typed_quotes_types_and_quarantine(spark):
     assert out[2].doc_id == 2  # parseable fields still extracted on bad rows
     assert out[3].price is None and out[3]._corrupt is not None
     assert out[4].qty is None and out[4]._corrupt is None
+
+
+def test_orc_scan_pushes_filters(spark, tmp_path):
+    """ORC scans must consume pushed filters like parquet (Catalyst emits
+    a searchArgument / PushedFilters entry into the OrcScan) — the reason
+    the round-trip writes KEY-SORTED ORC: sorted layout + pushdown =
+    min/max stripe pruning, the same skip story as the parquet layouts."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "orc")
+    spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("grp")
+    ).repartitionByRange(4, "doc_id").sortWithinPartitions("doc_id").write.orc(path)
+    df = spark.read.orc(path).filter(F.col("doc_id") > 900).select("doc_id")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,900)]" in plan
+    assert df.count() == 99

@@ -12,7 +12,7 @@ shows the late-data-tolerant stats path for event streams.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from chatdata_spark.functions.vector import make_embed_text_udf

@@ -99,7 +99,11 @@ HEADLINE = [
 # pca_embedding_knn and mixture_temperature_sample also collect at
 # plan-build time (the d²/2 moment scalars / the |domains| counts), so
 # they are measured end-to-end out-of-harness in PLANS.md's late-r6 notes
-# rather than half-timed here.
+# rather than half-timed here. Likewise graph_label_propagation
+# (iterative, like PageRank), the PSI drift pair (build-time min/max
+# collect; the streaming twin drains at build time), and
+# ingest_orc_roundtrip (writes its ORC at build time) — all recorded
+# end-to-end in PLANS.md's end-of-round notes.
 
 
 def _replicate(df, key_cols, reps=10):

@@ -128,3 +128,54 @@ def psi_report(
     rc = hist_counts(r, value_col, edges, out="n_ref")
     cc = hist_counts(c, value_col, edges, out="n_cur")
     return psi_from_counts(rc, cc, len(edges))
+
+
+def psi_categorical(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+    n_smooth: int | None = None,
+) -> DataFrame:
+    """(category, n_ref, n_cur, psi_term) + total row (category = NULL):
+    PSI over a CATEGORICAL column — the language/source-mix drift check,
+    where numeric binning is replaced by the exact category key.
+    Categories present in either snapshot participate (a category that
+    appears or vanishes contributes its full smoothed term — exactly the
+    drift being hunted); NULL category values are dropped like NULL
+    numerics. ``n_smooth`` is the Laplace denominator addend (defaults to
+    the observed category count, mirroring the numeric path's bin
+    count). Same shape as the numeric path: one map-side-combined count
+    per snapshot, a |categories|-row merge, exact-decimal total."""
+    rc = (
+        ref.filter(F.col(cat_col).isNotNull())
+        .groupBy(F.col(cat_col).alias("category"))
+        .agg(F.count(F.lit(1)).alias("n_ref"))
+    )
+    cc = (
+        cur.filter(F.col(cat_col).isNotNull())
+        .groupBy(F.col(cat_col).alias("category"))
+        .agg(F.count(F.lit(1)).alias("n_cur"))
+    )
+    base = (
+        rc.join(cc, "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    if n_smooth is None:
+        n_smooth = base.count()  # bounded: the category-set size
+    tot = base.agg(F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc"))
+    merged = base.crossJoin(F.broadcast(tot))
+    p = (F.col("n_ref") + F.lit(1.0)) / (F.col("tr") + F.lit(float(n_smooth)))
+    q = (F.col("n_cur") + F.lit(1.0)) / (F.col("tc") + F.lit(float(n_smooth)))
+    term = F.round((p - q) * F.log(p / q), 6).alias("psi_term")
+    per_cat = merged.select("category", "n_ref", "n_cur", term)
+    total = per_cat.agg(
+        F.lit(None).cast(per_cat.schema["category"].dataType).alias("category"),
+        F.sum("n_ref").alias("n_ref"),
+        F.sum("n_cur").alias("n_cur"),
+        F.sum(F.col("psi_term").cast("decimal(18,6)")).cast("double").alias("psi_term"),
+    )
+    return per_cat.unionByName(total).orderBy(F.col("category").asc_nulls_last())

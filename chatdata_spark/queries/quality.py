@@ -255,3 +255,71 @@ def drift_psi_event_values(spark, sf_dir):
     ref = e.filter(F.col("ts") < split)
     cur = e.filter(F.col("ts") >= split)
     return psi_report(ref, cur, "value", n_bins=_PSI_BINS)
+
+
+_PSI_REF_SOURCES = [f"src{i}" for i in range(10)]
+
+
+def _psi_lang_oracle() -> str:
+    """Lazy oracle for drift_psi_lang_mix: replicates psi_categorical's
+    arithmetic with the smoothing addend (the observed category-set size)
+    computed via DuckDB and inlined — same p/q/ln operation order, same
+    DECIMAL(18,6)-exact total."""
+    import duckdb
+
+    from chatdata_spark.catalog import oracle_sf_dir
+
+    refs = ", ".join(f"'{s}'" for s in _PSI_REF_SOURCES)
+    n_smooth = duckdb.sql(
+        f"SELECT COUNT(DISTINCT lang) FROM read_parquet('{oracle_sf_dir()}/documents.parquet') "
+        "WHERE lang IS NOT NULL"
+    ).fetchall()[0][0]
+    b = float(n_smooth)
+    return f"""
+    WITH r AS (
+        SELECT lang AS category, COUNT(*) AS n_ref FROM documents
+        WHERE lang IS NOT NULL AND source IN ({refs}) GROUP BY 1
+    ),
+    c AS (
+        SELECT lang AS category, COUNT(*) AS n_cur FROM documents
+        WHERE lang IS NOT NULL AND source NOT IN ({refs}) GROUP BY 1
+    ),
+    base AS (
+        SELECT COALESCE(r.category, c.category) AS category,
+               COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur
+        FROM r FULL OUTER JOIN c ON r.category = c.category
+    ),
+    tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM base),
+    per_cat AS (
+        SELECT category, n_ref, n_cur,
+               ROUND(((CAST(n_ref AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + {b!r})
+                      - (CAST(n_cur AS DOUBLE) + 1.0) / (CAST(tc AS DOUBLE) + {b!r}))
+                     * ln(((CAST(n_ref AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + {b!r}))
+                          / ((CAST(n_cur AS DOUBLE) + 1.0) / (CAST(tc AS DOUBLE) + {b!r}))), 6)
+                   AS psi_term
+        FROM base CROSS JOIN tot
+    )
+    SELECT * FROM (
+        SELECT category, n_ref, n_cur, psi_term FROM per_cat
+        UNION ALL
+        SELECT CAST(NULL AS VARCHAR), CAST(SUM(n_ref) AS BIGINT), CAST(SUM(n_cur) AS BIGINT),
+               CAST(SUM(CAST(psi_term AS DECIMAL(18,6))) AS DOUBLE)
+        FROM per_cat
+    ) ORDER BY category ASC NULLS LAST
+    """
+
+
+@query("drift_psi_lang_mix", oracle=_psi_lang_oracle)
+def drift_psi_lang_mix(spark, sf_dir):
+    """Categorical PSI (operators/drift.py::psi_categorical): language-mix
+    drift between two source groups — the corpus-composition check a
+    multilingual pipeline runs per crawl shard (a language whose share
+    moves shows up as its smoothed (p-q)*ln(p/q) term). Exact category
+    keys replace numeric binning; everything else is the numeric path's
+    arithmetic."""
+    from chatdata_spark.operators.drift import psi_categorical
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = d.filter(F.col("source").isin(_PSI_REF_SOURCES))
+    cur = d.filter(~F.col("source").isin(_PSI_REF_SOURCES))
+    return psi_categorical(ref, cur, "lang")

@@ -60,3 +60,24 @@ def test_nulls_dropped_and_empty_ref_raises(spark):
     empty = spark.createDataFrame([(None,)], "v double")
     with pytest.raises(ValueError, match="empty reference"):
         psi_report(empty, cur, "v")
+
+
+def test_psi_categorical_counts_and_vanished_category(spark):
+    from chatdata_spark.operators.drift import psi_categorical
+
+    ref = spark.createDataFrame([("en",)] * 6 + [("de",)] * 4, "c string")
+    cur = spark.createDataFrame([("en",)] * 8 + [("fr",)] * 2, "c string")
+    rep = psi_categorical(ref, cur, "c")
+    rows = {r.category: (r.n_ref, r.n_cur) for r in rep.collect()}
+    # de vanished, fr appeared — both participate with a zero side
+    assert rows == {"en": (6, 8), "de": (4, 0), "fr": (0, 2), None: (10, 10)}
+    total = [r for r in rep.collect() if r.category is None][0]
+    assert total.psi_term > 0.1  # a quarter of the mass moved
+
+
+def test_psi_categorical_identical_mix_is_zero(spark):
+    from chatdata_spark.operators.drift import psi_categorical
+
+    df = spark.createDataFrame([("a",), ("b",), ("b",)], "c string")
+    total = [r for r in psi_categorical(df, df, "c").collect() if r.category is None][0]
+    assert total.psi_term == 0.0  # p == q exactly per category

@@ -55,3 +55,15 @@ def test_binary_rerank_and_matryoshka_floors(spark):
     got_m = _by_param(rc.sweep_matryoshka(spark, SF_ORACLE, qvecs))
     assert got_m["dims=64/64"] == 1.0  # full prefix IS exact
     assert got_m["dims=32/64"] >= got_m["dims=8/64"]
+
+
+def test_pca_curve_monotone_and_flat_spectrum_floor(spark):
+    """PCA recall must be monotone in projection rank, and on the
+    i.i.d.-random fixture it must TRACK the raw prefix (flat
+    eigenspectrum — no variance to concentrate), which doubles as a
+    sanity check that the fit did not manufacture structure."""
+    qvecs = rc._queries(8)
+    got = _by_param(rc.sweep_pca(spark, SF_ORACLE, qvecs))
+    chain = [got[f"r={d}/64"] for d in (8, 16, 32)]
+    assert chain == sorted(chain), f"recall not monotone in rank: {chain}"
+    assert got["r=32/64"] >= 0.1  # ~r/d floor; measured 0.213 at sf0.1

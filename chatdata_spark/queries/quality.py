@@ -323,3 +323,133 @@ def drift_psi_lang_mix(spark, sf_dir):
     ref = d.filter(F.col("source").isin(_PSI_REF_SOURCES))
     cur = d.filter(~F.col("source").isin(_PSI_REF_SOURCES))
     return psi_categorical(ref, cur, "lang")
+
+
+def _health_oracle() -> str:
+    """Lazy oracle for corpus_health_report: the four component oracles
+    (each already independently driver-verified) composed as subqueries
+    and reshaped into the same long-format (check, value) report — so
+    this verifies the COMPOSITION, not new arithmetic."""
+    psi_v = _psi_oracle()
+    psi_l = _psi_lang_oracle()
+    return f"""
+    SELECT * FROM (
+        SELECT 'quality:' || rule AS "check", CAST(n_violations AS DOUBLE) AS value
+        FROM (
+            SELECT 'li_quantity_range' AS rule,
+                   CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+            FROM lineitem
+            UNION ALL
+            SELECT 'doc_text_too_short', CAST(SUM(CASE WHEN n_chars < 120 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM documents
+            UNION ALL
+            SELECT 'ref_l_orderkey_in_o_orderkey', COUNT(*)
+            FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        )
+        UNION ALL
+        SELECT 'anomaly_outliers:' || event_type, CAST(n_outliers AS DOUBLE)
+        FROM (
+            WITH r AS (
+                SELECT event_type, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n
+                FROM events WHERE value IS NOT NULL
+            ),
+            m AS (
+                SELECT event_type, event_id, value,
+                       MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN value END)
+                           OVER (PARTITION BY event_type) AS med
+                FROM r
+            ),
+            d AS (SELECT event_type, event_id, med, ABS(value - med) AS dv FROM m),
+            r2 AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv, event_id) AS rn2,
+                       COUNT(*) OVER (PARTITION BY event_type) AS n2
+                FROM d
+            ),
+            m2 AS (
+                SELECT event_type, dv,
+                       MAX(CASE WHEN rn2 = CAST(CEIL(0.5 * n2) AS BIGINT) THEN dv END)
+                           OVER (PARTITION BY event_type) AS mad
+                FROM r2
+            )
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN dv > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM m2 GROUP BY event_type
+        )
+        UNION ALL
+        SELECT 'drift_psi:event_value', value FROM (
+            SELECT psi_term AS value FROM ({psi_v}) WHERE bin = -1
+        )
+        UNION ALL
+        SELECT 'drift_psi:lang_mix', value FROM (
+            SELECT psi_term AS value FROM ({psi_l}) WHERE category IS NULL
+        )
+    ) ORDER BY "check"
+    """
+
+
+@query("corpus_health_report", oracle=_health_oracle)
+def corpus_health_report(spark, sf_dir):
+    """The monitoring family composed: ONE long-format (check, value)
+    corpus-health report unioning declarative quality rules, per-type
+    MAD outlier counts, numeric value drift, and language-mix drift —
+    what a 100 TB pipeline materializes per snapshot to alert on. Every
+    component is an independently driver-verified query; this verifies
+    they compose (consistent schema, one union, no recomputation tricks).
+    Scale shape: each branch keeps its own single-scan design; the union
+    is |checks| rows."""
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.anomaly import mad_outlier_summary
+    from chatdata_spark.operators.drift import psi_categorical, psi_report
+    from chatdata_spark.operators.quality import (
+        quality_report,
+        referential_violations,
+        row_rule_violations,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e = load_events(spark, sf_dir)
+
+    rules = quality_report(
+        [
+            row_rule_violations(
+                li,
+                {"li_quantity_range": (F.col("l_quantity") < 1) | (F.col("l_quantity") > 45)},
+            ),
+            row_rule_violations(d, {"doc_text_too_short": F.col("n_chars") < 120}),
+            referential_violations(li, o, "l_orderkey", "o_orderkey"),
+        ]
+    ).select(
+        F.concat(F.lit("quality:"), F.col("rule")).alias("check"),
+        F.col("n_violations").cast("double").alias("value"),
+    )
+
+    outliers = mad_outlier_summary(
+        e, ["event_type"], "value", tie_cols=["event_id"], k=3.0
+    ).select(
+        F.concat(F.lit("anomaly_outliers:"), F.col("event_type")).alias("check"),
+        F.col("n_outliers").cast("double").alias("value"),
+    )
+
+    split = F.lit(_PSI_SPLIT).cast("timestamp")
+    psi_v = (
+        psi_report(e.filter(F.col("ts") < split), e.filter(F.col("ts") >= split),
+                   "value", n_bins=_PSI_BINS)
+        .filter(F.col("bin") == -1)
+        .select(F.lit("drift_psi:event_value").alias("check"),
+                F.col("psi_term").alias("value"))
+    )
+    psi_l = (
+        psi_categorical(
+            d.filter(F.col("source").isin(_PSI_REF_SOURCES)),
+            d.filter(~F.col("source").isin(_PSI_REF_SOURCES)),
+            "lang",
+        )
+        .filter(F.col("category").isNull())
+        .select(F.lit("drift_psi:lang_mix").alias("check"),
+                F.col("psi_term").alias("value"))
+    )
+    return rules.unionByName(outliers).unionByName(psi_v).unionByName(psi_l).orderBy("check")

@@ -77,18 +77,19 @@ def test_tail_is_deliberate():
     # (fixed-point Lloyd's) + dedup_chunk_boilerplate (document-frequency
     # boilerplate removal) + cluster_balanced_sample (per-cluster quota
     # diversity sampling) + source_overlap_kmv (KMV overlap matrix) +
-    # ingest_csv_typed (CSV typed parse + quarantine), then 195→205 for
+    # ingest_csv_typed (CSV typed parse + quarantine), then 195→206 for
     # sequence_match/sequence_count (ClickHouse event-pattern parity) +
     # anomaly_mad_event_values (median/MAD outlier monitor) +
     # pca_embedding_knn (exact-moment distributed PCA) +
     # mixture_temperature_sample (n^alpha rebalancing) +
     # graph_label_propagation (LPA communities) +
     # drift_psi_event_values (PSI drift monitor: batch, streaming, categorical) +
-    # ingest_orc_roundtrip (ORC source/sink) — a new addition
+    # ingest_orc_roundtrip (ORC source/sink) +
+    # corpus_health_report (monitors composed) — a new addition
     # raises this deliberately, in the same commit that registers the
     # query.
     names = list(queries())
-    assert len(names) <= 205
+    assert len(names) <= 206
 
 
 def test_coverage_window_column_consistent():

@@ -43,9 +43,17 @@ def funnel_steps(
     ts_col: str,
     step_conds: list[Column],
     window: str = "INTERVAL 7 DAYS",
+    step_gap: str | None = None,
 ) -> DataFrame:
     """Per-user funnel progress: (user, t1..tk, step) where step = depth
-    of the earliest-entry chain completed within ``window`` of t1."""
+    of the earliest-entry chain completed within ``window`` of t1.
+    ``step_gap`` additionally bounds EACH ADJACENT step (t_k must fall
+    within ``step_gap`` of t_{k-1}) — the windowFunnel time-constraint
+    mode (ClickHouse ``(?t<=N)`` between steps): a user who views, goes
+    cold, and converts a week later counts for the loose funnel but not
+    the tight one. Greedy-earliest like the base mode — the chain picks
+    the first qualifying event per step, which is the deterministic
+    semantics both engines replay."""
     u, ts = F.col(user_col), F.col(ts_col)
     stage = (
         events.filter(step_conds[0])
@@ -55,11 +63,12 @@ def funnel_steps(
     deadline = F.col("t1") + F.expr(window)
     for i, cond in enumerate(step_conds[1:], start=2):
         prev = F.col(f"t{i-1}")
+        bound = deadline if step_gap is None else F.least(deadline, prev + F.expr(step_gap))
         nxt = (
             events.filter(cond)
             .select(u.alias(user_col), ts.alias("__ts"))
             .join(stage, user_col)
-            .filter((F.col("__ts") > prev) & (F.col("__ts") <= deadline))
+            .filter((F.col("__ts") > prev) & (F.col("__ts") <= bound))
             .groupBy(user_col)
             .agg(F.min("__ts").alias(f"t{i}"))
         )

@@ -633,3 +633,56 @@ def asof_join_purchase_click_sliced(spark, sf_dir):
         F.col("asof_event_id"),
         F.col("asof_value").cast("double"),
     ).orderBy("event_id")
+
+
+@query(
+    "funnel_tight_window",
+    oracle="""
+    WITH t1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN t1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > t1.t1
+          AND e.ts <= LEAST(t1.t1 + INTERVAL 7 DAY, t1.t1 + INTERVAL 1 DAY)
+        GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN t1 USING (user_id) JOIN t2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+          AND e.ts <= LEAST(t1.t1 + INTERVAL 7 DAY, t2.t2 + INTERVAL 1 DAY)
+        GROUP BY e.user_id
+    )
+    SELECT step, COUNT(*) AS n_users FROM (
+        SELECT CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+                    WHEN t2.t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS step
+        FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+    ) GROUP BY step ORDER BY step
+    """,
+)
+def funnel_tight_window(spark, sf_dir):
+    """windowFunnel with per-adjacent-step time constraints (the
+    ClickHouse '(?t<=N)' mode): view→click→purchase within 7 days
+    overall AND each step within 1 day of the previous — cooled-off
+    conversions that pass the loose funnel drop a step here
+    (operators/funnel.py::funnel_steps step_gap)."""
+    from chatdata_spark.operators.funnel import funnel_steps
+
+    e = load_events(spark, sf_dir)
+    steps = funnel_steps(
+        e,
+        "user_id",
+        "ts",
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window="INTERVAL 7 DAYS",
+        step_gap="INTERVAL 1 DAY",
+    )
+    return (
+        steps.groupBy("step").agg(F.count(F.lit(1)).alias("n_users")).orderBy("step")
+    )

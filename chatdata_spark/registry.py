@@ -128,17 +128,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 # Rotation plan for round 7: after r6 the never-driver-checked backlog is
-# TWENTY names — graph_random_walks, graph_skipgram_pairs,
+# TWENTY-ONE names — graph_random_walks, graph_skipgram_pairs,
 # dedup_jaccard_prefix, ann_ivfpq_search, kmeans_embedding_clusters,
 # dedup_chunk_boilerplate, cluster_balanced_sample, source_overlap_kmv,
 # ingest_csv_typed, sequence_match_click_to_purchase,
 # sequence_count_conversion_cycles, anomaly_mad_event_values,
 # pca_embedding_knn, mixture_temperature_sample,
 # graph_label_propagation, drift_psi_event_values,
-# streaming_drift_psi, ingest_orc_roundtrip, drift_psi_lang_mix and
-# corpus_health_report, which landed after the window filled (18 r6
-# additions shipped driver-verified; all twenty are full-registry
-# pytest-oracled meanwhile) — window them FIRST in r7. Then swap the
+# streaming_drift_psi, ingest_orc_roundtrip, drift_psi_lang_mix,
+# corpus_health_report and funnel_tight_window, which landed after the
+# window filled (18 r6 additions shipped driver-verified; all
+# twenty-one are full-registry pytest-oracled meanwhile) — window them
+# FIRST in r7. Then swap the
 # then-twice-green r5/r6 names out for
 # the 21 deferred once-green names (stuff_context_docs,
 # streaming_distinct_events, streaming_join_click_purchase,

@@ -136,3 +136,22 @@ def test_cohort_retention_counts(spark):
         for r in cohort_retention(e, "user_id", "ts").collect()
     }
     assert got == {(1, 0): 2, (1, 1): 1, (1, 2): 2, (2, 0): 1, (2, 1): 1}
+
+
+def test_funnel_step_gap_bounds_each_adjacent_step(spark):
+    rows = [
+        # u1 completes with tight gaps → step 3 under both modes
+        (1, t(1), "view"), (1, t(1, 6), "click"), (1, t(1, 12), "purchase"),
+        # u2: click comes 3 days after view — fine loose (7d window),
+        # out of the 1-day adjacent gap → step 1 tight
+        (2, t(1), "view"), (2, t(4), "click"), (2, t(4, 1), "purchase"),
+        # u3: click next hour, purchase 3 days after the click — step 2 tight
+        (3, t(1), "view"), (3, t(1, 1), "click"), (3, t(5), "purchase"),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    conds = [F.col("event_type") == s for s in ("view", "click", "purchase")]
+    loose = {r.user_id: r.step for r in funnel_steps(e, "user_id", "ts", conds).collect()}
+    tight = {r.user_id: r.step for r in
+             funnel_steps(e, "user_id", "ts", conds, step_gap="INTERVAL 1 DAY").collect()}
+    assert loose == {1: 3, 2: 3, 3: 3}
+    assert tight == {1: 3, 2: 1, 3: 2}

@@ -77,7 +77,7 @@ def test_tail_is_deliberate():
     # (fixed-point Lloyd's) + dedup_chunk_boilerplate (document-frequency
     # boilerplate removal) + cluster_balanced_sample (per-cluster quota
     # diversity sampling) + source_overlap_kmv (KMV overlap matrix) +
-    # ingest_csv_typed (CSV typed parse + quarantine), then 195→206 for
+    # ingest_csv_typed (CSV typed parse + quarantine), then 195→207 for
     # sequence_match/sequence_count (ClickHouse event-pattern parity) +
     # anomaly_mad_event_values (median/MAD outlier monitor) +
     # pca_embedding_knn (exact-moment distributed PCA) +
@@ -85,11 +85,12 @@ def test_tail_is_deliberate():
     # graph_label_propagation (LPA communities) +
     # drift_psi_event_values (PSI drift monitor: batch, streaming, categorical) +
     # ingest_orc_roundtrip (ORC source/sink) +
-    # corpus_health_report (monitors composed) — a new addition
+    # corpus_health_report (monitors composed) +
+    # funnel_tight_window (per-step-gap windowFunnel mode) — a new addition
     # raises this deliberately, in the same commit that registers the
     # query.
     names = list(queries())
-    assert len(names) <= 206
+    assert len(names) <= 207
 
 
 def test_coverage_window_column_consistent():

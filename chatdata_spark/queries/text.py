@@ -781,3 +781,85 @@ def source_overlap_kmv(spark, sf_dir):
     elems = prep.select("source", F.explode(shingles_col("__w", 3)).alias("gram"))
     sk = kmv_sketch_by_group(elems, "source", "gram", k=64)
     return kmv_pairwise_overlap(sk, "source").orderBy("group_a", "group_b")
+
+
+@query(
+    "text_ngram_diversity",
+    oracle=r"""
+    WITH w AS (
+        SELECT source, regexp_split_to_array(lower(text), '\s+') AS w FROM documents
+    ),
+    t AS (SELECT source, unnest(w) AS tok FROM w),
+    g AS (
+        SELECT source, array_to_string(w[i:i+2], ' ') AS gram
+        FROM (SELECT source, w,
+                     unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+              FROM w)
+    ),
+    u AS (
+        SELECT source, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS distinct_tokens
+        FROM t GROUP BY source
+    ),
+    tg AS (
+        SELECT source, COUNT(*) AS n_trigrams, COUNT(DISTINCT gram) AS distinct_trigrams
+        FROM g GROUP BY source
+    )
+    SELECT u.source, n_tokens, distinct_tokens,
+           ROUND(CAST(distinct_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+           n_trigrams, distinct_trigrams,
+           ROUND(CAST(distinct_trigrams AS DOUBLE) / CAST(n_trigrams AS DOUBLE), 6)
+               AS trigram_diversity
+    FROM u JOIN tg USING (source) ORDER BY u.source
+    """,
+)
+def text_ngram_diversity(spark, sf_dir):
+    """N-gram diversity per source — the repetitiveness metric of corpus
+    cards (low distinct-trigram ratio = boilerplate/templated text;
+    type-token ratio = vocabulary breadth): TOTAL and DISTINCT unigrams
+    and floor-1 trigrams (the repo shingle convention) per source, with
+    the ratios rounded 6. Two scan-stage explodes feeding
+    map-side-combined aggregates — the per-source frames are
+    |sources|-row, the distinct counts shuffle (source, token/gram)
+    pairs, never documents."""
+    from chatdata_spark.operators.dedup import _spread, words_col
+
+    d = _spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("source", "text")
+    )
+    prep = d.select("source", words_col("text").alias("__w"))
+    toks = prep.select("source", F.explode("__w").alias("tok"))
+    grams = prep.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("__w") - 2, F.lit(1))),
+                lambda i: F.array_join(F.slice("__w", i, 3), " "),
+            )
+        ).alias("gram"),
+    )
+    u = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("tok").alias("distinct_tokens"),
+    )
+    tg = grams.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.count_distinct("gram").alias("distinct_trigrams"),
+    )
+    return (
+        u.join(tg, "source")
+        .select(
+            "source",
+            "n_tokens",
+            "distinct_tokens",
+            F.round(
+                F.col("distinct_tokens").cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("ttr"),
+            "n_trigrams",
+            "distinct_trigrams",
+            F.round(
+                F.col("distinct_trigrams").cast("double") / F.col("n_trigrams").cast("double"),
+                6,
+            ).alias("trigram_diversity"),
+        )
+        .orderBy("source")
+    )

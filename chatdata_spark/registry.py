@@ -128,7 +128,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 # Rotation plan for round 7: after r6 the never-driver-checked backlog is
-# TWENTY-ONE names — graph_random_walks, graph_skipgram_pairs,
+# TWENTY-TWO names — graph_random_walks, graph_skipgram_pairs,
 # dedup_jaccard_prefix, ann_ivfpq_search, kmeans_embedding_clusters,
 # dedup_chunk_boilerplate, cluster_balanced_sample, source_overlap_kmv,
 # ingest_csv_typed, sequence_match_click_to_purchase,
@@ -136,23 +136,23 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # pca_embedding_knn, mixture_temperature_sample,
 # graph_label_propagation, drift_psi_event_values,
 # streaming_drift_psi, ingest_orc_roundtrip, drift_psi_lang_mix,
-# corpus_health_report and funnel_tight_window, which landed after the
-# window filled (18 r6 additions shipped driver-verified; all
-# twenty-one are full-registry pytest-oracled meanwhile) — window them
-# FIRST in r7. Then swap the
-# then-twice-green r5/r6 names out for
-# the 21 deferred once-green names (stuff_context_docs,
+# corpus_health_report, funnel_tight_window and text_ngram_diversity,
+# which landed after the window filled (18 r6 additions shipped
+# driver-verified; all twenty-two are full-registry pytest-oracled
+# meanwhile). The r7 window FITS the whole obligation in one round:
+# 4 kept sentinels + these 22 never-driver-checked names + the 21
+# once-green r5 deferrals (stuff_context_docs,
 # streaming_distinct_events, streaming_join_click_purchase,
 # leakage_safe_split_docs, asof_join_purchase_click_sliced,
 # qa_context_assembly, rerank_snippet_search, bucketed_fact_join_revenue,
 # streaming_near_dup_docs, mmr_diversified_knn_distributed,
-# dedup_substring_spans — they made room for the late-r6 additions —
-# plus q4_order_priority, q6_forecast_revenue, q10_returned_items,
-# q11_important_parts, q12_priority_by_linestatus, q14_promo_revenue,
-# q15_top_supplier, q16_supplier_part_counts, q18_large_volume_customer,
-# knn_ip — their second green) plus any r6 first-timer that goes red; from
-# there the window settles into a steady sentinel + recent-additions
-# shape.
+# dedup_substring_spans, q4_order_priority, q6_forecast_revenue,
+# q10_returned_items, q11_important_parts, q12_priority_by_linestatus,
+# q14_promo_revenue, q15_top_supplier, q16_supplier_part_counts,
+# q18_large_volume_customer, knn_ip — their second green) = 47 of 50
+# slots, leaving three for r7 additions or any r6 first-timer that goes
+# red; from there the window settles into a steady sentinel +
+# recent-additions shape.
 
 
 def _ordered() -> dict[str, QueryDef]:

@@ -77,7 +77,7 @@ def test_tail_is_deliberate():
     # (fixed-point Lloyd's) + dedup_chunk_boilerplate (document-frequency
     # boilerplate removal) + cluster_balanced_sample (per-cluster quota
     # diversity sampling) + source_overlap_kmv (KMV overlap matrix) +
-    # ingest_csv_typed (CSV typed parse + quarantine), then 195→207 for
+    # ingest_csv_typed (CSV typed parse + quarantine), then 195→208 for
     # sequence_match/sequence_count (ClickHouse event-pattern parity) +
     # anomaly_mad_event_values (median/MAD outlier monitor) +
     # pca_embedding_knn (exact-moment distributed PCA) +
@@ -86,11 +86,12 @@ def test_tail_is_deliberate():
     # drift_psi_event_values (PSI drift monitor: batch, streaming, categorical) +
     # ingest_orc_roundtrip (ORC source/sink) +
     # corpus_health_report (monitors composed) +
-    # funnel_tight_window (per-step-gap windowFunnel mode) — a new addition
+    # funnel_tight_window (per-step-gap windowFunnel mode) +
+    # text_ngram_diversity (corpus repetitiveness report) — a new addition
     # raises this deliberately, in the same commit that registers the
     # query.
     names = list(queries())
-    assert len(names) <= 207
+    assert len(names) <= 208
 
 
 def test_coverage_window_column_consistent():

@@ -79,3 +79,60 @@ def token_stream(df: DataFrame, text_col: str = "text") -> DataFrame:
     from chatdata_spark.functions.text import words
 
     return df.select(F.explode(words(text_col)).alias("item")).filter(F.col("item") != "")
+
+
+def heavy_hitters_weighted(
+    items: DataFrame,
+    item_col: str,
+    weight_col: str,
+    min_weight: float,
+    k_counters: int = 4096,
+) -> DataFrame:
+    """All items with exact total WEIGHT >= min_weight (the ClickHouse
+    ``topKWeighted`` capability, exact) — revenue hot keys, byte-weighted
+    hot paths, token-mass vocabulary. Same two-pass shape as
+    :func:`heavy_hitters` with weighted Misra-Gries candidates (each
+    partition pre-aggregates per Arrow batch, adds weight mass, and
+    compresses by subtracting the (k+1)-th largest mass — any item with
+    partition weight > W_p/(k+1) survives, so the union of candidates is
+    a superset of the true answer whenever
+    ``min_weight > total_weight / (k_counters + 1)``), then an exact
+    decimal recount over candidates only. Weights must be non-negative
+    (a negative weight breaks the MG survival bound — filtered out with
+    NULLs up front; route refunds through a separate pass)."""
+    k = int(k_counters)
+    w = F.col(weight_col)
+    toks = items.select(
+        F.col(item_col).cast("string").alias(item_col),
+        w.cast("double").alias("__w"),
+    ).filter(w.isNotNull() & (w >= 0))
+
+    def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Closure-only logic (worker-pickling rule): weighted MG over
+        # per-batch pre-aggregated masses.
+        from collections import Counter
+
+        def compress(counts: Counter, slots: int) -> Counter:
+            if len(counts) <= slots:
+                return counts
+            vals = sorted(counts.values(), reverse=True)
+            m = vals[slots]  # (slots+1)-th largest mass
+            return Counter({it: c - m for it, c in counts.items() if c - m > 0})
+
+        counts: Counter = Counter()
+        for pdf in batches:
+            agg = pdf.groupby(item_col, sort=False)["__w"].sum()
+            counts.update(agg.to_dict())
+            if len(counts) > 4 * k:
+                counts = compress(counts, k)
+        counts = compress(counts, k)
+        yield pd.DataFrame({item_col: list(counts.keys())})
+
+    cands = toks.mapInPandas(mg_partition, f"{item_col} string").distinct()
+    return (
+        toks.join(F.broadcast(cands), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.sum(F.col("__w").cast("decimal(27,6)")).alias("__dw"))
+        .filter(F.col("__dw") >= F.lit(float(min_weight)).cast("decimal(27,6)"))
+        .select(item_col, F.col("__dw").cast("double").alias("total_weight"))
+    )

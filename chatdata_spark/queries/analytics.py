@@ -757,3 +757,37 @@ def graph_label_propagation(spark, sf_dir):
         .orderBy(F.desc("n_members"), "label")
         .limit(20)
     )
+
+
+@query(
+    "heavy_hitter_parts_weighted",
+    oracle="""
+    SELECT CAST(l_partkey AS VARCHAR) AS item,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+               AS total_weight
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6)))
+           >= CAST(2000000.0 AS DECIMAL(27,6))
+    ORDER BY item
+    """,
+)
+def heavy_hitter_parts_weighted(spark, sf_dir):
+    """Weighted heavy hitters (topKWeighted capability, exact): parts
+    whose total discounted revenue reaches 2M — weighted Misra-Gries
+    candidates per partition (bounded memory: the operator shuffles the
+    candidate set, never the full key space) + an exact decimal recount
+    (operators/heavyhitters.py::heavy_hitters_weighted). The oracle is
+    the naive full GROUP BY the operator avoids at scale; at sf0.01 the
+    2M threshold clears the MG exactness bound (total/(k+1) ≈ 0.74M) ~3x
+    over."""
+    from chatdata_spark.operators.heavyhitters import heavy_hitters_weighted
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = li.select(
+        F.col("l_partkey").alias("item"),
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("w"),
+    )
+    return heavy_hitters_weighted(
+        rev, "item", "w", min_weight=2_000_000.0, k_counters=4096
+    ).orderBy("item")

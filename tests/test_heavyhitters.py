@@ -45,3 +45,47 @@ def test_heavy_hitters_recount_is_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_weighted_heavy_hitters_exact_vs_naive(spark):
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    rev = li.select(
+        F.col("l_partkey").alias("item"),
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("w"),
+    )
+    from chatdata_spark.operators.heavyhitters import heavy_hitters_weighted
+
+    got = {
+        (r.item, r.total_weight)
+        for r in heavy_hitters_weighted(rev, "item", "w", min_weight=2_000_000.0).collect()
+    }
+    want = {
+        (r.item, r.total_weight)
+        for r in rev.groupBy(F.col("item").cast("string").alias("item"))
+        .agg(F.sum(F.col("w").cast("decimal(27,6)")).alias("dw"))
+        .filter(F.col("dw") >= 2_000_000.0)
+        .select("item", F.col("dw").cast("double").alias("total_weight"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_weighted_heavy_hitters_tiny_budget_and_null_negative_filter(spark):
+    """Skewed weighted stream under a tiny counter budget: items above the
+    weighted MG bound W/(k+1) survive; NULL and negative weights are
+    dropped up front (a negative weight would break the survival bound)."""
+    from chatdata_spark.operators.heavyhitters import heavy_hitters_weighted
+
+    rows = (
+        [("hot", 10.0)] * 1000          # mass 10,000
+        + [("warm", 2.0)] * 2500        # mass 5,000
+        + [(f"tail{i % 200}", 1.0) for i in range(2000)]
+        + [("hot", None), ("hot", -999999.0)]  # must be ignored
+    )
+    df = spark.createDataFrame(rows, "item string, w double").repartition(8)
+    total = 10_000 + 5_000 + 2_000
+    k = 16
+    min_w = total / (k + 1) + 1
+    got = {(r.item, r.total_weight) for r in
+           heavy_hitters_weighted(df, "item", "w", min_weight=min_w, k_counters=k).collect()}
+    assert got == {("hot", 10_000.0), ("warm", 5_000.0)}

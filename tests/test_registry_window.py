@@ -77,7 +77,7 @@ def test_tail_is_deliberate():
     # (fixed-point Lloyd's) + dedup_chunk_boilerplate (document-frequency
     # boilerplate removal) + cluster_balanced_sample (per-cluster quota
     # diversity sampling) + source_overlap_kmv (KMV overlap matrix) +
-    # ingest_csv_typed (CSV typed parse + quarantine), then 195→208 for
+    # ingest_csv_typed (CSV typed parse + quarantine), then 195→209 for
     # sequence_match/sequence_count (ClickHouse event-pattern parity) +
     # anomaly_mad_event_values (median/MAD outlier monitor) +
     # pca_embedding_knn (exact-moment distributed PCA) +
@@ -87,11 +87,12 @@ def test_tail_is_deliberate():
     # ingest_orc_roundtrip (ORC source/sink) +
     # corpus_health_report (monitors composed) +
     # funnel_tight_window (per-step-gap windowFunnel mode) +
-    # text_ngram_diversity (corpus repetitiveness report) — a new addition
+    # text_ngram_diversity (corpus repetitiveness report) +
+    # heavy_hitter_parts_weighted (exact topKWeighted) — a new addition
     # raises this deliberately, in the same commit that registers the
     # query.
     names = list(queries())
-    assert len(names) <= 208
+    assert len(names) <= 209
 
 
 def test_coverage_window_column_consistent():

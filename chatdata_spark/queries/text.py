@@ -863,3 +863,71 @@ def text_ngram_diversity(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_zipf_slope",
+    oracle=r"""
+    WITH w AS (
+        SELECT source, regexp_split_to_array(lower(text), '\s+') AS w FROM documents
+    ),
+    t AS (SELECT source, unnest(w) AS tok FROM w),
+    c AS (SELECT source, tok, COUNT(*) AS cnt FROM t GROUP BY source, tok),
+    r AS (
+        SELECT source, cnt,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, tok ASC) AS rank
+        FROM c
+    ),
+    h AS (SELECT source, ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+          FROM r WHERE rank <= 100),
+    m AS (
+        SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(27,12))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * y AS DECIMAL(27,12))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS sxx
+        FROM h GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_ranks,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+    FROM m ORDER BY source
+    """,
+)
+def text_zipf_slope(spark, sf_dir):
+    """Zipf power-law fit per source: least-squares slope of
+    ln(frequency) on ln(rank) over each source's top-100 tokens —
+    natural text sits near -1; a slope far off flags synthetic or
+    templated vocabularies (corpus-card companion to
+    text_ngram_diversity). Moments go through exact DECIMAL sums with
+    one fixed float64 combine formula (the corr recipe), so the fit is
+    reproducible cross-engine; rank ties share a count, making the
+    (rank, cnt) multiset — and the slope — tie-order-invariant."""
+    from pyspark.sql import Window
+
+    from chatdata_spark.operators.dedup import _spread, words_col
+
+    d = _spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("source", "text")
+    )
+    toks = d.select("source", F.explode(words_col("text")).alias("tok"))
+    counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    win = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("tok"))
+    ranked = counts.withColumn("rank", F.row_number().over(win)).filter(
+        F.col("rank") <= 100
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+
+    def dsum(expr, name):
+        return F.sum(expr.cast("decimal(27,12)")).cast("double").alias(name)
+
+    m = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x, "sx"), dsum(y, "sy"), dsum(x * y, "sxy"), dsum(x * x, "sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    return m.select(
+        "source",
+        n.cast("long").alias("n_ranks"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("zipf_slope"),
+    ).orderBy("source")

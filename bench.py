@@ -86,6 +86,9 @@ HEADLINE = [
     "source_overlap_kmv",       # KMV sketch overlap matrix (one distinct shuffle)
     "sequence_count_conversion_cycles",  # ordered symbol strings + regex count
     "anomaly_mad_event_values", # median/MAD monitor: two grouped sorts + joins
+    "text_ngram_diversity",     # corpus-card repetitiveness: explode + distinct counts
+    "text_zipf_slope",          # power-law fit: vocab agg + rank window + decimal moments
+    "heavy_hitter_parts_weighted",  # weighted MG candidates + exact decimal recount
 ]
 # NOTE: no bpe_learn_merges, graph_pagerank_transactions,
 # graph_trustrank_suppliers, or kmeans_embedding_clusters bench entry,

@@ -781,12 +781,19 @@ def heavy_hitter_parts_weighted(spark, sf_dir):
     the naive full GROUP BY the operator avoids at scale; at sf0.01 the
     2M threshold clears the MG exactness bound (total/(k+1) ≈ 0.74M) ~3x
     over."""
+    from chatdata_spark.operators.dedup import _spread
     from chatdata_spark.operators.heavyhitters import heavy_hitters_weighted
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    rev = li.select(
-        F.col("l_partkey").alias("item"),
-        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("w"),
+    # project to the 2 needed columns BEFORE spreading: the fixture's
+    # single-row-group file plans a 1-partition scan (CLAUDE.md), and the
+    # MG pass is the compute-heavy stage — spread the narrow frame so the
+    # exchange carries 16 bytes/row, not the full lineitem width
+    rev = _spread(
+        li.select(
+            F.col("l_partkey").alias("item"),
+            (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("w"),
+        )
     )
     return heavy_hitters_weighted(
         rev, "item", "w", min_weight=2_000_000.0, k_counters=4096

@@ -300,3 +300,32 @@ def routed_index_knn(spark, sf_dir):
         LIMIT 9
         """,
     )
+
+
+@query(
+    "dialect_argmax_argmin",
+    oracle="""
+    SELECT event_type,
+           arg_max(user_id, event_id) AS latest_user,
+           arg_min(CAST(value AS DOUBLE), event_id) AS first_value,
+           arg_max(CAST(value AS DOUBLE), event_id) AS latest_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def dialect_argmax_argmin(spark, sf_dir):
+    """ClickHouse argMax/argMin parity (the keep-latest aggregate
+    combinators behind every ReplacingMergeTree read pattern): Spark
+    max_by/min_by ≡ DuckDB arg_max/arg_min. The ordering key is the
+    UNIQUE event_id — argMax/argMin tie behavior is engine-undefined in
+    both ClickHouse and Spark, so deterministic use requires a unique
+    (or tie-broken) key; this query pins the convention."""
+    e = load_events(spark, sf_dir)
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.max_by("user_id", "event_id").alias("latest_user"),
+            F.min_by(F.col("value").cast("double"), F.col("event_id")).alias("first_value"),
+            F.max_by(F.col("value").cast("double"), F.col("event_id")).alias("latest_value"),
+        )
+        .orderBy("event_type")
+    )

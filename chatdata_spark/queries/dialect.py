@@ -329,3 +329,32 @@ def dialect_argmax_argmin(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "dialect_uniq_upto",
+    oracle="""
+    SELECT event_type,
+           LEAST(COUNT(DISTINCT user_id), 51) AS uniq_upto_50,
+           LEAST(COUNT(DISTINCT user_id), 2001) AS uniq_upto_2000
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def dialect_uniq_upto(spark, sf_dir):
+    """ClickHouse uniqUpTo(N) parity: EXACT distinct count while it is
+    <= N, the sentinel N+1 once exceeded — the cheap 'are there more
+    than N distinct?' gate (CH bounds its state at N+1 entries; here the
+    cap composes over exact count_distinct, with the same observable
+    semantics — a bounded-state variant would swap in the KMV/HLL
+    sketches for the billions-of-keys regime). Both caps exercised: 50
+    saturates on every type at sf0.01, 2000 stays exact."""
+    e = load_events(spark, sf_dir)
+    u = F.count_distinct("user_id")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.least(u, F.lit(51).cast("long")).alias("uniq_upto_50"),
+            F.least(u, F.lit(2001).cast("long")).alias("uniq_upto_2000"),
+        )
+        .orderBy("event_type")
+    )

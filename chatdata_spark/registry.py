@@ -128,7 +128,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 # Rotation plan for round 7: after r6 the never-driver-checked backlog is
-# TWENTY-FIVE names — graph_random_walks, graph_skipgram_pairs,
+# TWENTY-SIX names — graph_random_walks, graph_skipgram_pairs,
 # dedup_jaccard_prefix, ann_ivfpq_search, kmeans_embedding_clusters,
 # dedup_chunk_boilerplate, cluster_balanced_sample, source_overlap_kmv,
 # ingest_csv_typed, sequence_match_click_to_purchase,
@@ -137,11 +137,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # graph_label_propagation, drift_psi_event_values,
 # streaming_drift_psi, ingest_orc_roundtrip, drift_psi_lang_mix,
 # corpus_health_report, funnel_tight_window, text_ngram_diversity,
-# heavy_hitter_parts_weighted, text_zipf_slope and
-# dialect_argmax_argmin, which landed after the window filled (18 r6
-# additions shipped driver-verified; all twenty-five are full-registry
+# heavy_hitter_parts_weighted, text_zipf_slope, dialect_argmax_argmin
+# and dialect_uniq_upto, which landed after the window filled (18 r6
+# additions shipped driver-verified; all twenty-six are full-registry
 # pytest-oracled meanwhile). The r7 window FITS the whole obligation in one round:
-# 4 kept sentinels + these 25 never-driver-checked names + the 21
+# 4 kept sentinels + these 26 never-driver-checked names + the 21
 # once-green r5 deferrals (stuff_context_docs,
 # streaming_distinct_events, streaming_join_click_purchase,
 # leakage_safe_split_docs, asof_join_purchase_click_sliced,
@@ -150,8 +150,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # dedup_substring_spans, q4_order_priority, q6_forecast_revenue,
 # q10_returned_items, q11_important_parts, q12_priority_by_linestatus,
 # q14_promo_revenue, q15_top_supplier, q16_supplier_part_counts,
-# q18_large_volume_customer, knn_ip — their second green) = exactly 50
-# slots (any r7 addition or r6 red defers a second-green name to r8); from there the window settles into a steady sentinel +
+# q18_large_volume_customer, knn_ip — their second green) = 51 names
+# for 50 slots: defer ONE second-green TPC-H middle (they are the
+# lowest-risk class — driver-green once AND full-registry-oracled every
+# round) to r8, plus one more per r7 addition or r6 red; from there the window settles into a steady sentinel +
 # recent-additions shape.
 
 

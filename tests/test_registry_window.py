@@ -77,7 +77,7 @@ def test_tail_is_deliberate():
     # (fixed-point Lloyd's) + dedup_chunk_boilerplate (document-frequency
     # boilerplate removal) + cluster_balanced_sample (per-cluster quota
     # diversity sampling) + source_overlap_kmv (KMV overlap matrix) +
-    # ingest_csv_typed (CSV typed parse + quarantine), then 195→211 for
+    # ingest_csv_typed (CSV typed parse + quarantine), then 195→212 for
     # sequence_match/sequence_count (ClickHouse event-pattern parity) +
     # anomaly_mad_event_values (median/MAD outlier monitor) +
     # pca_embedding_knn (exact-moment distributed PCA) +
@@ -90,11 +90,12 @@ def test_tail_is_deliberate():
     # text_ngram_diversity (corpus repetitiveness report) +
     # heavy_hitter_parts_weighted (exact topKWeighted) +
     # text_zipf_slope (power-law corpus card) +
-    # dialect_argmax_argmin (argMax/argMin parity) — a new addition
+    # dialect_argmax_argmin (argMax/argMin parity) +
+    # dialect_uniq_upto (capped exact distinct) — a new addition
     # raises this deliberately, in the same commit that registers the
     # query.
     names = list(queries())
-    assert len(names) <= 211
+    assert len(names) <= 212
 
 
 def test_coverage_window_column_consistent():

@@ -69,16 +69,32 @@ def mad_outliers(
         dev = with_med.withColumn("__dev", F.abs(F.col(value_col) - F.col("med")))
         flagged = _windowed_disc_median(dev, group_cols, "__dev", tie_cols, "mad")
     else:
+        # Null-safe equi-joins so the approx path keeps NULL group keys,
+        # matching the exact path's window PARTITION BY (a plain equi-join
+        # would silently drop NULL-keyed groups — ADVICE r6).
+        def _nsafe_join(left: DataFrame, agg: DataFrame) -> DataFrame:
+            aliased = agg.select(
+                *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+                *[c for c in agg.columns if c not in group_cols],
+            )
+            cond = None
+            for c in group_cols:
+                eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+                cond = eq if cond is None else (cond & eq)
+            return left.join(F.broadcast(aliased), cond).drop(
+                *[f"__g_{c}" for c in group_cols]
+            )
+
         med = clean.groupBy(*group_cols).agg(
             F.percentile_approx(value_col, 0.5, accuracy).alias("med")
         )
-        dev = clean.join(med, group_cols).withColumn(
+        dev = _nsafe_join(clean, med).withColumn(
             "__dev", F.abs(F.col(value_col) - F.col("med"))
         )
         mad = dev.groupBy(*group_cols).agg(
             F.percentile_approx("__dev", 0.5, accuracy).alias("mad")
         )
-        flagged = dev.join(mad, group_cols)
+        flagged = _nsafe_join(dev.drop("mad") if "mad" in dev.columns else dev, mad)
     return flagged.withColumn(
         "is_outlier", F.col("__dev") > F.lit(float(k)) * F.col("mad")
     ).drop("__dev")

@@ -68,7 +68,17 @@ def psi_from_counts(rc: DataFrame, cc: DataFrame, n_edges: int) -> DataFrame:
     """(bin, n_ref, n_cur, psi_term) + total row (bin = -1) from two
     (bin, n_ref) / (bin, n_cur) count frames over the SAME ``n_edges``-edge
     binning — the tail of :func:`psi_report`, exposed so streaming-merged
-    histograms feed the identical arithmetic."""
+    histograms feed the identical arithmetic.
+
+    Deviation from the textbook definition, by design: bins empty in BOTH
+    snapshots are absent from the count frames and contribute no smoothed
+    term. When total counts differ (tr != tc) a textbook Laplace-smoothed
+    PSI over all B bins would add a small nonzero term per such bin; here
+    the total excludes them (it is exactly the sum over OBSERVED bins).
+    This keeps the operator a pure function of the count frames — mergeable
+    micro-batch histograms never have to agree on a bin spine — and the
+    excluded terms are smoothing artifacts of empty cells, not evidence of
+    drift. Oracles mirror this shape."""
     bins = n_edges + 1
     base = (
         rc.join(cc, "bin", "full_outer")

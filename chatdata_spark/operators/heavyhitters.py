@@ -63,7 +63,9 @@ def heavy_hitters(
         counts = compress(counts, k)
         yield pd.DataFrame({item_col: list(counts.keys())})
 
-    toks = items.select(item_col)
+    # Cast up front so the Arrow candidate frame ('{col} string' schema)
+    # and the semi-join compare like types for non-string hot keys.
+    toks = items.select(F.col(item_col).cast("string").alias(item_col))
     cands = toks.mapInPandas(mg_partition, f"{item_col} string").distinct()
     return (
         toks.join(F.broadcast(cands), item_col, "left_semi")

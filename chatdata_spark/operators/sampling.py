@@ -215,9 +215,13 @@ def temperature_mixture(
     rates) so callers can log the realized mixture. One scan + one tiny
     agg; the filter is scan-stage, so at 100 TB the cost is the count
     pass plus a pushed-down predicate."""
+    # NULL domain keys fall through to default_rate=0.0 in domain_mixture;
+    # keeping None in the dict would break temperature_rates' sorted() on
+    # mixed None/str keys (ADVICE r6).
     counts = {
         r[0]: r[1]
         for r in df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n")).collect()
+        if r[0] is not None
     }
     rates = temperature_rates(counts, alpha, target_total)
     return domain_mixture(df, domain_col, rates, key_col, default_rate=0.0, salt=salt), rates

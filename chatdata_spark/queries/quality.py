@@ -270,9 +270,13 @@ def _psi_lang_oracle() -> str:
     from chatdata_spark.catalog import oracle_sf_dir
 
     refs = ", ".join(f"'{s}'" for s in _PSI_REF_SOURCES)
+    # Same predicate as the operator default (categories present in
+    # ref∪cur): rows with NULL source belong to NEITHER snapshot (`source
+    # NOT IN (...)` is NULL-excluded in both engines), so a lang confined
+    # to NULL-source rows must not inflate the smoothing denominator.
     n_smooth = duckdb.sql(
         f"SELECT COUNT(DISTINCT lang) FROM read_parquet('{oracle_sf_dir()}/documents.parquet') "
-        "WHERE lang IS NOT NULL"
+        "WHERE lang IS NOT NULL AND source IS NOT NULL"
     ).fetchall()[0][0]
     b = float(n_smooth)
     return f"""

@@ -57,3 +57,17 @@ def test_approx_path_agrees_away_from_boundary(spark):
               mad_outliers(df, ["g"], "v", ["id"], exact=False).collect()}
     assert exact == approx
     assert sum(exact.values()) == 3
+
+
+def test_approx_path_keeps_null_group_key(spark):
+    # ADVICE r6: the approx path's equi-joins used to drop NULL-keyed
+    # groups that the exact path's window PARTITION BY keeps.
+    rows = [(None, i, float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 1000])]
+    rows += [("a", 100 + i, float(v)) for i, v in enumerate([1, 2, 3, 1000])]
+    df = _df(spark, rows)
+    exact = {r.id: r.is_outlier for r in
+             mad_outliers(df, ["g"], "v", ["id"], exact=True).collect()}
+    approx = {r.id: r.is_outlier for r in
+              mad_outliers(df, ["g"], "v", ["id"], exact=False).collect()}
+    assert set(approx) == set(exact) == {r[1] for r in rows}
+    assert approx == exact

@@ -89,3 +89,13 @@ def test_weighted_heavy_hitters_tiny_budget_and_null_negative_filter(spark):
     got = {(r.item, r.total_weight) for r in
            heavy_hitters_weighted(df, "item", "w", min_weight=min_w, k_counters=k).collect()}
     assert got == {("hot", 10_000.0), ("warm", 5_000.0)}
+
+
+def test_heavy_hitters_non_string_item_column(spark):
+    # ADVICE r6: the candidate schema is '{col} string' — a bigint hot-key
+    # column must be cast up front, not crash the Arrow conversion or
+    # silently miss the semi-join.
+    rows = [(7,)] * 500 + [(i,) for i in range(100)]
+    df = spark.createDataFrame(rows, "item long").repartition(4)
+    got = {(r.item, r.n) for r in heavy_hitters(df, min_count=400, k_counters=8).collect()}
+    assert got == {("7", 501)}

@@ -200,3 +200,17 @@ def test_temperature_mixture_end_to_end(spark):
     assert got["small"] == 100
     assert 60 <= got["big"] <= 140
     assert rates["small"] == 1.0
+
+
+def test_temperature_mixture_null_domain_falls_to_default(spark):
+    # ADVICE r6: a NULL domain key used to abort temperature_rates'
+    # sorted() with TypeError; it must instead fall through to
+    # default_rate=0.0 (dropped) like any unlisted domain.
+    from chatdata_spark.operators.sampling import temperature_mixture
+
+    rows = [("a", f"k{i}") for i in range(50)] + [(None, f"n{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "dom string, k string")
+    mixed, rates = temperature_mixture(df, "dom", "k", alpha=0.5, target_total=50)
+    assert None not in rates and set(rates) == {"a"}
+    out = mixed.collect()
+    assert all(r.dom == "a" for r in out) and len(out) == 50

@@ -2,17 +2,27 @@
 """Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints exactly ONE JSON line to stdout:
-  {"metric": "suite_seconds", "value": <total>, "unit": "sec",
-   "queries": {...per-query seconds...}, "sf": <float>}
+Prints exactly ONE compact JSON line to stdout (bounded well under the
+driver's ~2,000-char capture window — the BENCH_r06 lesson):
+  {"metric":"suite_seconds","value":<steady-state total>,"unit":"sec",
+   "sf":<float>,"n_queries":<N>,"detail":"BENCH_DETAIL.json",
+   "queries":{<=15 stable headline entries, 2-decimal>}}
+and writes the FULL per-query map (plus the "e2e" map for iterative
+operators timed build+execute) to BENCH_DETAIL.json at the repo root —
+the canonical artifact PLANS.md cites.
 
 Execution model: each query plan is forced end-to-end into the noop sink
 (full computation, no driver-collect skew for large results). Timings are
 steady-state: one untimed warm pass per query (JIT/codegen, Python worker
-pool, file-listing caches) then the timed pass — measuring engine
-throughput rather than first-invocation JVM compilation. The IVF index
-build runs outside timing (a one-time batch job, like the reference's
-ALTER TABLE ADD VECTOR INDEX)."""
+pool, file-listing caches) then min-of-reps timed passes — measuring
+engine throughput rather than first-invocation JVM compilation. The IVF
+index build runs outside timing (a one-time batch job, like the
+reference's ALTER TABLE ADD VECTOR INDEX). The full suite shards across
+fresh subprocess JVMs (<=SHARD_SIZE entries each) so late-suite GC/cache
+pressure can't inflate mid/late entries — every number is within the
+isolated-run methodology's noise. E2E entries (iterative operators whose
+work runs at plan-build time) are timed as one wall-clock span from
+invocation through the noop sink."""
 
 from __future__ import annotations
 
@@ -90,23 +100,48 @@ HEADLINE = [
     "text_zipf_slope",          # power-law fit: vocab agg + rank window + decimal moments
     "heavy_hitter_parts_weighted",  # weighted MG candidates + exact decimal recount
 ]
-# NOTE: no bpe_learn_merges, graph_pagerank_transactions,
-# graph_trustrank_suppliers, or kmeans_embedding_clusters bench entry,
-# deliberately — all are ITERATIVE operators (driver-looped rounds with
-# eager checkpoints, so the work runs at plan-BUILD time and this harness's
-# build/execute split would time an empty tail), and their wall-clock mixes
-# scheduler round-trips into data-path throughput; the suite stays a fast
-# feedback loop. BPE's scale posture (corpus collapses to the vocabulary
-# after one scan) is argued in operators/bpe.py; PageRank's end-to-end
-# wall-clock is measured out-of-harness in PLANS.md's round-6 notes.
-# pca_embedding_knn and mixture_temperature_sample also collect at
-# plan-build time (the d²/2 moment scalars / the |domains| counts), so
-# they are measured end-to-end out-of-harness in PLANS.md's late-r6 notes
-# rather than half-timed here. Likewise graph_label_propagation
-# (iterative, like PageRank), the PSI drift pair (build-time min/max
-# collect; the streaming twin drains at build time), and
-# ingest_orc_roundtrip (writes its ORC at build time) — all recorded
-# end-to-end in PLANS.md's end-of-round notes.
+# ITERATIVE / build-time-collecting operators get their own timing mode:
+# their work runs at plan-BUILD time (driver-looped rounds with eager
+# checkpoints, or bounded build-time collects), so the warm/timed
+# build-vs-execute split above would time an empty tail. E2E entries are
+# timed as ONE wall-clock span from fn() invocation through the noop sink
+# — the tools/sf_scale_probe.py methodology — so their numbers live in
+# the canonical artifact (BENCH_DETAIL.json "e2e" key) and regress
+# visibly instead of only in PLANS.md prose (r6 verdict item 5).
+E2E = [
+    "bpe_learn_merges",             # vocabulary-collapse merge loop
+    "graph_pagerank_transactions",  # integer fixed-point power iteration
+    "graph_trustrank_suppliers",    # seeded power iteration
+    "graph_label_propagation",      # iterative LPA rounds
+    "kmeans_embedding_clusters",    # fixed-point Lloyd's rounds
+    "pca_embedding_knn",            # build-time exact moment collect
+    "mixture_temperature_sample",   # build-time |domains| count collect
+    "drift_psi_event_values",       # build-time reference min/max collect
+    "streaming_drift_psi",          # availableNow drain at build time
+    "ingest_orc_roundtrip",         # ORC write at build time
+]
+
+# The ≤15 per-query entries repeated on stdout (full map goes to
+# BENCH_DETAIL.json): one stable representative per load-bearing family,
+# so the driver artifact tracks the suite headline without outgrowing its
+# ~2,000-char capture window (the BENCH_r06 "parsed": null failure).
+STDOUT_HEADLINE = [
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "knn_topk",
+    "dedup_minhash_lsh",
+    "dedup_jaccard_exact",
+    "text_profile",
+    "dialect_knn",
+    "sessionize_events",
+    "retrieval_funnel_docs",
+    "pii_redaction",
+    "decontam_docs",
+    "funnel_view_click_purchase",
+    "ann_ivf_pruned",
+    "dedup_substring_x10_heldrate",
+    "graph_pagerank_transactions",
+]
 
 
 def _replicate(df, key_cols, reps=10):
@@ -769,32 +804,15 @@ EXTRA = {
 }
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark(app_name="chatdata_spark_bench")
-    spark.sparkContext.setLogLevel("ERROR")
+def _run_shard(
+    spark, sf_dir: str, plans, e2e_names, reps: int, e2e_reps: int, isolate: bool
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Time one shard's entries in THIS process. Steady-state entries get
+    warm pass + min-of-reps execute-only timing; E2E entries get
+    whole-invocation wall-clock (build+execute), min over e2e_reps after
+    one untimed warm invocation."""
     qs = queries()
-
-    # JVM/codegen warmup + IVF index build outside timing
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    bench_ann_ivf_pruned(spark, sf_dir).count()
-
-    # Experiment knobs (PLANS.md "bench drift" note): ORDER=reversed re-runs
-    # the suite back-to-front; ONLY=a,b times just those queries; ISOLATE=0
-    # disables the between-query cache/GC reset (the r02 methodology).
-    order = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "normal")
-    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    isolate = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-
     per_query: dict[str, float] = {}
-    plans = [(name, qs[name]) for name in HEADLINE] + list(EXTRA.items())
-    if order == "reversed":
-        plans = plans[::-1]
-    if only:
-        keep = {s.strip() for s in only.split(",")}
-        plans = [(n, f) for n, f in plans if n in keep]
     for name, fn in plans:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         # min over `reps` timed passes: robust to ambient machine load and GC
@@ -815,20 +833,154 @@ def main() -> None:
             # builds/persists, timed pass reuses).
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
+    e2e: dict[str, float] = {}
+    for name in e2e_names:
+        fn = qs[name]
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(e2e_reps):
+            if isolate:
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        e2e[name] = round(best, 3)
+        if isolate:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+    return per_query, e2e
+
+
+def _child_main(sf_dir: str, names: list[str], reps: int, e2e_reps: int, isolate: bool):
+    """Shard subprocess: time the named entries in a FRESH JVM and print
+    the partial result as one JSON line (captured by the orchestrator)."""
+    spark = get_spark(app_name="chatdata_spark_bench_shard")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+    # JVM/codegen warmup + IVF index build outside timing
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    bench_ann_ivf_pruned(spark, sf_dir).count()
+    keep = set(names)
+    plans = [(n, qs[n]) for n in HEADLINE if n in keep]
+    plans += [(n, f) for n, f in EXTRA.items() if n in keep]
+    e2e_names = [n for n in E2E if n in keep]
+    per_query, e2e = _run_shard(spark, sf_dir, plans, e2e_names, reps, e2e_reps, isolate)
+    print(json.dumps({"queries": per_query, "e2e": e2e}))
+    spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    # Experiment knobs (PLANS.md "bench drift" note): ORDER=reversed re-runs
+    # the suite back-to-front; ONLY=a,b times just those queries (in-process,
+    # the fast iteration loop); ISOLATE=0 disables the between-query
+    # cache/GC reset; SHARD_SIZE=0 forces the old single-JVM in-process run.
+    order = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "normal")
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    isolate = os.environ.get("SPARK_GRAFT_BENCH_ISOLATE", "1") != "0"
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    e2e_reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_E2E_REPS", "2")))
+    shard_size = int(os.environ.get("SPARK_GRAFT_BENCH_SHARD_SIZE", "10"))
+
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD") == "1":
+        _child_main(sf_dir, (only or "").split(","), reps, e2e_reps, isolate)
+        return
+
+    all_names = HEADLINE + list(EXTRA) + E2E
+    if order == "reversed":
+        all_names = all_names[::-1]
+    if only:
+        keep = {s.strip() for s in only.split(",")}
+        all_names = [n for n in all_names if n in keep]
+
+    per_query: dict[str, float] = {}
+    e2e: dict[str, float] = {}
+    if only or shard_size <= 0 or len(all_names) <= shard_size:
+        # in-process (iteration loop / tiny suites): one JVM, no sharding
+        spark = get_spark(app_name="chatdata_spark_bench")
+        spark.sparkContext.setLogLevel("ERROR")
+        qs = queries()
+        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        bench_ann_ivf_pruned(spark, sf_dir).count()
+        keep = set(all_names)
+        plans = [(n, qs[n]) for n in HEADLINE if n in keep]
+        plans += [(n, f) for n, f in EXTRA.items() if n in keep]
+        if order == "reversed":
+            plans = plans[::-1]
+        per_query, e2e = _run_shard(
+            spark, sf_dir, plans, [n for n in E2E if n in keep], reps, e2e_reps, isolate
+        )
+        spark.stop()
+    else:
+        # Fresh-JVM sharding (r6 verdict item 2): at 90+ entries one JVM's
+        # late-suite GC/cache pressure inflated mid/late timings 2-3x over
+        # isolated runs. Each shard of ≤shard_size entries runs in its own
+        # subprocess JVM, so every entry measures within a short-lived,
+        # freshly-warmed session — the isolated-min-of-3 methodology, paid
+        # for with ~15 s JVM startup per shard.
+        import subprocess
+
+        shards = [
+            all_names[i : i + shard_size] for i in range(0, len(all_names), shard_size)
+        ]
+        for shard in shards:
+            env = dict(os.environ)
+            env["SPARK_GRAFT_BENCH_CHILD"] = "1"
+            env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(shard)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=sys.stderr,
+                check=True,
+                text=True,
+            )
+            part = json.loads(proc.stdout.strip().splitlines()[-1])
+            per_query.update(part["queries"])
+            e2e.update(part["e2e"])
 
     total = round(sum(per_query.values()), 3)
+    detail = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "reps": reps,
+        "e2e_reps": e2e_reps,
+        "shard_size": shard_size,
+        "queries": per_query,
+        "e2e": e2e,
+    }
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+        f.write("\n")
+    # Compact driver line (r6 verdict item 1): the full 90+-entry map blew
+    # past the driver's ~2,000-char stdout capture ("parsed": null). Keep
+    # the line bounded: suite total + a stable ≤15-entry headline subset,
+    # 2-decimal rounding, no separators whitespace; BENCH_DETAIL.json
+    # carries the full map.
+    headline = {
+        n: round(per_query.get(n, e2e.get(n, -1.0)), 2)
+        for n in STDOUT_HEADLINE
+        if n in per_query or n in e2e
+    }
     print(
         json.dumps(
             {
                 "metric": "suite_seconds",
-                "value": total,
+                "value": round(total, 2),
                 "unit": "sec",
-                "queries": per_query,
                 "sf": sf,
-            }
+                "n_queries": len(per_query) + len(e2e),
+                "detail": "BENCH_DETAIL.json",
+                "queries": headline,
+            },
+            separators=(",", ":"),
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -73,88 +73,57 @@ def _load_all() -> None:
 # by queries(). This list pins those 50 slots — rotated each round so queries
 # that were driver-green twice make room for never-driver-checked ones
 # (r3 swapped 21 in; r4 swapped 25; r5 swapped 21 and went 50/50; r6
-# executes the r5 verdict's "finish the rotation": the 25 now-twice-green
-# r4 first-timers rotate OUT, the ENTIRE never-driver-checked backlog (28
-# names) rotates IN, the round's nine new queries ship driver-verified
-# like every addition, and the remaining slots keep r5 once-green
-# first-timers for their second verification (twelve of them — the simplest
-# TPC-H middles plus knn_ip, stuff_context_docs and
-# streaming_distinct_events, all re-checked by the full-registry pytest
-# oracle every round — defer their second green to r7 to make room).
+# rotated the whole 28-name backlog in plus all 18 round additions and
+# went 50/50 again; r7 executes the r6 verdict's plan exactly: the 18
+# now-twice-green r6 additions rotate OUT, the 26-name never-driver-
+# checked backlog rotates IN, and the 21 once-green r5 deferrals return
+# for their second green minus one TPC-H middle deferred to r8 — 51
+# names, 50 slots. r7 additions displace one TPC-H second-green each and
+# ship driver-verified in-round like every addition.)
 # Everything not listed here is registered AFTER these (in import order) and
 # stays pytest-oracled (tests/test_correctness runs the full registry).
 # COVERAGE.md's "driver window" column mirrors this.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- kept sentinels (multi-green; one per core family) ---
     "knn_topk", "dialect_knn", "dedup_minhash_lsh", "text_profile",
-    # --- rotated IN for round 6: the full never-driver-checked backlog ---
-    # analytics tail
-    "moving_avg_customer_orders", "histogram_order_totalprice",
-    "pivot_status_by_priority", "unpivot_part_measures",
-    "percentile_stats", "cohort_retention_daily", "sliding_window_counts",
-    "union_all_counts", "approx_distinct_users", "exact_distinct_users",
-    "rollup_distinct_approx",
-    # dialect seconds
-    "dialect_parity_extended", "dialect_conditional_aggs",
-    # dedup/curation tail
-    "dedup_components_star", "dedup_substring_removal",
-    "curation_domain_cap", "corpus_report_docs",
-    "domain_mixture_sample", "weighted_sample_by_length",
-    "text_fingerprint_rolling",
-    # vector/store tail
-    "ann_ivf_pruned", "ann_ivf_delete_search", "dimred_rp_knn",
-    "vector_brute_force_scores", "embed_documents_batch",
-    "store_session_lifecycle",
-    # timeseries/streaming tail
-    "range_join_bounded_recent_clicks", "streaming_static_dim_join",
-    # --- round-6 additions, verified the round they ship ---
-    "attribution_time_decay", "dsir_resample_docs", "semantic_dedup_keep",
-    "bpe_learn_merges", "bpe_encode_token_stats", "lm_perplexity_buckets",
-    "curation_select_v2", "gopher_quality_filter", "nb_quality_classifier",
-    "dedup_winnow_pairs", "decontam_embedding", "tfidf_top_terms",
-    "graph_pagerank_transactions", "cms_user_frequency", "pmi_phrase_mining",
-    "streaming_cms_user_frequency", "decontam_docs_bloom",
-    "graph_trustrank_suppliers",
-    # Every r6 addition above ships driver-verified this round. The
-    # once-green r5 first-timers ALL defer their second green to r7 (with
-    # the TPC-H middles) to make room: stuff_context_docs,
-    # streaming_distinct_events, streaming_join_click_purchase,
-    # leakage_safe_split_docs, asof_join_purchase_click_sliced,
-    # qa_context_assembly, rerank_snippet_search,
-    # bucketed_fact_join_revenue, streaming_near_dup_docs,
-    # mmr_diversified_knn_distributed, dedup_substring_spans — all
-    # re-checked by the full-registry pytest oracle every round
-    # regardless.
+    # --- rotated IN for round 7: the ENTIRE never-driver-checked backlog
+    # (26 names — landed past the cap in r6, full-registry pytest-oracled
+    # meanwhile; first driver check now) ---
+    "graph_random_walks", "graph_skipgram_pairs", "dedup_jaccard_prefix",
+    "ann_ivfpq_search", "kmeans_embedding_clusters",
+    "dedup_chunk_boilerplate", "cluster_balanced_sample",
+    "source_overlap_kmv", "ingest_csv_typed",
+    "sequence_match_click_to_purchase", "sequence_count_conversion_cycles",
+    "anomaly_mad_event_values", "pca_embedding_knn",
+    "mixture_temperature_sample", "graph_label_propagation",
+    "drift_psi_event_values", "streaming_drift_psi",
+    "ingest_orc_roundtrip", "drift_psi_lang_mix", "corpus_health_report",
+    "funnel_tight_window", "text_ngram_diversity",
+    "heavy_hitter_parts_weighted", "text_zipf_slope",
+    "dialect_argmax_argmin", "dialect_uniq_upto",
+    # --- once-green r5 first-timers, back for their second green (the
+    # r6 deferral; q12_priority_by_linestatus defers to r8 — 51 names,
+    # 50 slots, TPC-H middles are the lowest-risk class) ---
+    "stuff_context_docs", "streaming_distinct_events",
+    "streaming_join_click_purchase", "leakage_safe_split_docs",
+    "asof_join_purchase_click_sliced", "qa_context_assembly",
+    "rerank_snippet_search", "bucketed_fact_join_revenue",
+    "streaming_near_dup_docs", "mmr_diversified_knn_distributed",
+    "dedup_substring_spans",
+    "q4_order_priority", "q6_forecast_revenue", "q10_returned_items",
+    "q11_important_parts", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_counts", "q18_large_volume_customer", "knn_ip",
 )
 
-# Rotation plan for round 7: after r6 the never-driver-checked backlog is
-# TWENTY-SIX names — graph_random_walks, graph_skipgram_pairs,
-# dedup_jaccard_prefix, ann_ivfpq_search, kmeans_embedding_clusters,
-# dedup_chunk_boilerplate, cluster_balanced_sample, source_overlap_kmv,
-# ingest_csv_typed, sequence_match_click_to_purchase,
-# sequence_count_conversion_cycles, anomaly_mad_event_values,
-# pca_embedding_knn, mixture_temperature_sample,
-# graph_label_propagation, drift_psi_event_values,
-# streaming_drift_psi, ingest_orc_roundtrip, drift_psi_lang_mix,
-# corpus_health_report, funnel_tight_window, text_ngram_diversity,
-# heavy_hitter_parts_weighted, text_zipf_slope, dialect_argmax_argmin
-# and dialect_uniq_upto, which landed after the window filled (18 r6
-# additions shipped driver-verified; all twenty-six are full-registry
-# pytest-oracled meanwhile). The r7 window FITS the whole obligation in one round:
-# 4 kept sentinels + these 26 never-driver-checked names + the 21
-# once-green r5 deferrals (stuff_context_docs,
-# streaming_distinct_events, streaming_join_click_purchase,
-# leakage_safe_split_docs, asof_join_purchase_click_sliced,
-# qa_context_assembly, rerank_snippet_search, bucketed_fact_join_revenue,
-# streaming_near_dup_docs, mmr_diversified_knn_distributed,
-# dedup_substring_spans, q4_order_priority, q6_forecast_revenue,
-# q10_returned_items, q11_important_parts, q12_priority_by_linestatus,
-# q14_promo_revenue, q15_top_supplier, q16_supplier_part_counts,
-# q18_large_volume_customer, knn_ip — their second green) = 51 names
-# for 50 slots: defer ONE second-green TPC-H middle (they are the
-# lowest-risk class — driver-green once AND full-registry-oracled every
-# round) to r8, plus one more per r7 addition or r6 red; from there the window settles into a steady sentinel +
-# recent-additions shape.
+# Rotation plan for round 8: after r7 the never-driver-checked backlog is
+# ONLY the r7 additions that landed after the window filled (r7 additions
+# that displaced a TPC-H second-green shipped driver-verified in-round —
+# see the once-green comment above). The r8 window: 4 sentinels + any r7
+# additions not yet driver-checked + the deferred TPC-H second greens
+# (q12_priority_by_linestatus first) + second passes for the 26 r7
+# first-timers as slots allow, largest-operator-surface first
+# (graph/PCA/k-means/IVF-PQ before dialect scalars). From here the window
+# is in its steady state: sentinels + newest additions + second greens.
 
 
 def _ordered() -> dict[str, QueryDef]:

@@ -11,34 +11,25 @@ DRIVER_CAP = 50
 
 MUST_BE_DRIVER_CHECKED = {
     # Flagships that have NOT yet banked two green driver rounds, plus one
-    # kept sentinel per core family. r6 executes the r5 verdict's "finish
-    # the rotation": the ENTIRE never-driver-checked backlog must sit in
-    # the window (rotation policy in registry.DRIVER_WINDOW's comment).
+    # kept sentinel per core family. r7 executes the r6 verdict's plan:
+    # the ENTIRE 26-name never-driver-checked backlog sits in the window
+    # (rotation policy in registry.DRIVER_WINDOW's comment); r7 additions
+    # are appended here in the commit that registers them.
     # kept sentinels
     "knn_topk", "dialect_knn", "dedup_minhash_lsh", "text_profile",
-    # the r5 never-driver-checked backlog — all 28 rotate in for r6
-    "moving_avg_customer_orders", "histogram_order_totalprice",
-    "pivot_status_by_priority", "unpivot_part_measures",
-    "percentile_stats", "cohort_retention_daily", "sliding_window_counts",
-    "union_all_counts", "approx_distinct_users", "exact_distinct_users",
-    "rollup_distinct_approx",
-    "dialect_parity_extended", "dialect_conditional_aggs",
-    "dedup_components_star", "dedup_substring_removal",
-    "curation_domain_cap", "corpus_report_docs",
-    "domain_mixture_sample", "weighted_sample_by_length",
-    "text_fingerprint_rolling",
-    "ann_ivf_pruned", "ann_ivf_delete_search", "dimred_rp_knn",
-    "vector_brute_force_scores", "embed_documents_batch",
-    "store_session_lifecycle",
-    "range_join_bounded_recent_clicks", "streaming_static_dim_join",
-    # round-6 additions ship driver-verified the round they land
-    "attribution_time_decay", "dsir_resample_docs", "semantic_dedup_keep",
-    "bpe_learn_merges", "bpe_encode_token_stats", "lm_perplexity_buckets",
-    "curation_select_v2", "gopher_quality_filter", "nb_quality_classifier",
-    "dedup_winnow_pairs", "decontam_embedding", "tfidf_top_terms",
-    "graph_pagerank_transactions", "cms_user_frequency", "pmi_phrase_mining",
-    "streaming_cms_user_frequency", "decontam_docs_bloom",
-    "graph_trustrank_suppliers",
+    # the r6 never-driver-checked backlog — all 26 rotate in for r7
+    "graph_random_walks", "graph_skipgram_pairs", "dedup_jaccard_prefix",
+    "ann_ivfpq_search", "kmeans_embedding_clusters",
+    "dedup_chunk_boilerplate", "cluster_balanced_sample",
+    "source_overlap_kmv", "ingest_csv_typed",
+    "sequence_match_click_to_purchase", "sequence_count_conversion_cycles",
+    "anomaly_mad_event_values", "pca_embedding_knn",
+    "mixture_temperature_sample", "graph_label_propagation",
+    "drift_psi_event_values", "streaming_drift_psi",
+    "ingest_orc_roundtrip", "drift_psi_lang_mix", "corpus_health_report",
+    "funnel_tight_window", "text_ngram_diversity",
+    "heavy_hitter_parts_weighted", "text_zipf_slope",
+    "dialect_argmax_argmin", "dialect_uniq_upto",
 }
 
 
@@ -149,8 +140,15 @@ def test_bench_suite_names_resolve():
     qs = queries()
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert not missing, f"HEADLINE names not in registry: {missing}"
+    missing_e2e = [n for n in bench.E2E if n not in qs]
+    assert not missing_e2e, f"E2E names not in registry: {missing_e2e}"
     assert all(callable(f) for f in bench.EXTRA.values())
-    assert not (set(bench.EXTRA) & set(bench.HEADLINE)), "duplicate bench keys"
+    names = [*bench.HEADLINE, *bench.EXTRA, *bench.E2E]
+    assert len(names) == len(set(names)), "duplicate bench keys"
+    # stdout headline subset must resolve and stay bounded (driver capture)
+    pool = set(names)
+    assert set(bench.STDOUT_HEADLINE) <= pool
+    assert len(bench.STDOUT_HEADLINE) <= 15
 
 
 def test_lazy_oracles_resolve_once():

@@ -62,6 +62,65 @@ def store_session_lifecycle(spark, sf_dir):
     )
 
 
+@query(
+    "store_kb_tool_lifecycle",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('u1', 'combo',  CAST(3 AS BIGINT), CAST(27 AS BIGINT)),
+        ('u1', 'only_a', CAST(2 AS BIGINT), CAST(18 AS BIGINT)),
+        ('u2', 'mine',   CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+    ) AS t(user_id, tool_name, n_paragraphs, n_chars)
+    ORDER BY user_id, tool_name
+    """,
+)
+def store_kb_tool_lifecycle(spark, sf_dir):
+    """J1 + P10 + M2/M3 composed through PrivateKBStore (the private-KB
+    tool lifecycle, reference private_knowledge_base.py:21-44,140-166 and
+    tools.py:13-50): upload paragraphs for two tenants (one shared file
+    NAME across tenants — the tenancy trap), upsert a duplicate paragraph
+    (entity_id PK — no double count), create three tools, delete one tool,
+    delete one whole user, then read every tool's scoped paragraphs back
+    through the J1 broadcast-semi-join path. End state is statically
+    known, so a VALUES oracle pins it: a missing P10 tenancy filter leaks
+    u2's same-named file into u1's 'combo' (3→4 rows); a broken upsert
+    double-counts 'alpha one'; a broken cascade leaves 'mine' non-empty."""
+    from chatdata_spark.stores.state import PrivateKBStore
+
+    root = tempfile.mkdtemp(prefix="chatdata_kb_q_")
+    kb = PrivateKBStore(spark, f"{root}/kb", f"{root}/tools")
+    embed = lambda t: [float(len(t))]  # noqa: E731 — deterministic stub
+    kb.add_paragraphs("u1", "a.txt", ["alpha one", "alpha two"], embed, created_by=_t(0))
+    kb.add_paragraphs("u1", "b.txt", ["beta text"], embed, created_by=_t(1))
+    kb.add_paragraphs("u2", "a.txt", ["gamma text"], embed, created_by=_t(2))
+    kb.add_paragraphs("u1", "a.txt", ["alpha one"], embed, created_by=_t(3))  # upsert, no dup
+    kb.create_tool("u1", "combo", ["a.txt", "b.txt"], "all files", created_by=_t(4))
+    kb.create_tool("u1", "only_a", ["a.txt"], "just a", created_by=_t(5))
+    kb.create_tool("u1", "stale", ["b.txt"], "to be deleted", created_by=_t(6))
+    kb.create_tool("u2", "mine", ["a.txt"], "u2 tool", created_by=_t(7))
+    kb.delete_tools("u1", ["stale"])
+    kb.delete_user("u2")
+
+    frames = []
+    for user, tool in [("u1", "combo"), ("u1", "only_a"), ("u2", "mine")]:
+        frames.append(
+            kb.tool_paragraphs(user, tool)
+            .agg(
+                F.count(F.lit(1)).alias("n_paragraphs"),
+                F.sum(F.length("text")).alias("__chars"),
+            )
+            .select(
+                F.lit(user).alias("user_id"),
+                F.lit(tool).alias("tool_name"),
+                "n_paragraphs",
+                F.coalesce("__chars", F.lit(0).cast("long")).alias("n_chars"),
+            )
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out.orderBy("user_id", "tool_name")
+
+
 def _stream_embed_expected() -> str:
     """Lazy oracle for streaming_incremental_embed (the
     embed_documents_batch pattern, queries/vector.py): the hash embedder

@@ -30,6 +30,8 @@ MUST_BE_DRIVER_CHECKED = {
     "funnel_tight_window", "text_ngram_diversity",
     "heavy_hitter_parts_weighted", "text_zipf_slope",
     "dialect_argmax_argmin", "dialect_uniq_upto",
+    # r7 additions (driver-verified in-round)
+    "store_kb_tool_lifecycle",
 }
 
 
@@ -84,9 +86,10 @@ def test_tail_is_deliberate():
     # dialect_argmax_argmin (argMax/argMin parity) +
     # dialect_uniq_upto (capped exact distinct) — a new addition
     # raises this deliberately, in the same commit that registers the
-    # query.
+    # query. 212→213 in r7 for store_kb_tool_lifecycle (J1/P10/M2/M3
+    # private-KB tool lifecycle composed, VALUES end-state oracle).
     names = list(queries())
-    assert len(names) <= 212
+    assert len(names) <= 213
 
 
 def test_coverage_window_column_consistent():

@@ -1,0 +1,156 @@
+"""Deterministic mergeable quantile sketch — bottom-k-by-hash uniform
+sampling (the ClickHouse ``quantileDeterministic`` role; KMV's sibling
+for ranks instead of distincts).
+
+Corpus-scale quantile questions ("p95 document length per source", "the
+token-count distribution of each shard") don't need a global sort; they
+need a BOUNDED, MERGEABLE per-group summary whose answer is reproducible
+across reruns, engines and partition layouts. Classic streaming sketches
+(t-digest, KLL, GK) give tighter rank error per byte but are
+order-dependent: two runs over differently-partitioned input produce
+different digests, so no cross-engine oracle can pin them. This operator
+instead keeps, per group, the ``k`` rows with the smallest
+``md5(salt || key)`` bucket — a uniform random sample that is a pure
+function of (salt, key-set):
+
+- **deterministic**: membership depends only on the hash, so Spark and
+  DuckDB materialize the IDENTICAL sample and the driver oracle replays
+  every estimate exactly (no soundness margins needed);
+- **mergeable**: bottom-k(union of bottom-k samples) = bottom-k(union) —
+  per-shard / per-micro-batch samples combine without error, the same
+  merge law as the KMV sketch (operators/kmv.py) and the CMS counters;
+- **bounded**: k rows per group forever, regardless of corpus size;
+- estimate: the discrete q-quantile of the sample (element at rank
+  ceil(q·n), ascending). For a uniform sample of size k the rank error
+  is O(sqrt(ln(1/δ)/k)) with probability 1-δ (Hoeffding on the empirical
+  CDF) — k=256 gives ~±5% rank error at 95% confidence.
+
+Scale shape (100 TB):
+- hashing is scan-stage JVM (md5 + conv, no UDF); the only shuffle is
+  the per-group window that ranks by hash — and the optional
+  ``prefilter_buckets`` cuts that shuffle's input FIRST: a scan-stage
+  ``hash < T`` predicate keeps an expected n·T/2³² rows per group, so
+  with T sized at ≥4k/n_min the bottom-k survives intact with
+  overwhelming probability (Chernoff: P[Binomial(n, 4k/n) < k] ≤
+  e^{-9k/8}) and the window touches ~4k rows/group instead of n. If a
+  small group DOES clip below k, the sample degrades gracefully to a
+  Bernoulli(T/2³²) hash sample — still uniform, still deterministic,
+  still replayed exactly by the oracle (the estimate just carries the
+  smaller-n error bar).
+- the quantile pick is the CLAUDE.md window-only median rewrite
+  generalized to multiple q's: ONE partitioning carries row_number,
+  count and every per-q pick — one exchange, one scan of the k·|groups|
+  sample.
+
+Reference role: ClickHouse ``quantileDeterministic(x, determinator)`` /
+``quantilesDeterministic`` (reservoir-with-determinator); re-expressed
+as a hash-bottom-k so the sample is partition-order independent (the
+reference's reservoir still depends on arrival order between equal
+determinators; this one never does).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from chatdata_spark.operators.sampling import hash_bucket
+
+
+def quantile_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    salt: str = "qsk",
+    prefilter_buckets: int | None = None,
+) -> DataFrame:
+    """Per-group deterministic uniform sample: the ``k`` rows with the
+    smallest (md5-bucket(key), key) — columns (group_cols..., __h, __key,
+    __v). ``prefilter_buckets`` adds the scan-stage ``hash < T`` cut
+    (size T at ≥ 4k/n_min · 2³² — see module doc)."""
+    s = df.select(
+        *group_cols,
+        F.col(key_col).alias("__key"),
+        F.col(value_col).alias("__v"),
+    ).filter(F.col(value_col).isNotNull())
+    s = s.withColumn("__h", hash_bucket(F.col("__key"), salt))
+    if prefilter_buckets is not None:
+        s = s.filter(F.col("__h") < int(prefilter_buckets))
+    w = Window.partitionBy(*group_cols).orderBy("__h", "__key")
+    return s.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= int(k)
+    ).drop("__rn")
+
+
+def merge_samples(
+    samples: Sequence[DataFrame], group_cols: list[str], k: int
+) -> DataFrame:
+    """Exact sketch merge: bottom-k of the union of per-shard bottom-k
+    samples ≡ bottom-k of the union of the shards (hash membership is a
+    pure row property) — the merge law the unit tests pin."""
+    it = iter(samples)
+    u = next(it)
+    for s in it:
+        u = u.unionByName(s)
+    # a row may appear in several shards' samples (same key) — distinct
+    # on the key identity before re-ranking, or duplicates displace
+    # genuine bottom-k members
+    u = u.dropDuplicates([*group_cols, "__key"])
+    w = Window.partitionBy(*group_cols).orderBy("__h", "__key")
+    return u.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= int(k)
+    ).drop("__rn")
+
+
+def sketch_quantiles(
+    sample: DataFrame, group_cols: list[str], qs: Sequence[float]
+) -> DataFrame:
+    """(group_cols..., sample_n, p<q>...) from a :func:`quantile_sample`
+    frame: for each q the sample element at rank ceil(q·n) ascending —
+    ONE window partitioning carries rank, count and every per-q pick
+    (the grouped-median one-exchange rewrite, CLAUDE.md), then a
+    same-keyed groupBy collapses to one row per group."""
+    wv = Window.partitionBy(*group_cols).orderBy("__v", "__key")
+    wn = Window.partitionBy(*group_cols)
+    ranked = sample.select(
+        *group_cols,
+        "__v",
+        F.row_number().over(wv).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("__rn")
+                == F.ceil(F.lit(float(q)) * F.col("__n")).cast("long"),
+                F.col("__v"),
+            )
+        ).alias(f"p{int(round(q * 100))}")
+        for q in qs
+    ]
+    return ranked.groupBy(*group_cols).agg(
+        F.max("__n").alias("sample_n"), *picks
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    k: int = 256,
+    salt: str = "qsk",
+    prefilter_buckets: int | None = None,
+) -> DataFrame:
+    """One-call convenience: sample then estimate — (group_cols...,
+    sample_n, p25, p50, p75, p95)."""
+    samp = quantile_sample(
+        df, group_cols, value_col, key_col, k=k, salt=salt,
+        prefilter_buckets=prefilter_buckets,
+    )
+    return sketch_quantiles(samp, group_cols, qs)

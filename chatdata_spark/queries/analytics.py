@@ -798,3 +798,52 @@ def heavy_hitter_parts_weighted(spark, sf_dir):
     return heavy_hitters_weighted(
         rev, "item", "w", min_weight=2_000_000.0, k_counters=4096
     ).orderBy("item")
+
+
+@query(
+    "quantile_sketch_totalprice",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority AS pri, o_orderkey AS k, o_totalprice AS v,
+               CAST(('0x' || substr(md5('qsk' || CAST(o_orderkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS h
+        FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    bk AS (
+        SELECT pri, k, v FROM (
+            SELECT pri, k, v,
+                   ROW_NUMBER() OVER (PARTITION BY pri ORDER BY h, k) AS rn
+            FROM s
+        ) WHERE rn <= 256
+    ),
+    r AS (
+        SELECT pri, v,
+               ROW_NUMBER() OVER (PARTITION BY pri ORDER BY v, k) AS rn2,
+               COUNT(*) OVER (PARTITION BY pri) AS n
+        FROM bk
+    )
+    SELECT pri AS o_orderpriority, MAX(n) AS sample_n,
+           MAX(CASE WHEN rn2 = CAST(CEIL(0.25 * n) AS BIGINT) THEN v END) AS p25,
+           MAX(CASE WHEN rn2 = CAST(CEIL(0.5 * n) AS BIGINT) THEN v END) AS p50,
+           MAX(CASE WHEN rn2 = CAST(CEIL(0.75 * n) AS BIGINT) THEN v END) AS p75,
+           MAX(CASE WHEN rn2 = CAST(CEIL(0.95 * n) AS BIGINT) THEN v END) AS p95
+    FROM r GROUP BY pri ORDER BY o_orderpriority
+    """,
+)
+def quantile_sketch_totalprice(spark, sf_dir):
+    """Deterministic mergeable quantile sketch (the ClickHouse
+    quantileDeterministic role re-expressed partition-order-independent —
+    operators/quantsketch.py): per-priority p25/p50/p75/p95 of order
+    totals from a bottom-256-by-hash uniform sample. The sample is a pure
+    function of (salt, key-set), so DuckDB materializes the IDENTICAL 256
+    rows per group and replays every estimate exactly — a sketch query
+    with an exact-replay oracle, like the KMV/CMS family. Estimates are
+    raw data elements (no arithmetic), sample_n is exact."""
+    from chatdata_spark.operators.quantsketch import quantile_sketch
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return quantile_sketch(
+        o, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=256, salt="qsk"
+    ).orderBy("o_orderpriority")

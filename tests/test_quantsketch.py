@@ -1,0 +1,115 @@
+"""Deterministic bottom-k-by-hash quantile sketch: merge law, rank-error
+soundness vs exact quantiles, prefilter graceful degradation, and the
+small-group exact-collapse property. (Driver-scale oracle check runs in
+test_correctness.py via quantile_sketch_totalprice.)"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from chatdata_spark.operators.quantsketch import (
+    merge_samples,
+    quantile_sample,
+    quantile_sketch,
+    sketch_quantiles,
+)
+from tests.conftest import SF_ORACLE
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/orders.parquet").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+
+
+def test_small_group_collapses_to_exact(spark):
+    # a group smaller than k keeps EVERY row — the sketch IS the data and
+    # the estimates are the exact discrete quantiles.
+    rows = [("g", i, float(v)) for i, v in enumerate(range(10, 110, 10))]
+    df = spark.createDataFrame(rows, "g string, k long, v double")
+    out = quantile_sketch(df, ["g"], "v", "k", k=256).collect()[0]
+    # n=10: ceil(.25*10)=3 -> 30, ceil(.5*10)=5 -> 50, ceil(.75*10)=8 -> 80,
+    # ceil(.95*10)=10 -> 100
+    assert (out.sample_n, out.p25, out.p50, out.p75, out.p95) == (10, 30.0, 50.0, 80.0, 100.0)
+
+
+def test_merge_law_shards_equal_global(spark):
+    # bottom-k over the union of per-shard bottom-k samples == bottom-k
+    # over the whole table (the mergeable-sketch property).
+    o = _orders(spark)
+    shards = [o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == i) for i in range(3)]
+    per_shard = [
+        quantile_sample(s, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=64)
+        for s in shards
+    ]
+    merged = merge_samples(per_shard, ["o_orderpriority"], k=64)
+    direct = quantile_sample(o, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=64)
+    a = {tuple(r) for r in merged.select("o_orderpriority", "__key").collect()}
+    b = {tuple(r) for r in direct.select("o_orderpriority", "__key").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_merge_dedups_overlapping_shards(spark):
+    # overlapping shards (a re-delivered micro-batch) must not displace
+    # genuine bottom-k members with duplicate keys.
+    o = _orders(spark)
+    half = o.filter(F.col("o_orderkey") % 2 == 0)
+    per = [
+        quantile_sample(s, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=64)
+        for s in (o, half)  # second shard is a subset of the first
+    ]
+    merged = merge_samples(per, ["o_orderpriority"], k=64)
+    direct = quantile_sample(o, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=64)
+    a = {tuple(r) for r in merged.select("o_orderpriority", "__key").collect()}
+    b = {tuple(r) for r in direct.select("o_orderpriority", "__key").collect()}
+    assert a == b
+
+
+def test_rank_error_bound_vs_exact(spark):
+    # k=256 uniform sample: every estimate's TRUE rank must be within
+    # ~3/sqrt(k) (~0.19) of q — a loose 3-sigma soundness check that
+    # catches an off-by-category bug without being flaky (the estimates
+    # are deterministic, so this either always passes or always fails).
+    o = _orders(spark)
+    est = quantile_sketch(
+        o, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=256
+    ).collect()
+    for row in est:
+        grp = o.filter(F.col("o_orderpriority") == row.o_orderpriority)
+        n = grp.count()
+        for q, v in [(0.25, row.p25), (0.5, row.p50), (0.75, row.p75), (0.95, row.p95)]:
+            true_rank = grp.filter(F.col("o_totalprice") <= F.lit(v)).count() / n
+            assert abs(true_rank - q) < 0.19, (row.o_orderpriority, q, true_rank)
+
+
+def test_prefilter_degrades_to_bernoulli_sample(spark):
+    # prefilter below the bottom-k threshold clips the sample to a pure
+    # hash-Bernoulli subset — still deterministic, still the same rows a
+    # direct filter yields, sample_n just drops below k.
+    o = _orders(spark)
+    t = int(0.001 * (1 << 32))
+    clipped = quantile_sample(
+        o, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=256, prefilter_buckets=t
+    )
+    direct = quantile_sample(
+        o, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=10**9
+    ).filter(F.col("__h") < t)
+    a = {tuple(r) for r in clipped.select("o_orderpriority", "__key").collect()}
+    b = {tuple(r) for r in direct.select("o_orderpriority", "__key").collect()}
+    assert a == b
+    est = sketch_quantiles(clipped, ["o_orderpriority"], [0.5]).collect()
+    assert all(r.sample_n < 256 for r in est) and all(r.p50 is not None for r in est)
+
+
+def test_safe_prefilter_preserves_bottom_k(spark):
+    # a prefilter sized at >=4k/n keeps the bottom-k intact: same sample,
+    # same estimates, smaller window input (the 100 TB shuffle cut).
+    o = _orders(spark)
+    k = 64
+    n_min = min(r.n for r in o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n")).collect())
+    t = int(4 * k / n_min * (1 << 32))
+    with_pf = quantile_sketch(
+        o, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=k, prefilter_buckets=t
+    )
+    without = quantile_sketch(o, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=k)
+    assert sorted(map(tuple, with_pf.collect())) == sorted(map(tuple, without.collect()))

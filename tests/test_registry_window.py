@@ -31,7 +31,7 @@ MUST_BE_DRIVER_CHECKED = {
     "heavy_hitter_parts_weighted", "text_zipf_slope",
     "dialect_argmax_argmin", "dialect_uniq_upto",
     # r7 additions (driver-verified in-round)
-    "store_kb_tool_lifecycle",
+    "store_kb_tool_lifecycle", "quantile_sketch_totalprice",
 }
 
 
@@ -87,9 +87,11 @@ def test_tail_is_deliberate():
     # dialect_uniq_upto (capped exact distinct) — a new addition
     # raises this deliberately, in the same commit that registers the
     # query. 212→213 in r7 for store_kb_tool_lifecycle (J1/P10/M2/M3
-    # private-KB tool lifecycle composed, VALUES end-state oracle).
+    # private-KB tool lifecycle composed, VALUES end-state oracle), then
+    # 213→214 for quantile_sketch_totalprice (deterministic mergeable
+    # bottom-k-by-hash quantile sketch, exact-replay oracle).
     names = list(queries())
-    assert len(names) <= 213
+    assert len(names) <= 214
 
 
 def test_coverage_window_column_consistent():

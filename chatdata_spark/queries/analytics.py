@@ -800,9 +800,12 @@ def heavy_hitter_parts_weighted(spark, sf_dir):
     ).orderBy("item")
 
 
-@query(
-    "quantile_sketch_totalprice",
-    oracle="""
+# Shared by the batch query and streaming_quantile_sketch (stateful.py):
+# the bottom-k-by-hash sample is an idempotent/commutative/associative
+# lattice join, so the stream-merged sample provably equals the one-shot
+# batch sample over the union of drained files — batch parity IS the
+# streaming oracle.
+QSK_ORACLE = """
     WITH s AS (
         SELECT o_orderpriority AS pri, o_orderkey AS k, o_totalprice AS v,
                CAST(('0x' || substr(md5('qsk' || CAST(o_orderkey AS VARCHAR)), 1, 8))
@@ -828,8 +831,10 @@ def heavy_hitter_parts_weighted(spark, sf_dir):
            MAX(CASE WHEN rn2 = CAST(CEIL(0.75 * n) AS BIGINT) THEN v END) AS p75,
            MAX(CASE WHEN rn2 = CAST(CEIL(0.95 * n) AS BIGINT) THEN v END) AS p95
     FROM r GROUP BY pri ORDER BY o_orderpriority
-    """,
-)
+    """
+
+
+@query("quantile_sketch_totalprice", oracle=QSK_ORACLE)
 def quantile_sketch_totalprice(spark, sf_dir):
     """Deterministic mergeable quantile sketch (the ClickHouse
     quantileDeterministic role re-expressed partition-order-independent —

@@ -657,3 +657,53 @@ def streaming_drift_psi(spark, sf_dir):
     cc = store.read().select("bin", F.col("n").alias("n_cur"))
     return psi_from_counts(rc, cc, len(edges))
 
+
+
+def _shared_qsk_oracle() -> str:
+    """The BATCH quantile-sketch oracle, verbatim: the bottom-k-by-hash
+    sample is an idempotent/commutative/associative lattice join, so the
+    stream-merged sample must equal the one-shot batch sample over the
+    same rows — batch parity is the streaming guarantee under test."""
+    from chatdata_spark.queries.analytics import QSK_ORACLE
+
+    return QSK_ORACLE
+
+
+@query("streaming_quantile_sketch", oracle=_shared_qsk_oracle)
+def streaming_quantile_sketch(spark, sf_dir):
+    """§2.10 extension, ORACLE-checked: the deterministic quantile sample
+    maintained INCREMENTALLY over a file stream — two availableNow drains
+    (the second wave's files arrive after the first drain finished), each
+    micro-batch merging its bottom-256 sample into the versioned store
+    (streaming/incremental.py::stream_quantile_sample_merge). The merge is
+    an idempotent lattice join, so the final store provably equals the
+    one-shot batch sample and the BATCH oracle replays the estimates
+    exactly — proving the merge law under real micro-batch splits AND the
+    checkpoint's exactly-once file accounting (a dropped file shifts the
+    sample; a replayed one is absorbed)."""
+    import os
+
+    from chatdata_spark.operators.quantsketch import sketch_quantiles
+    from chatdata_spark.stores.state import VersionedParquetStore
+    from chatdata_spark.streaming.incremental import stream_quantile_sample_merge
+
+    root = tempfile.mkdtemp(prefix="chatdata_sqsk_q_")
+    ind, ckpt = f"{root}/in", f"{root}/ck"
+    os.makedirs(ind)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    store = VersionedParquetStore(spark, f"{root}/store")
+    schema = "o_orderpriority string, o_orderkey long, o_totalprice double"
+    mid = o.agg(F.expr("percentile_approx(o_orderkey, 0.5)")).collect()[0][0]
+    o.filter(F.col("o_orderkey") <= mid).coalesce(1).write.mode("append").parquet(ind)
+    stream_quantile_sample_merge(
+        spark, ind, store, ckpt, ["o_orderpriority"], "o_totalprice", "o_orderkey", schema
+    )
+    o.filter(F.col("o_orderkey") > mid).coalesce(1).write.mode("append").parquet(ind)
+    stream_quantile_sample_merge(
+        spark, ind, store, ckpt, ["o_orderpriority"], "o_totalprice", "o_orderkey", schema
+    )
+    return sketch_quantiles(
+        store.read(), ["o_orderpriority"], [0.25, 0.5, 0.75, 0.95]
+    ).orderBy("o_orderpriority")

@@ -331,3 +331,48 @@ def stream_histogram_merge(
         .start()
         .awaitTermination()
     )
+
+
+def stream_quantile_sample_merge(
+    spark: SparkSession,
+    input_dir: str,
+    store,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    value_col: str,
+    key_col: str,
+    schema: str,
+    k: int = 256,
+    salt: str = "qsk",
+) -> None:
+    """Stream → mergeable quantile sample via foreachBatch: each
+    micro-batch collapses to its own bottom-k-by-hash sample
+    (operators/quantsketch.py::quantile_sample) and merges with the
+    versioned store's sample — store state stays ≤ k rows per group
+    forever, the streaming half of corpus-distribution monitoring.
+
+    Unlike the CMS/histogram merges (additive — a replayed batch
+    double-counts), the bottom-k merge is an IDEMPOTENT lattice join
+    (set-union then bottom-k, with key dedup): re-merging a committed
+    batch is a no-op, so no batch_id replay guard is needed — the store
+    converges to the same sample under any delivery schedule, which is
+    exactly what the batch-parity oracle checks."""
+    from chatdata_spark.operators.quantsketch import merge_samples, quantile_sample
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = quantile_sample(batch_df, group_cols, value_col, key_col, k=k, salt=salt)
+        if store.exists():
+            sk = merge_samples([store.read(), sk], group_cols, k=k)
+        store.write(sk)
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

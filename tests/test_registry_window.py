@@ -32,6 +32,7 @@ MUST_BE_DRIVER_CHECKED = {
     "dialect_argmax_argmin", "dialect_uniq_upto",
     # r7 additions (driver-verified in-round)
     "store_kb_tool_lifecycle", "quantile_sketch_totalprice",
+    "streaming_quantile_sketch",
 }
 
 
@@ -89,9 +90,11 @@ def test_tail_is_deliberate():
     # query. 212→213 in r7 for store_kb_tool_lifecycle (J1/P10/M2/M3
     # private-KB tool lifecycle composed, VALUES end-state oracle), then
     # 213→214 for quantile_sketch_totalprice (deterministic mergeable
-    # bottom-k-by-hash quantile sketch, exact-replay oracle).
+    # bottom-k-by-hash quantile sketch, exact-replay oracle), then
+    # 214→215 for streaming_quantile_sketch (the incremental twin —
+    # idempotent lattice merge, batch-parity oracle).
     names = list(queries())
-    assert len(names) <= 214
+    assert len(names) <= 215
 
 
 def test_coverage_window_column_consistent():

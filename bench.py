@@ -99,6 +99,7 @@ HEADLINE = [
     "text_ngram_diversity",     # corpus-card repetitiveness: explode + distinct counts
     "text_zipf_slope",          # power-law fit: vocab agg + rank window + decimal moments
     "heavy_hitter_parts_weighted",  # weighted MG candidates + exact decimal recount
+    "quantile_sketch_totalprice",  # bottom-k-by-hash quantile sample + pick window
 ]
 # ITERATIVE / build-time-collecting operators get their own timing mode:
 # their work runs at plan-BUILD time (driver-looped rounds with eager
@@ -118,6 +119,7 @@ E2E = [
     "mixture_temperature_sample",   # build-time |domains| count collect
     "drift_psi_event_values",       # build-time reference min/max collect
     "streaming_drift_psi",          # availableNow drain at build time
+    "streaming_quantile_sketch",    # two availableNow drains at build time
     "ingest_orc_roundtrip",         # ORC write at build time
 ]
 
@@ -954,9 +956,12 @@ def main() -> None:
         "queries": per_query,
         "e2e": e2e,
     }
-    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
-        f.write("\n")
+    if not only:
+        # ONLY= iteration runs must not clobber the canonical full-suite
+        # artifact with a partial map
+        with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+            f.write("\n")
     # Compact driver line (r6 verdict item 1): the full 90+-entry map blew
     # past the driver's ~2,000-char stdout capture ("parsed": null). Keep
     # the line bounded: suite total + a stable ≤15-entry headline subset,

@@ -71,12 +71,20 @@ def quantile_sample(
     """Per-group deterministic uniform sample: the ``k`` rows with the
     smallest (md5-bucket(key), key) — columns (group_cols..., __h, __key,
     __v). ``prefilter_buckets`` adds the scan-stage ``hash < T`` cut
-    (size T at ≥ 4k/n_min · 2³² — see module doc)."""
+    (size T at ≥ 4k/n_min · 2³² — see module doc).
+
+    ``key_col`` must uniquely identify rows (it IS the sample identity —
+    the hash, the tie-break, and the merge dedup all key on it). Rows
+    with a NULL value are dropped (a missing measurement is a
+    data-quality rule, not a sample member — the psi/mad convention);
+    rows with a NULL key are dropped too (they hash to NULL, and Spark
+    sorts NULLs first where DuckDB sorts them last — a cross-engine
+    determinism hole this operator refuses to have)."""
     s = df.select(
         *group_cols,
         F.col(key_col).alias("__key"),
         F.col(value_col).alias("__v"),
-    ).filter(F.col(value_col).isNotNull())
+    ).filter(F.col(value_col).isNotNull() & F.col(key_col).isNotNull())
     s = s.withColumn("__h", hash_bucket(F.col("__key"), salt))
     if prefilter_buckets is not None:
         s = s.filter(F.col("__h") < int(prefilter_buckets))
@@ -96,9 +104,11 @@ def merge_samples(
     u = next(it)
     for s in it:
         u = u.unionByName(s)
-    # a row may appear in several shards' samples (same key) — distinct
-    # on the key identity before re-ranking, or duplicates displace
-    # genuine bottom-k members
+    # a row may appear in several shards' samples (same key — overlapping
+    # shards, replayed micro-batches) — dedup on the key identity before
+    # re-ranking, or duplicates displace genuine bottom-k members. Exact
+    # because key_col uniquely identifies rows (quantile_sample contract):
+    # every duplicate carries the identical (__h, __v).
     u = u.dropDuplicates([*group_cols, "__key"])
     w = Window.partitionBy(*group_cols).orderBy("__h", "__key")
     return u.withColumn("__rn", F.row_number().over(w)).filter(

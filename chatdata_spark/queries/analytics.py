@@ -810,7 +810,7 @@ QSK_ORACLE = """
         SELECT o_orderpriority AS pri, o_orderkey AS k, o_totalprice AS v,
                CAST(('0x' || substr(md5('qsk' || CAST(o_orderkey AS VARCHAR)), 1, 8))
                     AS BIGINT) AS h
-        FROM orders WHERE o_totalprice IS NOT NULL
+        FROM orders WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL
     ),
     bk AS (
         SELECT pri, k, v FROM (

@@ -928,6 +928,7 @@ def main() -> None:
         shards = [
             all_names[i : i + shard_size] for i in range(0, len(all_names), shard_size)
         ]
+        failed_shards = []
         for shard in shards:
             env = dict(os.environ)
             env["SPARK_GRAFT_BENCH_CHILD"] = "1"
@@ -937,12 +938,22 @@ def main() -> None:
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=sys.stderr,
-                check=True,
                 text=True,
             )
-            part = json.loads(proc.stdout.strip().splitlines()[-1])
+            try:
+                if proc.returncode != 0:
+                    raise ValueError(f"shard exit {proc.returncode}")
+                part = json.loads(proc.stdout.strip().splitlines()[-1])
+            except (ValueError, IndexError, json.JSONDecodeError) as exc:
+                # one bad shard must not zero out the whole artifact —
+                # record the gap loudly (stderr) and keep the rest
+                print(f"bench shard FAILED ({shard}): {exc}", file=sys.stderr)
+                failed_shards.append(shard)
+                continue
             per_query.update(part["queries"])
             e2e.update(part["e2e"])
+        if failed_shards:
+            print(f"bench: {len(failed_shards)} shard(s) missing from artifact", file=sys.stderr)
 
     total = round(sum(per_query.values()), 3)
     detail = {

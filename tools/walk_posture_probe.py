@@ -54,15 +54,15 @@ def build_graph(spark, sf_dir):
     return pairs, edges
 
 
-def time_walks(spark, edges, starts, reps=2) -> float:
+def time_walks(spark, edges, starts, reps=2, prune=False) -> float:
     best = float("inf")
     for _ in range(reps):
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         t0 = time.perf_counter()
-        random_walks(edges, starts, steps=6, salt="walk").write.format("noop").mode(
-            "overwrite"
-        ).save()
+        random_walks(
+            edges, starts, steps=6, salt="walk", prune_frontier=prune
+        ).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     return round(best, 2)
 
@@ -89,6 +89,7 @@ def main():
         "starts": {"tiny": 32, "suppliers": n_sup, "all_nodes": n_all},
         "sec": {
             "tiny": time_walks(spark, edges, tiny),
+            "tiny_pruned": time_walks(spark, edges, tiny, prune=True),
             "suppliers": time_walks(spark, edges, suppliers),
             "all_nodes": time_walks(spark, edges, all_nodes),
         },

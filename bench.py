@@ -100,6 +100,7 @@ HEADLINE = [
     "text_zipf_slope",          # power-law fit: vocab agg + rank window + decimal moments
     "heavy_hitter_parts_weighted",  # weighted MG candidates + exact decimal recount
     "quantile_sketch_totalprice",  # bottom-k-by-hash quantile sample + pick window
+    "sq8_quant_knn",            # 8-bit scalar-quantized all-integer ranking
 ]
 # ITERATIVE / build-time-collecting operators get their own timing mode:
 # their work runs at plan-BUILD time (driver-looped rounds with eager

@@ -1193,3 +1193,72 @@ def pca_embedding_knn(spark, sf_dir):
         ).alias("dist2"),
     )
     return scored.orderBy("dist2", "vec_id").limit(10)
+
+
+def _sq8_expected() -> str:
+    """Lazy oracle for sq8_quant_knn: derive the SAME per-dimension
+    [min,max]→[0,255] grid from the oracle-scale embeddings (min/max are
+    data-element selections — identical in both engines; the step
+    division is done ONCE here in Python float64 and the resulting
+    literals drive both this SQL and, by construction, the Spark plan),
+    then replay encode + the integer symmetric distance + tie-broken
+    top-k entirely in SQL."""
+    import math
+
+    import duckdb
+
+    from chatdata_spark.operators.sq8 import LEVELS, sq8_code_query
+
+    sf = _oracle_sf_dir()
+    rows = duckdb.sql(
+        "SELECT "
+        + ", ".join(
+            f"MIN(CAST(embedding[{d + 1}] AS DOUBLE)), MAX(CAST(embedding[{d + 1}] AS DOUBLE))"
+            for d in range(DIM)
+        )
+        + f" FROM read_parquet('{sf}/embeddings.parquet') WHERE embedding IS NOT NULL"
+    ).fetchall()[0]
+    los = [float(rows[2 * d]) for d in range(DIM)]
+    steps = [
+        (float(rows[2 * d + 1]) - float(rows[2 * d])) / LEVELS
+        if float(rows[2 * d + 1]) > float(rows[2 * d])
+        else 0.0
+        for d in range(DIM)
+    ]
+    qcodes = sq8_code_query(Q1, los, steps)
+    terms = []
+    for d in range(DIM):
+        if steps[d] == 0.0:
+            code = "0"
+        else:
+            code = (
+                f"LEAST(GREATEST(CAST(FLOOR((CAST(embedding[{d + 1}] AS DOUBLE) - {los[d]!r})"
+                f" / {steps[d]!r} + 0.5) AS INT), 0), {LEVELS})"
+            )
+        terms.append(f"({qcodes[d]} - {code}) * ({qcodes[d]} - {code})")
+    dist = " + ".join(terms)
+    return f"""
+    SELECT vec_id, label, {dist} AS sq8_dist
+    FROM embeddings WHERE embedding IS NOT NULL
+    ORDER BY sq8_dist ASC, vec_id ASC
+    LIMIT 12
+    """
+
+
+@query("sq8_quant_knn", oracle=_sq8_expected)
+def sq8_quant_knn(spark, sf_dir):
+    """SQ8 scalar-quantized vector search (operators/sq8.py — the
+    codebook-free 4x compression member of the quantization family;
+    faiss QT_8bit role, the reference's fp16_storage/disk_mode trade one
+    step further, myscale_tables.py:35,63): per-dimension min/max grid
+    from ONE aggregate, 8-bit codes, all-integer symmetric distance in
+    whole-stage codegen, tie-broken top-12. The quantized ranking is the
+    answer under quantization (the binary_quant_knn convention); the
+    oracle derives the identical grid and replays encode+distance+top-k
+    exactly in SQL. Recall vs the exact ranking is pinned in
+    tests/test_sq8.py."""
+    from chatdata_spark.operators.sq8 import sq8_knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sq8_knn(emb, "embedding", Q1, dim=DIM, k=12, id_col="vec_id",
+                   select=["vec_id", "label"])

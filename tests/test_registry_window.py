@@ -32,7 +32,7 @@ MUST_BE_DRIVER_CHECKED = {
     "dialect_argmax_argmin", "dialect_uniq_upto",
     # r7 additions (driver-verified in-round)
     "store_kb_tool_lifecycle", "quantile_sketch_totalprice",
-    "streaming_quantile_sketch",
+    "streaming_quantile_sketch", "sq8_quant_knn",
 }
 
 
@@ -92,9 +92,11 @@ def test_tail_is_deliberate():
     # 213→214 for quantile_sketch_totalprice (deterministic mergeable
     # bottom-k-by-hash quantile sketch, exact-replay oracle), then
     # 214→215 for streaming_quantile_sketch (the incremental twin —
-    # idempotent lattice merge, batch-parity oracle).
+    # idempotent lattice merge, batch-parity oracle), then 215→216 for
+    # sq8_quant_knn (codebook-free 8-bit scalar quantization, all-integer
+    # symmetric distance, exact-replay oracle).
     names = list(queries())
-    assert len(names) <= 215
+    assert len(names) <= 216
 
 
 def test_coverage_window_column_consistent():

@@ -1,0 +1,88 @@
+"""SQ8 scalar quantization: encode invariants (range, constant dims,
+grid round-trip error), recall of the quantized ranking vs the exact
+cosine ranking, and the frozen-calibration production posture. (Driver
+oracle check runs in test_correctness.py via sq8_quant_knn.)"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from chatdata_spark.operators.sq8 import (
+    LEVELS,
+    sq8_calibrate,
+    sq8_code_query,
+    sq8_encode,
+    sq8_knn,
+)
+from chatdata_spark.queries.vector import DIM, Q1
+from tests.conftest import SF_ORACLE
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+
+
+def test_codes_in_range_and_reconstruction_error_bounded(spark):
+    emb = _emb(spark)
+    los, steps = sq8_calibrate(emb, "embedding", DIM)
+    enc = sq8_encode(emb, "embedding", los, steps)
+    row = enc.select("embedding", "sq8_codes").first()
+    assert len(row.sq8_codes) == DIM
+    assert all(0 <= c <= LEVELS for c in row.sq8_codes)
+    # reconstruction error per dim <= step/2 (the grid guarantee)
+    for d in range(DIM):
+        if steps[d] == 0.0:
+            continue
+        rec = los[d] + row.sq8_codes[d] * steps[d]
+        assert abs(rec - float(row.embedding[d])) <= steps[d] / 2 + 1e-9
+
+
+def test_constant_dimension_encodes_to_zero(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, 1.0]), (2, [0.5, 2.0]), (3, [0.5, 3.0])],
+        "id long, v array<float>",
+    )
+    los, steps = sq8_calibrate(df, "v", 2)
+    assert steps[0] == 0.0 and steps[1] > 0.0
+    codes = {r.id: r.sq8_codes for r in sq8_encode(df, "v", los, steps).collect()}
+    assert all(c[0] == 0 for c in codes.values())
+    assert codes[1][1] == 0 and codes[3][1] == LEVELS
+
+
+def test_quantized_ranking_recall_vs_exact(spark):
+    """8-bit resolution must hold high recall against the exact cosine
+    top-k on the fixture (deterministic — passes or fails forever)."""
+    from chatdata_spark.functions.vector import cosine_distance
+
+    emb = _emb(spark)
+    k = 10
+    got = {r.vec_id for r in sq8_knn(emb, "embedding", Q1, dim=DIM, k=k).collect()}
+    exact = {
+        r.vec_id
+        for r in emb.select(
+            "vec_id", cosine_distance("embedding", Q1).alias("d")
+        )
+        .orderBy(F.asc("d"), F.asc("vec_id"))
+        .limit(k)
+        .collect()
+    }
+    # squared-L2 over the SQ8 grid tracks L2, not cosine; on the
+    # normalized-ish hash fixture the neighborhoods still align strongly
+    assert len(got & exact) >= 6
+
+
+def test_frozen_calibration_matches_corpus_calibration(spark):
+    emb = _emb(spark)
+    cal = sq8_calibrate(emb, "embedding", DIM)
+    a = [tuple(r) for r in sq8_knn(emb, "embedding", Q1, dim=DIM, k=5).collect()]
+    b = [
+        tuple(r)
+        for r in sq8_knn(emb, "embedding", Q1, dim=DIM, k=5, calibration=cal).collect()
+    ]
+    assert a == b
+
+
+def test_query_encoding_clamps_out_of_range(spark):
+    los = [0.0, 0.0]
+    steps = [1.0 / LEVELS, 1.0 / LEVELS]
+    assert sq8_code_query([-5.0, 5.0], los, steps) == [0, LEVELS]

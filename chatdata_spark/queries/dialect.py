@@ -358,3 +358,49 @@ def dialect_uniq_upto(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "dialect_retention",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-05' THEN 1 ELSE 0 END) AS c0,
+               MAX(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-06' THEN 1 ELSE 0 END) AS c1,
+               MAX(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-07' THEN 1 ELSE 0 END) AS c2,
+               MAX(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-08' THEN 1 ELSE 0 END) AS c3
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(c0) AS BIGINT) AS d0_users,
+           CAST(SUM(c0 * c1) AS BIGINT) AS d1_retained,
+           CAST(SUM(c0 * c2) AS BIGINT) AS d2_retained,
+           CAST(SUM(c0 * c3) AS BIGINT) AS d3_retained
+    FROM per_user
+    """,
+)
+def dialect_retention(spark, sf_dir):
+    """ClickHouse retention(cond1..condN) parity — the canonical
+    day-over-day form: r[0] = user matched cond1 (active on the anchor
+    day), r[i] = user matched cond1 AND cond(i) (came back on day i; CH
+    semantics — unordered conjunction with the anchor, NOT a funnel), then
+    the standard report sums each flag across users. Two map-side-combined
+    aggregates: per-user flag maxes (one shuffle on user_id), then a
+    4-scalar global sum. DuckDB SUM(int) is HUGEINT — CAST BIGINT per the
+    repo convention."""
+    from chatdata_spark.catalog import load_events
+
+    e = load_events(spark, sf_dir)
+    d = F.to_date("ts")
+    flags = [
+        F.max(
+            (d == F.lit(f"2024-01-0{5 + i}").cast("date")).cast("int")
+        ).alias(f"c{i}")
+        for i in range(4)
+    ]
+    per_user = e.groupBy("user_id").agg(*flags)
+    return per_user.agg(
+        F.sum("c0").cast("long").alias("d0_users"),
+        F.sum(F.col("c0") * F.col("c1")).cast("long").alias("d1_retained"),
+        F.sum(F.col("c0") * F.col("c2")).cast("long").alias("d2_retained"),
+        F.sum(F.col("c0") * F.col("c3")).cast("long").alias("d3_retained"),
+    )

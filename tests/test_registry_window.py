@@ -32,7 +32,7 @@ MUST_BE_DRIVER_CHECKED = {
     "dialect_argmax_argmin", "dialect_uniq_upto",
     # r7 additions (driver-verified in-round)
     "store_kb_tool_lifecycle", "quantile_sketch_totalprice",
-    "streaming_quantile_sketch", "sq8_quant_knn",
+    "streaming_quantile_sketch", "sq8_quant_knn", "dialect_retention",
 }
 
 
@@ -94,9 +94,10 @@ def test_tail_is_deliberate():
     # 214→215 for streaming_quantile_sketch (the incremental twin —
     # idempotent lattice merge, batch-parity oracle), then 215→216 for
     # sq8_quant_knn (codebook-free 8-bit scalar quantization, all-integer
-    # symmetric distance, exact-replay oracle).
+    # symmetric distance, exact-replay oracle), then 216→217 for
+    # dialect_retention (CH retention() aggregate, day-over-day form).
     names = list(queries())
-    assert len(names) <= 216
+    assert len(names) <= 217
 
 
 def test_coverage_window_column_consistent():

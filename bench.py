@@ -100,7 +100,6 @@ HEADLINE = [
     "text_zipf_slope",          # power-law fit: vocab agg + rank window + decimal moments
     "heavy_hitter_parts_weighted",  # weighted MG candidates + exact decimal recount
     "quantile_sketch_totalprice",  # bottom-k-by-hash quantile sample + pick window
-    "sq8_quant_knn",            # 8-bit scalar-quantized all-integer ranking
 ]
 # ITERATIVE / build-time-collecting operators get their own timing mode:
 # their work runs at plan-BUILD time (driver-looped rounds with eager
@@ -122,6 +121,7 @@ E2E = [
     "streaming_drift_psi",          # availableNow drain at build time
     "streaming_quantile_sketch",    # two availableNow drains at build time
     "ingest_orc_roundtrip",         # ORC write at build time
+    "sq8_quant_knn",                # build-time calibration collect (2d scalars)
 ]
 
 # The ≤15 per-query entries repeated on stdout (full map goes to

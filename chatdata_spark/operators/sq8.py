@@ -125,12 +125,17 @@ def sq8_knn(
     id_col: str = "vec_id",
     select: list[str] | None = None,
     calibration: tuple[list[float], list[float]] | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
-    """Top-k by symmetric SQ8 distance (the oracle configuration — the
-    quantized ranking is the answer; compose with knn-rerank for the
-    screen+exact funnel). Calibration defaults to the input corpus; pass
-    a frozen (los, steps) for the production posture where the grid is
-    calibrated once with the index build."""
+    """Top-k by symmetric SQ8 distance; ``rerank=None`` returns the pure
+    quantized ranking (exact under the quantization — the oracle config),
+    ``rerank=m`` screens the top-m then reranks by exact cosine (the
+    production funnel, the binary_knn convention; recall pinned in
+    tests). Calibration defaults to the input corpus; pass a frozen
+    (los, steps) for the production posture where the grid is calibrated
+    once with the index build."""
+    from chatdata_spark.functions.vector import cosine_distance
+
     los, steps = calibration or sq8_calibrate(df, vec_col, dim)
     qcodes = sq8_code_query(qvec, los, steps)
     enc = sq8_encode(df, vec_col, los, steps, out="__sq8")
@@ -138,9 +143,16 @@ def sq8_knn(
     # layered select: __sq8 is referenced `dim` times by the distance sum —
     # keeping it as an output column of its own projection blocks
     # CollapseProject, so the 64-element array is built once per row
+    keep = [*cols, vec_col] if rerank is not None and vec_col not in cols else cols
+    scored = enc.select(*keep, "__sq8").select(
+        *keep, sq8_distance("__sq8", qcodes).alias("sq8_dist")
+    )
+    if rerank is None:
+        return scored.orderBy(F.asc("sq8_dist"), F.asc(id_col)).limit(int(k))
+    cand = scored.orderBy(F.asc("sq8_dist"), F.asc(id_col)).limit(int(rerank))
     return (
-        enc.select(*cols, "__sq8")
-        .select(*cols, sq8_distance("__sq8", qcodes).alias("sq8_dist"))
-        .orderBy(F.asc("sq8_dist"), F.asc(id_col))
+        cand.withColumn("dist", F.round(cosine_distance(vec_col, qvec), 6))
+        .select(*cols, "dist")
+        .orderBy(F.asc("dist"), F.asc(id_col))
         .limit(int(k))
     )

@@ -86,3 +86,32 @@ def test_query_encoding_clamps_out_of_range(spark):
     los = [0.0, 0.0]
     steps = [1.0 / LEVELS, 1.0 / LEVELS]
     assert sq8_code_query([-5.0, 5.0], los, steps) == [0, LEVELS]
+
+
+def test_rerank_funnel_recall_monotone(spark):
+    """Exact rerank of the SQ8 screen: recall vs the exact cosine top-k
+    must be >= the pure quantized ranking's and monotone in depth."""
+    from chatdata_spark.functions.vector import cosine_distance
+
+    emb = _emb(spark)
+    k = 10
+    exact = {
+        r.vec_id
+        for r in emb.select("vec_id", cosine_distance("embedding", Q1).alias("d"))
+        .orderBy(F.asc("d"), F.asc("vec_id")).limit(k).collect()
+    }
+
+    def rec(rerank):
+        got = {
+            r.vec_id
+            for r in sq8_knn(
+                emb, "embedding", Q1, dim=DIM, k=k, rerank=rerank
+            ).collect()
+        }
+        return len(got & exact) / k
+
+    pure = rec(None)
+    r40 = rec(40)
+    assert r40 >= pure
+    assert rec(80) >= r40
+    assert rec(80) >= 0.9  # 8-bit grid + 8x rerank recovers the exact set

@@ -177,7 +177,30 @@ def sweep_pca(spark, sf_dir, qvecs) -> list[dict]:
     return out
 
 
-SWEEPS = [sweep_ivf, sweep_lsh, sweep_pq, sweep_binary, sweep_matryoshka, sweep_pca]
+def sweep_sq8(spark, sf_dir, qvecs) -> list[dict]:
+    """SQ8 rerank depths: calibrate ONCE (the frozen-grid production
+    posture — an index-build cost like the LSH signature build), then the
+    symmetric 8-bit screen at increasing exact-rerank depth (binary's
+    sibling at 8-bit resolution / 4x compression)."""
+    from chatdata_spark.operators.sq8 import sq8_calibrate, sq8_knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cal = sq8_calibrate(emb, "embedding", DIM)
+    out = []
+    for rerank in (None, K, 2 * K, 4 * K):
+        rec, dt = _run(
+            lambda q, r=rerank: sq8_knn(
+                emb, "embedding", q, dim=DIM, k=K, id_col="vec_id",
+                select=["vec_id"], calibration=cal, rerank=r,
+            ),
+            emb, qvecs,
+        )
+        out.append({"family": "sq8", "param": f"rerank={rerank or 'pure'}",
+                    "recall@10": round(rec, 3), "sec/query": round(dt, 4)})
+    return out
+
+
+SWEEPS = [sweep_ivf, sweep_lsh, sweep_pq, sweep_binary, sweep_sq8, sweep_matryoshka, sweep_pca]
 
 
 def run_all(spark, sf_dir, n_queries=8) -> list[dict]:
@@ -219,6 +242,13 @@ def _render(rows: list[dict], sf_dir: str, n_queries: int) -> str:
         "  free (rerank is a broadcast semi-join on ≤80 ids).",
         "- Binary Hamming is the cheapest screen per byte (32x smaller scan);",
         "  pair `rerank>=8k` with a downstream exact stage.",
+        "- SQ8 is the highest-recall quantizer per byte spent (8 bits/dim:",
+        "  ~0.8 recall PURE, 1.0 at rerank=2k even on random vectors — the",
+        "  codebook-free default when 4x compression suffices). Its",
+        "  sec/query here is dominated by literal-heavy plan COMPILATION",
+        "  (64 per-dim grid exprs per fresh query vector — a per-query",
+        "  constant); the data-path is scan-stage integer codegen, so at",
+        "  corpus scale the cost curve flattens onto binary's.",
         "- Matryoshka prefixes track d/64 on random vectors (no information",
         "  concentration to exploit) — use ONLY with MRL-trained embeddings,",
         "  where the prefix is constructed to carry the semantics.",

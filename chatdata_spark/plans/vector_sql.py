@@ -305,6 +305,36 @@ class VectorSQLDialect:
             "toMinute": lambda a: f"minute({a[0]})",
             "toSecond": lambda a: f"second({a[0]})",
             "toDecimal64": lambda a: f"CAST({a[0]} AS DECIMAL(27,{a[1].strip()}))",
+            # r7 parity sweep additions
+            "toQuarter": lambda a: f"quarter({a[0]})",
+            "toDayOfYear": lambda a: f"dayofyear({a[0]})",
+            # CH: Monday=1..Sunday=7 (ISO); Spark dayofweek: Sunday=1
+            "toDayOfWeek": lambda a: f"(((dayofweek({a[0]}) + 5) % 7) + 1)",
+            "toStartOfHour": lambda a: f"date_trunc('HOUR', {a[0]})",
+            # CH mode-1 (Monday) week start ≡ Spark WEEK truncation
+            "toStartOfWeek": lambda a: f"date_trunc('WEEK', {a[0]})",
+            "leftPad": lambda a: f"lpad({a[0]}, {a[1]}, {a[2] if len(a) > 2 else repr(' ')})",
+            "rightPad": lambda a: f"rpad({a[0]}, {a[1]}, {a[2] if len(a) > 2 else repr(' ')})",
+            "bitAnd": lambda a: f"({a[0]} & {a[1]})",
+            "bitOr": lambda a: f"({a[0]} | {a[1]})",
+            "bitXor": lambda a: f"({a[0]} ^ {a[1]})",
+            "trimBoth": lambda a: f"trim({a[0]})",
+            "match": lambda a: f"({a[0]} RLIKE {a[1]})",
+            # literal (non-regex) delimiter: \Q...\E-quote for Spark's regex split
+            "splitByString": lambda a: f"split({a[1]}, concat('\\\\Q', {a[0]}, '\\\\E'))",
+            "multiSearchAny": lambda a: f"exists({a[1]}, x -> instr({a[0]}, x) > 0)",
+            "arrayFlatten": lambda a: f"flatten({a[0]})",
+            "arrayUniq": lambda a: f"size(array_distinct({a[0]}))",
+            "arrayAvg": lambda a: (
+                f"(aggregate({a[0]}, 0D, (acc, x) -> acc + CAST(x AS DOUBLE)) / size({a[0]}))"
+            ),
+            # [x1, x2-x1, ...]; NB the array expr is referenced inside the
+            # lambda — pre-alias expensive arrays before calling (CLAUDE.md
+            # inlining rule), as ClickHouse users already must for arrayJoin
+            "arrayDifference": lambda a: (
+                f"transform({a[0]}, (v, i) -> CASE WHEN i = 0 THEN v - v "
+                f"ELSE v - try_element_at({a[0]}, i) END)"
+            ),
         }
 
         def multi_if(a: list[str]) -> str:

@@ -404,3 +404,44 @@ def dialect_retention(spark, sf_dir):
         F.sum(F.col("c0") * F.col("c2")).cast("long").alias("d2_retained"),
         F.sum(F.col("c0") * F.col("c3")).cast("long").alias("d3_retained"),
     )
+
+
+@query(
+    "dialect_parity_datetime_bits",
+    oracle="""
+    SELECT event_id,
+           quarter(ts) AS q,
+           isodow(CAST(ts AS DATE)) AS dow,
+           dayofyear(ts) AS doy,
+           date_trunc('hour', ts) AS hour_start,
+           CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+           lpad(CAST(event_id AS VARCHAR), 8, '0') AS padded,
+           event_id & 255 AS id_low,
+           xor(event_id | 4096, CAST(255 AS BIGINT)) AS id_mix,
+           regexp_matches(event_type, '^(view|click)$') AS is_funnel_head,
+           array_to_string(string_split(event_type, 'ic'), '|') AS parts
+    FROM events WHERE event_id < 40 ORDER BY event_id
+    """,
+)
+def dialect_parity_datetime_bits(spark, sf_dir):
+    """§2.9 parity sweep #4 (r7): toQuarter / toDayOfWeek (ISO Monday=1 —
+    Spark's Sunday=1 remapped in the rename) / toDayOfYear /
+    toStartOfHour / toStartOfWeek (mode-1) / leftPad / bitAnd / bitOr /
+    bitXor / match / splitByString (literal delimiter regex-quoted for
+    Spark's regex split) through the rename pass."""
+    load_events(spark, sf_dir).createOrReplaceTempView("events")
+    ch_sql = """
+    SELECT event_id,
+           toQuarter(ts) AS q,
+           toDayOfWeek(ts) AS dow,
+           toDayOfYear(ts) AS doy,
+           toStartOfHour(ts) AS hour_start,
+           toStartOfWeek(ts) AS week_start,
+           leftPad(toString(event_id), 8, '0') AS padded,
+           bitAnd(event_id, 255) AS id_low,
+           bitXor(bitOr(event_id, 4096), 255) AS id_mix,
+           match(event_type, '^(view|click)$') AS is_funnel_head,
+           arrayStringConcat(splitByString('ic', event_type), '|') AS parts
+    FROM events PREWHERE event_id < 40 ORDER BY event_id
+    """
+    return spark.sql(DIALECT.translate(ch_sql))

@@ -33,6 +33,7 @@ MUST_BE_DRIVER_CHECKED = {
     # r7 additions (driver-verified in-round)
     "store_kb_tool_lifecycle", "quantile_sketch_totalprice",
     "streaming_quantile_sketch", "sq8_quant_knn", "dialect_retention",
+    "dialect_parity_datetime_bits",
 }
 
 
@@ -95,9 +96,11 @@ def test_tail_is_deliberate():
     # idempotent lattice merge, batch-parity oracle), then 215→216 for
     # sq8_quant_knn (codebook-free 8-bit scalar quantization, all-integer
     # symmetric distance, exact-replay oracle), then 216→217 for
-    # dialect_retention (CH retention() aggregate, day-over-day form).
+    # dialect_retention (CH retention() aggregate, day-over-day form),
+    # then 217→218 for dialect_parity_datetime_bits (§2.9 sweep #4:
+    # datetime/bit/pad/match/splitByString renames).
     names = list(queries())
-    assert len(names) <= 217
+    assert len(names) <= 218
 
 
 def test_coverage_window_column_consistent():

@@ -111,3 +111,36 @@ def test_date_and_conditional_renames():
     assert "trunc(ts, 'month')" in out
     assert "(CASE WHEN x > 1 THEN 'a' WHEN x > 0 THEN 'b' ELSE 'c' END)" in out
     assert "(a div b)" in out
+
+
+def test_r7_parity_renames_translate():
+    out = D.translate(
+        "SELECT arrayUniq(a), arrayFlatten(b), arrayAvg(c), trimBoth(s), "
+        "rightPad(s, 8), multiSearchAny(s, kws) FROM t"
+    )
+    assert "size(array_distinct(a))" in out
+    assert "flatten(b)" in out
+    assert "aggregate(c, 0D, (acc, x) -> acc + CAST(x AS DOUBLE)) / size(c)" in out
+    assert "trim(s)" in out
+    assert "rpad(s, 8, ' ')" in out
+    assert "exists(kws, x -> instr(s, x) > 0)" in out
+
+
+def test_r7_array_difference_executes(spark):
+    # semantic check, not just string rewrite: CH arrayDifference
+    # [x1-x1, x2-x1, x3-x2]
+    out = spark.sql(
+        D.translate("SELECT arrayDifference(array(5, 9, 2)) AS d")
+    ).collect()[0].d
+    assert list(out) == [0, 4, -7]
+
+
+def test_r7_datetime_renames_translate():
+    out = D.translate(
+        "SELECT toQuarter(ts), toDayOfWeek(ts), toStartOfWeek(ts), "
+        "splitByString('ab', s) FROM t"
+    )
+    assert "quarter(ts)" in out
+    assert "(((dayofweek(ts) + 5) % 7) + 1)" in out
+    assert "date_trunc('WEEK', ts)" in out
+    assert "split(s, concat('\\\\Q', 'ab', '\\\\E'))" in out

@@ -601,6 +601,30 @@ def bench_fact_join_bucketed(spark, sf_dir):
     )
 
 
+def bench_quantile_sketch_x10(spark, sf_dir):
+    """Bottom-256-by-hash quantile sketch over 10x-replicated orders
+    (~1.5M rows at sf0.1): the sample stays k-bounded per group, so cost
+    must track the SCAN (hash + window input), not the output — compare
+    with `quantile_sketch_totalprice` (1x). The replicated keys stay
+    unique (disjoint per replica), preserving the sample-identity
+    contract."""
+    from chatdata_spark.operators.quantsketch import quantile_sketch
+
+    o10 = _replicate(
+        spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderpriority", "o_orderkey", "o_totalprice"
+        ),
+        ["o_orderkey"],
+    )
+    # the documented scale path: scan-stage prefilter sized >=4k/n_min
+    # (n/group ~300k here; 0.02*2^32 keeps ~6k/group, 23x the k=256 the
+    # window must retain — Chernoff-safe) cuts the window shuffle ~50x
+    return quantile_sketch(
+        o10, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=256,
+        salt="qsk", prefilter_buckets=int(0.02 * (1 << 32)),
+    ).orderBy("o_orderpriority")
+
+
 def bench_knn_topk_x10(spark, sf_dir):
     """Exact cosine top-10 over 10x-replicated embeddings (~200k rows at
     sf0.1): the scan+heap plan must scale linearly in rows — compare with
@@ -786,6 +810,7 @@ EXTRA = {
     "fact_join_shuffle": bench_fact_join_shuffle,
     "fact_join_bucketed": bench_fact_join_bucketed,
     "knn_topk_x10": bench_knn_topk_x10,
+    "quantile_sketch_x10": bench_quantile_sketch_x10,
     "binary_quant_x10": bench_binary_quant_x10,
     "asof_join_hotkey_sliced": bench_asof_hotkey_sliced,
     "range_join_hotkey": bench_range_join_hotkey,

@@ -106,14 +106,17 @@ def sq8_code_query(qvec: Sequence[float], los: list[float], steps: list[float]) 
 
 def sq8_distance(codes_col, qcodes: list[int]) -> Column:
     """Σ (qcode_d - code_d)² — explicit integer term sum (whole-stage
-    codegen, no interpreted HOF lambdas)."""
+    codegen, no interpreted HOF lambdas). Returned as BIGINT: DuckDB
+    promotes the long addition chain to BIGINT, so the driver's schema
+    compare needs the same width on the Spark side (the SUM-type
+    convention, CLAUDE.md)."""
     c = F.col(codes_col) if isinstance(codes_col, str) else codes_col
     expr = None
     for d, qc in enumerate(qcodes):
         t = F.try_element_at(c, F.lit(d + 1)) - F.lit(int(qc))
         term = t * t
         expr = term if expr is None else expr + term
-    return expr
+    return expr.cast("long")
 
 
 def sq8_knn(

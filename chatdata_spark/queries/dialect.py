@@ -410,9 +410,9 @@ def dialect_retention(spark, sf_dir):
     "dialect_parity_datetime_bits",
     oracle="""
     SELECT event_id,
-           quarter(ts) AS q,
-           isodow(CAST(ts AS DATE)) AS dow,
-           dayofyear(ts) AS doy,
+           CAST(quarter(ts) AS INT) AS q,
+           CAST(isodow(CAST(ts AS DATE)) AS INT) AS dow,
+           CAST(dayofyear(ts) AS INT) AS doy,
            date_trunc('hour', ts) AS hour_start,
            CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
            lpad(CAST(event_id AS VARCHAR), 8, '0') AS padded,

@@ -79,6 +79,32 @@ for name in names:
         ocols = sorted(odf.columns)
         if cols != ocols:
             fails.append((name, f"cols {cols} vs {ocols}")); continue
+        # dtype-family agreement, mirroring tests/conftest.py — the driver
+        # records schema matches, and a Spark INT vs DuckDB BIGINT slipped
+        # through the values-only compare once (sq8, r7)
+        rel = con.sql(osql[name])
+        duck_types = dict(zip(rel.columns, rel.types))
+        _duck_fam = {"BIGINT": "bigint", "HUGEINT": "bigint", "INTEGER": "int",
+                     "SMALLINT": "int", "TINYINT": "int", "DOUBLE": "double",
+                     "FLOAT": "float", "VARCHAR": "string", "JSON": "string",
+                     "TIMESTAMP": "timestamp", "TIMESTAMP_NS": "timestamp",
+                     "DATE": "date", "BOOLEAN": "boolean"}
+        def _fam_d(t):
+            t = str(t)
+            if t.startswith("DECIMAL"): return "decimal"
+            if t.endswith("[]"): return "array"
+            return _duck_fam.get(t, t.lower())
+        def _fam_s(t):
+            if t.startswith("decimal"): return "decimal"
+            if t.startswith("array"): return "array"
+            return "timestamp" if t == "timestamp_ntz" else t
+        bad_t = [
+            f"{c}: spark={st} duck={duck_types[c]}"
+            for c, st in sdf.dtypes
+            if c in duck_types and _fam_s(st) != _fam_d(duck_types[c])
+        ]
+        if bad_t:
+            fails.append((name, "dtype mismatch " + "; ".join(bad_t))); continue
         oracle_rows = sorted((tuple(norm(x) for x in r) for r in odf[cols].itertuples(index=False, name=None)), key=skey)
         if len(spark_rows) != len(oracle_rows):
             fails.append((name, f"rowcount {len(spark_rows)} vs {len(oracle_rows)}")); continue

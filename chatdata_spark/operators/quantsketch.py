@@ -164,3 +164,66 @@ def quantile_sketch(
         prefilter_buckets=prefilter_buckets,
     )
     return sketch_quantiles(samp, group_cols, qs)
+
+
+def ks_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    salt: str = "ks",
+) -> DataFrame:
+    """One-row (n_ref, n_cur, ks_stat): two-sample Kolmogorov-Smirnov
+    distance between the snapshots' value distributions, computed over
+    their deterministic bottom-k-by-hash samples — the distribution-drift
+    monitor that needs NO binning choice (PSI's weakness: a drift
+    confined inside one bin is invisible; KS compares full empirical
+    CDFs). ks_stat = max over observed values v of
+    |F_ref(v) - F_cur(v)|, each F the sample's empirical CDF.
+
+    Because both samples are pure hash functions of their key sets
+    (quantile_sample), the whole statistic is bit-reproducible and the
+    oracle replays it exactly — and the arithmetic is kept INTEGER until
+    the very last step: the CDF gap |cr/tr - cc/tc| is a dyadic-ish exact
+    rational, so a round-to-6-decimals convention would hit REAL .5 ties
+    (e.g. a 2-rank gap at k=256 is exactly 0.0078125) where Spark HALF_UP
+    and DuckDB disagree. Instead the max is taken over the integer
+    cross-products |cr·tc - cc·tr| and ONE IEEE float64 division by tr·tc
+    produces ks_stat — a single correctly-rounded op, identical in every
+    engine, no decimal rounding at all. Scale shape: two sample passes
+    (each ONE window exchange over the scan, k-bounded output), then all
+    arithmetic happens on <= 2k rows."""
+    a = quantile_sample(ref, [], value_col, key_col, k=k, salt=salt)
+    b = quantile_sample(cur, [], value_col, key_col, k=k, salt=salt)
+    u = a.select("__v", F.lit(1).alias("__r"), F.lit(0).alias("__c")).unionByName(
+        b.select("__v", F.lit(0).alias("__r"), F.lit(1).alias("__c"))
+    )
+    per_v = u.groupBy("__v").agg(
+        F.sum("__r").alias("nr"), F.sum("__c").alias("nc")
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy()
+    cum = per_v.select(
+        "__v",
+        F.sum("nr").over(w).alias("cr"),
+        F.sum("nc").over(w).alias("cc"),
+        F.sum("nr").over(wn).alias("tr"),
+        F.sum("nc").over(wn).alias("tc"),
+    )
+    gap_num = F.abs(F.col("cr") * F.col("tc") - F.col("cc") * F.col("tr"))
+    return (
+        cum.agg(
+            F.max("tr").alias("n_ref"),
+            F.max("tc").alias("n_cur"),
+            F.max(gap_num).alias("__gn"),
+        )
+        .select(
+            "n_ref",
+            "n_cur",
+            (
+                F.col("__gn").cast("double")
+                / (F.col("n_ref") * F.col("n_cur")).cast("double")
+            ).alias("ks_stat"),
+        )
+    )

@@ -457,3 +457,56 @@ def corpus_health_report(spark, sf_dir):
                 F.col("psi_term").alias("value"))
     )
     return rules.unionByName(outliers).unionByName(psi_v).unionByName(psi_l).orderBy("check")
+
+
+@query(
+    "drift_ks_event_values",
+    oracle=f"""
+    WITH r AS (
+        SELECT value AS v, event_id AS k2,
+               CAST(('0x' || substr(md5('ks' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        FROM events
+        WHERE ts < TIMESTAMP '{_PSI_SPLIT}' AND value IS NOT NULL AND event_id IS NOT NULL
+    ),
+    c AS (
+        SELECT value AS v, event_id AS k2,
+               CAST(('0x' || substr(md5('ks' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        FROM events
+        WHERE ts >= TIMESTAMP '{_PSI_SPLIT}' AND value IS NOT NULL AND event_id IS NOT NULL
+    ),
+    rs AS (SELECT v FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY h, k2) AS rn FROM r) WHERE rn <= 256),
+    cs AS (SELECT v FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY h, k2) AS rn FROM c) WHERE rn <= 256),
+    u AS (
+        SELECT v, 1 AS nr, 0 AS nc FROM rs
+        UNION ALL
+        SELECT v, 0 AS nr, 1 AS nc FROM cs
+    ),
+    pv AS (SELECT v, SUM(nr) AS nr, SUM(nc) AS nc FROM u GROUP BY v),
+    cum AS (
+        SELECT SUM(nr) OVER (ORDER BY v) AS cr, SUM(nc) OVER (ORDER BY v) AS cc,
+               SUM(nr) OVER () AS tr, SUM(nc) OVER () AS tc
+        FROM pv
+    )
+    SELECT CAST(MAX(tr) AS BIGINT) AS n_ref, CAST(MAX(tc) AS BIGINT) AS n_cur,
+           CAST(MAX(ABS(cr * tc - cc * tr)) AS DOUBLE)
+               / CAST(MAX(tr) * MAX(tc) AS DOUBLE) AS ks_stat
+    FROM cum
+    """,
+)
+def drift_ks_event_values(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift between the first and second
+    half-month of event values, over deterministic bottom-256-by-hash
+    samples (operators/quantsketch.py::ks_drift) — the binning-free
+    complement to drift_psi_event_values: PSI with frozen bins misses a
+    shift confined inside one bin; KS compares full empirical CDFs. All
+    arithmetic is integer until ONE final IEEE division, so the oracle
+    replays the statistic bit-exactly (no decimal rounding — KS gaps are
+    exact rationals where a .5 rounding tie is REAL, not measure-zero)."""
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.quantsketch import ks_drift
+
+    e = load_events(spark, sf_dir)
+    split = F.lit(_PSI_SPLIT).cast("timestamp")
+    ref = e.filter(F.col("ts") < split)
+    cur = e.filter(F.col("ts") >= split)
+    return ks_drift(ref, cur, "value", "event_id", k=256, salt="ks")

@@ -113,3 +113,55 @@ def test_safe_prefilter_preserves_bottom_k(spark):
     )
     without = quantile_sketch(o, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=k)
     assert sorted(map(tuple, with_pf.collect())) == sorted(map(tuple, without.collect()))
+
+
+def test_ks_drift_identical_snapshots_zero(spark):
+    from chatdata_spark.operators.quantsketch import ks_drift
+
+    o = _orders(spark)
+    r = ks_drift(o, o, "o_totalprice", "o_orderkey", k=64).collect()[0]
+    assert (r.n_ref, r.n_cur, r.ks_stat) == (64, 64, 0.0)
+
+
+def test_ks_drift_detects_shift(spark):
+    from chatdata_spark.operators.quantsketch import ks_drift
+
+    o = _orders(spark)
+    shifted = o.withColumn("o_totalprice", F.col("o_totalprice") * 3.0)
+    r = ks_drift(o, shifted, "o_totalprice", "o_orderkey", k=128).collect()[0]
+    # tripling the scale moves most of the CDF mass — a large KS distance
+    assert r.ks_stat > 0.4
+    # statistic is a valid probability-scale distance
+    assert 0.0 <= r.ks_stat <= 1.0
+
+
+def test_ks_drift_exact_python_replay(spark):
+    """The whole statistic replayed sequentially in Python over the same
+    hash-sampled subsets — integer cross-products, one final division."""
+    import hashlib
+
+    from chatdata_spark.operators.quantsketch import ks_drift
+
+    o = _orders(spark)
+    half_a = o.filter(F.col("o_orderkey") % 2 == 0)
+    half_b = o.filter(F.col("o_orderkey") % 2 == 1)
+    got = ks_drift(half_a, half_b, "o_totalprice", "o_orderkey", k=100, salt="ks").collect()[0]
+
+    def sample(df):
+        rows = [(r.o_orderkey, r.o_totalprice) for r in df.collect()
+                if r.o_totalprice is not None and r.o_orderkey is not None]
+        hashed = sorted(
+            (int(hashlib.md5(f"ks{k}".encode()).hexdigest()[:8], 16), k, v)
+            for k, v in rows
+        )
+        return [v for _, _, v in hashed[:100]]
+
+    sa, sb = sample(half_a), sample(half_b)
+    vals = sorted(set(sa) | set(sb))
+    best, tr, tc = 0, len(sa), len(sb)
+    for v in vals:
+        cr = sum(1 for x in sa if x <= v)
+        cc = sum(1 for x in sb if x <= v)
+        best = max(best, abs(cr * tc - cc * tr))
+    assert (got.n_ref, got.n_cur) == (tr, tc)
+    assert got.ks_stat == best / (tr * tc)

@@ -33,7 +33,7 @@ MUST_BE_DRIVER_CHECKED = {
     # r7 additions (driver-verified in-round)
     "store_kb_tool_lifecycle", "quantile_sketch_totalprice",
     "streaming_quantile_sketch", "sq8_quant_knn", "dialect_retention",
-    "dialect_parity_datetime_bits",
+    "dialect_parity_datetime_bits", "drift_ks_event_values",
 }
 
 
@@ -98,9 +98,11 @@ def test_tail_is_deliberate():
     # symmetric distance, exact-replay oracle), then 216→217 for
     # dialect_retention (CH retention() aggregate, day-over-day form),
     # then 217→218 for dialect_parity_datetime_bits (§2.9 sweep #4:
-    # datetime/bit/pad/match/splitByString renames).
+    # datetime/bit/pad/match/splitByString renames), then 218→219 for
+    # drift_ks_event_values (binning-free two-sample KS drift over
+    # deterministic samples, integer-exact oracle).
     names = list(queries())
-    assert len(names) <= 218
+    assert len(names) <= 219
 
 
 def test_coverage_window_column_consistent():

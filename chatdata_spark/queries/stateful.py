@@ -707,3 +707,61 @@ def streaming_quantile_sketch(spark, sf_dir):
     return sketch_quantiles(
         store.read(), ["o_orderpriority"], [0.25, 0.5, 0.75, 0.95]
     ).orderBy("o_orderpriority")
+
+
+def _shared_hh_tokens_oracle() -> str:
+    """The BATCH heavy-hitter-tokens oracle, verbatim: the stream-merged
+    MG summary is a superset of every token above the N/(k+1) bound
+    (mergeable-summaries guarantee), and the final pass recounts
+    candidates exactly — so the streamed answer must equal the one-shot
+    exact GROUP BY."""
+    from chatdata_spark.queries.text import _D_NORM
+
+    return f"""
+    WITH toks AS (
+        SELECT unnest(string_split({_D_NORM}, ' ')) AS item FROM documents
+    )
+    SELECT item, COUNT(*) AS n FROM toks WHERE item <> ''
+    GROUP BY item HAVING COUNT(*) >= 300
+    ORDER BY n DESC, item
+    """
+
+
+@query("streaming_heavy_hitter_tokens", oracle=_shared_hh_tokens_oracle)
+def streaming_heavy_hitter_tokens(spark, sf_dir):
+    """§2.10 extension, ORACLE-checked: the Misra-Gries top-k summary
+    maintained INCREMENTALLY over a document file stream — two
+    availableNow drains, each micro-batch's exact token counts merged
+    into the ≤256-row stored summary with (k+1)-th-largest compression
+    (streaming/incremental.py::stream_mg_merge; merged undercount ≤
+    N/(k+1) ≈ 117 here, comfortably under the 300 threshold), then the
+    exact candidate recount. Equality with the batch oracle proves the
+    merge bound under real micro-batch splits AND the checkpoint's
+    exactly-once accounting (a dropped file deflates a count below 300;
+    a double-counted one inflates a tail token above it)."""
+    import os
+
+    from chatdata_spark.operators.heavyhitters import token_stream
+    from chatdata_spark.stores.state import VersionedParquetStore
+    from chatdata_spark.streaming.incremental import stream_mg_merge
+
+    root = tempfile.mkdtemp(prefix="chatdata_smg_q_")
+    ind, ckpt = f"{root}/in", f"{root}/ck"
+    os.makedirs(ind)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    store = VersionedParquetStore(spark, f"{root}/store")
+    schema = "doc_id long, text string"
+    mid = d.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    d.filter(F.col("doc_id") <= mid).coalesce(1).write.mode("append").parquet(ind)
+    stream_mg_merge(spark, ind, store, ckpt, lambda b: token_stream(b, "text"), schema)
+    d.filter(F.col("doc_id") > mid).coalesce(1).write.mode("append").parquet(ind)
+    stream_mg_merge(spark, ind, store, ckpt, lambda b: token_stream(b, "text"), schema)
+    cands = store.read().select("item")
+    toks = token_stream(d, "text")
+    return (
+        toks.join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 300)
+        .orderBy(F.desc("n"), "item")
+    )

@@ -110,12 +110,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "rerank_snippet_search", "bucketed_fact_join_revenue",
     "streaming_near_dup_docs", "mmr_diversified_knn_distributed",
     "dedup_substring_spans",
-    "q18_large_volume_customer", "knn_ip",
+    "knn_ip",
     # --- r7 additions, driver-verified in-round (each displaces one
-    # TPC-H second green to r8 per policy: q16/q15/q14/q11/q10/q6/q4) ---
+    # TPC-H second green to r8 per policy: q16/q15/q14/q11/q10/q6/q4/q18) ---
     "store_kb_tool_lifecycle", "quantile_sketch_totalprice",
     "streaming_quantile_sketch", "sq8_quant_knn", "dialect_retention",
     "dialect_parity_datetime_bits", "drift_ks_event_values",
+    "streaming_heavy_hitter_tokens",
 )
 
 # Rotation plan for round 8: after r7 the never-driver-checked backlog is
@@ -123,7 +124,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # that displaced a TPC-H second-green shipped driver-verified in-round —
 # see the once-green comment above). The r8 window: 4 sentinels + any r7
 # additions not yet driver-checked + the deferred TPC-H second greens
-# (q12_priority_by_linestatus then the q16/q15/q14/q11/q10/q6/q4 middles first) + second passes for the 26 r7
+# (q12_priority_by_linestatus then the q16/q15/q14/q11/q10/q6/q4/q18 middles first) + second passes for the 26 r7
 # first-timers as slots allow, largest-operator-surface first
 # (graph/PCA/k-means/IVF-PQ before dialect scalars). From here the window
 # is in its steady state: sentinels + newest additions + second greens.

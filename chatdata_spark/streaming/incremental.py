@@ -376,3 +376,84 @@ def stream_quantile_sample_merge(
         .start()
         .awaitTermination()
     )
+
+
+def stream_mg_merge(
+    spark: SparkSession,
+    input_dir: str,
+    store,
+    checkpoint_dir: str,
+    item_col_fn,
+    schema: str,
+    k: int = 256,
+) -> None:
+    """Stream → mergeable Misra-Gries heavy-hitter summary via
+    foreachBatch: each micro-batch collapses to its EXACT (item, cnt)
+    counts (bounded: one batch), merges count-wise into the stored
+    summary, and the merged table compresses back to ≤ k rows by
+    subtracting the (k+1)-th largest count — the mergeable-summaries
+    result (Agarwal et al. 2012): the merged sketch's per-item
+    undercount is ≤ N_total/(k+1), so any item with true count above
+    that bound SURVIVES in the store no matter how the stream was
+    micro-batched. The final answer is candidates → exact recount (the
+    same two-pass shape as operators/heavyhitters.py, with the candidate
+    pass maintained incrementally instead of per-partition).
+
+    ``item_col_fn``: batch DataFrame -> one-column ('item') DataFrame
+    (runs DRIVER-side in foreachBatch — package imports are safe here,
+    unlike worker closures). Count merge is additive, so a replayed
+    batch double-counts: the batch_id guard (the CMS convention) skips
+    committed batches."""
+    from pyspark.sql import Window
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bc = (
+            item_col_fn(batch_df)
+            .groupBy("item")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        if store.exists():
+            prev = store.read()
+            applied = prev.agg(F.max("last_batch")).collect()[0][0]
+            if applied is not None and applied >= batch_id:
+                return  # replay of a committed batch — re-merging double-counts
+            merged = (
+                prev.drop("last_batch")
+                .unionByName(bc)
+                .groupBy("item")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = bc
+        w = Window.orderBy(F.desc("cnt"), F.asc("item"))
+        wall = Window.partitionBy()
+        ranked = merged.select(
+            "item", "cnt", F.row_number().over(w).alias("__rn")
+        )
+        compressed = (
+            ranked.select(
+                "item",
+                "cnt",
+                "__rn",
+                F.max(
+                    F.when(F.col("__rn") == F.lit(int(k) + 1), F.col("cnt"))
+                ).over(wall).alias("__m"),
+            )
+            .select(
+                "item", (F.col("cnt") - F.coalesce("__m", F.lit(0))).alias("cnt")
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        store.write(compressed.withColumn("last_batch", F.lit(batch_id)))
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

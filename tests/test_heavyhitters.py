@@ -99,3 +99,34 @@ def test_heavy_hitters_non_string_item_column(spark):
     df = spark.createDataFrame(rows, "item long").repartition(4)
     got = {(r.item, r.n) for r in heavy_hitters(df, min_count=400, k_counters=8).collect()}
     assert got == {("7", 501)}
+
+
+def test_stream_mg_merge_state_bounded_and_superset(spark, tmp_path):
+    """The streamed MG summary stays <= k rows after every drain and its
+    candidate set covers every item above the N/(k+1) bound regardless of
+    the micro-batch split (mergeable-summaries guarantee)."""
+    import pyspark.sql.functions as F
+
+    from chatdata_spark.stores.state import VersionedParquetStore
+    from chatdata_spark.streaming.incremental import stream_mg_merge
+
+    rows = (
+        [("hot",)] * 3000 + [("warm",)] * 1500
+        + [(f"tail{i % 400}",) for i in range(4000)]
+    )
+    df = spark.createDataFrame([(i, w) for i, (w,) in enumerate(rows)], "i long, item string")
+    ind, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    store = VersionedParquetStore(spark, str(tmp_path / "store"))
+    k = 16
+    thirds = 8500 // 3
+    for lo, hi in [(0, thirds), (thirds, 2 * thirds), (2 * thirds, 10**9)]:
+        df.filter((F.col("i") >= lo) & (F.col("i") < hi)).coalesce(1).write.mode(
+            "append"
+        ).parquet(ind)
+        stream_mg_merge(
+            spark, ind, store, ckpt, lambda b: b.select("item"), "i long, item string", k=k
+        )
+        assert store.read().count() <= k
+    cands = {r.item for r in store.read().collect()}
+    # N/(k+1) = 8500/17 = 500 — hot (3000) and warm (1500) must survive
+    assert {"hot", "warm"} <= cands

@@ -34,6 +34,7 @@ MUST_BE_DRIVER_CHECKED = {
     "store_kb_tool_lifecycle", "quantile_sketch_totalprice",
     "streaming_quantile_sketch", "sq8_quant_knn", "dialect_retention",
     "dialect_parity_datetime_bits", "drift_ks_event_values",
+    "streaming_heavy_hitter_tokens",
 }
 
 
@@ -100,9 +101,11 @@ def test_tail_is_deliberate():
     # then 217→218 for dialect_parity_datetime_bits (§2.9 sweep #4:
     # datetime/bit/pad/match/splitByString renames), then 218→219 for
     # drift_ks_event_values (binning-free two-sample KS drift over
-    # deterministic samples, integer-exact oracle).
+    # deterministic samples, integer-exact oracle), then 219→220 for
+    # streaming_heavy_hitter_tokens (incremental Misra-Gries merge,
+    # exact-recount batch-parity oracle).
     names = list(queries())
-    assert len(names) <= 219
+    assert len(names) <= 220
 
 
 def test_coverage_window_column_consistent():

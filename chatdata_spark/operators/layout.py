@@ -139,3 +139,96 @@ def write_zorder(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+# ---- Z-order (multi-dimensional) layout -------------------------------------
+
+ZBITS = 16  # bits per dimension; z-values fit in 32 bits (BIGINT-safe)
+
+
+def _spread_bits(c):
+    """Interleave-ready bit spread of a 16-bit value (Morton magic-number
+    shifts — constant shift amounts, so the F.shiftleft Python wrapper
+    applies; all intermediates < 2^32, ANSI-safe)."""
+    from pyspark.sql import functions as F
+
+    x = c.bitwiseAND(F.lit(0xFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x33333333))
+    x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x55555555))
+    return x
+
+
+def morton_interleave(a, b):
+    """32-bit Morton code of two 16-bit bucket columns: bit i of ``a``
+    lands at position 2i, of ``b`` at 2i+1. Pure constant-shift integer
+    expressions — whole-stage codegen, and DuckDB replays the identical
+    arithmetic (the z-value is oracle-checkable)."""
+    from pyspark.sql import functions as F
+
+    return _spread_bits(a).bitwiseOR(F.shiftleft(_spread_bits(b), 1))
+
+
+def morton_interleave_py(a: int, b: int) -> int:
+    """Sequential reference of :func:`morton_interleave` (tests/oracles)."""
+
+    def spread(x: int) -> int:
+        x &= 0xFFFF
+        x = (x | (x << 8)) & 0x00FF00FF
+        x = (x | (x << 4)) & 0x0F0F0F0F
+        x = (x | (x << 2)) & 0x33333333
+        x = (x | (x << 1)) & 0x55555555
+        return x
+
+    return spread(a) | (spread(b) << 1)
+
+
+def linear_bucket(col, lo: float, hi: float, bits: int = ZBITS):
+    """0..2^bits-1 linear bucket of a numeric column over frozen [lo, hi]
+    literals (compute lo/hi driver-side and inline — the bucket-boundary
+    convention): floor((v - lo) · (2^bits - 1) / (hi - lo)), clamped.
+    Identical float64 operand order replays in DuckDB."""
+    from pyspark.sql import functions as F
+
+    top = (1 << bits) - 1
+    if hi <= lo:
+        return F.lit(0).cast("bigint")
+    scaled = F.floor(
+        (col.cast("double") - F.lit(float(lo))) * F.lit(float(top)) / F.lit(float(hi - lo))
+    ).cast("bigint")
+    return F.least(F.greatest(scaled, F.lit(0).cast("bigint")), F.lit(top).cast("bigint"))
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    bucket_cols,
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional clustering (the Delta OPTIMIZE ZORDER BY role,
+    re-expressed as a plain range-partitioned write): interleave the two
+    bucket expressions' bits into a Morton z-value, range-partition and
+    sort the files by it. Result: EVERY clustered dimension has bounded
+    per-file span (a space-filling-curve tile per file), so parquet
+    min/max stats prune scans filtered on EITHER dimension — where a
+    plain sort clusters only its leading key. One shuffle
+    (repartitionByRange on z), no driver state; at 100 TB this is the
+    layout job run per partition/day, and the z expression is scan-stage
+    integer codegen.
+
+    ``bucket_cols``: two Columns already mapped to 0..2^16-1 (use
+    :func:`linear_bucket`, or an integer key directly when its domain
+    already fits)."""
+    from pyspark.sql import functions as F
+
+    a, b = bucket_cols
+    z = morton_interleave(a, b).alias("__z")
+    out = (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    out.write.mode(mode).parquet(path)

@@ -852,3 +852,77 @@ def quantile_sketch_totalprice(spark, sf_dir):
     return quantile_sketch(
         o, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=256, salt="qsk"
     ).orderBy("o_orderpriority")
+
+
+def _zorder_expected() -> str:
+    """Lazy oracle for zorder_events_zvalues: replays the linear bucket
+    (frozen [lo,hi] literals, identical float64 operand order) and the
+    Morton magic-shift interleave as a chained-CTE bit pipeline — every
+    operation integer-exact in both engines."""
+    import duckdb
+
+    from chatdata_spark.catalog import oracle_sf_dir
+
+    lo, hi = duckdb.sql(
+        f"SELECT min(value), max(value) FROM read_parquet('{oracle_sf_dir()}/events.parquet') "
+        "WHERE value IS NOT NULL"
+    ).fetchall()[0]
+    top = 65535.0
+    vb = (
+        f"LEAST(GREATEST(CAST(FLOOR((CAST(value AS DOUBLE) - {float(lo)!r}) * {top!r} "
+        f"/ {float(hi) - float(lo)!r}) AS BIGINT), 0), 65535)"
+    )
+    steps = [(8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)]
+    ctes = [
+        "b1 AS (SELECT event_id, ub, vb, (ub & 65535) AS xa, (vb & 65535) AS xb FROM b0)"
+    ]
+    for n, (sh, m) in enumerate(steps, start=2):
+        ctes.append(
+            f"b{n} AS (SELECT event_id, ub, vb, "
+            f"((xa | (xa << {sh})) & {m}) AS xa, ((xb | (xb << {sh})) & {m}) AS xb "
+            f"FROM b{n - 1})"
+        )
+    return f"""
+    WITH b0 AS (
+        SELECT event_id, user_id AS ub, {vb} AS vb
+        FROM events WHERE event_id < 50 AND value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    {','.join(ctes)}
+    SELECT event_id, ub, vb, (xa | (xb << 1)) AS z
+    FROM b5 ORDER BY event_id
+    """
+
+
+@query("zorder_events_zvalues", oracle=_zorder_expected)
+def zorder_events_zvalues(spark, sf_dir):
+    """Z-order clustering key (the Delta OPTIMIZE ZORDER BY role,
+    operators/layout.py::morton_interleave + linear_bucket): per-row
+    Morton z-value over (user_id, 16-bit linear value bucket) — the sort
+    key zorder_write range-partitions files by, giving BOTH dimensions
+    bounded per-file spans so parquet min/max stats prune scans filtered
+    on either (pinned by tests/test_layout.py). Bucket edges are frozen
+    [min,max] literals (2-scalar build-time collect, the bucket-boundary
+    convention); the whole pipeline is constant-shift integer codegen and
+    the oracle replays it bit-exactly."""
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.layout import linear_bucket, morton_interleave
+
+    e = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    row = e.agg(
+        F.min(F.col("value").cast("double")).alias("lo"),
+        F.max(F.col("value").cast("double")).alias("hi"),
+    ).collect()[0]
+    ub = F.col("user_id")
+    vb = linear_bucket(F.col("value"), row.lo, row.hi)
+    return (
+        e.filter(F.col("event_id") < 50)
+        .select(
+            "event_id",
+            ub.alias("ub"),
+            vb.alias("vb"),
+            morton_interleave(ub, vb).alias("z"),
+        )
+        .orderBy("event_id")
+    )

@@ -103,9 +103,11 @@ def test_tail_is_deliberate():
     # drift_ks_event_values (binning-free two-sample KS drift over
     # deterministic samples, integer-exact oracle), then 219→220 for
     # streaming_heavy_hitter_tokens (incremental Misra-Gries merge,
-    # exact-recount batch-parity oracle).
+    # exact-recount batch-parity oracle), then 220→221 for
+    # zorder_events_zvalues (Morton z-order clustering key — landed past
+    # the cap; r8 windows it first).
     names = list(queries())
-    assert len(names) <= 220
+    assert len(names) <= 221
 
 
 def test_coverage_window_column_consistent():

@@ -100,6 +100,7 @@ HEADLINE = [
     "text_zipf_slope",          # power-law fit: vocab agg + rank window + decimal moments
     "heavy_hitter_parts_weighted",  # weighted MG candidates + exact decimal recount
     "quantile_sketch_totalprice",  # bottom-k-by-hash quantile sample + pick window
+    "drift_ks_event_values",    # KS drift: two k-bounded samples, integer max
 ]
 # ITERATIVE / build-time-collecting operators get their own timing mode:
 # their work runs at plan-BUILD time (driver-looped rounds with eager
@@ -122,6 +123,8 @@ E2E = [
     "streaming_quantile_sketch",    # two availableNow drains at build time
     "ingest_orc_roundtrip",         # ORC write at build time
     "sq8_quant_knn",                # build-time calibration collect (2d scalars)
+    "streaming_heavy_hitter_tokens",  # two availableNow drains at build time
+    "zorder_events_zvalues",        # build-time [lo,hi] collect (2 scalars)
 ]
 
 # The ≤15 per-query entries repeated on stdout (full map goes to

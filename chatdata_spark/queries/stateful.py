@@ -765,3 +765,66 @@ def streaming_heavy_hitter_tokens(spark, sf_dir):
         .filter(F.col("n") >= 300)
         .orderBy(F.desc("n"), "item")
     )
+
+
+def _shared_hh_weighted_oracle() -> str:
+    """The BATCH weighted heavy-hitter oracle, verbatim (exact GROUP BY
+    HAVING over decimal revenue): the stream-merged weighted MG summary
+    is a superset of every part above the W/(k+1) mass bound, and the
+    final pass recounts candidates exactly."""
+    from chatdata_spark.registry import _REGISTRY, _load_all
+
+    _load_all()
+    return _REGISTRY["heavy_hitter_parts_weighted"].oracle
+
+
+@query("streaming_heavy_hitter_revenue", oracle=_shared_hh_weighted_oracle)
+def streaming_heavy_hitter_revenue(spark, sf_dir):
+    """§2.10 extension, ORACLE-checked: the WEIGHTED Misra-Gries summary
+    (ClickHouse topKWeighted posture) maintained incrementally over a
+    lineitem file stream — two availableNow drains, each micro-batch's
+    exact DECIMAL revenue masses merged into the ≤4096-row summary with
+    (k+1)-th-largest-mass compression
+    (streaming/incremental.py::stream_mg_merge weighted=True; merged
+    undercount ≤ W_total/(k+1) ≈ 0.74M, threshold 2M clears it ~3x), then
+    the exact decimal candidate recount. Batch-parity with the exact
+    GROUP BY proves the weighted merge bound under real micro-batch
+    splits AND exactly-once file accounting."""
+    import os
+
+    from chatdata_spark.stores.state import VersionedParquetStore
+    from chatdata_spark.streaming.incremental import stream_mg_merge
+
+    root = tempfile.mkdtemp(prefix="chatdata_swmg_q_")
+    ind, ckpt = f"{root}/in", f"{root}/ck"
+    os.makedirs(ind)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    store = VersionedParquetStore(spark, f"{root}/store")
+    schema = "l_orderkey long, l_partkey long, l_extendedprice double, l_discount double"
+
+    def rev_items(b):
+        w = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+        return (
+            b.select(F.col("l_partkey").cast("string").alias("item"), w.alias("__w"))
+            .filter(F.col("__w").isNotNull() & (F.col("__w") >= 0))
+        )
+
+    mid = li.agg(F.expr("percentile_approx(l_orderkey, 0.5)")).collect()[0][0]
+    li.filter(F.col("l_orderkey") <= mid).coalesce(1).write.mode("append").parquet(ind)
+    stream_mg_merge(spark, ind, store, ckpt, rev_items, schema, k=4096, weighted=True)
+    li.filter(F.col("l_orderkey") > mid).coalesce(1).write.mode("append").parquet(ind)
+    stream_mg_merge(spark, ind, store, ckpt, rev_items, schema, k=4096, weighted=True)
+    cands = store.read().select("item")
+    rev = rev_items(li)
+    return (
+        rev.join(F.broadcast(cands), "item", "left_semi")
+        .groupBy("item")
+        .agg(
+            F.sum(F.col("__w").cast("decimal(27,6)")).alias("__dw")
+        )
+        .filter(F.col("__dw") >= F.lit(2_000_000.0).cast("decimal(27,6)"))
+        .select("item", F.col("__dw").cast("double").alias("total_weight"))
+        .orderBy("item")
+    )

@@ -120,10 +120,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 # Rotation plan for round 8: after r7 the never-driver-checked backlog is
-# ONLY the r7 additions that landed after the window filled (currently
-# ONE: zorder_events_zvalues — the 8 earlier r7 additions displaced a
-# TPC-H second-green each and shipped driver-verified in-round; see the
-# once-green comment above). The r8 window: 4 sentinels + any r7
+# ONLY the r7 additions that landed after the window filled (TWO:
+# zorder_events_zvalues and streaming_heavy_hitter_revenue — the 8
+# earlier r7 additions displaced a TPC-H second-green each and shipped
+# driver-verified in-round; see the once-green comment above). The r8 window: 4 sentinels + any r7
 # additions not yet driver-checked + the deferred TPC-H second greens
 # (q12_priority_by_linestatus then the q16/q15/q14/q11/q10/q6/q4/q18 middles first) + second passes for the 26 r7
 # first-timers as slots allow, largest-operator-surface first

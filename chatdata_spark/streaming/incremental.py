@@ -386,6 +386,7 @@ def stream_mg_merge(
     item_col_fn,
     schema: str,
     k: int = 256,
+    weighted: bool = False,
 ) -> None:
     """Stream → mergeable Misra-Gries heavy-hitter summary via
     foreachBatch: each micro-batch collapses to its EXACT (item, cnt)
@@ -399,7 +400,12 @@ def stream_mg_merge(
     same two-pass shape as operators/heavyhitters.py, with the candidate
     pass maintained incrementally instead of per-partition).
 
-    ``item_col_fn``: batch DataFrame -> one-column ('item') DataFrame
+    ``item_col_fn``: batch DataFrame -> one-column ('item') DataFrame —
+    or ('item', '__w') with ``weighted=True`` for the topKWeighted
+    posture: per-batch mass is summed through DECIMAL(27,6) (exact, so
+    the merged summary is bit-deterministic under any accumulation
+    order) and the same (k+1)-th-largest compression applies to weight
+    mass, with the merged-undercount bound <= W_total/(k+1)
     (runs DRIVER-side in foreachBatch — package imports are safe here,
     unlike worker closures). Count merge is additive, so a replayed
     batch double-counts: the batch_id guard (the CMS convention) skips
@@ -411,11 +417,13 @@ def stream_mg_merge(
     def apply_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        bc = (
-            item_col_fn(batch_df)
-            .groupBy("item")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
+        items = item_col_fn(batch_df)
+        if weighted:
+            bc = items.groupBy("item").agg(
+                F.sum(F.col("__w").cast("decimal(27,6)")).alias("cnt")
+            )
+        else:
+            bc = items.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
         if store.exists():
             prev = store.read()
             applied = prev.agg(F.max("last_batch")).collect()[0][0]
@@ -423,10 +431,14 @@ def stream_mg_merge(
                 return  # replay of a committed batch — re-merging double-counts
             merged = (
                 prev.drop("last_batch")
-                .unionByName(bc)
+                .unionByName(bc.withColumn("cnt", F.col("cnt").cast(dict(prev.dtypes)["cnt"])))
                 .groupBy("item")
                 .agg(F.sum("cnt").alias("cnt"))
             )
+            if weighted:
+                # sum(decimal) widens precision each round — pin the store
+                # schema so round-N reads union cleanly with round-N+1 sums
+                merged = merged.withColumn("cnt", F.col("cnt").cast("decimal(27,6)"))
         else:
             merged = bc
         w = Window.orderBy(F.desc("cnt"), F.asc("item"))

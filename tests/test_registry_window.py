@@ -105,9 +105,11 @@ def test_tail_is_deliberate():
     # streaming_heavy_hitter_tokens (incremental Misra-Gries merge,
     # exact-recount batch-parity oracle), then 220→221 for
     # zorder_events_zvalues (Morton z-order clustering key — landed past
-    # the cap; r8 windows it first).
+    # the cap; r8 windows it first), then 221→222 for
+    # streaming_heavy_hitter_revenue (weighted streaming MG, topKWeighted
+    # posture — also past the cap, r8-windowed).
     names = list(queries())
-    assert len(names) <= 221
+    assert len(names) <= 222
 
 
 def test_coverage_window_column_consistent():

@@ -896,6 +896,12 @@ def _child_main(sf_dir: str, names: list[str], reps: int, e2e_reps: int, isolate
     plans = [(n, qs[n]) for n in HEADLINE if n in keep]
     plans += [(n, f) for n, f in EXTRA.items() if n in keep]
     e2e_names = [n for n in E2E if n in keep]
+    # The ORDER knob must survive into the shard, or the order-sensitivity
+    # probe is inert in the default sharded path (ADVICE r7): children
+    # inherit the env, so reverse the within-shard plan order here too.
+    if os.environ.get("SPARK_GRAFT_BENCH_ORDER", "normal") == "reversed":
+        plans = plans[::-1]
+        e2e_names = e2e_names[::-1]
     per_query, e2e = _run_shard(spark, sf_dir, plans, e2e_names, reps, e2e_reps, isolate)
     print(json.dumps({"queries": per_query, "e2e": e2e}))
     spark.stop()

@@ -164,7 +164,14 @@ def morton_interleave(a, b):
     """32-bit Morton code of two 16-bit bucket columns: bit i of ``a``
     lands at position 2i, of ``b`` at 2i+1. Pure constant-shift integer
     expressions — whole-stage codegen, and DuckDB replays the identical
-    arithmetic (the z-value is oracle-checkable)."""
+    arithmetic (the z-value is oracle-checkable).
+
+    DOMAIN CONTRACT: inputs must already be 0..2^16-1. The spread MASKS
+    to 16 bits, so a wider value (e.g. a raw 100 TB-scale id) silently
+    aliases distinct values onto the same tile — bucket wide domains
+    first (:func:`linear_bucket`, or ``pmod(hash, 65536)`` for ids), or
+    pass ``validate=True`` to :func:`zorder_write` to pay one aggregate
+    scan for a hard check (r7 verdict finding #2)."""
     from pyspark.sql import functions as F
 
     return _spread_bits(a).bitwiseOR(F.shiftleft(_spread_bits(b), 1))
@@ -188,16 +195,23 @@ def linear_bucket(col, lo: float, hi: float, bits: int = ZBITS):
     """0..2^bits-1 linear bucket of a numeric column over frozen [lo, hi]
     literals (compute lo/hi driver-side and inline — the bucket-boundary
     convention): floor((v - lo) · (2^bits - 1) / (hi - lo)), clamped.
-    Identical float64 operand order replays in DuckDB."""
+    Identical float64 operand order replays in DuckDB.
+
+    NULL values stay NULL (an explicit guard — the least/greatest clamp
+    alone would silently map NULL to bucket 0 because those functions
+    IGNORE null operands, the CLAUDE.md trap; flagged in the r7 verdict).
+    Callers that must place NULL rows somewhere should coalesce
+    explicitly so the choice is visible at the call site."""
     from pyspark.sql import functions as F
 
     top = (1 << bits) - 1
     if hi <= lo:
-        return F.lit(0).cast("bigint")
+        return F.when(col.isNotNull(), F.lit(0).cast("bigint"))
     scaled = F.floor(
         (col.cast("double") - F.lit(float(lo))) * F.lit(float(top)) / F.lit(float(hi - lo))
     ).cast("bigint")
-    return F.least(F.greatest(scaled, F.lit(0).cast("bigint")), F.lit(top).cast("bigint"))
+    clamped = F.least(F.greatest(scaled, F.lit(0).cast("bigint")), F.lit(top).cast("bigint"))
+    return F.when(col.isNotNull(), clamped)
 
 
 def zorder_write(
@@ -206,6 +220,7 @@ def zorder_write(
     bucket_cols,
     num_files: int = 8,
     mode: str = "overwrite",
+    validate: bool = False,
 ) -> None:
     """Multi-dimensional clustering (the Delta OPTIMIZE ZORDER BY role,
     re-expressed as a plain range-partitioned write): interleave the two
@@ -218,12 +233,29 @@ def zorder_write(
     layout job run per partition/day, and the z expression is scan-stage
     integer codegen.
 
-    ``bucket_cols``: two Columns already mapped to 0..2^16-1 (use
-    :func:`linear_bucket`, or an integer key directly when its domain
-    already fits)."""
+    ``bucket_cols``: two Columns already mapped to 0..2^16-1 — use
+    :func:`linear_bucket`, or an integer key directly ONLY when its
+    domain provably fits (morton_interleave masks to 16 bits, so an
+    out-of-domain key silently aliases tiles; NULL buckets yield NULL
+    z-values, which sort first into one file). ``validate=True`` pays
+    one aggregate scan to raise on out-of-domain or NULL buckets instead
+    of writing a silently mis-clustered layout."""
     from pyspark.sql import functions as F
 
     a, b = bucket_cols
+    if validate:
+        bad = df.select(
+            F.sum(
+                ((a < 0) | (a > 65535) | a.isNull()
+                 | (b < 0) | (b > 65535) | b.isNull()).cast("long")
+            ).alias("n_bad")
+        ).collect()[0].n_bad
+        if bad:
+            raise ValueError(
+                f"zorder_write: {bad} row(s) have bucket values outside "
+                "0..65535 (or NULL) — morton_interleave would silently "
+                "alias them; bucket with linear_bucket/pmod first"
+            )
     z = morton_interleave(a, b).alias("__z")
     out = (
         df.withColumn("__z", z)

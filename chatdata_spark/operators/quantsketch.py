@@ -51,12 +51,45 @@ determinators; this one never does).
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from chatdata_spark.operators.sampling import hash_bucket
+
+
+def q_fraction(q: float) -> tuple[int, int]:
+    """Exact reduced (num, den) for a quantile that is a multiple of
+    0.01. Rank math must be INTEGER-exact on both engines: Spark's
+    ``ceil(lit(0.95) * n)`` multiplies in float64 while DuckDB parses
+    ``0.95`` as DECIMAL(3,2) and multiplies exactly — at an exact
+    integer landing (q·n ∈ ℤ) the float product can sit an ulp below
+    and the two ceils disagree by 1 (ADVICE r7)."""
+    num = int(round(q * 100))
+    if abs(num / 100.0 - q) > 1e-9:
+        raise ValueError(f"quantile {q!r} must be a multiple of 0.01")
+    g = math.gcd(num, 100)
+    return num // g, 100 // g
+
+
+def exact_ceil_rank(n_col, q: float):
+    """``ceil(q·n)`` as pure integer arithmetic: with q = num/den,
+    ceil(num·n/den) = (num·n + den−1) div den. Spark's Column API has no
+    integer division, so compute it as (x − x%den)/den — the difference
+    is divisible by den, the float64 quotient is an exact integer, and
+    DuckDB's ``//`` replays it bit-identically."""
+    num, den = q_fraction(q)
+    x = F.lit(num) * n_col + F.lit(den - 1)
+    return ((x - x % F.lit(den)) / F.lit(den)).cast("long")
+
+
+def exact_ceil_rank_sql(n_expr: str, q: float) -> str:
+    """DuckDB mirror of :func:`exact_ceil_rank` (``//`` is integer floor
+    division; operands are positive so floor ≡ our div)."""
+    num, den = q_fraction(q)
+    return f"CAST(({num} * {n_expr} + {den - 1}) // {den} AS BIGINT)"
 
 
 def quantile_sample(
@@ -135,8 +168,7 @@ def sketch_quantiles(
     picks = [
         F.max(
             F.when(
-                F.col("__rn")
-                == F.ceil(F.lit(float(q)) * F.col("__n")).cast("long"),
+                F.col("__rn") == exact_ceil_rank(F.col("__n"), q),
                 F.col("__v"),
             )
         ).alias(f"p{int(round(q * 100))}")

@@ -142,7 +142,13 @@ def sq8_knn(
     los, steps = calibration or sq8_calibrate(df, vec_col, dim)
     qcodes = sq8_code_query(qvec, los, steps)
     enc = sq8_encode(df, vec_col, los, steps, out="__sq8")
-    cols = select or [id_col]
+    # id_col is the tie-break in every orderBy below: keep it in the
+    # projection even when the caller's `select` omits it, and drop it
+    # again at the end (ADVICE r7 — previously an AnalysisException).
+    cols = list(select) if select else [id_col]
+    drop_id = id_col not in cols
+    if drop_id:
+        cols = [*cols, id_col]
     # layered select: __sq8 is referenced `dim` times by the distance sum —
     # keeping it as an output column of its own projection blocks
     # CollapseProject, so the 64-element array is built once per row
@@ -151,11 +157,13 @@ def sq8_knn(
         *keep, sq8_distance("__sq8", qcodes).alias("sq8_dist")
     )
     if rerank is None:
-        return scored.orderBy(F.asc("sq8_dist"), F.asc(id_col)).limit(int(k))
+        out = scored.orderBy(F.asc("sq8_dist"), F.asc(id_col)).limit(int(k))
+        return out.drop(id_col) if drop_id else out
     cand = scored.orderBy(F.asc("sq8_dist"), F.asc(id_col)).limit(int(rerank))
-    return (
+    out = (
         cand.withColumn("dist", F.round(cosine_distance(vec_col, qvec), 6))
         .select(*cols, "dist")
         .orderBy(F.asc("dist"), F.asc(id_col))
         .limit(int(k))
     )
+    return out.drop(id_col) if drop_id else out

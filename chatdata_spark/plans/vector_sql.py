@@ -239,6 +239,23 @@ class VectorSQLDialect:
 
     # -- step 5: scalar renames -------------------------------------------------
     def _rename_functions(self, sql: str) -> str:
+        def _to_start_of_week(a: list[str]) -> str:
+            # ClickHouse default mode is 0 (Sunday-start week); mode 1 is the
+            # ISO Monday-start, which is what Spark's date_trunc('WEEK') does.
+            # Translate both; raise on the modes we don't implement instead of
+            # silently dropping the argument (ADVICE r7).
+            mode = a[1].strip() if len(a) > 1 else "0"
+            if mode == "1":
+                return f"date_trunc('WEEK', {a[0]})"
+            if mode == "0":
+                return (
+                    f"(date_trunc('WEEK', ({a[0]}) + interval 1 day)"
+                    f" - interval 1 day)"
+                )
+            raise ValueError(
+                f"toStartOfWeek: unsupported mode {mode!r} (supported: 0, 1)"
+            )
+
         simple = {
             "has": lambda a: f"array_contains({a[0]}, {a[1]})",
             "arrayMax": lambda a: f"array_max({a[0]})",
@@ -311,8 +328,8 @@ class VectorSQLDialect:
             # CH: Monday=1..Sunday=7 (ISO); Spark dayofweek: Sunday=1
             "toDayOfWeek": lambda a: f"(((dayofweek({a[0]}) + 5) % 7) + 1)",
             "toStartOfHour": lambda a: f"date_trunc('HOUR', {a[0]})",
-            # CH mode-1 (Monday) week start ≡ Spark WEEK truncation
-            "toStartOfWeek": lambda a: f"date_trunc('WEEK', {a[0]})",
+            # CH mode 0 (Sunday, the default) / mode 1 (Monday ≡ Spark WEEK)
+            "toStartOfWeek": _to_start_of_week,
             "leftPad": lambda a: f"lpad({a[0]}, {a[1]}, {a[2] if len(a) > 2 else repr(' ')})",
             "rightPad": lambda a: f"rpad({a[0]}, {a[1]}, {a[2] if len(a) > 2 else repr(' ')})",
             "bitAnd": lambda a: f"({a[0]} & {a[1]})",

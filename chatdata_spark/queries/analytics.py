@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from chatdata_spark.operators.quantsketch import exact_ceil_rank, exact_ceil_rank_sql
 from chatdata_spark.registry import query
 
 
@@ -152,7 +153,7 @@ def moving_avg_customer_orders(spark, sf_dir):
 
 @query(
     "percentile_disc_price_by_flag",
-    oracle="""
+    oracle=f"""
     WITH ranked AS (
         SELECT l_returnflag, l_extendedprice,
                ROW_NUMBER() OVER (PARTITION BY l_returnflag
@@ -161,20 +162,22 @@ def moving_avg_customer_orders(spark, sf_dir):
         FROM lineitem
     )
     SELECT l_returnflag,
-           MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN l_extendedprice END) AS p25,
-           MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN l_extendedprice END) AS p50,
-           MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN l_extendedprice END) AS p75,
-           MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN l_extendedprice END) AS p99
+           MAX(CASE WHEN rn = {exact_ceil_rank_sql('n', 0.25)} THEN l_extendedprice END) AS p25,
+           MAX(CASE WHEN rn = {exact_ceil_rank_sql('n', 0.50)} THEN l_extendedprice END) AS p50,
+           MAX(CASE WHEN rn = {exact_ceil_rank_sql('n', 0.75)} THEN l_extendedprice END) AS p75,
+           MAX(CASE WHEN rn = {exact_ceil_rank_sql('n', 0.99)} THEN l_extendedprice END) AS p99
     FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
 def percentile_disc_price_by_flag(spark, sf_dir):
     """Exact discrete percentiles (p25/p50/p75/p99) per group with explicit
-    index math — rn == ceil(p*n) — identical on both sides, so no
-    interpolation-formula mismatch is possible. The percentile values are
-    actual data elements, never arithmetic. Scale note: one sort per group
-    (3 groups here ⇒ use the grouped_topk salting pattern or
-    approx_percentile when groups are few AND huge); for the common
+    index math — rn == ceil(p*n), computed as INTEGER arithmetic on both
+    sides ((num·n + den−1) div den, operators/quantsketch.py::
+    exact_ceil_rank) so a float q·n can never land an ulp under an exact
+    integer where the engines' ceils disagree (ADVICE r7). The percentile
+    values are actual data elements, never arithmetic. Scale note: one
+    sort per group (3 groups here ⇒ use the grouped_topk salting pattern
+    or approx_percentile when groups are few AND huge); for the common
     many-group case this is the exact plan you want."""
     li = _t(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_returnflag").orderBy(
@@ -188,7 +191,7 @@ def percentile_disc_price_by_flag(spark, sf_dir):
     )
 
     def pick(p, name):
-        idx = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        idx = exact_ceil_rank(F.col("n"), p)
         return F.max(F.when(F.col("rn") == idx, F.col("l_extendedprice"))).alias(name)
 
     return (
@@ -805,7 +808,7 @@ def heavy_hitter_parts_weighted(spark, sf_dir):
 # lattice join, so the stream-merged sample provably equals the one-shot
 # batch sample over the union of drained files — batch parity IS the
 # streaming oracle.
-QSK_ORACLE = """
+QSK_ORACLE = f"""
     WITH s AS (
         SELECT o_orderpriority AS pri, o_orderkey AS k, o_totalprice AS v,
                CAST(('0x' || substr(md5('qsk' || CAST(o_orderkey AS VARCHAR)), 1, 8))
@@ -826,10 +829,10 @@ QSK_ORACLE = """
         FROM bk
     )
     SELECT pri AS o_orderpriority, MAX(n) AS sample_n,
-           MAX(CASE WHEN rn2 = CAST(CEIL(0.25 * n) AS BIGINT) THEN v END) AS p25,
-           MAX(CASE WHEN rn2 = CAST(CEIL(0.5 * n) AS BIGINT) THEN v END) AS p50,
-           MAX(CASE WHEN rn2 = CAST(CEIL(0.75 * n) AS BIGINT) THEN v END) AS p75,
-           MAX(CASE WHEN rn2 = CAST(CEIL(0.95 * n) AS BIGINT) THEN v END) AS p95
+           MAX(CASE WHEN rn2 = {exact_ceil_rank_sql('n', 0.25)} THEN v END) AS p25,
+           MAX(CASE WHEN rn2 = {exact_ceil_rank_sql('n', 0.5)} THEN v END) AS p50,
+           MAX(CASE WHEN rn2 = {exact_ceil_rank_sql('n', 0.75)} THEN v END) AS p75,
+           MAX(CASE WHEN rn2 = {exact_ceil_rank_sql('n', 0.95)} THEN v END) AS p95
     FROM r GROUP BY pri ORDER BY o_orderpriority
     """
 
@@ -903,7 +906,10 @@ def zorder_events_zvalues(spark, sf_dir):
     on either (pinned by tests/test_layout.py). Bucket edges are frozen
     [min,max] literals (2-scalar build-time collect, the bucket-boundary
     convention); the whole pipeline is constant-shift integer codegen and
-    the oracle replays it bit-exactly."""
+    the oracle replays it bit-exactly. user_id rides raw under the
+    morton 0..65535 domain contract (fixture ids fit; a 100 TB id column
+    would go through linear_bucket/pmod first — zorder_write
+    validate=True enforces it, see operators/layout.py)."""
     from chatdata_spark.catalog import load_events
     from chatdata_spark.operators.layout import linear_bucket, morton_interleave
 

@@ -414,7 +414,9 @@ def dialect_retention(spark, sf_dir):
            CAST(isodow(CAST(ts AS DATE)) AS INT) AS dow,
            CAST(dayofyear(ts) AS INT) AS doy,
            date_trunc('hour', ts) AS hour_start,
-           CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start,
+           CAST(date_trunc('week', ts + INTERVAL 1 DAY) - INTERVAL 1 DAY
+                AS TIMESTAMP) AS week_start,
+           CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start_iso,
            lpad(CAST(event_id AS VARCHAR), 8, '0') AS padded,
            event_id & 255 AS id_low,
            xor(event_id | 4096, CAST(255 AS BIGINT)) AS id_mix,
@@ -426,7 +428,8 @@ def dialect_retention(spark, sf_dir):
 def dialect_parity_datetime_bits(spark, sf_dir):
     """§2.9 parity sweep #4 (r7): toQuarter / toDayOfWeek (ISO Monday=1 —
     Spark's Sunday=1 remapped in the rename) / toDayOfYear /
-    toStartOfHour / toStartOfWeek (mode-1) / leftPad / bitAnd / bitOr /
+    toStartOfHour / toStartOfWeek (default mode 0 = Sunday-start AND
+    explicit mode 1 = ISO Monday-start) / leftPad / bitAnd / bitOr /
     bitXor / match / splitByString (literal delimiter regex-quoted for
     Spark's regex split) through the rename pass."""
     load_events(spark, sf_dir).createOrReplaceTempView("events")
@@ -437,6 +440,7 @@ def dialect_parity_datetime_bits(spark, sf_dir):
            toDayOfYear(ts) AS doy,
            toStartOfHour(ts) AS hour_start,
            toStartOfWeek(ts) AS week_start,
+           toStartOfWeek(ts, 1) AS week_start_iso,
            leftPad(toString(event_id), 8, '0') AS padded,
            bitAnd(event_id, 255) AS id_low,
            bitXor(bitOr(event_id, 4096), 255) AS id_mix,

@@ -55,8 +55,11 @@ def _canon(rows, cols):
     return sorted(out, key=repr)
 
 
+# HUGEINT maps to its OWN family (not bigint): the real driver materializes
+# HUGEINT as pandas float64 (20882.0 vs bigint 20882 → hash red, CLAUDE.md),
+# so an oracle producing it must FAIL the family gate here too (ADVICE r7).
 _DUCK_TYPE_FAMILY = {
-    "BIGINT": "bigint", "HUGEINT": "bigint", "INTEGER": "int", "SMALLINT": "int",
+    "BIGINT": "bigint", "HUGEINT": "hugeint", "INTEGER": "int", "SMALLINT": "int",
     "TINYINT": "int", "DOUBLE": "double", "FLOAT": "float", "VARCHAR": "string",
     "JSON": "string", "TIMESTAMP": "timestamp", "TIMESTAMP_NS": "timestamp",
     "DATE": "date", "BOOLEAN": "boolean",

@@ -158,3 +158,53 @@ def test_zorder_range_scan_correct(spark, tmp_path):
     got = {r.i for r in spark.read.parquet(path).filter(pred).collect()}
     want = {r.i for r in df.filter(pred).collect()}
     assert got == want and len(want) > 0
+
+
+def test_linear_bucket_null_stays_null(spark):
+    """NULL values must map to NULL buckets, not silently to bucket 0 —
+    the least/greatest NULL-eating clamp trap (r7 verdict finding #1)."""
+    from chatdata_spark.operators.layout import linear_bucket
+
+    df = spark.createDataFrame([(1, 5.0), (2, None), (3, 0.0)], "i long, v double")
+    rows = {r.i: r.b for r in df.select(
+        "i", linear_bucket(F.col("v"), 0.0, 10.0).alias("b")).collect()}
+    assert rows[2] is None
+    assert rows[3] == 0  # a real 0.0 still lands in bucket 0
+    assert rows[1] == 32767  # midpoint of [0,10] → ~half of 65535
+    # degenerate hi<=lo range: non-null → 0, NULL stays NULL
+    rows2 = {r.i: r.b for r in df.select(
+        "i", linear_bucket(F.col("v"), 3.0, 3.0).alias("b")).collect()}
+    assert rows2[2] is None and rows2[1] == 0
+
+
+def test_zorder_write_validate_rejects_out_of_domain(spark, tmp_path):
+    """morton_interleave masks to 16 bits; validate=True must refuse to
+    write a silently-aliased layout (r7 verdict finding #2)."""
+    import pytest
+
+    from chatdata_spark.operators.layout import zorder_write
+
+    df = spark.createDataFrame(
+        [(1, 70000, 5), (2, 3, 9)], "i long, u long, v long"
+    )
+    with pytest.raises(ValueError, match="outside"):
+        zorder_write(df, str(tmp_path / "zbad"), (F.col("u"), F.col("v")),
+                     num_files=2, validate=True)
+    # NULL buckets are rejected too
+    dfn = spark.createDataFrame([(1, None, 5), (2, 3, 9)], "i long, u long, v long")
+    with pytest.raises(ValueError, match="outside"):
+        zorder_write(dfn, str(tmp_path / "znull"), (F.col("u"), F.col("v")),
+                     num_files=2, validate=True)
+    # in-domain passes and round-trips
+    ok = spark.createDataFrame([(1, 70, 5), (2, 3, 9)], "i long, u long, v long")
+    zorder_write(ok, str(tmp_path / "zok"), (F.col("u"), F.col("v")),
+                 num_files=2, validate=True)
+    assert spark.read.parquet(str(tmp_path / "zok")).count() == 2
+
+
+def test_morton_16bit_aliasing_is_the_documented_contract():
+    """Values beyond 2^16-1 alias (mask) — pinned so the docstring
+    contract stays true rather than silently changing."""
+    from chatdata_spark.operators.layout import morton_interleave_py
+
+    assert morton_interleave_py(65536 + 7, 3) == morton_interleave_py(7, 3)

@@ -5,6 +5,8 @@ test_correctness.py via quantile_sketch_totalprice.)"""
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 
 from chatdata_spark.operators.quantsketch import (
@@ -165,3 +167,34 @@ def test_ks_drift_exact_python_replay(spark):
         best = max(best, abs(cr * tc - cc * tr))
     assert (got.n_ref, got.n_cur) == (tr, tc)
     assert got.ks_stat == best / (tr * tc)
+
+
+def test_exact_ceil_rank_matches_true_ceiling(spark):
+    """(num·n + den−1) div den must equal exact ceil(q·n) for every n,
+    including the exact-integer landings where float q·n can sit an ulp
+    low (the ADVICE r7 divergence class)."""
+    from fractions import Fraction
+
+    from chatdata_spark.operators.quantsketch import exact_ceil_rank, q_fraction
+
+    qs = [0.25, 0.5, 0.75, 0.95, 0.99, 0.01, 0.2, 0.6]
+    df = spark.range(1, 1001).withColumnRenamed("id", "n")
+    cols = [exact_ceil_rank(F.col("n"), q).alias(f"r{i}") for i, q in enumerate(qs)]
+    rows = df.select("n", *cols).collect()
+    for r in rows:
+        for i, q in enumerate(qs):
+            num, den = q_fraction(q)
+            want = -((-num * r.n) // den)  # exact ceil(num·n/den)
+            assert r[f"r{i}"] == want, (q, r.n)
+            assert want == math.ceil(Fraction(num, den) * r.n)
+
+
+def test_q_fraction_rejects_non_centesimal():
+    import pytest
+
+    from chatdata_spark.operators.quantsketch import q_fraction
+
+    assert q_fraction(0.95) == (19, 20)
+    assert q_fraction(0.5) == (1, 2)
+    with pytest.raises(ValueError):
+        q_fraction(0.333)

@@ -115,3 +115,19 @@ def test_rerank_funnel_recall_monotone(spark):
     assert r40 >= pure
     assert rec(80) >= r40
     assert rec(80) >= 0.9  # 8-bit grid + 8x rerank recovers the exact set
+
+
+def test_select_without_id_col_works(spark):
+    """ADVICE r7: a `select` that omits id_col must not blow up — the
+    tie-break id is carried internally and dropped from the output."""
+    emb = _emb(spark)
+    pure = sq8_knn(emb, "embedding", Q1, dim=DIM, k=5, select=["label"])
+    rows = pure.collect()
+    assert pure.columns == ["label", "sq8_dist"] and len(rows) == 5
+    rr = sq8_knn(emb, "embedding", Q1, dim=DIM, k=5, select=["label"], rerank=20)
+    rows2 = rr.collect()
+    assert rr.columns == ["label", "dist"] and len(rows2) == 5
+    # same ranking as the id-including call
+    with_id = sq8_knn(emb, "embedding", Q1, dim=DIM, k=5,
+                      select=["label", "vec_id"], rerank=20)
+    assert [r.label for r in rows2] == [r.label for r in with_id.collect()]

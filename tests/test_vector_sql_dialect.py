@@ -142,5 +142,40 @@ def test_r7_datetime_renames_translate():
     )
     assert "quarter(ts)" in out
     assert "(((dayofweek(ts) + 5) % 7) + 1)" in out
-    assert "date_trunc('WEEK', ts)" in out
+    # default mode 0 = Sunday-start (ADVICE r7): +1day trunc −1day
+    assert "(date_trunc('WEEK', (ts) + interval 1 day) - interval 1 day)" in out
     assert "split(s, concat('\\\\Q', 'ab', '\\\\E'))" in out
+
+
+def test_to_start_of_week_modes():
+    import pytest
+
+    # explicit mode 1 = ISO Monday-start ≡ plain Spark WEEK truncation
+    out1 = D.translate("SELECT toStartOfWeek(ts, 1) FROM t")
+    assert "date_trunc('WEEK', ts)" in out1
+    # explicit mode 0 ≡ the default
+    out0 = D.translate("SELECT toStartOfWeek(ts, 0) FROM t")
+    assert "interval 1 day" in out0
+    # unsupported modes raise instead of silently dropping the argument
+    with pytest.raises(ValueError, match="toStartOfWeek"):
+        D.translate("SELECT toStartOfWeek(ts, 3) FROM t")
+
+
+def test_to_start_of_week_sunday_semantics(spark):
+    # 2024-01-10 is a Wednesday: Sunday-start week begins 2024-01-07,
+    # ISO (mode 1) week begins Monday 2024-01-08.
+    row = spark.sql(
+        D.translate(
+            "SELECT toStartOfWeek(CAST('2024-01-10 12:00:00' AS TIMESTAMP)) AS w0, "
+            "toStartOfWeek(CAST('2024-01-10 12:00:00' AS TIMESTAMP), 1) AS w1"
+        )
+    ).collect()[0]
+    assert str(row.w0) == "2024-01-07 00:00:00"
+    assert str(row.w1) == "2024-01-08 00:00:00"
+    # a Sunday is its own mode-0 week start
+    row2 = spark.sql(
+        D.translate(
+            "SELECT toStartOfWeek(CAST('2024-01-07 23:59:59' AS TIMESTAMP)) AS w0"
+        )
+    ).collect()[0]
+    assert str(row2.w0) == "2024-01-07 00:00:00"

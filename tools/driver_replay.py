@@ -84,7 +84,10 @@ for name in names:
         # through the values-only compare once (sq8, r7)
         rel = con.sql(osql[name])
         duck_types = dict(zip(rel.columns, rel.types))
-        _duck_fam = {"BIGINT": "bigint", "HUGEINT": "bigint", "INTEGER": "int",
+        # HUGEINT is its OWN family: the real driver materializes it as
+        # pandas float64 (20882.0 vs bigint 20882 → hash red, CLAUDE.md), so
+        # the replay must flag any oracle that produces it (ADVICE r7).
+        _duck_fam = {"BIGINT": "bigint", "HUGEINT": "hugeint", "INTEGER": "int",
                      "SMALLINT": "int", "TINYINT": "int", "DOUBLE": "double",
                      "FLOAT": "float", "VARCHAR": "string", "JSON": "string",
                      "TIMESTAMP": "timestamp", "TIMESTAMP_NS": "timestamp",

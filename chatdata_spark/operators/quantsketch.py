@@ -205,14 +205,20 @@ def ks_drift(
     key_col: str,
     k: int = 256,
     salt: str = "ks",
+    group_cols: Sequence[str] | None = None,
 ) -> DataFrame:
-    """One-row (n_ref, n_cur, ks_stat): two-sample Kolmogorov-Smirnov
-    distance between the snapshots' value distributions, computed over
-    their deterministic bottom-k-by-hash samples — the distribution-drift
-    monitor that needs NO binning choice (PSI's weakness: a drift
-    confined inside one bin is invisible; KS compares full empirical
-    CDFs). ks_stat = max over observed values v of
-    |F_ref(v) - F_cur(v)|, each F the sample's empirical CDF.
+    """(group_cols..., n_ref, n_cur, ks_stat): two-sample
+    Kolmogorov-Smirnov distance between the snapshots' value
+    distributions — one row per group (the corpus-monitoring question
+    "WHICH source drifted?"), or ONE global row when ``group_cols`` is
+    empty/None — computed over deterministic bottom-k-by-hash samples
+    per group. The distribution-drift monitor that needs NO binning
+    choice (PSI's weakness: a drift confined inside one bin is
+    invisible; KS compares full empirical CDFs). ks_stat = max over
+    observed values v of |F_ref(v) - F_cur(v)|, each F the sample's
+    empirical CDF. A group present in only one snapshot has no defined
+    statistic: ks_stat is NULL there (n_ref/n_cur show which side is
+    empty) rather than a misleading 0 or NaN.
 
     Because both samples are pure hash functions of their key sets
     (quantile_sample), the whole statistic is bit-reproducible and the
@@ -225,18 +231,26 @@ def ks_drift(
     produces ks_stat — a single correctly-rounded op, identical in every
     engine, no decimal rounding at all. Scale shape: two sample passes
     (each ONE window exchange over the scan, k-bounded output), then all
-    arithmetic happens on <= 2k rows."""
-    a = quantile_sample(ref, [], value_col, key_col, k=k, salt=salt)
-    b = quantile_sample(cur, [], value_col, key_col, k=k, salt=salt)
-    u = a.select("__v", F.lit(1).alias("__r"), F.lit(0).alias("__c")).unionByName(
-        b.select("__v", F.lit(0).alias("__r"), F.lit(1).alias("__c"))
+    arithmetic happens on <= 2k rows per group; the grouped variant
+    shares ONE partitioning (group keys) across the cumulative window,
+    the totals window and the final groupBy — one exchange."""
+    g = list(group_cols or [])
+    a = quantile_sample(ref, g, value_col, key_col, k=k, salt=salt)
+    b = quantile_sample(cur, g, value_col, key_col, k=k, salt=salt)
+    u = a.select(*g, "__v", F.lit(1).alias("__r"), F.lit(0).alias("__c")).unionByName(
+        b.select(*g, "__v", F.lit(0).alias("__r"), F.lit(1).alias("__c"))
     )
-    per_v = u.groupBy("__v").agg(
+    per_v = u.groupBy(*g, "__v").agg(
         F.sum("__r").alias("nr"), F.sum("__c").alias("nc")
     )
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    wn = Window.partitionBy()
+    w = (
+        Window.partitionBy(*g)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy(*g)
     cum = per_v.select(
+        *g,
         "__v",
         F.sum("nr").over(w).alias("cr"),
         F.sum("nc").over(w).alias("cc"),
@@ -245,17 +259,20 @@ def ks_drift(
     )
     gap_num = F.abs(F.col("cr") * F.col("tc") - F.col("cc") * F.col("tr"))
     return (
-        cum.agg(
+        cum.groupBy(*g)
+        .agg(
             F.max("tr").alias("n_ref"),
             F.max("tc").alias("n_cur"),
             F.max(gap_num).alias("__gn"),
         )
         .select(
+            *g,
             "n_ref",
             "n_cur",
-            (
+            F.when(
+                (F.col("n_ref") > 0) & (F.col("n_cur") > 0),
                 F.col("__gn").cast("double")
-                / (F.col("n_ref") * F.col("n_cur")).cast("double")
+                / (F.col("n_ref") * F.col("n_cur")).cast("double"),
             ).alias("ks_stat"),
         )
     )

@@ -510,3 +510,64 @@ def drift_ks_event_values(spark, sf_dir):
     ref = e.filter(F.col("ts") < split)
     cur = e.filter(F.col("ts") >= split)
     return ks_drift(ref, cur, "value", "event_id", k=256, salt="ks")
+
+
+@query(
+    "drift_ks_by_source",
+    oracle="""
+    WITH base AS (
+        SELECT source, n_chars AS v, doc_id AS k2, doc_id % 2 AS side,
+               CAST(('0x' || substr(md5('ksrc' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        FROM documents
+        WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL AND source IS NOT NULL
+    ),
+    rs AS (SELECT source, v FROM (
+        SELECT source, v, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, k2) AS rn
+        FROM base WHERE side = 0) WHERE rn <= 128),
+    cs AS (SELECT source, v FROM (
+        SELECT source, v, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, k2) AS rn
+        FROM base WHERE side = 1) WHERE rn <= 128),
+    u AS (
+        SELECT source, v, 1 AS nr, 0 AS nc FROM rs
+        UNION ALL
+        SELECT source, v, 0 AS nr, 1 AS nc FROM cs
+    ),
+    pv AS (SELECT source, v, SUM(nr) AS nr, SUM(nc) AS nc FROM u GROUP BY source, v),
+    cum AS (
+        SELECT source,
+               SUM(nr) OVER (PARTITION BY source ORDER BY v) AS cr,
+               SUM(nc) OVER (PARTITION BY source ORDER BY v) AS cc,
+               SUM(nr) OVER (PARTITION BY source) AS tr,
+               SUM(nc) OVER (PARTITION BY source) AS tc
+        FROM pv
+    )
+    SELECT source, CAST(MAX(tr) AS BIGINT) AS n_ref, CAST(MAX(tc) AS BIGINT) AS n_cur,
+           CASE WHEN MAX(tr) > 0 AND MAX(tc) > 0 THEN
+               CAST(MAX(ABS(cr * tc - cc * tr)) AS DOUBLE)
+                   / CAST(MAX(tr) * MAX(tc) AS DOUBLE)
+           END AS ks_stat
+    FROM cum GROUP BY source ORDER BY source
+    """,
+)
+def drift_ks_by_source(spark, sf_dir):
+    """Per-group two-sample KS drift — "WHICH source drifted?" (the r7
+    verdict's windowed-CDF generalization of drift_ks_event_values):
+    document-length distributions of the even vs odd doc_id halves,
+    compared per source over per-group deterministic bottom-128-by-hash
+    samples (operators/quantsketch.py::ks_drift with group_cols). ONE
+    partitioning (source) carries the sample rank, the cumulative CDFs,
+    the totals and the final collapse; arithmetic stays integer until
+    one final IEEE division per group, so the oracle replays every
+    statistic bit-exactly. Scale shape: two k-bounded sample passes,
+    then <= 2k rows per group — the per-source monitor costs the same
+    two scans as the global one regardless of group count."""
+    from chatdata_spark.operators.quantsketch import ks_drift
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("source").isNotNull()
+    )
+    ref = d.filter(F.col("doc_id") % 2 == 0)
+    cur = d.filter(F.col("doc_id") % 2 == 1)
+    return ks_drift(
+        ref, cur, "n_chars", "doc_id", k=128, salt="ksrc", group_cols=["source"]
+    ).orderBy("source")

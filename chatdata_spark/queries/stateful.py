@@ -121,6 +121,113 @@ def store_kb_tool_lifecycle(spark, sf_dir):
     return out.orderBy("user_id", "tool_name")
 
 
+def _kb_scoped_knn_expected() -> str:
+    """Lazy oracle for store_kb_scoped_knn: sequential driver-side replay
+    of the scoped retrieval — the same doc subset (u1 tenant = even
+    doc_id, tool files src0/src1), the same float32-storage →
+    float64-arithmetic cosine fold in the same operand order as
+    functions/vector.py::cosine_distance (acc + x·y left fold, query
+    norm folded driver-side), Spark's round(_, 6) emulated via HALF_UP
+    on the shortest-repr decimal — emitted as a VALUES literal."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import numpy as np
+
+    from chatdata_spark.catalog import oracle_sf_dir
+    from chatdata_spark.functions.vector import hash_embed
+    from chatdata_spark.stores.state import _sha256
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text, source FROM "
+        f"read_parquet('{oracle_sf_dir()}/documents.parquet') "
+        "WHERE doc_id < 400 AND doc_id % 2 = 0 AND text IS NOT NULL "
+        "AND source IN ('src0', 'src1') ORDER BY doc_id"
+    ).fetchall()
+    q = hash_embed(_KB_KNN_QUERY_TEXT, 16)
+    qn = math.sqrt(sum(float(x) * float(x) for x in q))
+    q6 = Decimal("0.000001")
+    scored = []
+    for _doc_id, text, source in rows:
+        v = [float(x) for x in np.array(hash_embed(text, 16), dtype=np.float32)]
+        dot, na = 0.0, 0.0
+        for x, y in zip(v, q):
+            dot = dot + x * y
+        for x in v:
+            na = na + x * x
+        dist = 1.0 - dot / (math.sqrt(na) * qn)
+        d6 = float(Decimal(repr(dist)).quantize(q6, ROUND_HALF_UP))
+        scored.append((d6, _sha256(source, text), source))
+    scored.sort()
+    values = [
+        f"({d!r}, '{eid}', '{src}')" for d, eid, src in scored[:10]
+    ]
+    return (
+        "SELECT entity_id, file_name, CAST(dist AS DOUBLE) AS dist FROM (VALUES "
+        + ", ".join(values)
+        + ") AS t(dist, entity_id, file_name) ORDER BY dist, entity_id"
+    )
+
+
+_KB_KNN_QUERY_TEXT = "chatdata private knowledge retrieval"
+
+
+@query("store_kb_scoped_knn", oracle=_kb_scoped_knn_expected)
+def store_kb_scoped_knn(spark, sf_dir):
+    """The private-KB path's VECTOR leg (r7 verdict item 6): the
+    reference's actual retrieval is kNN over tool-scoped paragraphs
+    (private_knowledge_base.py:140-166 builds a vector query with
+    ``file_name IN`` + tenancy) — J1 semi-join file scoping + P10
+    tenancy composed with the V3 filtered-kNN template. Two tenants
+    upload paragraphs under the SAME file names (the tenancy trap: a
+    missing P10 filter leaks u2's paragraphs into u1's candidates and
+    changes the top-10), a u1 tool scopes to 2 of 4 files, and the
+    scoped rows rank by exact cosine distance to a deterministic query
+    embedding. Distances ride float64 with the query norm folded
+    driver-side, rounded 6 — the lazy oracle replays the fold
+    bit-exactly. Scale shape: the tool file list is a 1-row broadcast
+    semi-join; the kNN is a pushed-filter scan + TakeOrderedAndProject
+    (no shuffle beyond the top-k heap)."""
+    from chatdata_spark.functions.vector import cosine_distance, hash_embed
+    from chatdata_spark.stores.state import PrivateKBStore
+
+    root = tempfile.mkdtemp(prefix="chatdata_kbknn_q_")
+    kb = PrivateKBStore(spark, f"{root}/kb", f"{root}/tools")
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(
+            (F.col("doc_id") < 400)
+            & F.col("text").isNotNull()
+            & F.col("source").isin("src0", "src1", "src2", "src3")
+        )
+        .select("doc_id", "text", "source")
+        .collect()
+    )
+    embed = lambda t: hash_embed(t, 16)  # noqa: E731 — deterministic stub
+    by_upload: dict[tuple[str, str], list[str]] = {}
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        tenant = "u1" if r.doc_id % 2 == 0 else "u2"
+        by_upload.setdefault((tenant, r.source), []).append(r.text)
+    for i, ((tenant, fname), texts) in enumerate(sorted(by_upload.items())):
+        kb.add_paragraphs(tenant, fname, texts, embed, created_by=_t(i))
+    kb.create_tool("u1", "research", ["src0", "src1"], "scoped corpus", created_by=_t(90))
+    kb.create_tool("u2", "research", ["src0", "src1"], "tenancy trap", created_by=_t(91))
+
+    qvec = hash_embed(_KB_KNN_QUERY_TEXT, 16)
+    scoped = kb.tool_paragraphs("u1", "research")
+    return (
+        scoped.select(
+            "entity_id",
+            "file_name",
+            F.round(cosine_distance("vector", qvec), 6).alias("dist"),
+        )
+        .orderBy("dist", "entity_id")
+        .limit(10)
+        .select("entity_id", "file_name", "dist")
+    )
+
+
 def _stream_embed_expected() -> str:
     """Lazy oracle for streaming_incremental_embed (the
     embed_documents_batch pattern, queries/vector.py): the hash embedder

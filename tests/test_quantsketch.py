@@ -198,3 +198,34 @@ def test_q_fraction_rejects_non_centesimal():
     assert q_fraction(0.5) == (1, 2)
     with pytest.raises(ValueError):
         q_fraction(0.333)
+
+
+def test_ks_drift_grouped_matches_per_group_global(spark):
+    """Grouped KS must equal running the global statistic once per group;
+    a group present on one side only gets NULL ks_stat, not NaN/0."""
+    from chatdata_spark.operators.quantsketch import ks_drift
+
+    o = _orders(spark).withColumn(
+        "g", (F.col("o_orderkey") % 3).cast("string")
+    )
+    ref = o.filter(F.col("o_orderkey") % 2 == 0)
+    cur = o.filter(F.col("o_orderkey") % 2 == 1)
+    got = {
+        r.g: (r.n_ref, r.n_cur, r.ks_stat)
+        for r in ks_drift(ref, cur, "o_totalprice", "o_orderkey",
+                          k=64, salt="g", group_cols=["g"]).collect()
+    }
+    assert len(got) == 3
+    for gval in ("0", "1", "2"):
+        solo = ks_drift(
+            ref.filter(F.col("g") == gval), cur.filter(F.col("g") == gval),
+            "o_totalprice", "o_orderkey", k=64, salt="g",
+        ).collect()[0]
+        assert got[gval] == (solo.n_ref, solo.n_cur, solo.ks_stat)
+    # one-sided group → NULL statistic
+    lop = ks_drift(
+        ref, cur.filter(F.col("g") != "2"), "o_totalprice", "o_orderkey",
+        k=64, salt="g", group_cols=["g"],
+    ).collect()
+    row2 = next(r for r in lop if r.g == "2")
+    assert row2.n_cur == 0 and row2.ks_stat is None

@@ -107,9 +107,13 @@ def test_tail_is_deliberate():
     # zorder_events_zvalues (Morton z-order clustering key — landed past
     # the cap; r8 windows it first), then 221→222 for
     # streaming_heavy_hitter_revenue (weighted streaming MG, topKWeighted
-    # posture — also past the cap, r8-windowed).
+    # posture — also past the cap, r8-windowed). 222→223 in r8 for
+    # drift_ks_by_source (per-group two-sample KS — "which source
+    # drifted?", the r7 verdict's windowed-CDF generalization), then
+    # 223→224 for store_kb_scoped_knn (the private-KB vector leg:
+    # J1+P10 composed with V3, lazy float-fold-replay oracle).
     names = list(queries())
-    assert len(names) <= 222
+    assert len(names) <= 224
 
 
 def test_coverage_window_column_consistent():

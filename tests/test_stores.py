@@ -201,3 +201,29 @@ def test_changes_cdf_null_values(spark, tmp_path):
                                   "k int, val string, n int"))
     ch = {r["k"]: r["_op"] for r in s.changes(1, 2, ["k"]).collect()}
     assert ch == {1: "update", 2: "update"}
+
+
+def test_private_kb_scoped_knn_tenancy(spark, tmp_path):
+    """The vector leg of the KB path: tool-scoped kNN must rank ONLY the
+    tenant's paragraphs from the tool's files — a same-named file from
+    another tenant (or an unscoped file) must never enter the candidates."""
+    from chatdata_spark.functions.vector import cosine_distance, hash_embed
+    from chatdata_spark.stores.state import PrivateKBStore
+
+    kb = PrivateKBStore(spark, str(tmp_path / "kb"), str(tmp_path / "tools"))
+    embed = lambda t: hash_embed(t, 8)  # noqa: E731
+    kb.add_paragraphs("u1", "f.txt", ["u1 alpha", "u1 beta"], embed)
+    kb.add_paragraphs("u1", "g.txt", ["u1 gamma"], embed)
+    kb.add_paragraphs("u2", "f.txt", ["u2 delta"], embed)  # tenancy trap
+    kb.create_tool("u1", "t", ["f.txt"], "scoped")
+
+    q = hash_embed("query", 8)
+    got = (
+        kb.tool_paragraphs("u1", "t")
+        .select("text", F.round(cosine_distance("vector", q), 6).alias("dist"))
+        .orderBy("dist", "text")
+        .collect()
+    )
+    assert [r.text for r in got] != []
+    assert {r.text for r in got} == {"u1 alpha", "u1 beta"}  # no u2, no g.txt
+    assert all(0.0 <= r.dist <= 2.0 for r in got)

@@ -1003,6 +1003,27 @@ def main() -> None:
         "e2e": e2e,
     }
     if not only:
+        # e2e regression guard (r7 verdict item 7): the iterative-operator
+        # e2e entries (pagerank ~9.5 s etc.) live only in BENCH_DETAIL.json,
+        # so nothing diffed them round-over-round. Compare against the
+        # committed artifact BEFORE overwriting it and warn loudly (stderr;
+        # the stdout JSON line stays one-line) when an entry moves >1.5x in
+        # either direction. PLANS.md cites this check.
+        try:
+            with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+                prev_e2e = json.load(f).get("e2e", {})
+        except (OSError, json.JSONDecodeError):
+            prev_e2e = {}
+        for name, secs in sorted(e2e.items()):
+            prev = prev_e2e.get(name)
+            if prev and prev > 0 and secs > 0:
+                ratio = secs / prev
+                if ratio > 1.5 or ratio < 1 / 1.5:
+                    print(
+                        f"bench: E2E REGRESSION GUARD: {name} "
+                        f"{prev:.2f}s -> {secs:.2f}s ({ratio:.2f}x vs committed artifact)",
+                        file=sys.stderr,
+                    )
         # ONLY= iteration runs must not clobber the canonical full-suite
         # artifact with a partial map
         with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:

@@ -86,49 +86,54 @@ def _load_all() -> None:
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- kept sentinels (multi-green; one per core family) ---
     "knn_topk", "dialect_knn", "dedup_minhash_lsh", "text_profile",
-    # --- rotated IN for round 7: the ENTIRE never-driver-checked backlog
-    # (26 names — landed past the cap in r6, full-registry pytest-oracled
-    # meanwhile; first driver check now) ---
-    "graph_random_walks", "graph_skipgram_pairs", "dedup_jaccard_prefix",
-    "ann_ivfpq_search", "kmeans_embedding_clusters",
-    "dedup_chunk_boilerplate", "cluster_balanced_sample",
-    "source_overlap_kmv", "ingest_csv_typed",
-    "sequence_match_click_to_purchase", "sequence_count_conversion_cycles",
-    "anomaly_mad_event_values", "pca_embedding_knn",
-    "mixture_temperature_sample", "graph_label_propagation",
-    "drift_psi_event_values", "streaming_drift_psi",
-    "ingest_orc_roundtrip", "drift_psi_lang_mix", "corpus_health_report",
-    "funnel_tight_window", "text_ngram_diversity",
-    "heavy_hitter_parts_weighted", "text_zipf_slope",
-    "dialect_argmax_argmin", "dialect_uniq_upto",
-    # --- once-green r5 first-timers, back for their second green (the
-    # r6 deferral; q12_priority_by_linestatus defers to r8 — 51 names,
-    # 50 slots, TPC-H middles are the lowest-risk class) ---
-    "stuff_context_docs", "streaming_distinct_events",
-    "streaming_join_click_purchase", "leakage_safe_split_docs",
-    "asof_join_purchase_click_sliced", "qa_context_assembly",
-    "rerank_snippet_search", "bucketed_fact_join_revenue",
-    "streaming_near_dup_docs", "mmr_diversified_knn_distributed",
-    "dedup_substring_spans",
-    "knn_ip",
-    # --- r7 additions, driver-verified in-round (each displaces one
-    # TPC-H second green to r8 per policy: q16/q15/q14/q11/q10/q6/q4/q18) ---
-    "store_kb_tool_lifecycle", "quantile_sketch_totalprice",
-    "streaming_quantile_sketch", "sq8_quant_knn", "dialect_retention",
-    "dialect_parity_datetime_bits", "drift_ks_event_values",
-    "streaming_heavy_hitter_tokens",
+    # --- never-driver-checked backlog rotated IN for round 8: the four
+    # r7-tail additions that landed after the r7 window filled (all
+    # full-registry pytest-oracled meanwhile; first driver check now) ---
+    "zorder_events_zvalues", "streaming_heavy_hitter_revenue",
+    "drift_ks_by_source", "store_kb_scoped_knn",
+    # --- deferred TPC-H second greens (once-green in r4/r5; the r6/r7
+    # rotations each bumped them for in-round additions) ---
+    "q12_priority_by_linestatus", "q16_supplier_part_counts",
+    "q15_top_supplier", "q14_promo_revenue", "q11_important_parts",
+    "q10_returned_items", "q6_forecast_revenue", "q4_order_priority",
+    "q18_large_volume_customer",
+    # --- second passes for the r7 first-timers, largest operator
+    # surface first (graph / PCA / k-means / IVF-PQ before dialect
+    # scalars); the smallest-surface tail yields a slot to each r8
+    # addition per policy ---
+    "graph_random_walks", "graph_skipgram_pairs",
+    "graph_label_propagation", "pca_embedding_knn",
+    "kmeans_embedding_clusters", "ann_ivfpq_search",
+    "dedup_jaccard_prefix", "dedup_chunk_boilerplate",
+    "mixture_temperature_sample", "cluster_balanced_sample",
+    "source_overlap_kmv", "heavy_hitter_parts_weighted",
+    "anomaly_mad_event_values", "drift_psi_event_values",
+    "drift_psi_lang_mix", "streaming_drift_psi", "corpus_health_report",
+    "funnel_tight_window", "sequence_match_click_to_purchase",
+    "sequence_count_conversion_cycles",
+    # --- second passes for the r7 in-round additions (once-green in
+    # r7; largest surface first) ---
+    "store_kb_tool_lifecycle", "streaming_quantile_sketch",
+    "sq8_quant_knn", "streaming_heavy_hitter_tokens",
+    "drift_ks_event_values", "quantile_sketch_totalprice",
+    # --- displaceable second-pass tail: each r8 addition takes one of
+    # these slots (smallest operator surface leaves first; displaced
+    # names return in r9) ---
+    "dialect_retention", "dialect_parity_datetime_bits",
+    "text_ngram_diversity", "text_zipf_slope", "ingest_csv_typed",
+    "ingest_orc_roundtrip", "dialect_argmax_argmin",
+    # --- r8 additions, driver-verified in-round ---
 )
 
-# Rotation plan for round 8: after r7 the never-driver-checked backlog is
-# ONLY the r7 additions that landed after the window filled (TWO:
-# zorder_events_zvalues and streaming_heavy_hitter_revenue — the 8
-# earlier r7 additions displaced a TPC-H second-green each and shipped
-# driver-verified in-round; see the once-green comment above). The r8 window: 4 sentinels + any r7
-# additions not yet driver-checked + the deferred TPC-H second greens
-# (q12_priority_by_linestatus then the q16/q15/q14/q11/q10/q6/q4/q18 middles first) + second passes for the 26 r7
-# first-timers as slots allow, largest-operator-surface first
-# (graph/PCA/k-means/IVF-PQ before dialect scalars). From here the window
-# is in its steady state: sentinels + newest additions + second greens.
+# Rotation plan for round 9: after r8 the never-driver-checked backlog
+# should again be only any r8 additions that landed past the cap. The r9
+# window: 4 sentinels + that backlog + second greens for the r8
+# additions + the second-pass names the r8 additions displaced
+# (dialect_retention, dialect_parity_datetime_bits, text_ngram_diversity,
+# text_zipf_slope, ingest_csv_typed, ingest_orc_roundtrip,
+# dialect_argmax_argmin, dialect_uniq_upto first) + third greens for
+# low-pass-count families as slots allow. Steady state from here:
+# sentinels + newest additions + the lowest-green-count backlog.
 
 
 def _ordered() -> dict[str, QueryDef]:

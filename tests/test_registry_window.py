@@ -11,30 +11,21 @@ DRIVER_CAP = 50
 
 MUST_BE_DRIVER_CHECKED = {
     # Flagships that have NOT yet banked two green driver rounds, plus one
-    # kept sentinel per core family. r7 executes the r6 verdict's plan:
-    # the ENTIRE 26-name never-driver-checked backlog sits in the window
-    # (rotation policy in registry.DRIVER_WINDOW's comment); r7 additions
-    # are appended here in the commit that registers them.
+    # kept sentinel per core family. r8 executes the r7 verdict's plan:
+    # the never-driver-checked backlog (the four r7-tail additions) gets
+    # first driver checks and the deferred TPC-H middles get their second
+    # greens (rotation policy in registry.DRIVER_WINDOW's comment); r8
+    # additions are appended here in the commit that registers them.
     # kept sentinels
     "knn_topk", "dialect_knn", "dedup_minhash_lsh", "text_profile",
-    # the r6 never-driver-checked backlog — all 26 rotate in for r7
-    "graph_random_walks", "graph_skipgram_pairs", "dedup_jaccard_prefix",
-    "ann_ivfpq_search", "kmeans_embedding_clusters",
-    "dedup_chunk_boilerplate", "cluster_balanced_sample",
-    "source_overlap_kmv", "ingest_csv_typed",
-    "sequence_match_click_to_purchase", "sequence_count_conversion_cycles",
-    "anomaly_mad_event_values", "pca_embedding_knn",
-    "mixture_temperature_sample", "graph_label_propagation",
-    "drift_psi_event_values", "streaming_drift_psi",
-    "ingest_orc_roundtrip", "drift_psi_lang_mix", "corpus_health_report",
-    "funnel_tight_window", "text_ngram_diversity",
-    "heavy_hitter_parts_weighted", "text_zipf_slope",
-    "dialect_argmax_argmin", "dialect_uniq_upto",
-    # r7 additions (driver-verified in-round)
-    "store_kb_tool_lifecycle", "quantile_sketch_totalprice",
-    "streaming_quantile_sketch", "sq8_quant_knn", "dialect_retention",
-    "dialect_parity_datetime_bits", "drift_ks_event_values",
-    "streaming_heavy_hitter_tokens",
+    # the never-driver-checked backlog — first driver checks in r8
+    "zorder_events_zvalues", "streaming_heavy_hitter_revenue",
+    "drift_ks_by_source", "store_kb_scoped_knn",
+    # the deferred TPC-H second greens
+    "q12_priority_by_linestatus", "q16_supplier_part_counts",
+    "q15_top_supplier", "q14_promo_revenue", "q11_important_parts",
+    "q10_returned_items", "q6_forecast_revenue", "q4_order_priority",
+    "q18_large_volume_customer",
 }
 
 

@@ -101,6 +101,12 @@ HEADLINE = [
     "heavy_hitter_parts_weighted",  # weighted MG candidates + exact decimal recount
     "quantile_sketch_totalprice",  # bottom-k-by-hash quantile sample + pick window
     "drift_ks_event_values",    # KS drift: two k-bounded samples, integer max
+    "anomaly_zscore_event_values",  # exact-moment agg + broadcast recount pass
+    "hll_distinct_deterministic",   # HLL register agg (256 cells/group) + estimate
+    "trend_ols_event_values",   # one-aggregate OLS moments per group
+    "drift_embedding_centroid", # two posexplode centroid-sum aggregates
+    "corpus_shuffle_interleaved",  # per-source hash rank + top-k interleave head
+    "heavy_hitter_tokens_by_lang",  # composite-key MG + recount + per-lang rank
 ]
 # ITERATIVE / build-time-collecting operators get their own timing mode:
 # their work runs at plan-BUILD time (driver-looped rounds with eager
@@ -125,6 +131,11 @@ E2E = [
     "sq8_quant_knn",                # build-time calibration collect (2d scalars)
     "streaming_heavy_hitter_tokens",  # two availableNow drains at build time
     "zorder_events_zvalues",        # build-time [lo,hi] collect (2 scalars)
+    "streaming_zscore_anomaly",     # two availableNow drains at build time
+    "store_cdc_changes",            # four store versions written at build time
+    "streaming_trend_ols",          # two availableNow drains at build time
+    "streaming_hll_distinct",       # two availableNow drains at build time
+    "hilbert_events_hvalues",       # build-time [lo,hi] collect (2 scalars)
 ]
 
 # The ≤15 per-query entries repeated on stdout (full map goes to

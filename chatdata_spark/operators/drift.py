@@ -189,3 +189,89 @@ def psi_categorical(
         F.sum(F.col("psi_term").cast("decimal(18,6)")).cast("double").alias("psi_term"),
     )
     return per_cat.unionByName(total).orderBy(F.col("category").asc_nulls_last())
+
+
+def embedding_centroid_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    group_cols: list[str],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(group_cols..., n_ref, n_cur, cos_shift): per-group drift between
+    two snapshots of an embedding column, measured as the cosine
+    DISTANCE between the snapshots' centroid directions — the embedding-
+    space member of the drift family (PSI: binned scalars; KS: scalar
+    CDFs; this: "did source X's semantic center move?", the check that
+    catches a topical/content shift that leaves every scalar profile
+    column untouched).
+
+    Determinism, by construction:
+    - per-dimension component sums use the repo's embedding-sum
+      convention (cast float32 components to DECIMAL(27,9), exact sum —
+      the kmeans/cluster_balanced_sample precedent), then scale by 10^9
+      into EXACT BIGINT per-dimension sums;
+    - cosine is scale-invariant, so cos(centroid_ref, centroid_cur) ==
+      cos(S_ref, S_cur) on the raw SUM vectors — the 1/n divisions (the
+      float ops that would have to happen BEFORE the dot product) cancel
+      and are never performed;
+    - dot product and squared norms of the integer sum vectors are exact
+      DECIMAL(38,0) sums (HUGEINT on DuckDB); the only float ops are the
+      final casts + sqrt + multiply + divide, one fixed sequence, so the
+      statistic replays bit-exactly cross-engine.
+    A group present in only one snapshot (or with a zero-norm side) gets
+    NULL cos_shift, with n_ref/n_cur showing which side is missing.
+
+    Scale shape: one posexplode+aggregate per snapshot — the shuffle key
+    (group, dim) has |groups|*d cells, map-side combined; everything
+    after is |groups|*d-row arithmetic. No corpus-sized join, no
+    all-pairs anything; at 100 TB this costs two scans like every other
+    drift monitor."""
+    # cast to array<double> BEFORE exploding: Spark's float->decimal cast
+    # goes through the float32's shortest string form, while DuckDB rounds
+    # the exact binary value — double->decimal agrees on both engines
+    dims = F.posexplode(F.col(vec_col).cast("array<double>"))
+
+    def sums(df: DataFrame, out: str, nout: str) -> DataFrame:
+        expl = df.filter(F.col(vec_col).isNotNull()).select(
+            *group_cols, dims.alias("dim", "comp")
+        )
+        # per-component fixed-point integer: round(comp, 9) * 10^9 — the
+        # decimal(18,9) cast is the rounding step (exact thereafter), so
+        # the per-dim sum is a plain exact integer aggregate
+        c9 = (F.col("comp").cast("decimal(18,9)") * F.lit(1_000_000_000)).cast(
+            "decimal(38,0)"
+        )
+        return (
+            expl.groupBy(*group_cols, "dim")
+            .agg(
+                F.sum(c9).cast("decimal(38,0)").alias(out),
+                F.count(F.lit(1)).alias(nout),
+            )
+        )
+    a = sums(ref, "sr", "nr")
+    b = sums(cur, "sc", "nc")
+    per_dim = a.join(b, [*group_cols, "dim"], "full_outer").select(
+        *group_cols,
+        F.coalesce("sr", F.lit(0).cast("decimal(38,0)")).alias("sr"),
+        F.coalesce("sc", F.lit(0).cast("decimal(38,0)")).alias("sc"),
+        F.coalesce("nr", F.lit(0)).alias("nr"),
+        F.coalesce("nc", F.lit(0)).alias("nc"),
+    )
+    agg = per_dim.groupBy(*group_cols).agg(
+        F.max("nr").alias("n_ref"),
+        F.max("nc").alias("n_cur"),
+        F.sum(F.col("sr") * F.col("sc")).cast("decimal(38,0)").alias("dot"),
+        F.sum(F.col("sr") * F.col("sr")).cast("decimal(38,0)").alias("rr"),
+        F.sum(F.col("sc") * F.col("sc")).cast("decimal(38,0)").alias("cc"),
+    )
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("rr").cast("double")) * F.sqrt(F.col("cc").cast("double"))
+    )
+    return agg.select(
+        *group_cols,
+        "n_ref",
+        "n_cur",
+        F.when(
+            (F.col("rr") > 0) & (F.col("cc") > 0), F.lit(1.0) - cos
+        ).alias("cos_shift"),
+    )

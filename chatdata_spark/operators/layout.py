@@ -221,6 +221,7 @@ def zorder_write(
     num_files: int = 8,
     mode: str = "overwrite",
     validate: bool = False,
+    curve: str = "morton",
 ) -> None:
     """Multi-dimensional clustering (the Delta OPTIMIZE ZORDER BY role,
     re-expressed as a plain range-partitioned write): interleave the two
@@ -239,7 +240,9 @@ def zorder_write(
     out-of-domain key silently aliases tiles; NULL buckets yield NULL
     z-values, which sort first into one file). ``validate=True`` pays
     one aggregate scan to raise on out-of-domain or NULL buckets instead
-    of writing a silently mis-clustered layout."""
+    of writing a silently mis-clustered layout. ``curve='hilbert'`` swaps
+    the Morton interleave for the Hilbert index (:func:`with_hilbert`) —
+    strictly better tile locality at the same one-shuffle write cost."""
     from pyspark.sql import functions as F
 
     a, b = bucket_cols
@@ -256,11 +259,109 @@ def zorder_write(
                 "0..65535 (or NULL) — morton_interleave would silently "
                 "alias them; bucket with linear_bucket/pmod first"
             )
-    z = morton_interleave(a, b).alias("__z")
+    if curve == "hilbert":
+        keyed = with_hilbert(df, a, b, out="__z")
+    elif curve == "morton":
+        keyed = df.withColumn("__z", morton_interleave(a, b))
+    else:
+        raise ValueError(f"zorder_write: unknown curve {curve!r}")
     out = (
-        df.withColumn("__z", z)
-        .repartitionByRange(num_files, "__z")
+        keyed.repartitionByRange(num_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
     )
     out.write.mode(mode).parquet(path)
+
+
+# ---- Hilbert-curve layout (the locality upgrade over Morton) ----------------
+
+
+def hilbert_py(x: int, y: int, bits: int = ZBITS) -> int:
+    """Sequential reference of :func:`with_hilbert` (tests/oracles): the
+    classic iterative xy→d Hilbert index (Hamilton's / Wikipedia form,
+    n = 2^bits). Intermediates go NEGATIVE during the reflect step —
+    harmless and engine-portable, because the only ops applied to them
+    are two's-complement AND (identical in Python bigints, Spark BIGINT
+    and DuckDB BIGINT), subtraction and the swap."""
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def with_hilbert(df: DataFrame, a, b, out: str = "__h", bits: int = ZBITS) -> DataFrame:
+    """Adds the 2-D Hilbert index of two 0..2^bits-1 bucket columns as
+    ``out`` — the space-filling curve whose consecutive points are always
+    UNIT steps (Morton's curve jumps across the plane at power-of-two
+    boundaries), so equal-size file tiles have strictly better worst-case
+    dimension spans (measured in tests/test_layout.py).
+
+    Execution shape: the iterative rotate-reflect recurrence is unrolled
+    into ``bits`` chained SELECT layers over three BIGINT state columns
+    (x, y, d) — each round's x is referenced twice by the next, which
+    blocks CollapseProject from re-inlining the chain (the CLAUDE.md
+    layered-select convention; a single inlined expression tree would
+    grow 2^bits nodes). All constant-shift/AND/XOR integer ops:
+    whole-stage codegen end to end, no UDF, and DuckDB replays the same
+    rounds as chained CTEs (hilbert oracle). Same 0..2^bits-1 domain
+    contract as :func:`morton_interleave` — NULL buckets propagate to a
+    NULL index."""
+    from pyspark.sql import functions as F
+
+    keep = df.columns
+    cur = df.select(
+        *keep,
+        a.cast("long").alias("__hx"),
+        b.cast("long").alias("__hy"),
+        F.lit(0).cast("long").alias("__hd"),
+    )
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        x, y, d = F.col("__hx"), F.col("__hy"), F.col("__hd")
+        crx = x.bitwiseAND(F.lit(s)) > 0
+        cry = y.bitwiseAND(F.lit(s)) > 0
+        rx = F.when(crx, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(cry, F.lit(1)).otherwise(F.lit(0))
+        # s*s is 2^30 at the top round: keep the accumulator arithmetic in
+        # BIGINT or ANSI throws on the INT literal times 3 (CLAUDE.md trap)
+        d2 = d + F.lit(s * s).cast("long") * (F.lit(3) * rx).bitwiseXOR(ry).cast("long")
+        x2 = F.when(cry, x).otherwise(
+            F.when(crx, F.lit(s - 1) - y).otherwise(y)
+        )
+        y2 = F.when(cry, y).otherwise(
+            F.when(crx, F.lit(s - 1) - x).otherwise(x)
+        )
+        cur = cur.select(
+            *keep, x2.alias("__hx"), y2.alias("__hy"), d2.alias("__hd")
+        )
+    return cur.select(*keep, F.col("__hd").alias(out))
+
+
+def hilbert_sql_cte(a_expr: str, b_expr: str, base_from: str, keep: str, bits: int = ZBITS) -> str:
+    """The DuckDB replay of :func:`with_hilbert` as a WITH-chain fragment:
+    one CTE per round over (keep..., x, y, d), final relation ``hN`` with
+    the index in column ``d``. ``keep`` is the comma-separated passthrough
+    column list; XOR spelled as xor() (DuckDB's ^ is exponentiation)."""
+    ctes = [f"h0 AS (SELECT {keep}, CAST({a_expr} AS BIGINT) AS x, CAST({b_expr} AS BIGINT) AS y, CAST(0 AS BIGINT) AS d FROM {base_from})"]
+    rounds = list(range(bits - 1, -1, -1))
+    for k, i in enumerate(rounds, start=1):
+        s = 1 << i
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        ctes.append(
+            f"h{k} AS (SELECT {keep}, "
+            f"CASE WHEN {ry} = 1 THEN x WHEN {rx} = 1 THEN {s - 1} - y ELSE y END AS x, "
+            f"CASE WHEN {ry} = 1 THEN y WHEN {rx} = 1 THEN {s - 1} - x ELSE x END AS y, "
+            f"d + CAST({s * s} AS BIGINT) * xor(3 * {rx}, {ry}) AS d "
+            f"FROM h{k - 1})"
+        )
+    return ",\n    ".join(ctes)

@@ -459,3 +459,93 @@ def sessionize(
         )
         .drop("__tsn", "__slice", "__new", "__local_idx", "__merged", "__offset")
     )
+
+
+def ols_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str | Column,
+    y_col: str | Column,
+    y_scale: int = 1,
+) -> DataFrame:
+    """(group_cols..., n, slope, intercept): per-group ordinary-least-
+    squares line fit y = slope*x + intercept — the metric-trend monitor
+    ("is this source's quality score drifting UP or DOWN, and how
+    fast?") that pairs with the level-shift monitors (PSI/KS/MAD detect
+    THAT a distribution moved; the trend says the direction and rate).
+
+    Inputs must be INTEGER-valued columns (x: e.g. epoch days; y: e.g.
+    fixed-point cents with ``y_scale`` = 100). The closed-form solution
+        slope     = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)
+        intercept = (Sy*Sxx - Sx*Sxy) / (n*Sxx - Sx^2)
+    is evaluated with every moment (Sx, Sy, Sxy, Sxx) an EXACT
+    DECIMAL(38,0) sum — one map-side-combinable aggregate, |groups| rows
+    out — and the numerator/denominator cast to float64 for ONE division
+    each (y_scale folds into the denominator so outputs are in original
+    y units). Two correctly-rounded ops per statistic, identical on any
+    engine: the oracle replays slopes bit-exactly, the same convention
+    as the KS statistic. Groups with a degenerate x spread (n*Sxx = Sx^2,
+    all x equal) get NULL slope/intercept rather than a throw or an inf.
+
+    Scale shape: the whole operator is one aggregate over the scan; no
+    joins, no second pass, state is 5 numbers per group — trivially
+    mergeable if maintained incrementally."""
+    m = ols_moments(df, group_cols, x_col, y_col)
+    return ols_from_moments(m, y_scale=y_scale)
+
+
+def ols_moments(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str | Column,
+    y_col: str | Column,
+) -> DataFrame:
+    """(group_cols..., n, sx, sy, sxy, sxx): the exact DECIMAL(38,0) OLS
+    moment state — component-wise ADDITIVE, so shard/micro-batch states
+    merge exactly (streaming/incremental.py::stream_ols_merge maintains
+    this frame as 5 numbers per group forever)."""
+    dec = "decimal(38,0)"
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast(dec)
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast(dec)
+    return (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).cast(dec).alias("sx"),
+            F.sum(y).cast(dec).alias("sy"),
+            F.sum(x * y).cast(dec).alias("sxy"),
+            F.sum(x * x).cast(dec).alias("sxx"),
+        )
+    )
+
+
+def merge_ols_moments(parts: list[DataFrame], group_cols: list[str]) -> DataFrame:
+    """Component-wise addition of OLS moment states (exact)."""
+    dec = "decimal(38,0)"
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(*group_cols).agg(
+        F.sum("n").alias("n"),
+        *[F.sum(c).cast(dec).alias(c) for c in ("sx", "sy", "sxy", "sxx")],
+    )
+
+
+def ols_from_moments(m: DataFrame, y_scale: int = 1) -> DataFrame:
+    """The closed-form tail of :func:`ols_trend`, exposed so an
+    externally maintained (e.g. stream-merged) moment state feeds the
+    identical arithmetic."""
+    dec = "decimal(38,0)"
+    group_cols = [c for c in m.columns if c not in ("n", "sx", "sy", "sxy", "sxx")]
+    nd = F.col("n").cast(dec)
+    den = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    icpt_num = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    den_s = (den * F.lit(int(y_scale)).cast(dec)).cast("double")
+    return m.select(
+        *group_cols,
+        "n",
+        F.when(den > 0, slope_num.cast("double") / den_s).alias("slope"),
+        F.when(den > 0, icpt_num.cast("double") / den_s).alias("intercept"),
+    )

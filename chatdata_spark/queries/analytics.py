@@ -932,3 +932,66 @@ def zorder_events_zvalues(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+def _hilbert_expected() -> str:
+    """Lazy oracle for hilbert_events_hvalues: replays the linear bucket
+    (frozen [lo,hi] literals) and the 16-round rotate-reflect Hilbert
+    recurrence as a chained-CTE integer pipeline — every round exact in
+    both engines (two's-complement AND on the transiently negative
+    reflect values included)."""
+    import duckdb
+
+    from chatdata_spark.catalog import oracle_sf_dir
+    from chatdata_spark.operators.layout import hilbert_sql_cte
+
+    lo, hi = duckdb.sql(
+        f"SELECT min(value), max(value) FROM read_parquet('{oracle_sf_dir()}/events.parquet') "
+        "WHERE value IS NOT NULL"
+    ).fetchall()[0]
+    top = 65535.0
+    vb = (
+        f"LEAST(GREATEST(CAST(FLOOR((CAST(value AS DOUBLE) - {float(lo)!r}) * {top!r} "
+        f"/ {float(hi) - float(lo)!r}) AS BIGINT), 0), 65535)"
+    )
+    chain = hilbert_sql_cte("ub", "vb", "base", "event_id, ub, vb")
+    return f"""
+    WITH base AS (
+        SELECT event_id, user_id AS ub, {vb} AS vb
+        FROM events WHERE event_id < 50 AND value IS NOT NULL AND user_id IS NOT NULL
+    ),
+    {chain}
+    SELECT event_id, ub, vb, d AS h
+    FROM h16 ORDER BY event_id
+    """
+
+
+@query("hilbert_events_hvalues", oracle=_hilbert_expected)
+def hilbert_events_hvalues(spark, sf_dir):
+    """Hilbert-curve clustering key — the locality UPGRADE over the
+    Morton z-order (zorder_events_zvalues): consecutive Hilbert indices
+    are always UNIT steps in (x, y) (Morton jumps across the plane at
+    every power-of-two boundary), so equal-size file tiles have strictly
+    smaller worst-case per-dimension spans — measured side by side in
+    tests/test_layout.py, and selectable at write time via
+    zorder_write(curve='hilbert'). Same frozen-bucket convention and the
+    same 0..65535 domain contract as the z-order query; the 16-round
+    rotate-reflect recurrence runs as chained BIGINT SELECT layers
+    (whole-stage codegen, no UDF — operators/layout.py::with_hilbert)
+    and the oracle replays every round bit-exactly."""
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.layout import linear_bucket, with_hilbert
+
+    e = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    row = e.agg(
+        F.min(F.col("value").cast("double")).alias("lo"),
+        F.max(F.col("value").cast("double")).alias("hi"),
+    ).collect()[0]
+    base = e.filter(F.col("event_id") < 50).select(
+        "event_id",
+        F.col("user_id").alias("ub"),
+        linear_bucket(F.col("value"), row.lo, row.hi).alias("vb"),
+    )
+    return with_hilbert(base, F.col("ub"), F.col("vb"), out="h").orderBy("event_id")

@@ -571,3 +571,116 @@ def drift_ks_by_source(spark, sf_dir):
     return ks_drift(
         ref, cur, "n_chars", "doc_id", k=128, salt="ksrc", group_cols=["source"]
     ).orderBy("source")
+
+
+# Shared by the batch query and streaming_zscore_anomaly (stateful.py):
+# batch parity is the streaming claim, so both compare to the SAME SQL.
+_ZSCORE_ORACLE = """
+    WITH v AS (
+        SELECT event_type, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100
+        FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type, COUNT(*) AS n, SUM(v100) AS s1, SUM(v100 * v100) AS s2
+        FROM v GROUP BY 1
+    ),
+    o AS (
+        SELECT v.event_type, COUNT(*) AS n_outliers
+        FROM v JOIN m USING (event_type)
+        WHERE (v.v100 * m.n - m.s1) * (v.v100 * m.n - m.s1)
+              > 9 * (m.n * m.s2 - m.s1 * m.s1)
+        GROUP BY 1
+    )
+    SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
+           CAST(m.s1 AS DOUBLE) / CAST(m.n * 100 AS DOUBLE) AS mean,
+           SQRT(CAST(m.s2 AS DOUBLE) / CAST(m.n * 10000 AS DOUBLE)
+                - (CAST(m.s1 AS DOUBLE) / CAST(m.n * 100 AS DOUBLE))
+                  * (CAST(m.s1 AS DOUBLE) / CAST(m.n * 100 AS DOUBLE))) AS std,
+           CAST(COALESCE(o.n_outliers, 0) AS BIGINT) AS n_outliers
+    FROM m LEFT JOIN o USING (event_type) ORDER BY m.event_type
+"""
+
+
+def _zscore_v100(df):
+    from pyspark.sql import functions as F
+
+    return (F.col("value").cast("decimal(18,2)") * F.lit(100)).cast("bigint")
+
+
+@query("anomaly_zscore_event_values", oracle=_ZSCORE_ORACLE)
+def anomaly_zscore_event_values(spark, sf_dir):
+    """Per-type 3-sigma outlier monitor from EXACT integer moments
+    (operators/moments.py): n/S1/S2 over fixed-point cents, mean/std by
+    a fixed float64 op sequence, and the outlier rule decided by the
+    all-integer predicate (v*n - S1)^2 > 9*(n*S2 - S1^2) — a row exactly
+    ON the 3-sigma boundary classifies identically in every engine,
+    which no float z-comparison can promise. The parametric complement
+    to anomaly_mad_event_values (MAD is robust to the outliers it
+    hunts; z-score is the cheap one-pass classic that the streaming
+    twin can maintain as 3 integers per group). One aggregate + one
+    broadcast-join recount pass — two scans, no corpus-sized shuffle."""
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.moments import zscore_report
+
+    e = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    return zscore_report(e, ["event_type"], _zscore_v100(e), scale=100, z=3).orderBy(
+        "event_type"
+    )
+
+
+@query(
+    "drift_embedding_centroid",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id, label, vec_id % 2 AS side, u.comp, u.dim
+        FROM embeddings,
+             LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS comp,
+                             generate_subscripts(embedding, 1) AS dim) u
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    s AS (
+        SELECT label, dim,
+               SUM(CASE WHEN side = 0
+                   THEN CAST(CAST(comp AS DECIMAL(18,9)) * 1000000000 AS BIGINT)
+                   ELSE 0 END) AS sr,
+               SUM(CASE WHEN side = 1
+                   THEN CAST(CAST(comp AS DECIMAL(18,9)) * 1000000000 AS BIGINT)
+                   ELSE 0 END) AS sc,
+               SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS nr,
+               SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS nc
+        FROM c GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT label, MAX(nr) AS n_ref, MAX(nc) AS n_cur,
+               SUM(sr * sc) AS dot, SUM(sr * sr) AS rr, SUM(sc * sc) AS cc
+        FROM s GROUP BY 1
+    )
+    SELECT label, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+           CASE WHEN rr > 0 AND cc > 0 THEN
+               1.0 - CAST(dot AS DOUBLE) / (SQRT(CAST(rr AS DOUBLE)) * SQRT(CAST(cc AS DOUBLE)))
+           END AS cos_shift
+    FROM g ORDER BY label
+    """,
+)
+def drift_embedding_centroid(spark, sf_dir):
+    """Per-label embedding-space drift between the even and odd vec_id
+    halves: cosine distance between the halves' centroid directions
+    (operators/drift.py::embedding_centroid_drift) — the drift monitor
+    that catches a SEMANTIC shift no scalar profile column sees. Cosine
+    is scale-invariant, so the statistic is computed on the EXACT
+    integer per-dimension component sums (decimal(27,9)-convention
+    components scaled to fixed-point bigints): dot/norms are exact
+    DECIMAL(38,0)/HUGEINT sums and only the final cast-sqrt-mul-div
+    sequence is float — the oracle replays every shift bit-exactly.
+    Scale shape: two posexplode aggregates (map-side combined,
+    |labels|*64 cells), nothing corpus-sized after the scan."""
+    from chatdata_spark.operators.drift import embedding_centroid_drift
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    ref = em.filter(F.col("vec_id") % 2 == 0)
+    cur = em.filter(F.col("vec_id") % 2 == 1)
+    return embedding_centroid_drift(ref, cur, ["label"], "embedding").orderBy("label")

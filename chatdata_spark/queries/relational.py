@@ -827,6 +827,82 @@ def exact_distinct_users(spark, sf_dir):
     return e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_users")).orderBy("event_type")
 
 
+# Deterministic HLL (operators/hll.py): p=8 -> 256 registers, w=24-bit
+# tails; A = alpha_256 * 256^2 * 2^25 computed HERE and inlined as the
+# same float64 literal both sides (one division makes the raw estimate).
+_HLL_A = 1579498136381.3938
+_HLL_LIN = 640.0  # 2.5 * m: below this the linear-counting branch applies
+
+
+@query(
+    "hll_distinct_deterministic",
+    oracle=f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5('hllu' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hb
+        FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    regs AS (
+        SELECT event_type, hb >> 24 AS bucket, MIN(hb & 16777215) AS min_tail
+        FROM h GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT event_type, COUNT(*) AS m_used,
+               SUM(1::BIGINT << CAST(
+                   25 - (CASE WHEN min_tail = 0 THEN 25
+                              ELSE 25 - length(bin(min_tail)) END) AS INT)) AS s_used
+        FROM regs GROUP BY 1
+    ),
+    est AS (
+        SELECT event_type, m_used,
+               CAST(s_used + (256 - m_used) * 33554432 AS BIGINT) AS harmonic_sum,
+               {_HLL_A} / CAST(s_used + (256 - m_used) * 33554432 AS DOUBLE) AS raw_est
+        FROM g
+    ),
+    ex AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT e.event_type, ex.n_exact, CAST(e.m_used AS BIGINT) AS m_used,
+           e.harmonic_sum,
+           ROUND(CASE WHEN e.raw_est <= {_HLL_LIN} AND e.m_used < 256
+                      THEN 256.0 * ln(256.0 / CAST(256 - e.m_used AS DOUBLE))
+                      ELSE e.raw_est END, 6) AS hll_est
+    FROM est e JOIN ex USING (event_type)
+    ORDER BY e.event_type
+    """,
+)
+def hll_distinct_deterministic(spark, sf_dir):
+    """Deterministic HyperLogLog distinct users per event type
+    (operators/hll.py — the ClickHouse uniq()/uniqHLL12 role), checked
+    by EXACT cross-engine replay, not a soundness band: the register
+    state collapses to MIN(hash tail) per bucket (clz is monotone, so
+    max(rho) == rho(min tail)), rho is computed via bin()-string length
+    (no float log2), and the harmonic sum is an exact scaled BIGINT —
+    the estimate is ONE float64 division (linear-counting small-range
+    branch uses ln on exact integer ratios — the PSI/A-ES ln-parity
+    precedent — rounded to 6). n_exact rides along, making the ±accuracy
+    visible in the output itself; tests/test_hll.py pins the error band
+    and the merge law. Scale shape: ONE map-side-combinable (group,
+    bucket) aggregate over the scan — 256 rows per group forever."""
+    from chatdata_spark.operators.hll import hll_distinct
+
+    e = _t(spark, sf_dir, "events")
+    sk = hll_distinct(
+        e, ["event_type"], "user_id", p=8, salt="hllu", linear_correction=True
+    ).withColumn("hll_est", F.round("hll_est", 6))
+    ex = (
+        e.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    return (
+        ex.join(sk, "event_type")
+        .select("event_type", "n_exact", "m_used", "harmonic_sum", "hll_est")
+        .orderBy("event_type")
+    )
+
+
 @query(
     "q4_order_priority",
     oracle="""

@@ -343,3 +343,49 @@ def mixture_temperature_sample(spark, sf_dir):
         d, "source", "doc_id", alpha=0.3, target_total=total // 2
     )
     return mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")).orderBy("source")
+
+
+@query(
+    "corpus_shuffle_interleaved",
+    oracle=f"""
+    WITH r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY {_D_BUCKET.format(salt='shuf', key='doc_id')}, doc_id) AS rs
+        FROM documents WHERE doc_id IS NOT NULL AND source IS NOT NULL
+    ),
+    t AS (SELECT * FROM r ORDER BY rs, source LIMIT 50)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY rs, source) AS INT) AS pos,
+           doc_id, source
+    FROM t ORDER BY pos
+    """,
+)
+def corpus_shuffle_interleaved(spark, sf_dir):
+    """Reproducible TRAINING ORDER: the corpus-shuffle step that turns a
+    curated corpus into the deterministic, source-interleaved sequence a
+    trainer consumes. Each document gets a per-source position in hash
+    order (md5 — reshuffle-by-salt, reproducible across engines, runs and
+    partitionings, unlike rand()); the global order key is (position,
+    source), i.e. round-robin across sources, so every training-window
+    prefix carries the source mix instead of long single-source runs
+    (the data-ordering analogue of mixture sampling). Scale shape: NO
+    global row_number materialization — the order exists as a SORT KEY
+    (writers range-partition + sort by it; one window exchange per
+    source partition for rs); this query demos the first 50 positions
+    via TakeOrderedAndProject, the scale-correct top-k."""
+    from pyspark.sql import Window
+
+    from chatdata_spark.operators.sampling import hash_bucket
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id").isNotNull() & F.col("source").isNotNull()
+    )
+    w = Window.partitionBy("source").orderBy(hash_bucket("doc_id", "shuf"), "doc_id")
+    ranked = d.select("doc_id", "source", F.row_number().over(w).alias("rs"))
+    head = ranked.orderBy("rs", "source").limit(50)
+    wpos = Window.orderBy("rs", "source")
+    return (
+        head.withColumn("pos", F.row_number().over(wpos))
+        .select("pos", "doc_id", "source")
+        .orderBy("pos")
+    )

@@ -935,3 +935,222 @@ def streaming_heavy_hitter_revenue(spark, sf_dir):
         .select("item", F.col("__dw").cast("double").alias("total_weight"))
         .orderBy("item")
     )
+
+
+def _shared_zscore_oracle() -> str:
+    """The BATCH z-score oracle, verbatim: integer moment addition is
+    associative and commutative, so the stream-merged (n, S1, S2) state
+    must equal the one-shot batch state over the same rows — batch parity
+    is the streaming claim (streaming/incremental.py::stream_moments_merge)."""
+    from chatdata_spark.queries.quality import _ZSCORE_ORACLE
+
+    return _ZSCORE_ORACLE
+
+
+@query("streaming_zscore_anomaly", oracle=_shared_zscore_oracle)
+def streaming_zscore_anomaly(spark, sf_dir):
+    """§2.10 extension, ORACLE-checked (batch parity): the per-type
+    3-sigma monitor whose (n, S1, S2) exact integer moment state is
+    maintained INCREMENTALLY over an event file stream — two availableNow
+    drains (the second wave's files arrive after the first drain
+    finished), each micro-batch adding its own moments component-wise
+    into the versioned store under the batch_id replay guard (additive
+    state, the CMS convention). The final report derives mean/std from
+    the STREAMED state by the fixed float64 sequence and recounts
+    outliers with the all-integer predicate, so exact equality with the
+    batch oracle proves the merge law under real micro-batch splits AND
+    the checkpoint's exactly-once file accounting."""
+    import os
+
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.moments import zscore_report
+    from chatdata_spark.queries.quality import _zscore_v100
+    from chatdata_spark.stores.state import VersionedParquetStore
+    from chatdata_spark.streaming.incremental import stream_moments_merge
+
+    root = tempfile.mkdtemp(prefix="chatdata_szs_q_")
+    ind, ckpt = f"{root}/in", f"{root}/ck"
+    os.makedirs(ind)
+    e = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    ev = e.select("event_id", "event_type", "value")
+    store = VersionedParquetStore(spark, f"{root}/store")
+    schema = "event_id long, event_type string, value double"
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+    ev.filter(F.col("event_id") <= mid).coalesce(1).write.mode("append").parquet(ind)
+    stream_moments_merge(
+        spark, ind, store, ckpt, ["event_type"], _zscore_v100, schema
+    )
+    ev.filter(F.col("event_id") > mid).coalesce(1).write.mode("append").parquet(ind)
+    stream_moments_merge(
+        spark, ind, store, ckpt, ["event_type"], _zscore_v100, schema
+    )
+    return zscore_report(
+        e,
+        ["event_type"],
+        _zscore_v100(e),
+        scale=100,
+        z=3,
+        moments=store.read().drop("last_batch"),
+    ).orderBy("event_type")
+
+
+@query(
+    "store_cdc_changes",
+    oracle="""
+    SELECT * FROM (VALUES
+        (CAST(0 AS INTEGER), 'AFRICA (REVISED)', 'update'),
+        (CAST(3 AS INTEGER), (SELECT r_name FROM region WHERE r_regionkey = 3), 'delete'),
+        (CAST(5 AS INTEGER), 'ATLANTIS', 'insert')
+    ) AS t(r_regionkey, r_name, _op)
+    ORDER BY r_regionkey
+    """,
+)
+def store_cdc_changes(spark, sf_dir):
+    """Time travel + change data feed as a driver-visible query (Delta
+    CDF / `VERSION AS OF` role, previously pytest-only): seed a
+    versioned store from the region dim (v1), mutate through the store
+    API — M4 update_where (v2), M5 append (v3), M2 delete_where (v4) —
+    then diff the retained endpoints with changes(1, 4): one row per
+    changed key with _op insert/update/delete, inserts/updates carrying
+    the AFTER image and deletes the BEFORE image. The end state is
+    statically known except the deleted row's name, which the oracle
+    reads from the table itself (a broken time-travel read or a
+    fingerprint false-positive adds/drops rows; a lost BEFORE image
+    NULLs the delete's name). Plan shape: ONE full-outer shuffle on the
+    key comparing xxhash64 row fingerprints — O(1) per key regardless
+    of column count."""
+    from chatdata_spark.stores.state import VersionedParquetStore
+
+    root = tempfile.mkdtemp(prefix="chatdata_cdc_q_")
+    store = VersionedParquetStore(spark, f"{root}/store")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").select("r_regionkey", "r_name")
+    store.write(r)  # v1
+    store.update_where(
+        F.col("r_regionkey") == 0, {"r_name": F.lit("AFRICA (REVISED)")}
+    )  # v2
+    store.append(
+        spark.createDataFrame([(5, "ATLANTIS")], "r_regionkey int, r_name string")
+    )  # v3
+    store.delete_where(F.col("r_regionkey") == 3)  # v4
+    return (
+        store.changes(1, 4, ["r_regionkey"])
+        .select("r_regionkey", "r_name", "_op")
+        .orderBy("r_regionkey")
+    )
+
+
+def _shared_trend_oracle() -> str:
+    """The BATCH OLS-trend oracle, verbatim: integer moment addition is
+    associative and commutative, so the stream-merged 5-number state must
+    equal the one-shot batch state — batch parity is the streaming claim
+    (streaming/incremental.py::stream_ols_merge)."""
+    from chatdata_spark.registry import _REGISTRY
+
+    return _REGISTRY["trend_ols_event_values"].oracle
+
+
+@query("streaming_trend_ols", oracle=_shared_trend_oracle)
+def streaming_trend_ols(spark, sf_dir):
+    """§2.10 extension, ORACLE-checked (batch parity): the per-type OLS
+    trend whose (n, Sx, Sy, Sxy, Sxx) exact moment state is maintained
+    INCREMENTALLY over an event file stream — two availableNow drains,
+    each micro-batch adding its 5-number state component-wise into the
+    versioned store under the batch_id replay guard. The final
+    slope/intercept derive from the STREAMED state by the identical
+    closed-form arithmetic, so exact equality with the batch oracle
+    proves the merge law under real micro-batch splits AND the
+    checkpoint's exactly-once file accounting. The trending-metric
+    monitor this enables never rescans history: day N's answer costs one
+    micro-batch aggregate."""
+    import os
+
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.timeseries import ols_from_moments
+    from chatdata_spark.stores.state import VersionedParquetStore
+    from chatdata_spark.streaming.incremental import stream_ols_merge
+
+    root = tempfile.mkdtemp(prefix="chatdata_strend_q_")
+    ind, ckpt = f"{root}/in", f"{root}/ck"
+    os.makedirs(ind)
+    e = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    ev = e.select("event_id", "event_type", F.to_date("ts").alias("d"), "value")
+    store = VersionedParquetStore(spark, f"{root}/store")
+    schema = "event_id long, event_type string, d date, value double"
+
+    def xy(bdf):
+        return (
+            F.date_diff(F.col("d"), F.lit("1970-01-01").cast("date")),
+            (F.col("value").cast("decimal(18,2)") * F.lit(100)).cast("bigint"),
+        )
+
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+    ev.filter(F.col("event_id") <= mid).coalesce(1).write.mode("append").parquet(ind)
+    stream_ols_merge(spark, ind, store, ckpt, ["event_type"], xy, schema)
+    ev.filter(F.col("event_id") > mid).coalesce(1).write.mode("append").parquet(ind)
+    stream_ols_merge(spark, ind, store, ckpt, ["event_type"], xy, schema)
+    return ols_from_moments(store.read().drop("last_batch"), y_scale=100).orderBy(
+        "event_type"
+    )
+
+
+def _shared_hll_oracle() -> str:
+    """The BATCH deterministic-HLL oracle, verbatim: register MIN-merge is
+    an idempotent lattice join, so the stream-merged register table must
+    equal the one-shot batch registers — and therefore the exact harmonic
+    sum and the estimate replay identically."""
+    from chatdata_spark.registry import _REGISTRY
+
+    return _REGISTRY["hll_distinct_deterministic"].oracle
+
+
+@query("streaming_hll_distinct", oracle=_shared_hll_oracle)
+def streaming_hll_distinct(spark, sf_dir):
+    """§2.10 extension, ORACLE-checked (batch parity): the deterministic
+    HLL register state maintained INCREMENTALLY over an event file
+    stream — two availableNow drains, each micro-batch MIN-merging its
+    (group, bucket, min_tail) registers into the versioned store
+    (streaming/incremental.py::stream_hll_merge). The merge is an
+    idempotent lattice join (no replay guard needed — a re-delivered
+    batch is absorbed), so the final store provably equals the one-shot
+    batch registers and the BATCH oracle replays the exact harmonic sum
+    AND the estimate: the streaming distinct-count whose answer is
+    bit-identical to the batch one, at 2^p rows of state per group
+    forever."""
+    import os
+
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.hll import hll_estimate
+    from chatdata_spark.stores.state import VersionedParquetStore
+    from chatdata_spark.streaming.incremental import stream_hll_merge
+
+    root = tempfile.mkdtemp(prefix="chatdata_shll_q_")
+    ind, ckpt = f"{root}/in", f"{root}/ck"
+    os.makedirs(ind)
+    e = load_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    ev = e.select("event_id", "event_type", "user_id")
+    store = VersionedParquetStore(spark, f"{root}/store")
+    schema = "event_id long, event_type string, user_id long"
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+    ev.filter(F.col("event_id") <= mid).coalesce(1).write.mode("append").parquet(ind)
+    stream_hll_merge(spark, ind, store, ckpt, ["event_type"], "user_id", schema, p=8, salt="hllu")
+    ev.filter(F.col("event_id") > mid).coalesce(1).write.mode("append").parquet(ind)
+    stream_hll_merge(spark, ind, store, ckpt, ["event_type"], "user_id", schema, p=8, salt="hllu")
+
+    sk = hll_estimate(store.read(), ["event_type"], p=8, linear_correction=True)
+    sk = sk.withColumn("hll_est", F.round("hll_est", 6))
+    ex = (
+        e.groupBy("event_type").agg(F.count_distinct("user_id").alias("n_exact"))
+    )
+    return (
+        ex.join(sk, "event_type")
+        .select("event_type", "n_exact", "m_used", "harmonic_sum", "hll_est")
+        .orderBy("event_type")
+    )

@@ -931,3 +931,63 @@ def text_zipf_slope(spark, sf_dir):
         n.cast("long").alias("n_ranks"),
         F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("zipf_slope"),
     ).orderBy("source")
+
+
+@query(
+    "heavy_hitter_tokens_by_lang",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest(string_split({_D_NORM}, ' ')) AS tok
+        FROM documents WHERE lang IS NOT NULL
+    ),
+    c AS (
+        SELECT lang, tok, COUNT(*) AS n FROM toks WHERE tok <> '' GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT lang, tok AS token, n,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rk
+        FROM c WHERE n >= 60
+    )
+    SELECT lang, token, CAST(n AS BIGINT) AS n, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 8 ORDER BY lang, rk
+    """,
+)
+def heavy_hitter_tokens_by_lang(spark, sf_dir):
+    """GROUPED heavy hitters — top frequent tokens PER LANGUAGE (the
+    per-stratum vocabulary profile) — via the same bounded-memory
+    two-pass machinery as the global query: the composite key
+    lang#token rides through the per-partition Misra-Gries candidate
+    pass (one MG summary covers every group at once — no per-group
+    state explosion), the exact broadcast recount restores true counts,
+    then a |candidates|-row window ranks within language. The answer is
+    exactly "top-8 of the >= min_count set per lang", so the contract is
+    self-consistent at any corpus size; the MG superset bound
+    (N/(k+1) < min_count, k=8192 covers the 10x fixture) is the same
+    documented exactness condition as heavy_hitter_tokens. Shuffles
+    candidates only — never the (lang x vocab) key space."""
+    from pyspark.sql import Window
+
+    from chatdata_spark.functions.text import words
+    from chatdata_spark.operators.heavyhitters import heavy_hitters
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("lang").isNotNull()
+    )
+    toks = d.select(F.col("lang"), F.explode(words("text")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    items = toks.select(F.concat_ws("#", "lang", "tok").alias("item"))
+    hh = heavy_hitters(items, "item", min_count=60, k_counters=8192)
+    split = hh.select(
+        F.substring_index("item", "#", 1).alias("lang"),
+        F.expr(
+            "substring(item, length(substring_index(item, '#', 1)) + 2)"
+        ).alias("token"),
+        "n",
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "token")
+    return (
+        split.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 8)
+        .orderBy("lang", "rk")
+    )

@@ -686,3 +686,50 @@ def funnel_tight_window(spark, sf_dir):
     return (
         steps.groupBy("step").agg(F.count(F.lit(1)).alias("n_users")).orderBy("step")
     )
+
+
+@query(
+    "trend_ols_event_values",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+    ),
+    m AS (
+        SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM v GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST((n * sxx - sx * sx) * 100 AS DOUBLE) END AS slope,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+               CAST(sy * sxx - sx * sxy AS DOUBLE)
+               / CAST((n * sxx - sx * sx) * 100 AS DOUBLE) END AS intercept
+    FROM m ORDER BY event_type
+    """,
+)
+def trend_ols_event_values(spark, sf_dir):
+    """Per-type metric trend: exact closed-form OLS of event value (cents)
+    against epoch day (operators/timeseries.py::ols_trend) — the
+    direction-and-rate monitor that pairs with the level-shift family
+    (PSI/KS/MAD say THAT a distribution moved; the slope says which way
+    and how fast per day). Every moment is an exact DECIMAL(38,0) sum
+    (HUGEINT in the oracle) and slope/intercept are ONE float64 division
+    each, so the statistics replay bit-exactly. One map-side-combinable
+    aggregate over the scan — 5 numbers of state per group, trivially
+    mergeable."""
+    from chatdata_spark.operators.timeseries import ols_trend
+
+    e = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    x = F.date_diff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+    y = (F.col("value").cast("decimal(18,2)") * F.lit(100)).cast("bigint")
+    return ols_trend(e, ["event_type"], x, y, y_scale=100).orderBy("event_type")

@@ -106,23 +106,30 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "kmeans_embedding_clusters", "ann_ivfpq_search",
     "dedup_jaccard_prefix", "dedup_chunk_boilerplate",
     "mixture_temperature_sample", "cluster_balanced_sample",
-    "source_overlap_kmv", "heavy_hitter_parts_weighted",
+    "source_overlap_kmv",
     "anomaly_mad_event_values", "drift_psi_event_values",
     "drift_psi_lang_mix", "streaming_drift_psi", "corpus_health_report",
     "funnel_tight_window", "sequence_match_click_to_purchase",
-    "sequence_count_conversion_cycles",
     # --- second passes for the r7 in-round additions (once-green in
     # r7; largest surface first) ---
     "store_kb_tool_lifecycle", "streaming_quantile_sketch",
     "sq8_quant_knn", "streaming_heavy_hitter_tokens",
-    "drift_ks_event_values", "quantile_sketch_totalprice",
-    # --- displaceable second-pass tail: each r8 addition takes one of
-    # these slots (smallest operator surface leaves first; displaced
-    # names return in r9) ---
-    "dialect_retention", "dialect_parity_datetime_bits",
-    "text_ngram_diversity", "text_zipf_slope", "ingest_csv_typed",
-    "ingest_orc_roundtrip", "dialect_argmax_argmin",
+    # (displaceable second-pass tail exhausted: the nine r8 additions
+    # took the slots of dialect_retention, dialect_parity_datetime_bits,
+    # text_ngram_diversity, text_zipf_slope, ingest_csv_typed,
+    # ingest_orc_roundtrip, dialect_argmax_argmin, drift_ks_event_values,
+    # quantile_sketch_totalprice, sequence_count_conversion_cycles and
+    # heavy_hitter_parts_weighted (3 MG-family names stay windowed) —
+    # all once-green names whose
+    # operator surfaces stay represented in-window via their
+    # streaming/grouped siblings; they return in r9)
     # --- r8 additions, driver-verified in-round ---
+    "anomaly_zscore_event_values", "streaming_zscore_anomaly",
+    "hll_distinct_deterministic", "trend_ols_event_values",
+    "drift_embedding_centroid", "store_cdc_changes",
+    "streaming_trend_ols", "corpus_shuffle_interleaved",
+    "heavy_hitter_tokens_by_lang", "streaming_hll_distinct",
+    "hilbert_events_hvalues",
 )
 
 # Rotation plan for round 9: after r8 the never-driver-checked backlog
@@ -131,9 +138,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # additions + the second-pass names the r8 additions displaced
 # (dialect_retention, dialect_parity_datetime_bits, text_ngram_diversity,
 # text_zipf_slope, ingest_csv_typed, ingest_orc_roundtrip,
-# dialect_argmax_argmin, dialect_uniq_upto first) + third greens for
-# low-pass-count families as slots allow. Steady state from here:
-# sentinels + newest additions + the lowest-green-count backlog.
+# dialect_argmax_argmin, drift_ks_event_values, quantile_sketch_totalprice,
+# sequence_count_conversion_cycles, heavy_hitter_parts_weighted,
+# dialect_uniq_upto first) + third
+# greens for low-pass-count families as slots allow. Steady state from
+# here: sentinels + newest additions + the lowest-green-count backlog.
 
 
 def _ordered() -> dict[str, QueryDef]:

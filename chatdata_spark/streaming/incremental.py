@@ -469,3 +469,146 @@ def stream_mg_merge(
         .start()
         .awaitTermination()
     )
+
+
+def stream_moments_merge(
+    spark: SparkSession,
+    input_dir: str,
+    store,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    int_col_fn,
+    schema: str,
+) -> None:
+    """Stream → exact second-moment state via foreachBatch: each
+    micro-batch collapses to its own (group, n, s1, s2) integer moments
+    (operators/moments.py::exact_moments) and adds component-wise into
+    the versioned store — 3 integers per group forever, the z-score
+    monitor's streaming half. Integer addition is associative and
+    commutative, so the merged state provably equals the one-shot batch
+    state over the same rows (the batch-parity oracle's claim); like the
+    CMS/histogram merges the state is ADDITIVE, so a replayed micro-batch
+    would double-count — the batch_id guard (the CMS convention) skips
+    committed batches.
+
+    ``int_col_fn``: batch DataFrame -> Column of the INTEGER-scaled value
+    (runs driver-side in foreachBatch — package imports are safe here,
+    unlike worker closures)."""
+    from chatdata_spark.operators.moments import exact_moments, merge_moments
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bm = exact_moments(batch_df, group_cols, int_col_fn(batch_df))
+        if store.exists():
+            prev = store.read()
+            applied = prev.agg(F.max("last_batch")).collect()[0][0]
+            if applied is not None and applied >= batch_id:
+                return  # replay of a committed batch — re-adding double-counts
+            merged = merge_moments([prev.drop("last_batch"), bm], group_cols)
+        else:
+            merged = bm
+        store.write(merged.withColumn("last_batch", F.lit(batch_id)))
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def stream_ols_merge(
+    spark: SparkSession,
+    input_dir: str,
+    store,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    xy_col_fn,
+    schema: str,
+) -> None:
+    """Stream → exact OLS moment state via foreachBatch: each micro-batch
+    collapses to its own (group, n, sx, sy, sxy, sxx) integer moments
+    (operators/timeseries.py::ols_moments) and adds component-wise into
+    the versioned store — 5 numbers per group forever, the trend
+    monitor's streaming half. Same additive-state contract as
+    stream_moments_merge: batch parity by associativity/commutativity of
+    integer addition, batch_id replay guard against double-counting.
+
+    ``xy_col_fn``: batch DataFrame -> (x Column, y Column), both
+    integer-valued (runs driver-side in foreachBatch)."""
+    from chatdata_spark.operators.timeseries import merge_ols_moments, ols_moments
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        x, y = xy_col_fn(batch_df)
+        bm = ols_moments(batch_df, group_cols, x, y)
+        if store.exists():
+            prev = store.read()
+            applied = prev.agg(F.max("last_batch")).collect()[0][0]
+            if applied is not None and applied >= batch_id:
+                return  # replay of a committed batch — re-adding double-counts
+            merged = merge_ols_moments([prev.drop("last_batch"), bm], group_cols)
+        else:
+            merged = bm
+        store.write(merged.withColumn("last_batch", F.lit(batch_id)))
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def stream_hll_merge(
+    spark: SparkSession,
+    input_dir: str,
+    store,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    key_col: str,
+    schema: str,
+    p: int = 8,
+    salt: str = "hll",
+) -> None:
+    """Stream → deterministic HLL register state via foreachBatch: each
+    micro-batch collapses to its own (group, bucket, min_tail) registers
+    (operators/hll.py::hll_registers) and merges into the versioned
+    store by grouped MIN. Like the bottom-k quantile sample — and unlike
+    the additive CMS/histogram/moments states — the MIN merge is an
+    IDEMPOTENT lattice join: re-merging a committed batch is a no-op, so
+    no batch_id replay guard is needed; the store converges to the same
+    ≤ 2^p rows per group under any delivery schedule, which is exactly
+    what the batch-parity oracle checks."""
+    from chatdata_spark.operators.hll import hll_registers
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        regs = hll_registers(batch_df, group_cols, key_col, p=p, salt=salt)
+        if store.exists():
+            regs = (
+                store.read()
+                .unionByName(regs)
+                .groupBy(*group_cols, "bucket")
+                .agg(F.min("min_tail").alias("min_tail"))
+            )
+        store.write(regs)
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -81,3 +81,56 @@ def test_psi_categorical_identical_mix_is_zero(spark):
     df = spark.createDataFrame([("a",), ("b",), ("b",)], "c string")
     total = [r for r in psi_categorical(df, df, "c").collect() if r.category is None][0]
     assert total.psi_term == 0.0  # p == q exactly per category
+
+
+# ---- embedding centroid drift --------------------------------------------
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(g, i, [float(x) for x in v]) for i, (g, v) in enumerate(rows)],
+        "g string, id long, embedding array<float>",
+    )
+
+
+def test_centroid_drift_zero_for_identical_snapshots(spark):
+    from chatdata_spark.operators.drift import embedding_centroid_drift
+
+    rows = [("a", [0.5, 0.25, -0.125]), ("a", [0.1, 0.2, 0.3])]
+    ref = _vecs(spark, rows)
+    got = embedding_centroid_drift(ref, ref, ["g"]).collect()[0]
+    assert got.n_ref == got.n_cur == 2
+    assert abs(got.cos_shift) < 1e-12  # identical sum vectors
+
+
+def test_centroid_drift_detects_orthogonal_shift(spark):
+    from chatdata_spark.operators.drift import embedding_centroid_drift
+
+    ref = _vecs(spark, [("a", [1.0, 0.0]), ("a", [1.0, 0.0])])
+    cur = _vecs(spark, [("a", [0.0, 1.0])])
+    got = embedding_centroid_drift(ref, cur, ["g"]).collect()[0]
+    assert abs(got.cos_shift - 1.0) < 1e-12  # orthogonal centroids
+
+
+def test_centroid_drift_one_sided_group_is_null(spark):
+    from chatdata_spark.operators.drift import embedding_centroid_drift
+
+    ref = _vecs(spark, [("only_ref", [1.0, 2.0])])
+    cur = _vecs(spark, [("only_cur", [3.0, 4.0])])
+    got = {r.g: r for r in embedding_centroid_drift(ref, cur, ["g"]).collect()}
+    assert got["only_ref"].cos_shift is None and got["only_ref"].n_cur == 0
+    assert got["only_cur"].cos_shift is None and got["only_cur"].n_ref == 0
+
+
+def test_centroid_drift_scale_invariance(spark):
+    # doubling every current vector must not change the statistic —
+    # the operator computes cosine on SUM vectors precisely because
+    # the 1/n normalization cancels
+    from chatdata_spark.operators.drift import embedding_centroid_drift
+
+    ref = _vecs(spark, [("a", [0.3, 0.4]), ("a", [0.1, -0.2])])
+    cur1 = _vecs(spark, [("a", [0.25, 0.5])])
+    cur2 = _vecs(spark, [("a", [0.5, 1.0])])
+    s1 = embedding_centroid_drift(ref, cur1, ["g"]).collect()[0].cos_shift
+    s2 = embedding_centroid_drift(ref, cur2, ["g"]).collect()[0].cos_shift
+    assert s1 == s2

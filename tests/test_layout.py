@@ -208,3 +208,75 @@ def test_morton_16bit_aliasing_is_the_documented_contract():
     from chatdata_spark.operators.layout import morton_interleave_py
 
     assert morton_interleave_py(65536 + 7, 3) == morton_interleave_py(7, 3)
+
+
+# ---- Hilbert curve ----------------------------------------------------------
+
+
+def test_hilbert_py_bijection_and_unit_steps():
+    """xy2d is a bijection on the 2^bits x 2^bits grid AND consecutive
+    indices are UNIT steps (|dx|+|dy| == 1) — the locality property that
+    distinguishes Hilbert from Morton, whose curve jumps at power-of-two
+    boundaries."""
+    from chatdata_spark.operators.layout import hilbert_py, morton_interleave_py
+
+    bits, n = 4, 16
+    pts = {}
+    for x in range(n):
+        for y in range(n):
+            pts[hilbert_py(x, y, bits=bits)] = (x, y)
+    assert len(pts) == n * n and min(pts) == 0 and max(pts) == n * n - 1
+    assert all(
+        abs(pts[d][0] - pts[d + 1][0]) + abs(pts[d][1] - pts[d + 1][1]) == 1
+        for d in range(n * n - 1)
+    )
+    # Morton, by contrast, has non-unit jumps (the measured contrast)
+    mpts = {}
+    for x in range(n):
+        for y in range(n):
+            mpts[morton_interleave_py(x, y)] = (x, y)
+    steps = [
+        abs(mpts[d][0] - mpts[d + 1][0]) + abs(mpts[d][1] - mpts[d + 1][1])
+        for d in range(n * n - 1)
+    ]
+    assert max(steps) > 1
+
+
+def test_with_hilbert_matches_reference(spark):
+    from chatdata_spark.operators.layout import hilbert_py, with_hilbert
+
+    pts = [(i, (i * 7919) % 65536, (i * 104729) % 65536) for i in range(300)]
+    df = spark.createDataFrame(pts, "i long, a long, b long")
+    got = {r.i: r.h for r in with_hilbert(df, F.col("a"), F.col("b"), out="h").collect()}
+    assert got == {i: hilbert_py(a, b) for i, a, b in pts}
+
+
+def test_hilbert_write_bounds_both_dims_at_least_as_well_as_morton(spark, tmp_path):
+    """curve='hilbert' tiles both dimensions like the Morton layout (the
+    pruning property), and its mean per-file span on each dim is <= the
+    Morton layout's * 1.1 (unit-step locality can't be worse; the margin
+    absorbs range-partition boundary noise)."""
+    from chatdata_spark.operators.layout import linear_bucket, zorder_write
+
+    n = 20000
+    rows = [(i, i % 199, float((i * 7919) % 10000)) for i in range(n)]
+    df = spark.createDataFrame(rows, "i long, u long, v double")
+    buckets = (linear_bucket(F.col("u"), 0, 198), linear_bucket(F.col("v"), 0.0, 9999.0))
+    hpath, zpath = str(tmp_path / "h"), str(tmp_path / "z")
+    zorder_write(df, hpath, buckets, num_files=16, curve="hilbert")
+    zorder_write(df, zpath, buckets, num_files=16, curve="morton")
+
+    def mean_span(path, col, domain):
+        rs = file_key_ranges(path, col)
+        return sum(hi - lo for lo, hi in rs) / len(rs) / domain
+
+    for col, dom in (("u", 199), ("v", 10000)):
+        h, z = mean_span(hpath, col, dom), mean_span(zpath, col, dom)
+        assert h < 0.5
+        assert h <= z * 1.1, (col, h, z)
+    assert spark.read.parquet(hpath).count() == n
+    # validate + unknown-curve guard
+    import pytest
+
+    with pytest.raises(ValueError, match="curve"):
+        zorder_write(df, str(tmp_path / "x"), buckets, num_files=2, curve="peano")

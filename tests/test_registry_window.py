@@ -26,6 +26,13 @@ MUST_BE_DRIVER_CHECKED = {
     "q15_top_supplier", "q14_promo_revenue", "q11_important_parts",
     "q10_returned_items", "q6_forecast_revenue", "q4_order_priority",
     "q18_large_volume_customer",
+    # r8 additions (driver-verified in-round)
+    "anomaly_zscore_event_values", "streaming_zscore_anomaly",
+    "hll_distinct_deterministic", "trend_ols_event_values",
+    "drift_embedding_centroid", "store_cdc_changes",
+    "streaming_trend_ols", "corpus_shuffle_interleaved",
+    "heavy_hitter_tokens_by_lang", "streaming_hll_distinct",
+    "hilbert_events_hvalues",
 }
 
 
@@ -102,9 +109,31 @@ def test_tail_is_deliberate():
     # drift_ks_by_source (per-group two-sample KS — "which source
     # drifted?", the r7 verdict's windowed-CDF generalization), then
     # 223→224 for store_kb_scoped_knn (the private-KB vector leg:
-    # J1+P10 composed with V3, lazy float-fold-replay oracle).
+    # J1+P10 composed with V3, lazy float-fold-replay oracle). 224→230
+    # in r8 for anomaly_zscore_event_values (exact-integer-moment
+    # 3-sigma monitor with the all-integer boundary predicate) +
+    # streaming_zscore_anomaly (its incremental twin: additive
+    # 3-integer state, batch-parity oracle) + hll_distinct_deterministic
+    # (deterministic HyperLogLog — register state via MIN-tail collapse,
+    # rho via bin()-length, exact cross-engine estimate replay) +
+    # trend_ols_event_values (exact closed-form per-group OLS slope —
+    # the direction-and-rate drift monitor) + drift_embedding_centroid
+    # (embedding-space drift: cosine of exact integer centroid-sum
+    # vectors — scale-invariance cancels the 1/n divisions) +
+    # store_cdc_changes (time travel + change data feed driver-visible).
+    # 230→233 in r8 wave 2 for streaming_trend_ols (additive 5-number OLS
+    # state, batch-parity oracle) + corpus_shuffle_interleaved
+    # (deterministic source-interleaved training order as a sort key) +
+    # heavy_hitter_tokens_by_lang (grouped MG via composite keys — one
+    # summary covers every group, exact recount, per-lang rank), then
+    # 233→234 for streaming_hll_distinct (register MIN-lattice merge —
+    # idempotent, no replay guard; bit-identical to the batch estimate).
+    # 234→235 for hilbert_events_hvalues (Hilbert space-filling-curve
+    # clustering key — unit-step locality upgrade over Morton, 16-round
+    # rotate-reflect recurrence as chained BIGINT layers, bit-exact
+    # chained-CTE oracle).
     names = list(queries())
-    assert len(names) <= 224
+    assert len(names) <= 235
 
 
 def test_coverage_window_column_consistent():

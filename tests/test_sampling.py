@@ -214,3 +214,24 @@ def test_temperature_mixture_null_domain_falls_to_default(spark):
     assert None not in rates and set(rates) == {"a"}
     out = mixed.collect()
     assert all(r.dom == "a" for r in out) and len(out) == 50
+
+
+def test_corpus_shuffle_interleaves_sources(spark):
+    """Every k-source prefix of the shuffle order must carry the source
+    mix: positions 1..s (s = #sources present in the head) are distinct
+    sources, because the order key is (per-source rank, source)."""
+    from chatdata_spark.registry import _REGISTRY, _load_all
+
+    _load_all()
+    rows = _REGISTRY["corpus_shuffle_interleaved"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r.pos for r in rows] == list(range(1, len(rows) + 1))
+    n_src = len({r.source for r in rows})
+    first_block = [r.source for r in rows[:n_src]]
+    assert len(set(first_block)) == n_src  # one doc per source before any repeats
+    # deterministic: re-running yields the identical order
+    again = _REGISTRY["corpus_shuffle_interleaved"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [(r.pos, r.doc_id) for r in rows] == [(r.pos, r.doc_id) for r in again]

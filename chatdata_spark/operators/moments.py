@@ -76,13 +76,22 @@ def moment_stats(moments: DataFrame, scale: int) -> DataFrame:
     """Adds (mean, std) in ORIGINAL value units to a moment-state frame
     over values that were integer-scaled by ``scale``. Fixed op order:
     two casts + one division each for the raw moments, then var/std —
-    identical float64 sequence on any engine given the same integers."""
+    identical float64 sequence on any engine given the same integers.
+
+    The variance is clamped at 0 before the sqrt: for a (near-)constant
+    group, ex2 and mean^2 take different float paths to the same value
+    and can differ by -1 ulp — Spark's sqrt(-tiny) returns NaN while
+    DuckDB's THROWS, so without the clamp a constant group is a
+    data-dependent oracle crash. greatest() is safe here (operands are
+    never NULL; the null-eating clamp trap doesn't apply), and the
+    oracle applies the identical GREATEST so both engines clamp the
+    same float."""
     mean = F.col("s1").cast("double") / (F.col("n") * F.lit(scale)).cast("double")
     ex2 = F.col("s2").cast("double") / (
         F.col("n") * F.lit(scale) * F.lit(scale)
     ).cast("double")
     return moments.withColumn("mean", mean).withColumn(
-        "std", F.sqrt(ex2 - mean * mean)
+        "std", F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0)))
     )
 
 

@@ -352,6 +352,27 @@ class VectorSQLDialect:
                 f"transform({a[0]}, (v, i) -> CASE WHEN i = 0 THEN v - v "
                 f"ELSE v - try_element_at({a[0]}, i) END)"
             ),
+            # r8 parity sweep #5
+            "toYYYYMM": lambda a: f"(year({a[0]}) * 100 + month({a[0]}))",
+            "toYYYYMMDD": lambda a: (
+                f"(year({a[0]}) * 10000 + month({a[0]}) * 100 + day({a[0]}))"
+            ),
+            # CH returns whole seconds; Spark unix_timestamp truncates the
+            # same way (oracles must FLOOR(epoch(..)) — the CLAUDE.md rule)
+            "toUnixTimestamp": lambda a: f"unix_timestamp({a[0]})",
+            "toMonday": lambda a: f"to_date(date_trunc('WEEK', {a[0]}))",
+            "addDays": lambda a: f"timestampadd(DAY, {a[1]}, {a[0]})",
+            "subtractDays": lambda a: f"timestampadd(DAY, -({a[1]}), {a[0]})",
+            "addHours": lambda a: f"timestampadd(HOUR, {a[1]}, {a[0]})",
+            "subtractHours": lambda a: f"timestampadd(HOUR, -({a[1]}), {a[0]})",
+            # CH extractAll returns every non-overlapping match (the whole
+            # match — group 0; CH's take-the-subpattern special case is NOT
+            # mirrored, documented divergence)
+            "extractAll": lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 0)",
+            "arrayEnumerate": lambda a: f"sequence(1, size({a[0]}))",
+            "uniqExact": lambda a: f"count(DISTINCT {a[0]})",
+            "bitShiftLeft": lambda a: f"shiftleft({a[0]}, {a[1]})",
+            "bitShiftRight": lambda a: f"shiftright({a[0]}, {a[1]})",
         }
 
         def multi_if(a: list[str]) -> str:

@@ -449,3 +449,57 @@ def dialect_parity_datetime_bits(spark, sf_dir):
     FROM events PREWHERE event_id < 40 ORDER BY event_id
     """
     return spark.sql(DIALECT.translate(ch_sql))
+
+
+@query(
+    "dialect_parity_sweep5",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, ts, event_type, props,
+               CAST(COALESCE(value, 0) AS DECIMAL(18,2)) AS v
+        FROM events WHERE event_id < 40
+    )
+    SELECT event_id,
+           CAST(year(ts) * 100 + month(ts) AS INT) AS ym,
+           CAST(year(ts) * 10000 + month(ts) * 100 + day(ts) AS INT) AS ymd,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS ux,
+           CAST(date_trunc('week', ts) AS TIMESTAMP) AS monday,
+           ts + INTERVAL 3 DAY AS ts_plus3d,
+           ts - INTERVAL 36 HOUR AS ts_minus36h,
+           regexp_extract_all(CAST(props AS VARCHAR), '[0-9]+') AS nums,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+           CAST(event_id << 3 AS BIGINT) AS shl,
+           CAST(event_id >> 2 AS BIGINT) AS shr,
+           CASE WHEN v < 10 THEN 'low' WHEN v < 30 THEN 'mid'
+                ELSE 'high' END AS band
+    FROM base ORDER BY event_id
+    """,
+)
+def dialect_parity_sweep5(spark, sf_dir):
+    """§2.9 parity sweep #5 (r8): toYYYYMM / toYYYYMMDD / toUnixTimestamp
+    (whole-second truncation — the oracle FLOORs epoch(), the CLAUDE.md
+    rule) / toMonday / addDays / subtractHours / extractAll (group-0
+    matches) / JSONExtractString / JSONExtractInt / bitShiftLeft /
+    bitShiftRight / multiIf, all through the rename pass over real event
+    rows."""
+    load_events(spark, sf_dir).createOrReplaceTempView("events")
+    ch_sql = """
+    SELECT event_id,
+           toYYYYMM(ts) AS ym,
+           toYYYYMMDD(ts) AS ymd,
+           toUnixTimestamp(ts) AS ux,
+           toDateTime(toString(toMonday(ts))) AS monday,
+           addDays(ts, 3) AS ts_plus3d,
+           subtractHours(ts, 36) AS ts_minus36h,
+           extractAll(props, '[0-9]+') AS nums,
+           JSONExtractString(props, 'k') AS k_str,
+           JSONExtractInt(props, 'k') AS k_int,
+           bitShiftLeft(event_id, 3) AS shl,
+           bitShiftRight(event_id, 2) AS shr,
+           multiIf(ifNull(toDecimal64(toString(value), 2), toDecimal64('0', 2)) < 10, 'low',
+                   ifNull(toDecimal64(toString(value), 2), toDecimal64('0', 2)) < 30, 'mid',
+                   'high') AS band
+    FROM events PREWHERE event_id < 40 ORDER BY event_id
+    """
+    return spark.sql(DIALECT.translate(ch_sql))

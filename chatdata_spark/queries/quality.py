@@ -593,9 +593,9 @@ _ZSCORE_ORACLE = """
     )
     SELECT m.event_type, CAST(m.n AS BIGINT) AS n,
            CAST(m.s1 AS DOUBLE) / CAST(m.n * 100 AS DOUBLE) AS mean,
-           SQRT(CAST(m.s2 AS DOUBLE) / CAST(m.n * 10000 AS DOUBLE)
+           SQRT(GREATEST(CAST(m.s2 AS DOUBLE) / CAST(m.n * 10000 AS DOUBLE)
                 - (CAST(m.s1 AS DOUBLE) / CAST(m.n * 100 AS DOUBLE))
-                  * (CAST(m.s1 AS DOUBLE) / CAST(m.n * 100 AS DOUBLE))) AS std,
+                  * (CAST(m.s1 AS DOUBLE) / CAST(m.n * 100 AS DOUBLE)), 0.0)) AS std,
            CAST(COALESCE(o.n_outliers, 0) AS BIGINT) AS n_outliers
     FROM m LEFT JOIN o USING (event_type) ORDER BY m.event_type
 """

@@ -109,7 +109,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "source_overlap_kmv",
     "anomaly_mad_event_values", "drift_psi_event_values",
     "drift_psi_lang_mix", "streaming_drift_psi", "corpus_health_report",
-    "funnel_tight_window", "sequence_match_click_to_purchase",
+    "sequence_match_click_to_purchase",
     # --- second passes for the r7 in-round additions (once-green in
     # r7; largest surface first) ---
     "store_kb_tool_lifecycle", "streaming_quantile_sketch",
@@ -118,8 +118,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # took the slots of dialect_retention, dialect_parity_datetime_bits,
     # text_ngram_diversity, text_zipf_slope, ingest_csv_typed,
     # ingest_orc_roundtrip, dialect_argmax_argmin, drift_ks_event_values,
-    # quantile_sketch_totalprice, sequence_count_conversion_cycles and
-    # heavy_hitter_parts_weighted (3 MG-family names stay windowed) —
+    # quantile_sketch_totalprice, sequence_count_conversion_cycles,
+    # heavy_hitter_parts_weighted (3 MG-family names stay windowed) and
+    # funnel_tight_window (sequence_match keeps the family windowed) —
     # all once-green names whose
     # operator surfaces stay represented in-window via their
     # streaming/grouped siblings; they return in r9)
@@ -129,7 +130,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "drift_embedding_centroid", "store_cdc_changes",
     "streaming_trend_ols", "corpus_shuffle_interleaved",
     "heavy_hitter_tokens_by_lang", "streaming_hll_distinct",
-    "hilbert_events_hvalues",
+    "hilbert_events_hvalues", "dialect_parity_sweep5",
 )
 
 # Rotation plan for round 9: after r8 the never-driver-checked backlog
@@ -140,7 +141,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # text_zipf_slope, ingest_csv_typed, ingest_orc_roundtrip,
 # dialect_argmax_argmin, drift_ks_event_values, quantile_sketch_totalprice,
 # sequence_count_conversion_cycles, heavy_hitter_parts_weighted,
-# dialect_uniq_upto first) + third
+# funnel_tight_window, dialect_uniq_upto first) + third
 # greens for low-pass-count families as slots allow. Steady state from
 # here: sentinels + newest additions + the lowest-green-count backlog.
 

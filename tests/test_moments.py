@@ -111,3 +111,11 @@ def test_merge_ols_moments_equals_one_shot(spark):
     sa = ols_from_moments(whole).collect()[0]
     sb = ols_from_moments(merged).collect()[0]
     assert (sa.slope, sa.intercept) == (sb.slope, sb.intercept)
+
+
+def test_constant_group_std_is_zero_not_nan(spark):
+    # ex2 and mean^2 take different float paths; the clamped sqrt must
+    # yield exactly 0.0 (Spark would NaN on -1ulp, DuckDB would THROW)
+    df = _df(spark, [("c", 7)] * 13)
+    r = zscore_report(df, ["g"], "v", scale=1).collect()[0]
+    assert r.std == 0.0 and r.n_outliers == 0 and r.mean == 7.0

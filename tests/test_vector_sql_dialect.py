@@ -179,3 +179,40 @@ def test_to_start_of_week_sunday_semantics(spark):
         )
     ).collect()[0]
     assert str(row2.w0) == "2024-01-07 00:00:00"
+
+
+def test_r8_sweep5_renames_translate():
+    out = D.translate(
+        "SELECT toYYYYMM(ts), toUnixTimestamp(ts), toMonday(ts), "
+        "addDays(ts, 3), subtractHours(ts, 2), extractAll(s, '[0-9]+'), "
+        "arrayEnumerate(xs), uniqExact(u), bitShiftLeft(i, 3), "
+        "bitShiftRight(i, 2) FROM t"
+    )
+    assert "(year(ts) * 100 + month(ts))" in out
+    assert "unix_timestamp(ts)" in out
+    assert "to_date(date_trunc('WEEK', ts))" in out
+    assert "timestampadd(DAY, 3, ts)" in out
+    assert "timestampadd(HOUR, -(2), ts)" in out
+    assert "regexp_extract_all(s, '[0-9]+', 0)" in out
+    assert "sequence(1, size(xs))" in out
+    assert "count(DISTINCT u)" in out
+    assert "shiftleft(i, 3)" in out and "shiftright(i, 2)" in out
+
+
+def test_r8_sweep5_executes(spark):
+    # the compile-only renames (not in the parity query) execute end to end
+    row = spark.sql(
+        D.translate(
+            "SELECT arrayEnumerate(splitByChar(',', 'a,b,c')) AS idx, "
+            "uniqExact(x) AS u FROM (SELECT explode(sequence(1, 5)) AS x "
+            "WHERE false OR true) GROUP BY 1"
+        )
+    ).collect()[0]
+    assert list(row.idx) == [1, 2, 3] and row.u == 5
+    row2 = spark.sql(
+        D.translate(
+            "SELECT toYYYYMMDD(CAST('2024-03-09 10:00:00' AS TIMESTAMP)) AS ymd, "
+            "addHours(CAST('2024-03-09 23:30:00' AS TIMESTAMP), 1) AS nxt"
+        )
+    ).collect()[0]
+    assert row2.ymd == 20240309 and str(row2.nxt) == "2024-03-10 00:30:00"

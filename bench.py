@@ -107,6 +107,7 @@ HEADLINE = [
     "drift_embedding_centroid", # two posexplode centroid-sum aggregates
     "corpus_shuffle_interleaved",  # per-source hash rank + top-k interleave head
     "heavy_hitter_tokens_by_lang",  # composite-key MG + recount + per-lang rank
+    "pack_sequences_concat",    # concat-and-chunk grid: one window + one explode
 ]
 # ITERATIVE / build-time-collecting operators get their own timing mode:
 # their work runs at plan-BUILD time (driver-looped rounds with eager

@@ -389,3 +389,98 @@ def corpus_shuffle_interleaved(spark, sf_dir):
         .select("pos", "doc_id", "source")
         .orderBy("pos")
     )
+
+
+@query(
+    "pack_sequences_concat",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS tokens,
+               {_D_BUCKET.format(salt='pack', key='doc_id')} AS hb
+        FROM documents WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+    ),
+    cum AS (
+        SELECT lang, doc_id, tokens,
+               SUM(tokens) OVER (PARTITION BY lang ORDER BY hb, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        FROM toks
+    ),
+    spans AS (
+        SELECT lang, CAST(c - tokens AS BIGINT) AS s, CAST(c AS BIGINT) AS e
+        FROM cum WHERE tokens > 0
+    ),
+    ex AS (
+        SELECT lang, s, e,
+               unnest(generate_series(s // 512, (e - 1) // 512)) AS seq
+        FROM spans
+    )
+    SELECT lang, CAST(seq AS BIGINT) AS seq,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEAST(e, (seq + 1) * 512) - GREATEST(s, seq * 512)) AS BIGINT)
+               AS n_tokens,
+           CAST(SUM(CASE WHEN s < seq * 512 OR e > (seq + 1) * 512
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+    FROM ex GROUP BY lang, seq ORDER BY lang, seq
+    """,
+)
+def pack_sequences_concat(spark, sf_dir):
+    """CONCAT-AND-CHUNK sequence packing — the standard LLM-pretraining
+    packing (documents concatenated in deterministic hash order per
+    language, the token stream cut into fixed 512-token training
+    sequences, documents SPLIT across boundaries) — the complement of
+    pack_documents (whole-doc greedy bins, zero splits, padding waste).
+    Each doc's token interval [cum-len, cum) is intersected with the
+    sequence grid via an integer-division explode (a doc spanning k
+    boundaries lands in k+1 sequences); per (lang, seq): contributing
+    docs, exact token count (== 512 except each language's last), and
+    how many contributors are boundary-split — the packing-efficiency
+    report a data-loader build needs. All-integer arithmetic over one
+    window + one explode: the oracle replays it exactly. Scale shape:
+    one window exchange per lang partition, explode fan-out is
+    (1 + total_tokens/512) rows — the same order as the token stream
+    itself; the realized writer is a range partition on (lang, seq)."""
+    from pyspark.sql import Window
+
+    from chatdata_spark.operators.sampling import hash_bucket
+
+    L = 512
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("lang").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    toks = d.select(
+        "doc_id", "lang",
+        F.size(F.split("text", " ")).alias("tokens"),
+        hash_bucket("doc_id", "pack").alias("hb"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("hb", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = (
+        toks.withColumn("c", F.sum("tokens").over(w))
+        .filter(F.col("tokens") > 0)
+        .select(
+            "lang",
+            (F.col("c") - F.col("tokens")).cast("bigint").alias("s"),
+            F.col("c").cast("bigint").alias("e"),
+        )
+    )
+    ex = spans.select(
+        "lang", "s", "e",
+        F.explode(
+            F.sequence(F.expr(f"s div {L}"), F.expr(f"(e - 1) div {L}"))
+        ).alias("seq"),
+    )
+    lo = F.greatest(F.col("s"), F.col("seq") * L)
+    hi = F.least(F.col("e"), (F.col("seq") + 1) * L)
+    split = (F.col("s") < F.col("seq") * L) | (F.col("e") > (F.col("seq") + 1) * L)
+    return (
+        ex.groupBy("lang", "seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(hi - lo).cast("bigint").alias("n_tokens"),
+            F.sum(split.cast("long")).cast("bigint").alias("n_split_docs"),
+        )
+        .orderBy("lang", "seq")
+    )

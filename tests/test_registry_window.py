@@ -33,6 +33,7 @@ MUST_BE_DRIVER_CHECKED = {
     "streaming_trend_ols", "corpus_shuffle_interleaved",
     "heavy_hitter_tokens_by_lang", "streaming_hll_distinct",
     "hilbert_events_hvalues", "dialect_parity_sweep5",
+    "pack_sequences_concat",
 }
 
 
@@ -135,8 +136,11 @@ def test_tail_is_deliberate():
     # 235→236 for dialect_parity_sweep5 (§2.9: toYYYYMM/toYYYYMMDD/
     # toUnixTimestamp/toMonday/addDays/subtractHours/extractAll/
     # JSONExtract*/bitShift*/multiIf renames over real event rows).
+    # 236→237 for pack_sequences_concat (concat-and-chunk LLM-pretraining
+    # packing: boundary-splitting sequence grid via integer-division
+    # explode, all-integer oracle).
     names = list(queries())
-    assert len(names) <= 236
+    assert len(names) <= 237
 
 
 def test_coverage_window_column_consistent():

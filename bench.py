@@ -137,6 +137,7 @@ E2E = [
     "streaming_trend_ols",          # two availableNow drains at build time
     "streaming_hll_distinct",       # two availableNow drains at build time
     "hilbert_events_hvalues",       # build-time [lo,hi] collect (2 scalars)
+    "streaming_scd2_history",       # two availableNow drains at build time
 ]
 
 # The ≤15 per-query entries repeated on stdout (full map goes to

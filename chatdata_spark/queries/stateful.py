@@ -1154,3 +1154,47 @@ def streaming_hll_distinct(spark, sf_dir):
         .select("event_type", "n_exact", "m_used", "harmonic_sum", "hll_est")
         .orderBy("event_type")
     )
+
+
+def _shared_scd2_oracle() -> str:
+    """The BATCH SCD2 oracle, verbatim: with event-time-ordered batches
+    the incremental fold provably equals the one-shot changelog build
+    (operators/scd.py::scd2_merge's contract), so the streamed history
+    must hash-match the batch rebuild."""
+    from chatdata_spark.registry import _REGISTRY
+
+    return _REGISTRY["scd2_history_events"].oracle
+
+
+@query("streaming_scd2_history", oracle=_shared_scd2_oracle)
+def streaming_scd2_history(spark, sf_dir):
+    """§2.10 extension, ORACLE-checked (batch parity): SCD2 history
+    maintained INCREMENTALLY over an event-changelog file stream — two
+    availableNow drains in event-time order (first half-month, then the
+    rest), each micro-batch folded into the versioned store with
+    scd2_merge (touched keys rebuilt, untouched anti-join pass-through;
+    replays absorbed idempotently, no batch guard — see
+    streaming/incremental.py::stream_scd2_merge). Exact equality with
+    the one-shot batch oracle proves the incremental-merge law under
+    real micro-batch splits: the dimension-history table that never
+    rescans its full changelog."""
+    import os
+
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.queries.quality import _PSI_SPLIT
+    from chatdata_spark.stores.state import VersionedParquetStore
+    from chatdata_spark.streaming.incremental import stream_scd2_merge
+
+    root = tempfile.mkdtemp(prefix="chatdata_sscd_q_")
+    ind, ckpt = f"{root}/in", f"{root}/ck"
+    os.makedirs(ind)
+    e = load_events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    store = VersionedParquetStore(spark, f"{root}/store")
+    schema = "user_id long, event_type string, ts timestamp, event_id long"
+    split = F.lit(_PSI_SPLIT).cast("timestamp")
+    args = (["user_id"], "ts", ["event_type"], ["event_id"])
+    e.filter(F.col("ts") < split).coalesce(1).write.mode("append").parquet(ind)
+    stream_scd2_merge(spark, ind, store, ckpt, *args, schema)
+    e.filter(F.col("ts") >= split).coalesce(1).write.mode("append").parquet(ind)
+    stream_scd2_merge(spark, ind, store, ckpt, *args, schema)
+    return store.read().orderBy("user_id", "valid_from", "event_id")

@@ -109,7 +109,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "source_overlap_kmv",
     "anomaly_mad_event_values", "drift_psi_event_values",
     "drift_psi_lang_mix", "streaming_drift_psi",
-    "sequence_match_click_to_purchase",
     # --- second passes for the r7 in-round additions (once-green in
     # r7; largest surface first) ---
     "store_kb_tool_lifecycle", "streaming_quantile_sketch",
@@ -121,7 +120,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # quantile_sketch_totalprice, sequence_count_conversion_cycles,
     # heavy_hitter_parts_weighted (3 MG-family names stay windowed) and
     # funnel_tight_window (sequence_match keeps the family windowed) and
-    # corpus_health_report (its component monitors are each windowed) —
+    # corpus_health_report (its component monitors are each windowed)
+    # and sequence_match_click_to_purchase (once-green r7 first-timer) —
     # all once-green names whose
     # operator surfaces stay represented in-window via their
     # streaming/grouped siblings; they return in r9)
@@ -132,7 +132,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_trend_ols", "corpus_shuffle_interleaved",
     "heavy_hitter_tokens_by_lang", "streaming_hll_distinct",
     "hilbert_events_hvalues", "dialect_parity_sweep5",
-    "pack_sequences_concat",
+    "pack_sequences_concat", "streaming_scd2_history",
 )
 
 # Rotation plan for round 9: after r8 the never-driver-checked backlog
@@ -143,7 +143,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # text_zipf_slope, ingest_csv_typed, ingest_orc_roundtrip,
 # dialect_argmax_argmin, drift_ks_event_values, quantile_sketch_totalprice,
 # sequence_count_conversion_cycles, heavy_hitter_parts_weighted,
-# funnel_tight_window, corpus_health_report, dialect_uniq_upto first) + third
+# funnel_tight_window, corpus_health_report,
+# sequence_match_click_to_purchase, dialect_uniq_upto first) + third
 # greens for low-pass-count families as slots allow. Steady state from
 # here: sentinels + newest additions + the lowest-green-count backlog.
 

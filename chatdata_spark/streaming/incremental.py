@@ -612,3 +612,53 @@ def stream_hll_merge(
         .start()
         .awaitTermination()
     )
+
+
+def stream_scd2_merge(
+    spark: SparkSession,
+    input_dir: str,
+    store,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    ts_col: str,
+    tracked_cols: list[str],
+    order_cols: list[str],
+    schema: str,
+) -> None:
+    """Stream → SCD2 history via foreachBatch: each micro-batch of
+    changelog rows folds into the stored history with
+    operators/scd.py::scd2_merge (touched keys rebuilt, untouched
+    carried by anti-join). Correctness contract: batches must arrive in
+    EVENT-TIME order (the daily-batch reality scd2_merge documents — a
+    change landing between two already-compressed rows of a touched key
+    cannot resurrect the compressed-away revert); under that ordering
+    the folded history provably equals the one-shot batch build, which
+    is what the shared oracle checks. REPLAY of a committed batch is
+    absorbed WITHOUT a batch_id guard: re-merged rows are exact
+    duplicates of history rows, and duplicate consecutive changelog
+    entries are no-op changes the compression drops — idempotent, like
+    the lattice merges (and unlike the additive moment/count states)."""
+    from chatdata_spark.operators.scd import scd2_from_changelog, scd2_merge
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if store.exists():
+            merged = scd2_merge(
+                store.read(), batch_df, key_cols, ts_col, tracked_cols, order_cols
+            )
+        else:
+            merged = scd2_from_changelog(
+                batch_df, key_cols, ts_col, tracked_cols, order_cols
+            )
+        store.write(merged)
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -33,7 +33,7 @@ MUST_BE_DRIVER_CHECKED = {
     "streaming_trend_ols", "corpus_shuffle_interleaved",
     "heavy_hitter_tokens_by_lang", "streaming_hll_distinct",
     "hilbert_events_hvalues", "dialect_parity_sweep5",
-    "pack_sequences_concat",
+    "pack_sequences_concat", "streaming_scd2_history",
 }
 
 
@@ -139,8 +139,11 @@ def test_tail_is_deliberate():
     # 236→237 for pack_sequences_concat (concat-and-chunk LLM-pretraining
     # packing: boundary-splitting sequence grid via integer-division
     # explode, all-integer oracle).
+    # 237→238 for streaming_scd2_history (SCD2 folded incrementally via
+    # scd2_merge under event-time-ordered drains; replay-idempotent, no
+    # batch guard; shares the batch oracle).
     names = list(queries())
-    assert len(names) <= 237
+    assert len(names) <= 238
 
 
 def test_coverage_window_column_consistent():

@@ -178,3 +178,53 @@ def merge_into_orders(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "scd2_asof_events",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER w AS rn,
+               lag(event_type) OVER w AS prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+        SELECT user_id, event_type, event_id, ts AS valid_from
+        FROM ordered WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+    ),
+    hist AS (
+        SELECT user_id, event_type, event_id, valid_from,
+               lead(valid_from) OVER w2 AS valid_to
+        FROM changes
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    )
+    SELECT user_id, event_type, event_id, valid_from
+    FROM hist
+    WHERE valid_from <= TIMESTAMP '2024-01-16 00:00:00'
+      AND (valid_to IS NULL OR TIMESTAMP '2024-01-16 00:00:00' < valid_to)
+    ORDER BY user_id
+    """,
+)
+def scd2_asof_events(spark, sf_dir):
+    """Point-in-time dimension read (`AS OF` / time-travel-by-VALIDITY,
+    the query-side payoff of SCD2): each user's event_type version valid
+    at mid-month — a PURE FILTER over the history table
+    (operators/scd.py::as_of — valid_from <= T < valid_to, no shuffle,
+    no window at read time; with history stored partitioned/sorted by
+    key the predicate pushes to the scan). Exactly one row per user that
+    has history at T, pinned by the oracle's replayed interval build."""
+    from chatdata_spark.operators.scd import as_of, scd2_from_changelog
+
+    from chatdata_spark.queries.quality import _PSI_SPLIT
+
+    e = load_events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    hist = scd2_from_changelog(
+        e, ["user_id"], "ts", ["event_type"], order_cols=["event_id"]
+    )
+    return (
+        as_of(hist, F.lit(_PSI_SPLIT).cast("timestamp"))
+        .select("user_id", "event_type", "event_id", "valid_from")
+        .orderBy("user_id")
+    )

@@ -34,6 +34,7 @@ MUST_BE_DRIVER_CHECKED = {
     "heavy_hitter_tokens_by_lang", "streaming_hll_distinct",
     "hilbert_events_hvalues", "dialect_parity_sweep5",
     "pack_sequences_concat", "streaming_scd2_history",
+    "scd2_asof_events",
 }
 
 
@@ -142,8 +143,10 @@ def test_tail_is_deliberate():
     # 237→238 for streaming_scd2_history (SCD2 folded incrementally via
     # scd2_merge under event-time-ordered drains; replay-idempotent, no
     # batch guard; shares the batch oracle).
+    # 238→239 for scd2_asof_events (point-in-time AS OF read — the
+    # query-side payoff of SCD2, a pure filter over history).
     names = list(queries())
-    assert len(names) <= 238
+    assert len(names) <= 239
 
 
 def test_coverage_window_column_consistent():

@@ -108,6 +108,7 @@ HEADLINE = [
     "corpus_shuffle_interleaved",  # per-source hash rank + top-k interleave head
     "heavy_hitter_tokens_by_lang",  # composite-key MG + recount + per-lang rank
     "pack_sequences_concat",    # concat-and-chunk grid: one window + one explode
+    "embedding_norm_anomaly",   # exact norm-squared moments + broadcast recount
 ]
 # ITERATIVE / build-time-collecting operators get their own timing mode:
 # their work runs at plan-BUILD time (driver-looped rounds with eager

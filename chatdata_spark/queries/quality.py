@@ -684,3 +684,82 @@ def drift_embedding_centroid(spark, sf_dir):
     ref = em.filter(F.col("vec_id") % 2 == 0)
     cur = em.filter(F.col("vec_id") % 2 == 1)
     return embedding_centroid_drift(ref, cur, ["label"], "embedding").orderBy("label")
+
+
+@query(
+    "embedding_norm_anomaly",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id, label,
+               CAST(CAST(u.comp AS DECIMAL(18,4)) * 10000 AS BIGINT) AS c4
+        FROM embeddings,
+             LATERAL (SELECT unnest(CAST(embedding AS DOUBLE[])) AS comp) u
+        WHERE embedding IS NOT NULL AND label IS NOT NULL
+    ),
+    v AS (SELECT label, vec_id, SUM(c4 * c4) AS norm2i FROM c GROUP BY 1, 2),
+    m AS (
+        SELECT label, COUNT(*) AS n, SUM(norm2i) AS s1,
+               SUM(norm2i * norm2i) AS s2
+        FROM v GROUP BY 1
+    ),
+    o AS (
+        SELECT v.label, COUNT(*) AS n_outliers
+        FROM v JOIN m USING (label)
+        WHERE (v.norm2i * m.n - m.s1) * (v.norm2i * m.n - m.s1)
+              > 9 * (m.n * m.s2 - m.s1 * m.s1)
+        GROUP BY 1
+    )
+    SELECT m.label, CAST(m.n AS BIGINT) AS n,
+           CAST(m.s1 AS DOUBLE) / (CAST(m.n AS DOUBLE) * 100000000.0) AS mean_norm2,
+           SQRT(GREATEST(CAST(m.s2 AS DOUBLE) / (CAST(m.n AS DOUBLE) * 1e16)
+                - (CAST(m.s1 AS DOUBLE) / (CAST(m.n AS DOUBLE) * 100000000.0))
+                  * (CAST(m.s1 AS DOUBLE) / (CAST(m.n AS DOUBLE) * 100000000.0)),
+                0.0)) AS std_norm2,
+           CAST(COALESCE(o.n_outliers, 0) AS BIGINT) AS n_outliers
+    FROM m LEFT JOIN o USING (label) ORDER BY m.label
+    """,
+)
+def embedding_norm_anomaly(spark, sf_dir):
+    """Embedding-corpus health: per-label squared-norm distribution +
+    3-sigma outlier count — the monitor that catches degenerate vectors
+    (zero/exploded norms from a bad encoder batch) that cosine-based
+    checks normalize away. Composes this round's primitives: per-vector
+    EXACT integer norm² (components fixed-pointed at 4 decimals — a
+    monitor's resolution, keeping sum-of-squares-of-squares inside
+    DECIMAL(38,0)/HUGEINT), operators/moments.py exact_moments +
+    count_outliers (the all-integer boundary predicate), and the clamped
+    float mean/std tail with a FLOAT denominator (n·10^8·10^8 would
+    overflow the integer path; both engines run the identical
+    cast-multiply sequence). Scale shape: one posexplode aggregate to
+    per-vector norms, one |labels|-row moment aggregate, one broadcast
+    recount — no corpus-sized join."""
+    from chatdata_spark.operators.moments import count_outliers, exact_moments
+
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    c4 = (F.col("comp").cast("decimal(18,4)") * F.lit(10_000)).cast("decimal(38,0)")
+    v = (
+        em.select(
+            "vec_id", "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "comp"),
+        )
+        .groupBy("label", "vec_id")
+        .agg(F.sum(c4 * c4).cast("decimal(38,0)").alias("norm2i"))
+    )
+    m = exact_moments(v, ["label"], "norm2i")
+    out = count_outliers(v, m, ["label"], "norm2i", z=3)
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / (nd * F.lit(1e8))
+    ex2 = F.col("s2").cast("double") / (nd * F.lit(1e16))
+    return (
+        m.join(out, ["label"], "left")
+        .select(
+            "label",
+            "n",
+            mean.alias("mean_norm2"),
+            F.sqrt(F.greatest(ex2 - mean * mean, F.lit(0.0))).alias("std_norm2"),
+            F.coalesce("n_outliers", F.lit(0).cast("long")).alias("n_outliers"),
+        )
+        .orderBy("label")
+    )

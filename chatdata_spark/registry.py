@@ -107,8 +107,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_jaccard_prefix", "dedup_chunk_boilerplate",
     "mixture_temperature_sample", "cluster_balanced_sample",
     "source_overlap_kmv",
-    "anomaly_mad_event_values", "drift_psi_event_values",
-    "drift_psi_lang_mix",
+    "anomaly_mad_event_values", "drift_psi_lang_mix",
     # --- second passes for the r7 in-round additions (once-green in
     # r7; largest surface first) ---
     "store_kb_tool_lifecycle", "streaming_quantile_sketch",
@@ -121,8 +120,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # heavy_hitter_parts_weighted (3 MG-family names stay windowed) and
     # funnel_tight_window (sequence_match keeps the family windowed) and
     # corpus_health_report (its component monitors are each windowed)
-    # and sequence_match_click_to_purchase and streaming_drift_psi (both
-    # once-green r7 first-timers whose families stay windowed) —
+    # and sequence_match_click_to_purchase, streaming_drift_psi and
+    # drift_psi_event_values (once-green r7 first-timers whose families
+    # stay windowed: psi_lang_mix, ks_by_source, embedding centroid) —
     # all once-green names whose
     # operator surfaces stay represented in-window via their
     # streaming/grouped siblings; they return in r9)
@@ -134,7 +134,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "heavy_hitter_tokens_by_lang", "streaming_hll_distinct",
     "hilbert_events_hvalues", "dialect_parity_sweep5",
     "pack_sequences_concat", "streaming_scd2_history",
-    "scd2_asof_events",
+    "scd2_asof_events", "embedding_norm_anomaly",
 )
 
 # Rotation plan for round 9: after r8 the never-driver-checked backlog
@@ -147,7 +147,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # sequence_count_conversion_cycles, heavy_hitter_parts_weighted,
 # funnel_tight_window, corpus_health_report,
 # sequence_match_click_to_purchase, streaming_drift_psi,
-# dialect_uniq_upto first) + third
+# drift_psi_event_values, dialect_uniq_upto first) + third
 # greens for low-pass-count families as slots allow. Steady state from
 # here: sentinels + newest additions + the lowest-green-count backlog.
 

@@ -34,7 +34,7 @@ MUST_BE_DRIVER_CHECKED = {
     "heavy_hitter_tokens_by_lang", "streaming_hll_distinct",
     "hilbert_events_hvalues", "dialect_parity_sweep5",
     "pack_sequences_concat", "streaming_scd2_history",
-    "scd2_asof_events",
+    "scd2_asof_events", "embedding_norm_anomaly",
 }
 
 
@@ -145,8 +145,11 @@ def test_tail_is_deliberate():
     # batch guard; shares the batch oracle).
     # 238→239 for scd2_asof_events (point-in-time AS OF read — the
     # query-side payoff of SCD2, a pure filter over history).
+    # 239→240 for embedding_norm_anomaly (per-label exact-integer norm²
+    # z-score monitor — degenerate-vector detection composed from the r8
+    # moments primitives).
     names = list(queries())
-    assert len(names) <= 239
+    assert len(names) <= 240
 
 
 def test_coverage_window_column_consistent():

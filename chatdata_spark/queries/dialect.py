@@ -466,7 +466,7 @@ def dialect_parity_datetime_bits(spark, sf_dir):
            CAST(date_trunc('week', ts) AS TIMESTAMP) AS monday,
            ts + INTERVAL 3 DAY AS ts_plus3d,
            ts - INTERVAL 36 HOUR AS ts_minus36h,
-           regexp_extract_all(CAST(props AS VARCHAR), '[0-9]+') AS nums,
+           array_to_string(regexp_extract_all(CAST(props AS VARCHAR), '[0-9]+'), ',') AS nums,
            json_extract_string(props, '$.k') AS k_str,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
            CAST(event_id << 3 AS BIGINT) AS shl,
@@ -480,7 +480,9 @@ def dialect_parity_sweep5(spark, sf_dir):
     """§2.9 parity sweep #5 (r8): toYYYYMM / toYYYYMMDD / toUnixTimestamp
     (whole-second truncation — the oracle FLOORs epoch(), the CLAUDE.md
     rule) / toMonday / addDays / subtractHours / extractAll (group-0
-    matches) / JSONExtractString / JSONExtractInt / bitShiftLeft /
+    matches, serialized via arrayStringConcat — the driver's pandas
+    canonicalizer cannot hash top-level array cells, r8 verdict) /
+    JSONExtractString / JSONExtractInt / bitShiftLeft /
     bitShiftRight / multiIf, all through the rename pass over real event
     rows."""
     load_events(spark, sf_dir).createOrReplaceTempView("events")
@@ -492,7 +494,7 @@ def dialect_parity_sweep5(spark, sf_dir):
            toDateTime(toString(toMonday(ts))) AS monday,
            addDays(ts, 3) AS ts_plus3d,
            subtractHours(ts, 36) AS ts_minus36h,
-           extractAll(props, '[0-9]+') AS nums,
+           arrayStringConcat(extractAll(props, '[0-9]+'), ',') AS nums,
            JSONExtractString(props, 'k') AS k_str,
            JSONExtractInt(props, 'k') AS k_int,
            bitShiftLeft(event_id, 3) AS shl,

@@ -83,6 +83,27 @@ def _spark_family(t: str) -> str:
     return "timestamp" if t == "timestamp_ntz" else t
 
 
+def assert_driver_hashable_schema(spark_df, name: str = "?"):
+    """The real driver canonicalizes result rows via pandas sort_values over
+    all columns, which raises ``TypeError: unhashable type: 'list'`` on any
+    top-level array/map/struct cell (r8: dialect_parity_sweep5 went red in
+    the driver while pytest + replay were green). Every registered query
+    must therefore emit only scalar top-level columns — serialize arrays
+    with array_join/array_to_string on BOTH sides."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"[{name}] top-level complex-typed columns {bad}: the driver's pandas "
+        "canonicalizer cannot hash array/map/struct cells — serialize them "
+        "(array_join / array_to_string) on both Spark and oracle sides"
+    )
+
+
 def assert_matches_oracle(spark_df, oracle: str, sf_dir: str, name: str = "?"):
     con = duck_con(sf_dir)
     rel = con.sql(oracle)

@@ -7,7 +7,11 @@ from __future__ import annotations
 import pytest
 
 from chatdata_spark.registry import oracle_sql, queries
-from tests.conftest import SF_ORACLE, assert_matches_oracle
+from tests.conftest import (
+    SF_ORACLE,
+    assert_driver_hashable_schema,
+    assert_matches_oracle,
+)
 
 _QUERIES = queries()
 _ORACLES = oracle_sql()
@@ -16,6 +20,7 @@ _ORACLES = oracle_sql()
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_query_matches_oracle(spark, name):
     df = _QUERIES[name](spark, SF_ORACLE)
+    assert_driver_hashable_schema(df, name=name)
     if name in _ORACLES:
         assert_matches_oracle(df, _ORACLES[name], SF_ORACLE, name=name)
     else:

@@ -214,6 +214,26 @@ def test_bench_suite_names_resolve():
     assert len(bench.STDOUT_HEADLINE) <= 15
 
 
+def test_array_output_guard_fires(spark):
+    """r8 regression class: a registered query returning a top-level
+    array column passed pytest + the tuple-sorting replay but errored in
+    the REAL driver (pandas sort_values → unhashable 'list',
+    dialect_parity_sweep5). The guard must fail such schemas locally."""
+    import pytest as _pytest
+
+    from tests.conftest import assert_driver_hashable_schema
+
+    bad = spark.sql("SELECT 1 AS id, array('a','b') AS xs")
+    with _pytest.raises(AssertionError, match="complex-typed"):
+        assert_driver_hashable_schema(bad, name="synthetic_array")
+    bad_map = spark.sql("SELECT map('k', 1) AS m")
+    with _pytest.raises(AssertionError, match="complex-typed"):
+        assert_driver_hashable_schema(bad_map, name="synthetic_map")
+    assert_driver_hashable_schema(
+        spark.sql("SELECT 1 AS id, 'a,b' AS xs"), name="scalar_ok"
+    )
+
+
 def test_lazy_oracles_resolve_once():
     """Callable oracles (DuckDB+numpy replays) must resolve exactly once
     per QueryDef — repeated oracle_sql() calls (tests, driver, replay

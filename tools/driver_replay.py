@@ -70,6 +70,19 @@ fails = []
 for name in names:
     try:
         sdf = qs[name](spark, SF)
+        # Driver-hashability gate: the REAL driver canonicalizes via pandas
+        # sort_values over all columns, which throws on array/map/struct
+        # cells (r8: dialect_parity_sweep5 red in the driver, green here).
+        # Reject complex top-level output types so the failure reproduces
+        # locally — serialize arrays (array_join) on BOTH sides instead.
+        complex_cols = [
+            f.name for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols:
+            fails.append((name, f"top-level complex-typed columns {complex_cols} "
+                                "(driver pandas canonicalizer cannot hash them)"))
+            continue
         cols = sorted(sdf.columns)
         spark_rows = sorted((tuple(norm(row[c]) for c in cols) for row in sdf.collect()), key=skey)
         if name not in osql:

@@ -259,6 +259,11 @@ def zorder_write(
                 "0..65535 (or NULL) — morton_interleave would silently "
                 "alias them; bucket with linear_bucket/pmod first"
             )
+    if "__z" in df.columns:
+        raise ValueError(
+            "zorder_write: df already has a __z column (reserved for the "
+            "clustering key) — rename it before writing"
+        )
     if curve == "hilbert":
         keyed = with_hilbert(df, a, b, out="__z")
     elif curve == "morton":
@@ -318,6 +323,17 @@ def with_hilbert(df: DataFrame, a, b, out: str = "__h", bits: int = ZBITS) -> Da
     from pyspark.sql import functions as F
 
     keep = df.columns
+    # the three internal state names (and the caller's out) ride through
+    # `bits` chained selects — a pre-existing column with one of these
+    # names would be silently clobbered mid-chain (ADVICE r8; mirrors the
+    # domain ValueError in zorder_write)
+    clash = {"__hx", "__hy", "__hd", out} & set(keep)
+    if clash:
+        raise ValueError(
+            f"with_hilbert: df already has column(s) {sorted(clash)} — "
+            "reserved state names (__hx/__hy/__hd) and the output name "
+            "must not pre-exist"
+        )
     cur = df.select(
         *keep,
         a.cast("long").alias("__hx"),

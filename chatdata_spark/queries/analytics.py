@@ -868,7 +868,10 @@ def _zorder_expected() -> str:
 
     lo, hi = duckdb.sql(
         f"SELECT min(value), max(value) FROM read_parquet('{oracle_sf_dir()}/events.parquet') "
-        "WHERE value IS NOT NULL"
+        # user_id non-null too: the Spark side derives [lo,hi] from rows
+        # filtered on BOTH columns — a value extreme on a NULL-user_id row
+        # would silently diverge the frozen bucket edges (ADVICE r8)
+        "WHERE value IS NOT NULL AND user_id IS NOT NULL"
     ).fetchall()[0]
     top = 65535.0
     vb = (
@@ -947,7 +950,10 @@ def _hilbert_expected() -> str:
 
     lo, hi = duckdb.sql(
         f"SELECT min(value), max(value) FROM read_parquet('{oracle_sf_dir()}/events.parquet') "
-        "WHERE value IS NOT NULL"
+        # user_id non-null too: the Spark side derives [lo,hi] from rows
+        # filtered on BOTH columns — a value extreme on a NULL-user_id row
+        # would silently diverge the frozen bucket edges (ADVICE r8)
+        "WHERE value IS NOT NULL AND user_id IS NOT NULL"
     ).fetchall()[0]
     top = 65535.0
     vb = (

@@ -962,22 +962,39 @@ def heavy_hitter_tokens_by_lang(spark, sf_dir):
     then a |candidates|-row window ranks within language. The answer is
     exactly "top-8 of the >= min_count set per lang", so the contract is
     self-consistent at any corpus size; the MG superset bound
-    (N/(k+1) < min_count, k=8192 covers the 10x fixture) is the same
-    documented exactness condition as heavy_hitter_tokens. Shuffles
-    candidates only — never the (lang x vocab) key space."""
+    (N/(k+1) < min_count) is ENFORCED rather than assumed (ADVICE r8):
+    k_counters scales from a one-aggregate token count (floor 8192 —
+    covers the 10x fixture; MG candidates are a superset for ANY
+    conforming k, and the exact recount makes the final answer
+    k-invariant), and the same pre-pass rejects lang values containing
+    '#' (the composite-key delimiter) instead of silently mis-splitting.
+    Shuffles candidates only — never the (lang x vocab) key space."""
+    import math
+
     from pyspark.sql import Window
 
     from chatdata_spark.functions.text import words
     from chatdata_spark.operators.heavyhitters import heavy_hitters
 
+    min_count = 60
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("lang").isNotNull()
     )
     toks = d.select(F.col("lang"), F.explode(words("text")).alias("tok")).filter(
         F.col("tok") != ""
     )
+    pre = toks.agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.max(F.col("lang").contains("#")).alias("bad_lang"),
+    ).collect()[0]
+    if pre.bad_lang:
+        raise ValueError(
+            "heavy_hitter_tokens_by_lang: lang values must not contain '#' "
+            "(the composite-key delimiter)"
+        )
+    k_counters = max(8192, math.ceil(int(pre.n_tok) / min_count))
     items = toks.select(F.concat_ws("#", "lang", "tok").alias("item"))
-    hh = heavy_hitters(items, "item", min_count=60, k_counters=8192)
+    hh = heavy_hitters(items, "item", min_count=min_count, k_counters=k_counters)
     split = hh.select(
         F.substring_index("item", "#", 1).alias("lang"),
         F.expr(

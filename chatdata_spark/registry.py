@@ -86,70 +86,47 @@ def _load_all() -> None:
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- kept sentinels (multi-green; one per core family) ---
     "knn_topk", "dialect_knn", "dedup_minhash_lsh", "text_profile",
-    # --- never-driver-checked backlog rotated IN for round 8: the four
-    # r7-tail additions that landed after the r7 window filled (all
-    # full-registry pytest-oracled meanwhile; first driver check now) ---
+    # --- the one r8 red, fixed this round (array output serialized via
+    # arrayStringConcat/array_to_string on both sides) — re-checked first ---
+    "dialect_parity_sweep5",
+    # --- second greens for the 16 names the r8 additions displaced
+    # (all once-green in r7) ---
+    "dialect_retention", "dialect_parity_datetime_bits",
+    "text_ngram_diversity", "text_zipf_slope", "ingest_csv_typed",
+    "ingest_orc_roundtrip", "dialect_argmax_argmin",
+    "drift_ks_event_values", "quantile_sketch_totalprice",
+    "sequence_count_conversion_cycles", "heavy_hitter_parts_weighted",
+    "funnel_tight_window", "corpus_health_report",
+    "sequence_match_click_to_purchase", "streaming_drift_psi",
+    "drift_psi_event_values",
+    # --- once-green r7 first-timer owed its second green ---
+    "dialect_uniq_upto",
+    # --- second greens for the r7-tail additions first-checked in r8 ---
     "zorder_events_zvalues", "streaming_heavy_hitter_revenue",
     "drift_ks_by_source", "store_kb_scoped_knn",
-    # --- deferred TPC-H second greens (once-green in r4/r5; the r6/r7
-    # rotations each bumped them for in-round additions) ---
-    "q12_priority_by_linestatus", "q16_supplier_part_counts",
-    "q15_top_supplier", "q14_promo_revenue", "q11_important_parts",
-    "q10_returned_items", "q6_forecast_revenue", "q4_order_priority",
-    "q18_large_volume_customer",
-    # --- second passes for the r7 first-timers, largest operator
-    # surface first (graph / PCA / k-means / IVF-PQ before dialect
-    # scalars); the smallest-surface tail yields a slot to each r8
-    # addition per policy ---
-    "graph_random_walks", "graph_skipgram_pairs",
-    "graph_label_propagation", "pca_embedding_knn",
-    "kmeans_embedding_clusters", "ann_ivfpq_search",
-    "dedup_jaccard_prefix", "dedup_chunk_boilerplate",
-    "mixture_temperature_sample", "cluster_balanced_sample",
-    "source_overlap_kmv",
-    "anomaly_mad_event_values", "drift_psi_lang_mix",
-    # --- second passes for the r7 in-round additions (once-green in
-    # r7; largest surface first) ---
-    "store_kb_tool_lifecycle", "streaming_quantile_sketch",
-    "sq8_quant_knn", "streaming_heavy_hitter_tokens",
-    # (displaceable second-pass tail exhausted: the nine r8 additions
-    # took the slots of dialect_retention, dialect_parity_datetime_bits,
-    # text_ngram_diversity, text_zipf_slope, ingest_csv_typed,
-    # ingest_orc_roundtrip, dialect_argmax_argmin, drift_ks_event_values,
-    # quantile_sketch_totalprice, sequence_count_conversion_cycles,
-    # heavy_hitter_parts_weighted (3 MG-family names stay windowed) and
-    # funnel_tight_window (sequence_match keeps the family windowed) and
-    # corpus_health_report (its component monitors are each windowed)
-    # and sequence_match_click_to_purchase, streaming_drift_psi and
-    # drift_psi_event_values (once-green r7 first-timers whose families
-    # stay windowed: psi_lang_mix, ks_by_source, embedding centroid) —
-    # all once-green names whose
-    # operator surfaces stay represented in-window via their
-    # streaming/grouped siblings; they return in r9)
-    # --- r8 additions, driver-verified in-round ---
+    # --- second greens for the 15 green r8 additions ---
     "anomaly_zscore_event_values", "streaming_zscore_anomaly",
     "hll_distinct_deterministic", "trend_ols_event_values",
     "drift_embedding_centroid", "store_cdc_changes",
     "streaming_trend_ols", "corpus_shuffle_interleaved",
     "heavy_hitter_tokens_by_lang", "streaming_hll_distinct",
-    "hilbert_events_hvalues", "dialect_parity_sweep5",
-    "pack_sequences_concat", "streaming_scd2_history",
-    "scd2_asof_events", "embedding_norm_anomaly",
+    "hilbert_events_hvalues", "pack_sequences_concat",
+    "streaming_scd2_history", "scd2_asof_events",
+    "embedding_norm_anomaly",
+    # --- 9 remaining slots: r9 additions displace these big-surface
+    # once-green backlog names one-for-one as they land (same policy as
+    # r7/r8); whatever placeholders survive get their second greens ---
+    "graph_pagerank_transactions", "graph_trustrank_suppliers",
+    "bpe_learn_merges", "dsir_resample_docs",
+    "dedup_substring_removal", "semantic_dedup_keep",
+    "decontam_embedding", "rollup_incremental_refresh",
+    "curation_select_v2",
 )
 
-# Rotation plan for round 9: after r8 the never-driver-checked backlog
-# should again be only any r8 additions that landed past the cap. The r9
-# window: 4 sentinels + that backlog + second greens for the r8
-# additions + the second-pass names the r8 additions displaced
-# (dialect_retention, dialect_parity_datetime_bits, text_ngram_diversity,
-# text_zipf_slope, ingest_csv_typed, ingest_orc_roundtrip,
-# dialect_argmax_argmin, drift_ks_event_values, quantile_sketch_totalprice,
-# sequence_count_conversion_cycles, heavy_hitter_parts_weighted,
-# funnel_tight_window, corpus_health_report,
-# sequence_match_click_to_purchase, streaming_drift_psi,
-# drift_psi_event_values, dialect_uniq_upto first) + third
-# greens for low-pass-count families as slots allow. Steady state from
-# here: sentinels + newest additions + the lowest-green-count backlog.
+# Rotation plan for round 10: second greens for any r9 additions +
+# the placeholder names r9 additions displaced + the remaining ~100
+# once-green backlog in big-surface-first order. Steady state: sentinels
+# + newest additions + the lowest-green-count backlog.
 
 
 def _ordered() -> dict[str, QueryDef]:

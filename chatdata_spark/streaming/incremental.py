@@ -246,11 +246,15 @@ def stream_cms_merge(
 
     Exactly-once, not just effectively-once: unlike the upsert store
     (idempotent merge), CMS merge DOUBLE-COUNTS on a batch replay, so
-    each version carries the committing ``batch_id`` inside the sketch
-    itself — the guard is atomic with the version swap (same parquet
-    commit), and a foreachBatch retry of an already-committed batch is
-    skipped (the Delta txn-version idiom on the versioned-parquet
-    store)."""
+    each version carries the committing ``batch_id`` in its sidecar META
+    (``store.write(..., meta=...)`` — committed by the same atomic
+    pointer swap as the data), and a foreachBatch retry of an
+    already-committed batch is skipped (the Delta txn-version idiom on
+    the versioned-parquet store). The guard reads ``read_meta()``'s
+    scalar, NOT an aggregated column over rows: a max-over-rows read
+    rested on an implicit single-writer assumption — a crashed run's
+    version interleaving with another writer could satisfy the >= check
+    while the state itself was stale (ADVICE r8)."""
     from chatdata_spark.operators.cms import cms_build, cms_merge
 
     stream = spark.readStream.schema(schema).parquet(input_dir)
@@ -260,14 +264,13 @@ def stream_cms_merge(
             return
         sk = cms_build(batch_df, item_col, depth=depth, width=width)
         if store.exists():
-            prev = store.read()
-            applied = prev.agg(F.max("last_batch")).collect()[0][0]
+            applied = store.read_meta().get("last_batch")
             if applied is not None and applied >= batch_id:
                 return  # replay of a committed batch — re-merging would double-count
-            merged = cms_merge(prev.drop("last_batch"), sk)
-            store.write(merged.withColumn("last_batch", F.lit(batch_id)))
+            merged = cms_merge(store.read().drop("last_batch"), sk)
         else:
-            store.write(sk.withColumn("last_batch", F.lit(batch_id)))
+            merged = sk
+        store.write(merged, meta={"last_batch": batch_id})
 
     (
         stream.writeStream.foreachBatch(apply_batch)
@@ -299,8 +302,10 @@ def stream_histogram_merge(
     all drained files — which is exactly what the streaming_drift_psi
     oracle (the batch PSI oracle, verbatim) checks. Replay guard: like
     the CMS store, count merge double-counts on a batch replay, so each
-    version carries the committing ``batch_id`` atomically with the swap
-    and a retry of a committed batch is skipped."""
+    version carries the committing ``batch_id`` in its sidecar meta
+    (atomic with the pointer swap; read back as ``read_meta()``'s
+    scalar, not a max over rows — ADVICE r8) and a retry of a committed
+    batch is skipped."""
     from chatdata_spark.operators.drift import hist_counts
 
     stream = spark.readStream.schema(schema).parquet(input_dir)
@@ -310,19 +315,18 @@ def stream_histogram_merge(
             return
         h = hist_counts(batch_df, value_col, edges, out="n")
         if store.exists():
-            prev = store.read()
-            applied = prev.agg(F.max("last_batch")).collect()[0][0]
+            applied = store.read_meta().get("last_batch")
             if applied is not None and applied >= batch_id:
                 return  # replay of a committed batch — re-merging double-counts
             merged = (
-                prev.drop("last_batch")
+                store.read().drop("last_batch")
                 .unionByName(h)
                 .groupBy("bin")
                 .agg(F.sum("n").alias("n"))
             )
-            store.write(merged.withColumn("last_batch", F.lit(batch_id)))
         else:
-            store.write(h.withColumn("last_batch", F.lit(batch_id)))
+            merged = h
+        store.write(merged, meta={"last_batch": batch_id})
 
     (
         stream.writeStream.foreachBatch(apply_batch)
@@ -408,8 +412,9 @@ def stream_mg_merge(
     mass, with the merged-undercount bound <= W_total/(k+1)
     (runs DRIVER-side in foreachBatch — package imports are safe here,
     unlike worker closures). Count merge is additive, so a replayed
-    batch double-counts: the batch_id guard (the CMS convention) skips
-    committed batches."""
+    batch double-counts: the batch_id guard (the CMS convention — the
+    committing batch_id lives in the version's sidecar meta, atomic with
+    the pointer swap, ADVICE r8) skips committed batches."""
     from pyspark.sql import Window
 
     stream = spark.readStream.schema(schema).parquet(input_dir)
@@ -425,12 +430,12 @@ def stream_mg_merge(
         else:
             bc = items.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
         if store.exists():
-            prev = store.read()
-            applied = prev.agg(F.max("last_batch")).collect()[0][0]
+            applied = store.read_meta().get("last_batch")
             if applied is not None and applied >= batch_id:
                 return  # replay of a committed batch — re-merging double-counts
+            prev = store.read().drop("last_batch")
             merged = (
-                prev.drop("last_batch")
+                prev
                 .unionByName(bc.withColumn("cnt", F.col("cnt").cast(dict(prev.dtypes)["cnt"])))
                 .groupBy("item")
                 .agg(F.sum("cnt").alias("cnt"))
@@ -460,7 +465,7 @@ def stream_mg_merge(
             )
             .filter(F.col("cnt") > 0)
         )
-        store.write(compressed.withColumn("last_batch", F.lit(batch_id)))
+        store.write(compressed, meta={"last_batch": batch_id})
 
     (
         stream.writeStream.foreachBatch(apply_batch)
@@ -488,7 +493,9 @@ def stream_moments_merge(
     commutative, so the merged state provably equals the one-shot batch
     state over the same rows (the batch-parity oracle's claim); like the
     CMS/histogram merges the state is ADDITIVE, so a replayed micro-batch
-    would double-count — the batch_id guard (the CMS convention) skips
+    would double-count — the batch_id guard (the CMS convention: the
+    committing batch_id rides in the version's sidecar meta, atomic with
+    the pointer swap, read back via ``read_meta()`` — ADVICE r8) skips
     committed batches.
 
     ``int_col_fn``: batch DataFrame -> Column of the INTEGER-scaled value
@@ -503,14 +510,13 @@ def stream_moments_merge(
             return
         bm = exact_moments(batch_df, group_cols, int_col_fn(batch_df))
         if store.exists():
-            prev = store.read()
-            applied = prev.agg(F.max("last_batch")).collect()[0][0]
+            applied = store.read_meta().get("last_batch")
             if applied is not None and applied >= batch_id:
                 return  # replay of a committed batch — re-adding double-counts
-            merged = merge_moments([prev.drop("last_batch"), bm], group_cols)
+            merged = merge_moments([store.read().drop("last_batch"), bm], group_cols)
         else:
             merged = bm
-        store.write(merged.withColumn("last_batch", F.lit(batch_id)))
+        store.write(merged, meta={"last_batch": batch_id})
 
     (
         stream.writeStream.foreachBatch(apply_batch)
@@ -536,7 +542,8 @@ def stream_ols_merge(
     the versioned store — 5 numbers per group forever, the trend
     monitor's streaming half. Same additive-state contract as
     stream_moments_merge: batch parity by associativity/commutativity of
-    integer addition, batch_id replay guard against double-counting.
+    integer addition, sidecar-meta batch_id replay guard against
+    double-counting (ADVICE r8).
 
     ``xy_col_fn``: batch DataFrame -> (x Column, y Column), both
     integer-valued (runs driver-side in foreachBatch)."""
@@ -550,14 +557,13 @@ def stream_ols_merge(
         x, y = xy_col_fn(batch_df)
         bm = ols_moments(batch_df, group_cols, x, y)
         if store.exists():
-            prev = store.read()
-            applied = prev.agg(F.max("last_batch")).collect()[0][0]
+            applied = store.read_meta().get("last_batch")
             if applied is not None and applied >= batch_id:
                 return  # replay of a committed batch — re-adding double-counts
-            merged = merge_ols_moments([prev.drop("last_batch"), bm], group_cols)
+            merged = merge_ols_moments([store.read().drop("last_batch"), bm], group_cols)
         else:
             merged = bm
-        store.write(merged.withColumn("last_batch", F.lit(batch_id)))
+        store.write(merged, meta={"last_batch": batch_id})
 
     (
         stream.writeStream.foreachBatch(apply_batch)

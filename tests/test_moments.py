@@ -119,3 +119,32 @@ def test_constant_group_std_is_zero_not_nan(spark):
     df = _df(spark, [("c", 7)] * 13)
     r = zscore_report(df, ["g"], "v", scale=1).collect()[0]
     assert r.std == 0.0 and r.n_outliers == 0 and r.mean == 7.0
+
+
+def test_outlier_domain_guard_raises_at_overflow_boundary(spark):
+    """r8 verdict #3: beyond max(4,z^2)*n^2*s2 >= 1e37 the all-integer
+    predicate would overflow DECIMAL(38,0) (Spark ANSI throw / DuckDB
+    HUGEINT overflow) — the guard must raise its OWN clear error first."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from chatdata_spark.operators.moments import count_outliers, exact_moments
+
+    # v = 1e18, n = 2 -> s2 = 2e36; 4 * 4 * 2e36 = 3.2e37 >= 1e37
+    df = _df(spark, [("a", 10**18), ("a", -(10**18))])
+    m = exact_moments(df, ["g"], "v")
+    with pytest.raises(SparkRuntimeException, match="DECIMAL.38,0. domain"):
+        count_outliers(df, m, ["g"], "v").collect()
+
+
+def test_outlier_predicate_in_domain_near_guard(spark):
+    """Just under the guard threshold the exact predicate must still run
+    overflow-free: v ~ 1e17, n = 3 -> max(4,9)*9*s2 ~ 2.7e36 < 1e37, and
+    lhs^2 ~ (2e17)^2 = 4e34 fits DECIMAL(38,0) comfortably."""
+    from chatdata_spark.operators.moments import count_outliers, exact_moments
+
+    df = _df(spark, [("a", 10**17), ("a", -(10**17)), ("a", 0)])
+    m = exact_moments(df, ["g"], "v")
+    rows = count_outliers(df, m, ["g"], "v").collect()
+    # symmetric two-point +0 distribution: nothing beyond 3 sigma
+    assert rows == [] or rows[0].n_outliers == 0

@@ -11,30 +11,37 @@ DRIVER_CAP = 50
 
 MUST_BE_DRIVER_CHECKED = {
     # Flagships that have NOT yet banked two green driver rounds, plus one
-    # kept sentinel per core family. r8 executes the r7 verdict's plan:
-    # the never-driver-checked backlog (the four r7-tail additions) gets
-    # first driver checks and the deferred TPC-H middles get their second
-    # greens (rotation policy in registry.DRIVER_WINDOW's comment); r8
-    # additions are appended here in the commit that registers them.
+    # kept sentinel per core family. r9 executes the r8 verdict's plan:
+    # the fixed dialect_parity_sweep5 re-checks first, the 16 names the
+    # r8 additions displaced plus dialect_uniq_upto and the four r7-tail
+    # additions get their second greens, and the 15 green r8 additions
+    # bank theirs (rotation policy in registry.DRIVER_WINDOW's comment);
+    # r9 additions are appended here in the commit that registers them.
     # kept sentinels
     "knn_topk", "dialect_knn", "dedup_minhash_lsh", "text_profile",
-    # the never-driver-checked backlog — first driver checks in r8
+    # the r8 red, fixed in r9 (array output serialized) — must re-check
+    "dialect_parity_sweep5",
+    # second greens for the names the r8 additions displaced
+    "dialect_retention", "dialect_parity_datetime_bits",
+    "text_ngram_diversity", "text_zipf_slope", "ingest_csv_typed",
+    "ingest_orc_roundtrip", "dialect_argmax_argmin",
+    "drift_ks_event_values", "quantile_sketch_totalprice",
+    "sequence_count_conversion_cycles", "heavy_hitter_parts_weighted",
+    "funnel_tight_window", "corpus_health_report",
+    "sequence_match_click_to_purchase", "streaming_drift_psi",
+    "drift_psi_event_values", "dialect_uniq_upto",
+    # second greens for the r7-tail additions first-checked in r8
     "zorder_events_zvalues", "streaming_heavy_hitter_revenue",
     "drift_ks_by_source", "store_kb_scoped_knn",
-    # the deferred TPC-H second greens
-    "q12_priority_by_linestatus", "q16_supplier_part_counts",
-    "q15_top_supplier", "q14_promo_revenue", "q11_important_parts",
-    "q10_returned_items", "q6_forecast_revenue", "q4_order_priority",
-    "q18_large_volume_customer",
-    # r8 additions (driver-verified in-round)
+    # second greens for the 15 green r8 additions
     "anomaly_zscore_event_values", "streaming_zscore_anomaly",
     "hll_distinct_deterministic", "trend_ols_event_values",
     "drift_embedding_centroid", "store_cdc_changes",
     "streaming_trend_ols", "corpus_shuffle_interleaved",
     "heavy_hitter_tokens_by_lang", "streaming_hll_distinct",
-    "hilbert_events_hvalues", "dialect_parity_sweep5",
-    "pack_sequences_concat", "streaming_scd2_history",
-    "scd2_asof_events", "embedding_norm_anomaly",
+    "hilbert_events_hvalues", "pack_sequences_concat",
+    "streaming_scd2_history", "scd2_asof_events",
+    "embedding_norm_anomaly",
 }
 
 

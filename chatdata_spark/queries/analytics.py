@@ -1001,3 +1001,74 @@ def hilbert_events_hvalues(spark, sf_dir):
         linear_bucket(F.col("value"), row.lo, row.hi).alias("vb"),
     )
     return with_hilbert(base, F.col("ub"), F.col("vb"), out="h").orderBy("event_id")
+
+
+def _morton3_expected() -> str:
+    """Lazy oracle for morton3d_events_zvalues: replays the frozen-[lo,hi]
+    linear bucket and the bits×3 shift-OR interleave
+    (operators/layout.py::morton_nd_sql_expr) — every term an exact
+    BIGINT op in both engines."""
+    import duckdb
+
+    from chatdata_spark.catalog import oracle_sf_dir
+    from chatdata_spark.operators.layout import morton_nd_sql_expr
+
+    lo, hi = duckdb.sql(
+        f"SELECT min(value), max(value) FROM read_parquet('{oracle_sf_dir()}/events.parquet') "
+        # same dual non-null filter as the Spark side (the layout-oracle
+        # [lo,hi] convention, ADVICE r8)
+        "WHERE value IS NOT NULL AND user_id IS NOT NULL"
+    ).fetchall()[0]
+    top = 65535.0
+    vb = (
+        f"LEAST(GREATEST(CAST(FLOOR((CAST(value AS DOUBLE) - {float(lo)!r}) * {top!r} "
+        f"/ {float(hi) - float(lo)!r}) AS BIGINT), 0), 65535)"
+    )
+    z = morton_nd_sql_expr(["ub", "vb", "hb"], bits=16)
+    return f"""
+    WITH base AS (
+        SELECT event_id, user_id AS ub, {vb} AS vb,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hb
+        FROM events WHERE event_id < 50 AND value IS NOT NULL AND user_id IS NOT NULL
+    )
+    SELECT event_id, ub, vb, hb, {z} AS z3
+    FROM base ORDER BY event_id
+    """
+
+
+@query("morton3d_events_zvalues", oracle=_morton3_expected)
+def morton3d_events_zvalues(spark, sf_dir):
+    """THREE-dimensional Morton clustering key (r8 verdict item 7: a
+    100 TB layout job commonly clusters 3-4 dims, and the 2-D
+    morton_interleave/hilbert pair stopped there): z3 over (user_id,
+    16-bit linear value bucket, hour-of-day) via
+    operators/layout.py::morton_nd — bit b of dimension i lands at
+    position 3b+i, so per-file z-ranges bound ALL THREE dimensions'
+    spans and parquet min/max stats prune scans filtered on any of them
+    (pinned by tests/test_layout.py::test_zorder_write_3d_prunes_all_dims;
+    zorder_write now routes 3+ bucket columns here, shrinking bits/dim
+    to fit BIGINT). Same frozen-[lo,hi] bucket convention as the 2-D
+    queries; the whole key is bits×3 constant-shift OR-terms in
+    whole-stage codegen and the oracle replays it bit-exactly. Hilbert
+    stays 2-D by contract (rotate-reflect recurrence; zorder_write
+    raises for curve='hilbert' at 3+ dims)."""
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.layout import linear_bucket, morton_nd
+
+    e = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    row = e.agg(
+        F.min(F.col("value").cast("double")).alias("lo"),
+        F.max(F.col("value").cast("double")).alias("hi"),
+    ).collect()[0]
+    base = e.filter(F.col("event_id") < 50).select(
+        "event_id",
+        F.col("user_id").alias("ub"),
+        linear_bucket(F.col("value"), row.lo, row.hi).alias("vb"),
+        F.hour("ts").cast("long").alias("hb"),
+    )
+    return base.select(
+        "event_id", "ub", "vb", "hb",
+        morton_nd(["ub", "vb", "hb"], bits=16).alias("z3"),
+    ).orderBy("event_id")

@@ -120,7 +120,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "bpe_learn_merges", "dsir_resample_docs",
     "dedup_substring_removal", "semantic_dedup_keep",
     "decontam_embedding", "rollup_incremental_refresh",
-    "curation_select_v2",
+    # --- r9 additions, driver-verified in-round (each displaced one
+    # placeholder above) ---
+    "morton3d_events_zvalues",
 )
 
 # Rotation plan for round 10: second greens for any r9 additions +

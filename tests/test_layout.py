@@ -280,3 +280,86 @@ def test_hilbert_write_bounds_both_dims_at_least_as_well_as_morton(spark, tmp_pa
 
     with pytest.raises(ValueError, match="curve"):
         zorder_write(df, str(tmp_path / "x"), buckets, num_files=2, curve="peano")
+
+
+def test_morton_nd_matches_python_reference(spark):
+    from chatdata_spark.operators.layout import morton_nd, morton_nd_py
+
+    rows = [(i, (i * 37) % 65536, (i * 7919) % 65536, i % 24) for i in range(500)]
+    df = spark.createDataFrame(rows, "i long, a long, b long, c long")
+    got = {
+        r.i: r.z
+        for r in df.select("i", morton_nd(["a", "b", "c"], bits=16).alias("z")).collect()
+    }
+    for i, a, b, c in rows:
+        assert got[i] == morton_nd_py([a, b, c], bits=16)
+
+
+def test_morton_nd_2d_agrees_with_magic_shift(spark):
+    # the general form must reduce to morton_interleave at n=2
+    from chatdata_spark.operators.layout import morton_interleave, morton_nd
+
+    rows = [((i * 131) % 65536, (i * 37) % 65536) for i in range(300)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    r = df.select(
+        (morton_nd(["a", "b"]) == morton_interleave(F.col("a"), F.col("b"))).alias("eq")
+    ).agg(F.min("eq")).collect()[0][0]
+    assert r is True
+
+
+def test_morton_nd_bigint_width_guard():
+    import pytest
+
+    from chatdata_spark.operators.layout import morton_nd
+
+    with pytest.raises(ValueError, match="exceeds 63"):
+        morton_nd(["a", "b", "c", "d"], bits=16)
+
+
+def test_zorder_write_3d_prunes_all_dims(spark, tmp_path):
+    """3-D Morton layout (morton_nd): a selective range on ANY of the
+    three clustered dims skips at least half the files."""
+    from chatdata_spark.operators.layout import linear_bucket, zorder_write
+
+    n = 24000
+    rows = [
+        (i, i % 199, float((i * 7919) % 10000), (i * 31) % 24) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "i long, u long, v double, h long")
+    zpath = str(tmp_path / "z3")
+    zorder_write(
+        df, zpath,
+        (
+            linear_bucket(F.col("u"), 0, 198),
+            linear_bucket(F.col("v"), 0.0, 9999.0),
+            linear_bucket(F.col("h"), 0, 23),
+        ),
+        num_files=16,
+    )
+    for col, lo, hi in (("u", 10, 40), ("v", 100.0, 1500.0), ("h", 2, 5)):
+        hit, total = _files_hit(zpath, col, lo, hi)
+        assert hit <= total // 2, f"{col} hit {hit}/{total}"
+    assert spark.read.parquet(zpath).count() == n
+
+
+def test_zorder_write_hilbert_is_2d_only(spark, tmp_path):
+    import pytest
+
+    from chatdata_spark.operators.layout import zorder_write
+
+    df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
+    with pytest.raises(ValueError, match="2-D only"):
+        zorder_write(
+            df, str(tmp_path / "h3"),
+            (F.col("a"), F.col("b"), F.col("c")), curve="hilbert",
+        )
+
+
+def test_with_hilbert_rejects_reserved_name_collision(spark):
+    import pytest
+
+    from chatdata_spark.operators.layout import with_hilbert
+
+    df = spark.createDataFrame([(1, 2, 0)], "a long, b long, __hx long")
+    with pytest.raises(ValueError, match="reserved state names"):
+        with_hilbert(df, F.col("a"), F.col("b"))

@@ -373,6 +373,29 @@ class VectorSQLDialect:
             "uniqExact": lambda a: f"count(DISTINCT {a[0]})",
             "bitShiftLeft": lambda a: f"shiftleft({a[0]}, {a[1]})",
             "bitShiftRight": lambda a: f"shiftright({a[0]}, {a[1]})",
+            # r9 parity sweep #6: aggregate -If combinators + grouped bit
+            # aggregates + OrZero scalars + bankers rounding
+            "minIf": lambda a: f"min(CASE WHEN {a[1]} THEN {a[0]} END)",
+            "maxIf": lambda a: f"max(CASE WHEN {a[1]} THEN {a[0]} END)",
+            # CASE's implicit ELSE NULL + COUNT DISTINCT's null-skip give
+            # exactly CH's "count condition-passing distinct values"
+            "uniqExactIf": lambda a: f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)",
+            "groupBitAnd": lambda a: f"bit_and({a[0]})",
+            "groupBitOr": lambda a: f"bit_or({a[0]})",
+            "groupBitXor": lambda a: f"bit_xor({a[0]})",
+            "intDivOrZero": lambda a: (
+                f"(CASE WHEN ({a[1]}) = 0 THEN 0 ELSE ({a[0]}) div ({a[1]}) END)"
+            ),
+            "moduloOrZero": lambda a: (
+                f"(CASE WHEN ({a[1]}) = 0 THEN 0 ELSE ({a[0]}) % ({a[1]}) END)"
+            ),
+            # half-even; oracle twin is DuckDB round_even. Spark bround
+            # goes through the double's SHORTEST-STRING repr, so only feed
+            # it binary-exact grids (x/2^k) — a "0.15"-style repr tie
+            # diverges from DuckDB's exact-binary-value rounding
+            "roundBankers": lambda a: (
+                f"bround({a[0]}, {a[1]})" if len(a) > 1 else f"bround({a[0]})"
+            ),
         }
 
         def multi_if(a: list[str]) -> str:

@@ -505,3 +505,64 @@ def dialect_parity_sweep5(spark, sf_dir):
     FROM events PREWHERE event_id < 40 ORDER BY event_id
     """
     return spark.sql(DIALECT.translate(ch_sql))
+
+
+@query(
+    "dialect_parity_sweep6",
+    oracle="""
+    SELECT l_returnflag,
+           min(CASE WHEN l_discount > 0.05 THEN l_quantity END) AS min_q_disc,
+           max(CASE WHEN l_discount > 0.05 THEN l_quantity END) AS max_q_disc,
+           CAST(COUNT(DISTINCT CASE WHEN l_tax > 0.03 THEN l_suppkey END) AS BIGINT)
+               AS n_supp_taxed,
+           bit_and(l_orderkey) AS and_ok,
+           bit_or(l_orderkey) AS or_ok,
+           bit_xor(l_orderkey) AS xor_ok,
+           CAST(SUM(CASE WHEN l_discount <= 0.05 THEN
+               (CASE WHEN (l_linenumber - 1) = 0 THEN 0
+                     ELSE l_partkey // (l_linenumber - 1) END) END) AS BIGINT)
+               AS div_sum,
+           CAST(COUNT(*) FILTER (WHERE
+               (CASE WHEN (l_linenumber - 1) = 0 THEN 0
+                     ELSE l_partkey % (l_linenumber - 1) END) = 0) AS BIGINT)
+               AS mod_zero_rows,
+           CAST(SUM(CAST(round_even(l_quantity / 8, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               AS q8_sum
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def dialect_parity_sweep6(spark, sf_dir):
+    """§2.9 parity sweep #6 (r9): the aggregate -If combinator family
+    (minIf / maxIf / uniqExactIf — CASE-ELSE-NULL translations whose
+    null-skip semantics match ClickHouse's condition-filtered aggregates
+    exactly) + grouped bit aggregates (groupBitAnd/Or/Xor ≡ Spark
+    bit_and/bit_or/bit_xor ≡ the DuckDB aggregates of the same names) +
+    the OrZero division scalars (intDivOrZero / moduloOrZero — CH's
+    total-function variants, translated to guarded CASE so ANSI Spark
+    never throws on the zero denominators l_linenumber-1 actually
+    produces) + roundBankers (Spark bround / DuckDB round_even, fed a
+    binary-exact l_quantity/8 grid so half-even ties agree bit-for-bit
+    across Spark's shortest-string and DuckDB's exact-binary rounding
+    paths — the float32-decimal CLAUDE.md gotcha's double cousin),
+    all through the rename pass over lineitem. Money-style sum goes
+    through the exact DECIMAL convention; counts pinned BIGINT both
+    sides (HUGEINT sweep guard)."""
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView(
+        "lineitem"
+    )
+    ch_sql = """
+    SELECT l_returnflag,
+           minIf(l_quantity, l_discount > 0.05) AS min_q_disc,
+           maxIf(l_quantity, l_discount > 0.05) AS max_q_disc,
+           uniqExactIf(l_suppkey, l_tax > 0.03) AS n_supp_taxed,
+           groupBitAnd(l_orderkey) AS and_ok,
+           groupBitOr(l_orderkey) AS or_ok,
+           groupBitXor(l_orderkey) AS xor_ok,
+           sumIf(intDivOrZero(l_partkey, l_linenumber - 1), l_discount <= 0.05)
+               AS div_sum,
+           countIf(moduloOrZero(l_partkey, l_linenumber - 1) = 0) AS mod_zero_rows,
+           toFloat64(sum(toDecimal64(toString(roundBankers(l_quantity / 8, 2)), 2)))
+               AS q8_sum
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+    return spark.sql(DIALECT.translate(ch_sql))

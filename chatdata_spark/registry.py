@@ -119,10 +119,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "graph_pagerank_transactions", "graph_trustrank_suppliers",
     "bpe_learn_merges", "dsir_resample_docs",
     "dedup_substring_removal", "semantic_dedup_keep",
-    "decontam_embedding", "rollup_incremental_refresh",
+    "decontam_embedding",
     # --- r9 additions, driver-verified in-round (each displaced one
     # placeholder above) ---
-    "morton3d_events_zvalues",
+    "morton3d_events_zvalues", "dialect_parity_sweep6",
 )
 
 # Rotation plan for round 10: second greens for any r9 additions +

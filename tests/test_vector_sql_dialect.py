@@ -216,3 +216,33 @@ def test_r8_sweep5_executes(spark):
         )
     ).collect()[0]
     assert row2.ymd == 20240309 and str(row2.nxt) == "2024-03-10 00:30:00"
+
+
+def test_r9_sweep6_renames_translate():
+    out = D.translate(
+        "SELECT minIf(v, c), maxIf(v, c), uniqExactIf(v, c), groupBitAnd(v), "
+        "groupBitOr(v), groupBitXor(v), intDivOrZero(a, b - 1), "
+        "moduloOrZero(a, b - 1), roundBankers(x, 2) FROM t"
+    )
+    assert "min(CASE WHEN c THEN v END)" in out
+    assert "max(CASE WHEN c THEN v END)" in out
+    assert "count(DISTINCT CASE WHEN c THEN v END)" in out
+    assert "bit_and(v)" in out and "bit_or(v)" in out and "bit_xor(v)" in out
+    # args must be re-parenthesized: `a div b - 1` would parse as
+    # `(a div b) - 1` (the sweep6 first-replay bug)
+    assert "(CASE WHEN (b - 1) = 0 THEN 0 ELSE (a) div (b - 1) END)" in out
+    assert "(CASE WHEN (b - 1) = 0 THEN 0 ELSE (a) % (b - 1) END)" in out
+    assert "bround(x, 2)" in out
+
+
+def test_r9_sweep6_executes(spark):
+    row = spark.sql(
+        D.translate(
+            "SELECT intDivOrZero(7, 0) AS d0, intDivOrZero(7, 2) AS d2, "
+            "moduloOrZero(7, 0) AS m0, moduloOrZero(7, 3) AS m3, "
+            "roundBankers(2.5, 0) AS rb, roundBankers(3.5, 0) AS rb2"
+        )
+    ).collect()[0]
+    assert (row.d0, row.d2, row.m0, row.m3) == (0, 3, 0, 1)
+    # half-even: 2.5 -> 2, 3.5 -> 4
+    assert (row.rb, row.rb2) == (2.0, 4.0)

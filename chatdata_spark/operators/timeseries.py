@@ -549,3 +549,81 @@ def ols_from_moments(m: DataFrame, y_scale: int = 1) -> DataFrame:
         F.when(den > 0, slope_num.cast("double") / den_s).alias("slope"),
         F.when(den > 0, icpt_num.cast("double") / den_s).alias("intercept"),
     )
+
+
+def fill_gaps(
+    observed: DataFrame,
+    dims: DataFrame,
+    bucket_col: str,
+    lo,
+    hi,
+    step_expr: str = "INTERVAL 1 HOUR",
+    fill: dict | None = None,
+) -> DataFrame:
+    """Dense time grid with gap filling — the ClickHouse ``ORDER BY ...
+    WITH FILL FROM lo TO hi STEP step`` role (docs/vector-sql.md query
+    shapes assume densified series), re-expressed relationally: generate
+    the full bucket sequence once (``F.sequence`` on a single-row frame —
+    no scan), cross the |dims|-row dimension frame (broadcast by size),
+    left-join the observed aggregates on (dims..., bucket) and COALESCE
+    the fill values in.
+
+    ``observed``: aggregated frame keyed by dims' columns + ``bucket_col``;
+    ``dims``: the distinct dimension combinations to densify (its columns
+    define the join key with ``bucket_col``); ``lo``/``hi``: Column
+    scalars or literals bounding the grid (inclusive); ``fill``: column →
+    fill literal (unfilled columns stay NULL, the WITH FILL default).
+
+    Scale shape: the grid is |dims| x |buckets| rows built from a 1-row
+    sequence + a broadcast dim frame — the only corpus-sized work is the
+    caller's aggregation; the grid join shuffles grid-sized (small)
+    frames only when dims outgrow broadcast."""
+    from pyspark.sql import functions as F
+
+    spark = observed.sparkSession
+    grid_row = spark.range(1).select(
+        F.explode(
+            F.sequence(F.lit(lo) if not isinstance(lo, Column) else lo,
+                       F.lit(hi) if not isinstance(hi, Column) else hi,
+                       F.expr(step_expr))
+        ).alias(bucket_col)
+    )
+    grid = dims.crossJoin(grid_row)
+    out = grid.join(observed, [*dims.columns, bucket_col], "left")
+    for c, v in (fill or {}).items():
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+    return out
+
+
+def locf(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    out: str | None = None,
+):
+    """Last-observation-carried-forward over NULL gaps (the WITH FILL
+    INTERPOLATE / sensor-backfill role): one window pass per key ordered
+    by ``order_cols``, ``last(value, ignorenulls=True)`` over the
+    unbounded-preceding frame. Leading NULLs (no prior observation) stay
+    NULL. Returns ``df`` with the filled column appended as ``out``
+    (default ``{value_col}_filled``).
+
+    DuckDB twin: ``LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY ...
+    ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)`` —
+    a pure selection, so float values replay bit-exactly. Order cols
+    must include a unique tiebreak or both engines' fills are
+    tie-order-dependent. One shuffle on the key; the hot-key caveat and
+    slice mitigation of the other window operators apply."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumn(
+        out or f"{value_col}_filled",
+        F.last(value_col, ignorenulls=True).over(w),
+    )

@@ -733,3 +733,102 @@ def trend_ols_event_values(spark, sf_dir):
     x = F.date_diff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
     y = (F.col("value").cast("decimal(18,2)") * F.lit(100)).cast("bigint")
     return ols_trend(e, ["event_type"], x, y, y_scale=100).orderBy("event_type")
+
+
+@query(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        FROM events
+    ),
+    dims AS (SELECT DISTINCT event_type FROM events),
+    grid AS (
+        SELECT d.event_type, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS bucket
+        FROM dims d, bounds b
+    ),
+    obs AS (
+        SELECT event_type, date_trunc('hour', ts) AS bucket, COUNT(*) AS n_obs
+        FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.bucket,
+           CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n
+    FROM grid g LEFT JOIN obs o
+      ON g.event_type = o.event_type AND g.bucket = o.bucket
+    ORDER BY g.event_type, g.bucket
+    """,
+)
+def timeseries_gap_fill(spark, sf_dir):
+    """Dense hourly series with zero-filled gaps — the ClickHouse
+    ``ORDER BY ... WITH FILL STEP INTERVAL 1 HOUR`` role
+    (operators/timeseries.py::fill_gaps): hourly event counts per type
+    over the full [min,max] hour range, empty hours present with n=0.
+    The grid builds from ONE 1-row sequence + the broadcast |types|
+    dim frame; the only corpus-sized work is the count aggregate — at
+    100 TB the grid stays |types| x |hours| rows regardless of event
+    volume. Bounds are derived in-query by exact timestamp selection
+    (min/max + date_trunc — identical in both engines), so no frozen
+    literals are needed."""
+    from chatdata_spark.operators.timeseries import fill_gaps
+
+    e = load_events(spark, sf_dir)
+    b = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    ).collect()[0]
+    obs = (
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    dims = e.select("event_type").distinct()
+    filled = fill_gaps(obs, dims, "bucket", b.lo, b.hi, "INTERVAL 1 HOUR")
+    return (
+        filled.select(
+            "event_type", "bucket",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@query(
+    "events_locf_fill",
+    oracle="""
+    WITH masked AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_id % 7 < 2 THEN NULL ELSE value END AS v_raw
+        FROM events WHERE user_id IS NOT NULL AND user_id < 30
+    )
+    SELECT event_id, user_id, v_raw,
+           LAST_VALUE(v_raw IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS v_fill
+    FROM masked ORDER BY user_id, event_id
+    """,
+)
+def events_locf_fill(spark, sf_dir):
+    """Last-observation-carried-forward gap fill (the WITH FILL
+    INTERPOLATE / sensor-backfill role, operators/timeseries.py::locf):
+    a deterministic mask (event_id % 7 < 2 -> NULL — the fixture's value
+    column has no natural NULLs) simulates dropped readings, then one
+    window pass per user carries the last non-null value forward;
+    leading NULLs stay NULL. Pure selection — float values replay
+    bit-exactly; (ts, event_id) gives the unique fill order both
+    engines require. One shuffle on user_id."""
+    from chatdata_spark.operators.timeseries import locf
+
+    e = load_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & (F.col("user_id") < 30)
+    )
+    masked = e.select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_id") % 7 < 2, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("v_raw"),
+    )
+    return (
+        locf(masked, "v_raw", ["user_id"], ["ts", "event_id"], out="v_fill")
+        .select("event_id", "user_id", "v_raw", "v_fill")
+        .orderBy("user_id", "event_id")
+    )

@@ -1195,16 +1195,13 @@ def pca_embedding_knn(spark, sf_dir):
     return scored.orderBy("dist2", "vec_id").limit(10)
 
 
-def _sq8_expected() -> str:
-    """Lazy oracle for sq8_quant_knn: derive the SAME per-dimension
+def _sq8_dist_sql() -> str:
+    """Shared SQ8 oracle machinery: derive the SAME per-dimension
     [min,max]→[0,255] grid from the oracle-scale embeddings (min/max are
     data-element selections — identical in both engines; the step
     division is done ONCE here in Python float64 and the resulting
     literals drive both this SQL and, by construction, the Spark plan),
-    then replay encode + the integer symmetric distance + tie-broken
-    top-k entirely in SQL."""
-    import math
-
+    and return the integer symmetric-distance SQL expression."""
     import duckdb
 
     from chatdata_spark.operators.sq8 import LEVELS, sq8_code_query
@@ -1236,13 +1233,61 @@ def _sq8_expected() -> str:
                 f" / {steps[d]!r} + 0.5) AS INT), 0), {LEVELS})"
             )
         terms.append(f"({qcodes[d]} - {code}) * ({qcodes[d]} - {code})")
-    dist = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _sq8_expected() -> str:
+    """Lazy oracle for sq8_quant_knn: replay encode + the integer
+    symmetric distance + tie-broken top-k entirely in SQL (grid
+    derivation shared with the rerank twin via :func:`_sq8_dist_sql`)."""
+    dist = _sq8_dist_sql()
     return f"""
     SELECT vec_id, label, {dist} AS sq8_dist
     FROM embeddings WHERE embedding IS NOT NULL
     ORDER BY sq8_dist ASC, vec_id ASC
     LIMIT 12
     """
+
+
+def _sq8_rerank_expected() -> str:
+    """Lazy oracle for sq8_rerank_knn: replay the integer quantized
+    screen (top-50 by sq8_dist, vec_id) then the exact float64 cosine
+    rerank (round 6, tie-broken top-10) — the full production funnel in
+    SQL."""
+    dist = _sq8_dist_sql()
+    return f"""
+    WITH scored AS (
+        SELECT vec_id, label, embedding, {dist} AS sq8_dist
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    cand AS (
+        SELECT * FROM scored ORDER BY sq8_dist ASC, vec_id ASC LIMIT 50
+    )
+    SELECT vec_id, label, {_duck_cos('embedding', Q1)} AS dist
+    FROM cand ORDER BY dist ASC, vec_id ASC LIMIT 10
+    """
+
+
+@query("sq8_rerank_knn", oracle=_sq8_rerank_expected)
+def sq8_rerank_knn(spark, sf_dir):
+    """The SQ8 PRODUCTION funnel (operators/sq8.py::sq8_knn rerank=m —
+    the two-stage shape every quantized index really runs, the
+    reference's fp16+rerank posture, myscale_tables.py:35,63): the
+    all-integer symmetric-distance screen keeps top-50 in scan-stage
+    codegen (TakeOrderedAndProject — the cheap pass over ALL vectors),
+    then ONLY those 50 pay the exact float64 cosine, tie-broken top-10.
+    At 100 TB the screen is the corpus pass (4x compressed codes,
+    integer ALU) and the rerank cost is O(m·d) regardless of corpus
+    size. Deterministic end to end: the screen's candidate SET is
+    integer-exact and (sq8_dist, vec_id)-ordered, the rerank follows
+    the float64/round-6 distance convention, so the oracle replays both
+    stages verbatim. Recall vs exact search pinned in
+    tests/test_sq8.py."""
+    from chatdata_spark.operators.sq8 import sq8_knn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sq8_knn(emb, "embedding", Q1, dim=DIM, k=10, id_col="vec_id",
+                   select=["vec_id", "label"], rerank=50)
 
 
 @query("sq8_quant_knn", oracle=_sq8_expected)

@@ -118,11 +118,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # r7/r8); whatever placeholders survive get their second greens ---
     "graph_pagerank_transactions", "graph_trustrank_suppliers",
     "bpe_learn_merges", "dsir_resample_docs",
-    "dedup_substring_removal",
     # --- r9 additions, driver-verified in-round (each displaced one
     # placeholder above) ---
     "morton3d_events_zvalues", "dialect_parity_sweep6",
-    "timeseries_gap_fill", "events_locf_fill",
+    "timeseries_gap_fill", "events_locf_fill", "sq8_rerank_knn",
 )
 
 # Rotation plan for round 10: second greens for any r9 additions +

@@ -44,7 +44,7 @@ MUST_BE_DRIVER_CHECKED = {
     "embedding_norm_anomaly",
     # r9 additions (driver-verified in-round)
     "morton3d_events_zvalues", "dialect_parity_sweep6",
-    "timeseries_gap_fill", "events_locf_fill",
+    "timeseries_gap_fill", "events_locf_fill", "sq8_rerank_knn",
 }
 
 
@@ -166,8 +166,10 @@ def test_tail_is_deliberate():
     # 242→244 for timeseries_gap_fill (WITH FILL densification: 1-row
     # sequence grid + broadcast dims + left join) and events_locf_fill
     # (fill-forward window, LAST_VALUE IGNORE NULLS parity).
+    # 244→245 for sq8_rerank_knn (the SQ8 production funnel: integer
+    # screen top-50 → exact cosine rerank, both stages oracle-replayed).
     names = list(queries())
-    assert len(names) <= 244
+    assert len(names) <= 245
 
 
 def test_coverage_window_column_consistent():

@@ -427,6 +427,106 @@ def jaccard_similarity_join(
     )
 
 
+def containment_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | float | None = 0.01,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ASYMMETRIC containment near-dup pairs — c(i→j) = |sh_i ∩ sh_j| /
+    |sh_i| — the measure that catches SUB-document duplication (a doc
+    quoted wholesale inside a much larger one), which symmetric Jaccard
+    structurally misses: for |sh_j| ≫ |sh_i| full containment still has
+    jac ≈ |sh_i|/|sh_j| → 0. The LLM-curation use is boilerplate/quote
+    screening before training (containment ≥ t ⇒ the smaller doc adds
+    no novel n-grams).
+
+    Same count-from-the-index plan as :func:`jaccard_similarity_join`
+    (stop-split, bounded buckets, chained Generates, groupBy(i,j) count
+    — the shuffles are tokens→buckets and the pair count, both on
+    longs); only the prune and the score differ: the upper bound is
+    (common_ns + min(ns))/min(sz) ≥ round-matched threshold, and the
+    output reports both directions plus the max. Exactness contract is
+    the jaccard one verbatim: values exact, candidate completeness
+    weakens only for pairs whose every shared shingle is stop-frequent.
+
+    Output: (i, j, c_ij, c_ji, containment) with i < j,
+    c_ij = common/|sh_i|, containment = max(c_ij, c_ji) ≥ threshold."""
+    base = _with_shingle_hashes(df, id_col, text_col, k, persist=True)
+    tokens = base.select("id", F.explode("shh").alias("shingle"))
+    tl = F.lit(float(threshold))
+    stops: list[int] = []
+    if max_df is not None:
+        stop_key = (base.semanticHash(), k, max_df)
+        cached = _STOP_SETS.get(stop_key)
+        if cached is not None:
+            stops = cached
+        else:
+            if isinstance(max_df, float):
+                cap = max(int(-(-max_df * base.count() // 1)), 2)  # ceil, min 2
+            else:
+                cap = max_df
+            stops = [
+                r[0]
+                for r in tokens.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") > cap)
+                .select("shingle")
+                .collect()
+            ]
+            _memo_put(_STOP_SETS, stop_key, stops)
+    if stops:
+        nonstop = tokens.filter(~F.col("shingle").isin(stops))
+        docs = base.select(
+            "id", "sz", F.filter("shh", lambda x: x.isin(stops)).alias("stop_arr")
+        ).withColumn("n_stop", F.size("stop_arr"))
+    else:
+        nonstop = tokens
+        docs = base.select(
+            "id", "sz", F.array().cast("array<bigint>").alias("stop_arr")
+        ).withColumn("n_stop", F.lit(0))
+    buckets = (
+        nonstop.groupBy("shingle")
+        .agg(F.collect_list("id").alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    pairs = (
+        buckets.select("docs", F.posexplode("docs").alias("pa", "a"))
+        .select("a", F.expr("slice(docs, pa + 2, size(docs) - pa - 1)").alias("rest"))
+        .select("a", F.explode("rest").alias("b"))
+        .select(F.least("a", "b").alias("i"), F.greatest("a", "b").alias("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("common_ns"))
+    )
+    a = docs.select(
+        F.col("id").alias("i"), F.col("sz").alias("sz_i"),
+        F.col("n_stop").alias("ns_i"), F.col("stop_arr").alias("stop_i"),
+    )
+    b = docs.select(
+        F.col("id").alias("j"), F.col("sz").alias("sz_j"),
+        F.col("n_stop").alias("ns_j"), F.col("stop_arr").alias("stop_j"),
+    )
+    ub = F.col("common_ns") + F.least("ns_i", "ns_j")
+    return (
+        pairs.join(a, "i")
+        .join(b, "j")
+        # containment upper bound: common ≤ common_ns + min(ns), and the
+        # larger direction divides by the SMALLER set
+        .filter(F.round(ub / F.least("sz_i", "sz_j"), round_digits) >= tl)
+        .withColumn(
+            "common", F.col("common_ns") + F.size(F.array_intersect("stop_i", "stop_j"))
+        )
+        .withColumn("c_ij", F.round(F.col("common") / F.col("sz_i"), round_digits))
+        .withColumn("c_ji", F.round(F.col("common") / F.col("sz_j"), round_digits))
+        .withColumn("containment", F.greatest("c_ij", "c_ji"))
+        .filter(F.col("containment") >= threshold)
+        .select("i", "j", "c_ij", "c_ji", "containment")
+    )
+
+
 def prefix_filter_jaccard_join(
     df: DataFrame,
     id_col: str,

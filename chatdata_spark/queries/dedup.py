@@ -581,3 +581,60 @@ def dedup_winnow_pairs(spark, sf_dir):
     return winnow_pairs(d, "doc_id", "text", k=5, w=4, max_df=8, min_shared=2).orderBy(
         "id_a", "id_b"
     )
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT a.doc_id + 200000 AS doc_id, a.text || ' ' || b.text AS text
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 50
+        WHERE a.doc_id < 25
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct([array_to_string(w[i:i+2], ' ')
+                              for i in generate_series(1, greatest(len(w)-2, 1))]) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w FROM u)
+    )
+    SELECT i, j, c_ij, c_ji, GREATEST(c_ij, c_ji) AS containment
+    FROM (
+        SELECT a.doc_id AS i, b.doc_id AS j,
+               ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 / len(a.sh), 6) AS c_ij,
+               ROUND(len(list_intersect(a.sh, b.sh)) * 1.0 / len(b.sh), 6) AS c_ji
+        FROM sh a, sh b WHERE a.doc_id < b.doc_id
+    )
+    WHERE GREATEST(c_ij, c_ji) >= 0.8
+    ORDER BY i, j
+    """,
+)
+def dedup_containment_pairs(spark, sf_dir):
+    """Asymmetric CONTAINMENT near-dup pairs
+    (operators/dedup.py::containment_join): c(i→j) = |sh_i ∩ sh_j|/|sh_i|
+    — catches the sub-document duplication symmetric Jaccard misses (a
+    doc quoted wholesale inside a much larger doc scores jac ≈
+    |sh_i|/|sh_j| → 0 but containment = 1). Fixture: each doc < 25 is
+    re-ingested embedded inside a larger synthetic doc (its text + the
+    text of doc_id+50), the quote-screening scenario; the count-from-
+    the-index plan is jaccard_similarity_join's verbatim (stop-split,
+    bounded buckets, no all-pairs compare) with the containment-specific
+    upper-bound prune (common+min(ns))/min(sz). The oracle recomputes
+    exact set containment all-pairs on the bounded fixture."""
+    from chatdata_spark.operators.dedup import containment_join
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = d.filter(F.col("doc_id") < 100)
+    a = d.alias("a")
+    b = d.alias("b")
+    cont = (
+        a.filter(F.col("doc_id") < 25)
+        .join(b, F.col("b.doc_id") == F.col("a.doc_id") + 50)
+        .select(
+            (F.col("a.doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("a.text"), F.lit(" "), F.col("b.text")).alias("text"),
+        )
+    )
+    u = d.unionByName(cont)
+    return containment_join(u, "doc_id", "text", k=3, threshold=0.8).orderBy("i", "j")

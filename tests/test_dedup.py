@@ -253,3 +253,22 @@ def test_semantic_dedup_survivors_partition_and_are_dissimilar(spark):
     keep_ids = [r.vec_id for r in rows]
     kept = emb.filter(F.col("vec_id").isin(keep_ids))
     assert embedding_near_dup(kept, "vec_id", "embedding", threshold=0.4).count() == 0
+
+
+def test_containment_join_catches_subdocument_dup(spark):
+    """A small doc quoted inside a much larger one: containment = 1.0 in
+    the i->container direction while Jaccard stays far below any useful
+    threshold — the asymmetric measure's reason to exist."""
+    from chatdata_spark.operators.dedup import containment_join, jaccard_similarity_join
+
+    small = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    rows = [(1, small), (2, filler + " " + small), (3, "unrelated text entirely here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = containment_join(df, "doc_id", "text", k=3, threshold=0.9, max_df=None).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.i, r.j) == (1, 2) and r.c_ij == 1.0 and r.containment == 1.0
+    assert r.c_ji < 0.1  # the big doc is NOT contained in the small one
+    jac = jaccard_similarity_join(df, "doc_id", "text", k=3, threshold=0.5, max_df=None).collect()
+    assert jac == []  # symmetric Jaccard misses the same pair at any sane threshold

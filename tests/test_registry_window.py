@@ -45,6 +45,7 @@ MUST_BE_DRIVER_CHECKED = {
     # r9 additions (driver-verified in-round)
     "morton3d_events_zvalues", "dialect_parity_sweep6",
     "timeseries_gap_fill", "events_locf_fill", "sq8_rerank_knn",
+    "dedup_containment_pairs",
 }
 
 
@@ -168,8 +169,11 @@ def test_tail_is_deliberate():
     # (fill-forward window, LAST_VALUE IGNORE NULLS parity).
     # 244→245 for sq8_rerank_knn (the SQ8 production funnel: integer
     # screen top-50 → exact cosine rerank, both stages oracle-replayed).
+    # 245→246 for dedup_containment_pairs (asymmetric containment — the
+    # sub-document-dup measure; count-from-the-index plan shared with
+    # jaccard, containment-specific prune, all-pairs exact oracle).
     names = list(queries())
-    assert len(names) <= 245
+    assert len(names) <= 246
 
 
 def test_coverage_window_column_consistent():

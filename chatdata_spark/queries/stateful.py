@@ -1198,3 +1198,97 @@ def streaming_scd2_history(spark, sf_dir):
     e.filter(F.col("ts") >= split).coalesce(1).write.mode("append").parquet(ind)
     stream_scd2_merge(spark, ind, store, ckpt, *args, schema)
     return store.read().orderBy("user_id", "valid_from", "event_id")
+
+
+@query(
+    "streaming_kmv_overlap",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5('kmvu' || CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    ),
+    r AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM h
+    ),
+    s AS (
+        SELECT event_type, list_sort(list(h)) AS sk, any_value(n) AS n
+        FROM r WHERE rn <= 64 GROUP BY event_type
+    ),
+    p AS (
+        SELECT a.event_type AS group_a, b.event_type AS group_b,
+               a.sk AS ska, b.sk AS skb,
+               (a.n > 64 OR b.n > 64) AS sat
+        FROM s a JOIN s b ON a.event_type < b.event_type
+    ),
+    f AS (
+        SELECT group_a, group_b, sat, ska, skb,
+               list_sort(list_distinct(ska || skb))[1:64] AS merged,
+               len(list_distinct(ska || skb)) AS ulen
+        FROM p
+    )
+    SELECT group_a, group_b,
+      ROUND(CASE WHEN sat THEN 63.0 / (CAST(merged[64] + 1 AS DOUBLE) / 4294967296.0)
+                 ELSE CAST(ulen AS DOUBLE) END, 6) AS est_union,
+      ROUND(CASE WHEN sat
+                 THEN CAST(len(list_intersect(list_intersect(merged, ska), skb)) AS DOUBLE) / 64.0
+                 ELSE CAST(len(list_intersect(ska, skb)) AS DOUBLE) / CAST(ulen AS DOUBLE) END,
+            6) AS est_jaccard,
+      ROUND(CASE WHEN sat
+                 THEN (CAST(len(list_intersect(list_intersect(merged, ska), skb)) AS DOUBLE) / 64.0)
+                      * (63.0 / (CAST(merged[64] + 1 AS DOUBLE) / 4294967296.0))
+                 ELSE CAST(len(list_intersect(ska, skb)) AS DOUBLE) END, 6) AS est_intersection
+    FROM f ORDER BY group_a, group_b
+    """,
+)
+def streaming_kmv_overlap(spark, sf_dir):
+    """§2.10 extension, ORACLE-checked (batch parity): the per-group KMV
+    bottom-k sketch maintained INCREMENTALLY over an event file stream —
+    two availableNow drains, each micro-batch's distinct (event_type,
+    md5-bucket(user_id)) pairs merging into the versioned store as
+    bottom-64-of-union plus a monotone saturation flag
+    (streaming/incremental.py::stream_kmv_merge — an idempotent lattice
+    like the HLL registers: no replay guard). The final state feeds
+    kmv_pairwise_overlap with the exact surrogate n = sat ? k+1 :
+    |sketch| (n_distinct is consumed only through (n > k) comparisons),
+    so the streamed which-audiences-overlap matrix is bit-identical to
+    the batch sketch build the oracle replays in SQL."""
+    import os
+
+    from chatdata_spark.catalog import load_events
+    from chatdata_spark.operators.kmv import kmv_pairwise_overlap
+    from chatdata_spark.stores.state import VersionedParquetStore
+    from chatdata_spark.streaming.incremental import stream_kmv_merge
+
+    root = tempfile.mkdtemp(prefix="chatdata_skmv_q_")
+    ind, ckpt = f"{root}/in", f"{root}/ck"
+    os.makedirs(ind)
+    e = load_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    ev = e.select("event_id", "event_type", "user_id")
+    store = VersionedParquetStore(spark, f"{root}/store")
+    schema = "event_id long, event_type string, user_id long"
+    mid = ev.agg(F.expr("percentile_approx(event_id, 0.5)")).collect()[0][0]
+    ev.filter(F.col("event_id") <= mid).coalesce(1).write.mode("append").parquet(ind)
+    stream_kmv_merge(spark, ind, store, ckpt, "event_type", "user_id", schema, k=64, salt="kmvu")
+    ev.filter(F.col("event_id") > mid).coalesce(1).write.mode("append").parquet(ind)
+    stream_kmv_merge(spark, ind, store, ckpt, "event_type", "user_id", schema, k=64, salt="kmvu")
+
+    st = store.read()
+    sk = st.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("h")).alias("sketch"),
+        F.max("sat").alias("__sat"),
+        F.count(F.lit(1)).alias("__sz"),
+    ).select(
+        "event_type",
+        "sketch",
+        F.when(F.col("__sat"), F.lit(65).cast("long"))
+        .otherwise(F.col("__sz"))
+        .alias("n_distinct"),
+        F.lit(64).cast("int").alias("sketch_k"),
+    )
+    return kmv_pairwise_overlap(sk, "event_type").orderBy("group_a", "group_b")

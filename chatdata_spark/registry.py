@@ -117,12 +117,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # once-green backlog names one-for-one as they land (same policy as
     # r7/r8); whatever placeholders survive get their second greens ---
     "graph_pagerank_transactions", "graph_trustrank_suppliers",
-    "bpe_learn_merges",
     # --- r9 additions, driver-verified in-round (each displaced one
     # placeholder above) ---
     "morton3d_events_zvalues", "dialect_parity_sweep6",
     "timeseries_gap_fill", "events_locf_fill", "sq8_rerank_knn",
-    "dedup_containment_pairs",
+    "dedup_containment_pairs", "streaming_kmv_overlap",
 )
 
 # Rotation plan for round 10: second greens for any r9 additions +

@@ -668,3 +668,77 @@ def stream_scd2_merge(
         .start()
         .awaitTermination()
     )
+
+
+def stream_kmv_merge(
+    spark: SparkSession,
+    input_dir: str,
+    store,
+    checkpoint_dir: str,
+    group_col: str,
+    elem_col: str,
+    schema: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> None:
+    """Stream → per-group KMV bottom-k sketch state via foreachBatch:
+    each micro-batch's distinct (group, md5-bucket hash) pairs union
+    into the store, which keeps the k SMALLEST distinct hashes per group
+    plus a monotone ``sat`` flag (did the union ever exceed k). Like the
+    HLL registers and the bottom-k quantile sample — and unlike the
+    additive CMS/moment states — bottom-k-of-union is an IDEMPOTENT
+    lattice join (bottom_k(bottom_k(S) ∪ B) = bottom_k(S ∪ B); a
+    re-delivered batch re-unions values already absorbed), so no
+    batch_id replay guard is needed.
+
+    The saturation flag is exact, not heuristic: cumulative distinct
+    count first exceeds k at the merge where the (complete, ≤ k-row)
+    prior state unions with genuinely new hashes, so the per-merge
+    ``n > k`` test fires iff the true distinct count passed k — and
+    OR-accumulation is itself a lattice. Downstream,
+    ``operators/kmv.py::kmv_pairwise_overlap`` consumes n_distinct ONLY
+    through (n > k) comparisons, so ``sat ? k+1 : |sketch|`` is an exact
+    surrogate and the streamed overlap matrix is bit-identical to the
+    batch one (the batch-parity oracle's claim). State ≤ k rows/group
+    forever; the per-batch exchange is the (group, hash) distinct."""
+    from chatdata_spark.operators.sampling import hash_bucket
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bh = (
+            batch_df.select(
+                F.col(group_col), hash_bucket(F.col(elem_col), salt).alias("h")
+            )
+            .distinct()
+            .withColumn("sat", F.lit(False))
+        )
+        if store.exists():
+            bh = store.read().unionByName(bh)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col)
+        merged = bh.groupBy(group_col, "h").agg(F.max("sat").alias("sat_row"))
+        ranked = merged.select(
+            group_col,
+            "h",
+            F.row_number().over(w.orderBy(F.col("h").asc())).alias("rn"),
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.max("sat_row").over(w).alias("sat_prev"),
+        )
+        out = ranked.filter(F.col("rn") <= k).select(
+            group_col,
+            "h",
+            (F.col("sat_prev") | (F.col("n") > k)).alias("sat"),
+        )
+        store.write(out)
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -376,3 +376,53 @@ def test_stream_histogram_merge_incremental_and_replay_safe(spark, tmp_path):
     assert {
         (r["bin"], r["n"]) for r in store.read().drop("last_batch").collect()
     } == want
+
+
+def test_stream_kmv_merge_incremental_and_replay_idempotent(spark, tmp_path):
+    """Two drains must equal the batch bottom-k sketch of the UNION, the
+    saturation flag must fire exactly when cumulative distinct exceeds k,
+    and a full REPLAY (fresh checkpoint, same store) must be absorbed
+    with the state VALUE unchanged — bottom-k-of-union + monotone OR is
+    an idempotent lattice, so unlike CMS there is no batch-id guard to
+    rely on."""
+    from chatdata_spark.operators.sampling import hash_bucket
+    from chatdata_spark.stores.state import VersionedParquetStore
+    from chatdata_spark.streaming.incremental import stream_kmv_merge
+
+    ind = str(tmp_path / "in")
+    os.makedirs(ind)
+    schema = "g string, e bigint"
+    # group 'big': 90 distinct elems (> k=8 -> saturated);
+    # group 'small': 5 distinct (exact mode, flag stays false)
+    a = spark.sql("SELECT 'big' AS g, id AS e FROM range(0, 60) "
+                  "UNION ALL SELECT 'small', id FROM range(0, 5)")
+    b = spark.sql("SELECT 'big' AS g, id AS e FROM range(40, 90)")
+    store = VersionedParquetStore(spark, str(tmp_path / "store"))
+
+    a.coalesce(1).write.mode("append").parquet(ind)
+    stream_kmv_merge(spark, ind, store, str(tmp_path / "ck"), "g", "e", schema, k=8, salt="t")
+    b.coalesce(1).write.mode("append").parquet(ind)
+    stream_kmv_merge(spark, ind, store, str(tmp_path / "ck"), "g", "e", schema, k=8, salt="t")
+
+    u = a.union(b)
+    hashed = u.select("g", hash_bucket(F.col("e"), "t").alias("h")).distinct()
+    want = {}
+    for r in hashed.collect():
+        want.setdefault(r.g, []).append(r.h)
+    want = {g: sorted(hs)[:8] for g, hs in want.items()}
+    got = {}
+    sat = {}
+    for r in store.read().collect():
+        got.setdefault(r.g, []).append(r.h)
+        sat[r.g] = r.sat
+    assert {g: sorted(v) for g, v in got.items()} == want
+    assert sat == {"big": True, "small": False}
+
+    # replay everything: state value must be unchanged (idempotent merge)
+    stream_kmv_merge(spark, ind, store, str(tmp_path / "ck2"), "g", "e", schema, k=8, salt="t")
+    got2 = {}
+    sat2 = {}
+    for r in store.read().collect():
+        got2.setdefault(r.g, []).append(r.h)
+        sat2[r.g] = r.sat
+    assert {g: sorted(v) for g, v in got2.items()} == want and sat2 == sat

@@ -45,7 +45,7 @@ MUST_BE_DRIVER_CHECKED = {
     # r9 additions (driver-verified in-round)
     "morton3d_events_zvalues", "dialect_parity_sweep6",
     "timeseries_gap_fill", "events_locf_fill", "sq8_rerank_knn",
-    "dedup_containment_pairs",
+    "dedup_containment_pairs", "streaming_kmv_overlap",
 }
 
 
@@ -172,8 +172,10 @@ def test_tail_is_deliberate():
     # 245→246 for dedup_containment_pairs (asymmetric containment — the
     # sub-document-dup measure; count-from-the-index plan shared with
     # jaccard, containment-specific prune, all-pairs exact oracle).
+    # 246→247 for streaming_kmv_overlap (incremental bottom-k KMV lattice
+    # + monotone saturation flag; batch-parity SQL-replay oracle).
     names = list(queries())
-    assert len(names) <= 246
+    assert len(names) <= 247
 
 
 def test_coverage_window_column_consistent():

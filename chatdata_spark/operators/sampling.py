@@ -225,3 +225,61 @@ def temperature_mixture(
     }
     rates = temperature_rates(counts, alpha, target_total)
     return domain_mixture(df, domain_col, rates, key_col, default_rate=0.0, salt=salt), rates
+
+
+def budget_prefix_sample(
+    df: DataFrame,
+    group_col: str,
+    cost_col: str,
+    quota_col,
+    id_col: str,
+    salt: str = "budget",
+) -> DataFrame:
+    """Budget-constrained greedy prefix selection per group — the
+    "fill a fixed token budget with ratio-matched sources" step of a
+    pretraining data recipe (the budgeted counterpart of
+    :func:`temperature_mixture`, which reweights but doesn't cap):
+    within each group, rank rows by the deterministic md5 bucket of
+    ``id_col`` (hash order = an unbiased shuffle both engines replay),
+    take the running-``cost_col``-sum prefix that fits ``quota_col``.
+
+    A row is kept iff its INCLUSIVE running cost ≤ quota (the classic
+    greedy prefix; the first over-budget row and everything after it
+    drop). One window exchange per group — no collects, no loops;
+    quota arrives as a per-row Column so callers derive it from
+    weights/budget arithmetic kept exactly-integer on both engines."""
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
+    run = df.withColumn("__cum", F.sum(F.col(cost_col)).over(w))
+    return run.filter(F.col("__cum") <= quota_col).drop("__cum")
+
+
+def epoch_upsample(
+    df: DataFrame,
+    repeat_col,
+    id_col: str,
+    salt: str = "epoch",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Fractional repeat-factor upsampling — the "source X gets 2.4
+    epochs" knob of pretraining mixtures (integer part = guaranteed
+    copies; fractional part = a deterministic hash-Bernoulli extra copy
+    per row, so the EXACT expected rate is hit without RNG): row i with
+    factor r gets floor(r) + [md5bucket(i) < frac(r)·2^32] copies,
+    exploded with a ``copy`` index (1-based). frac(r) must come from an
+    EXACT decimal/integer expression on both engines — a float
+    ``r - floor(r)`` off by 1 ulp flips hash-boundary rows.
+
+    Scan-stage explode — fan-out is the repeat factor itself, no
+    shuffle; downstream shuffles see the upsampled stream exactly as a
+    physical corpus would look."""
+    n_int = F.floor(repeat_col).cast("long")
+    frac_thresh = ((repeat_col - F.floor(repeat_col)) * F.lit(float(BUCKETS))).cast("long")
+    n_copies = n_int + (hash_bucket(F.col(id_col), salt) < frac_thresh).cast("long")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__n")
+    )

@@ -484,3 +484,118 @@ def pack_sequences_concat(spark, sf_dir):
         )
         .orderBy("lang", "seq")
     )
+
+
+@query(
+    "token_budget_mixture",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, n_chars,
+               1 + (CAST(substr(source, 4) AS INT) % 3) AS w
+        FROM documents
+    ),
+    tot AS (SELECT SUM(w) AS sum_w FROM (SELECT DISTINCT source, w FROM d)),
+    q AS (
+        SELECT d.*, (60000 * w) // sum_w AS quota FROM d, tot
+    ),
+    run AS (
+        SELECT source, w, quota, n_chars,
+               SUM(n_chars) OVER (
+                   PARTITION BY source
+                   ORDER BY {_D_BUCKET.format(salt='tbm', key='doc_id')}, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM q
+    )
+    SELECT source, CAST(w AS BIGINT) AS w, CAST(quota AS BIGINT) AS quota,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_used
+    FROM run WHERE cum <= quota
+    GROUP BY source, w, quota ORDER BY source
+    """,
+)
+def token_budget_mixture(spark, sf_dir):
+    """Budget-constrained corpus mixing
+    (operators/sampling.py::budget_prefix_sample): each source gets an
+    integer quota (budget x weight) // Σweights — weights derived
+    deterministically from the source index, all arithmetic exact
+    BIGINT — and contributes the greedy hash-ordered prefix of its docs
+    whose running char cost fits the quota. The "fill a fixed token
+    budget at recipe ratios" step of a pretraining mixture: one window
+    exchange per source, no collects; output is the per-source audit
+    row (quota, docs taken, budget actually used). Complements
+    mixture_temperature_sample (which reweights without a cap)."""
+    from chatdata_spark.operators.sampling import budget_prefix_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    d = d.withColumn(
+        "w", (F.lit(1) + F.substring("source", 4, 10).cast("int") % 3).cast("long")
+    )
+    sum_w = (
+        d.select("source", "w").distinct().agg(F.sum("w").alias("s")).collect()[0].s
+    )
+    quota = (F.lit(60000) * F.col("w")) / F.lit(int(sum_w))
+    d = d.withColumn("quota", F.floor(quota).cast("long"))
+    picked = budget_prefix_sample(d, "source", "n_chars", F.col("quota"), "doc_id", salt="tbm")
+    return (
+        picked.groupBy("source", "w", "quota")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("chars_used"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "corpus_epoch_upsample",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               1 + (CAST(substr(source, 4) AS INT) % 3) AS w_int
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, w_int,
+               w_int + (CASE WHEN {_D_BUCKET.format(salt='ep', key='doc_id')} < 1717986918
+                             THEN 1 ELSE 0 END) AS n_copies
+        FROM d
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_copies) AS BIGINT) AS n_copies,
+           CAST(SUM(n_copies) - SUM(w_int) AS BIGINT) AS n_extra
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def corpus_epoch_upsample(spark, sf_dir):
+    """Fractional repeat-factor upsampling
+    (operators/sampling.py::epoch_upsample): source s trains for
+    (1 + idx%3) + 0.4 epochs — integer part = guaranteed copies,
+    fractional 0.4 = a deterministic hash-Bernoulli extra copy per doc
+    (threshold 1717986918 = int(0.4·2^32), computed ONCE in Python and
+    inlined in the oracle per the bucket-boundary convention — DuckDB's
+    rounding decimal→BIGINT cast would diverge from Spark's truncation
+    on other fractions). The exploded stream is what the training
+    dataloader reads; the driver row is the per-source audit (docs,
+    total copies, hash-extra copies). Explode fan-out = the repeat
+    factor itself; no shuffle before the audit aggregate."""
+    from chatdata_spark.operators.sampling import epoch_upsample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "source")
+    d = d.withColumn(
+        "w_int", (F.lit(1) + F.substring("source", 4, 10).cast("int") % 3).cast("long")
+    )
+    r = F.col("w_int").cast("decimal(10,1)") + F.lit(0.4).cast("decimal(10,1)")
+    up = epoch_upsample(d.withColumn("r", r), F.col("r"), "doc_id", salt="ep")
+    return (
+        up.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_copies"),
+            (F.count(F.lit(1)) - F.sum(F.when(F.col("copy") <= F.col("w_int"), 1).otherwise(0))).alias("n_extra"),
+        )
+        .orderBy("source")
+    )

@@ -116,12 +116,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- 9 remaining slots: r9 additions displace these big-surface
     # once-green backlog names one-for-one as they land (same policy as
     # r7/r8); whatever placeholders survive get their second greens ---
-    "graph_pagerank_transactions", "graph_trustrank_suppliers",
     # --- r9 additions, driver-verified in-round (each displaced one
     # placeholder above) ---
     "morton3d_events_zvalues", "dialect_parity_sweep6",
     "timeseries_gap_fill", "events_locf_fill", "sq8_rerank_knn",
     "dedup_containment_pairs", "streaming_kmv_overlap",
+    "token_budget_mixture", "corpus_epoch_upsample",
 )
 
 # Rotation plan for round 10: second greens for any r9 additions +

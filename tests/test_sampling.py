@@ -235,3 +235,39 @@ def test_corpus_shuffle_interleaves_sources(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert [(r.pos, r.doc_id) for r in rows] == [(r.pos, r.doc_id) for r in again]
+
+
+def test_budget_prefix_sample_respects_quota_and_hash_order(spark):
+    from pyspark.sql import functions as F
+
+    from chatdata_spark.operators.sampling import budget_prefix_sample, hash_bucket
+
+    rows = [(i, "g", 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, g string, cost long")
+    got = budget_prefix_sample(df, "g", "cost", F.lit(95), "id", salt="t").collect()
+    # greedy prefix: exactly floor(95/10) = 9 rows fit
+    assert len(got) == 9
+    # and they are the FIRST 9 in hash order (deterministic shuffle)
+    order = [
+        r.id for r in df.select(
+            "id", hash_bucket(F.col("id"), "t").alias("h")
+        ).orderBy("h", "id").collect()
+    ]
+    assert sorted(r.id for r in got) == sorted(order[:9])
+
+
+def test_epoch_upsample_copy_counts(spark):
+    from pyspark.sql import functions as F
+
+    from chatdata_spark.operators.sampling import BUCKETS, epoch_upsample, hash_bucket
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    up = epoch_upsample(df.withColumn("r", F.lit(2.5).cast("decimal(10,1)")), F.col("r"), "id", salt="e")
+    per = {r.id: r.n for r in up.groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    thresh = int(0.5 * BUCKETS)
+    hs = {r.id: r.h for r in df.select("id", hash_bucket(F.col("id"), "e").alias("h")).collect()}
+    for i in range(200):
+        assert per[i] == 2 + (1 if hs[i] < thresh else 0)
+    # fractional rate lands near 0.5 on 200 uniform hashes
+    extras = sum(1 for i in range(200) if per[i] == 3)
+    assert 60 <= extras <= 140

@@ -109,6 +109,11 @@ HEADLINE = [
     "heavy_hitter_tokens_by_lang",  # composite-key MG + recount + per-lang rank
     "pack_sequences_concat",    # concat-and-chunk grid: one window + one explode
     "embedding_norm_anomaly",   # exact norm-squared moments + broadcast recount
+    # r9 additions (steady-state plans)
+    "dialect_parity_sweep6",    # -If combinators + groupBit* + OrZero renames
+    "events_locf_fill",         # fill-forward window (LAST_VALUE IGNORE NULLS)
+    "dedup_containment_pairs",  # asymmetric containment index join (stop set memoized)
+    "corpus_epoch_upsample",    # fractional repeat-factor explode + audit agg
 ]
 # ITERATIVE / build-time-collecting operators get their own timing mode:
 # their work runs at plan-BUILD time (driver-looped rounds with eager
@@ -139,6 +144,12 @@ E2E = [
     "streaming_hll_distinct",       # two availableNow drains at build time
     "hilbert_events_hvalues",       # build-time [lo,hi] collect (2 scalars)
     "streaming_scd2_history",       # two availableNow drains at build time
+    # r9 additions (build-time collects / drains)
+    "morton3d_events_zvalues",      # build-time [lo,hi] collect (2 scalars)
+    "timeseries_gap_fill",          # build-time hour-bounds collect (2 scalars)
+    "sq8_rerank_knn",               # build-time calibration collect + funnel
+    "streaming_kmv_overlap",        # two availableNow drains at build time
+    "token_budget_mixture",         # build-time sum-of-weights collect (1 scalar)
 ]
 
 # The ≤15 per-query entries repeated on stdout (full map goes to

@@ -124,10 +124,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "token_budget_mixture", "corpus_epoch_upsample",
 )
 
-# Rotation plan for round 10: second greens for any r9 additions +
-# the placeholder names r9 additions displaced + the remaining ~100
-# once-green backlog in big-surface-first order. Steady state: sentinels
-# + newest additions + the lowest-green-count backlog.
+# Rotation plan for round 10: second greens for the 9 r9 additions +
+# the 9 placeholder names they displaced (graph_pagerank_transactions,
+# graph_trustrank_suppliers, bpe_learn_merges, dsir_resample_docs,
+# dedup_substring_removal, semantic_dedup_keep, decontam_embedding,
+# rollup_incremental_refresh, curation_select_v2 — all once-green,
+# big-surface-first) + the remaining ~100 once-green backlog as slots
+# allow. Steady state: sentinels + newest additions + the
+# lowest-green-count backlog.
 
 
 def _ordered() -> dict[str, QueryDef]:

@@ -114,6 +114,8 @@ HEADLINE = [
     "events_locf_fill",         # fill-forward window (LAST_VALUE IGNORE NULLS)
     "dedup_containment_pairs",  # asymmetric containment index join (stop set memoized)
     "corpus_epoch_upsample",    # fractional repeat-factor explode + audit agg
+    "doc_novelty_curve",        # first-occurrence min on one gram shuffle + join-back
+    "user_rfm_features",        # one user-keyed aggregate + broadcast scalar
 ]
 # ITERATIVE / build-time-collecting operators get their own timing mode:
 # their work runs at plan-BUILD time (driver-looped rounds with eager

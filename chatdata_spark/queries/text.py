@@ -1008,3 +1008,68 @@ def heavy_hitter_tokens_by_lang(spark, sf_dir):
         .filter(F.col("rk") <= 8)
         .orderBy("lang", "rk")
     )
+
+
+@query(
+    "doc_novelty_curve",
+    oracle=r"""
+    WITH w AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+              FROM w)
+    ),
+    f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           ROUND(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS novelty
+    FROM g JOIN f USING (gram)
+    GROUP BY g.doc_id ORDER BY doc_id
+    """,
+)
+def doc_novelty_curve(spark, sf_dir):
+    """Per-document n-gram NOVELTY — the fraction of a doc's distinct
+    3-gram shingles whose FIRST occurrence (min doc_id over the corpus)
+    is that doc. The curation "novelty curve": in ingestion order it
+    shows marginal-information decay (when new docs stop contributing
+    new n-grams, the crawl is saturating — the diminishing-returns
+    signal behind dedup-then-stop policies). Exact, no sketch: one
+    shuffle on gram builds first-occurrence (min is order-insensitive),
+    the join back reuses the same gram partitioning (one Exchange, two
+    uses), then one doc-keyed aggregate. Short docs contribute one
+    whole-text shingle (the repo floor-1 convention). SUM(CASE) pinned
+    BIGINT (HUGEINT guard); novelty follows the double(sum)/double(count)
+    fixed op order both sides."""
+    from chatdata_spark.operators.dedup import _spread, shingles_col, words_col
+
+    d = _spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
+    prep = d.select("doc_id", words_col("text").alias("__w"))
+    g = prep.select(
+        "doc_id", F.explode(F.array_distinct(shingles_col("__w", 3))).alias("gram")
+    )
+    f = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        g.join(f, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams").cast("double"), 6
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

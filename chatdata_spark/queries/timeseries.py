@@ -832,3 +832,52 @@ def events_locf_fill(spark, sf_dir):
         .select("event_id", "user_id", "v_raw", "v_fill")
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "user_rfm_features",
+    oracle="""
+    WITH mx AS (SELECT CAST(FLOOR(epoch(max(ts))) AS BIGINT) AS ref FROM events),
+    u AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch(max(ts))) AS BIGINT) AS last_ts,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(COALESCE(value, 0) AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, mx.ref - u.last_ts AS recency_sec, frequency, monetary
+    FROM u, mx ORDER BY user_id
+    """,
+)
+def user_rfm_features(spark, sf_dir):
+    """RFM feature table (recency / frequency / monetary) — the classic
+    per-entity feature-engineering aggregate every behavioral pipeline
+    materializes: seconds since each user's last event (relative to the
+    corpus max — a 1-row broadcast scalar, the allowed crossJoin
+    pattern), event count, and the exact-decimal value total. Whole-
+    second epochs via unix_timestamp ≡ FLOOR(epoch()) (the CLAUDE.md
+    truncation rule), money through DECIMAL(18,2) → DOUBLE. One
+    map-side-combinable aggregate on user_id; the feature frame is
+    |users| rows regardless of event volume."""
+    e = load_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    u = e.groupBy("user_id").agg(
+        F.unix_timestamp(F.max("ts")).alias("last_ts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    mx = load_events(spark, sf_dir).agg(
+        F.unix_timestamp(F.max("ts")).alias("ref")
+    )
+    return (
+        u.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            (F.col("ref") - F.col("last_ts")).alias("recency_sec"),
+            "frequency",
+            "monetary",
+        )
+        .orderBy("user_id")
+    )

@@ -116,6 +116,7 @@ HEADLINE = [
     "corpus_epoch_upsample",    # fractional repeat-factor explode + audit agg
     "doc_novelty_curve",        # first-occurrence min on one gram shuffle + join-back
     "user_rfm_features",        # one user-keyed aggregate + broadcast scalar
+    "dialect_parity_sweep7",    # formatDateTime/ISO-calendar/countMatches renames
 ]
 # ITERATIVE / build-time-collecting operators get their own timing mode:
 # their work runs at plan-BUILD time (driver-looped rounds with eager

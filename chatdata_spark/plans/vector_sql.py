@@ -239,6 +239,45 @@ class VectorSQLDialect:
 
     # -- step 5: scalar renames -------------------------------------------------
     def _rename_functions(self, sql: str) -> str:
+        def _format_date_time(a: list[str]) -> str:
+            # CH formatDateTime(ts, 'fmt') with MySQL-style % codes →
+            # Spark date_format Java pattern. Only the unambiguous codes
+            # are mapped (%M means minute in old CH but month NAME in
+            # MySQL-compat CH ≥ 23 — refuse it; %i is minute in both).
+            # Raise on anything unmapped rather than silently mangling
+            # the output (the toStartOfWeek ADVICE-r7 convention).
+            fmt = a[1].strip()
+            if not (fmt.startswith("'") and fmt.endswith("'")):
+                raise ValueError(
+                    "formatDateTime: only literal format strings are supported"
+                )
+            codes = {"Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH",
+                     "i": "mm", "S": "ss", "s": "ss", "F": "yyyy-MM-dd",
+                     "D": "MM/dd/yy", "T": "HH:mm:ss", "e": "d", "j": "DDD",
+                     "%": "%"}
+            out = []
+            body = fmt[1:-1]
+            i = 0
+            while i < len(body):
+                c = body[i]
+                if c == "%":
+                    if i + 1 >= len(body) or body[i + 1] not in codes:
+                        nxt = body[i + 1] if i + 1 < len(body) else "<end>"
+                        raise ValueError(
+                            f"formatDateTime: unsupported format code %{nxt} "
+                            "(supported: %Y %y %m %d %H %i %S %s %F %D %T %e %j %%)"
+                        )
+                    out.append(codes[body[i + 1]])
+                    i += 2
+                else:
+                    # literal chars: Java patterns require quoting letters
+                    if c.isalpha():
+                        out.append(f"'{c}'")
+                    else:
+                        out.append(c)
+                    i += 1
+            return f"date_format({a[0]}, '{''.join(out)}')"
+
         def _to_start_of_week(a: list[str]) -> str:
             # ClickHouse default mode is 0 (Sunday-start week); mode 1 is the
             # ISO Monday-start, which is what Spark's date_trunc('WEEK') does.
@@ -396,6 +435,15 @@ class VectorSQLDialect:
             "roundBankers": lambda a: (
                 f"bround({a[0]}, {a[1]})" if len(a) > 1 else f"bround({a[0]})"
             ),
+            # r9 parity sweep #7: datetime formatting/calendar + counting
+            "formatDateTime": _format_date_time,
+            "countMatches": lambda a: f"regexp_count({a[0]}, {a[1]})",
+            # Spark weekofyear IS the ISO week; YEAROFWEEK the ISO year
+            "toISOWeek": lambda a: f"weekofyear({a[0]})",
+            "toISOYear": lambda a: f"extract(YEAROFWEEK FROM {a[0]})",
+            "toRelativeHourNum": lambda a: f"(unix_timestamp({a[0]}) div 3600)",
+            "toRelativeDayNum": lambda a: f"(unix_timestamp({a[0]}) div 86400)",
+            "concatWithSeparator": lambda a: f"concat_ws({', '.join(a)})",
         }
 
         def multi_if(a: list[str]) -> str:

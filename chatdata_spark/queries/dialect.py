@@ -566,3 +566,46 @@ def dialect_parity_sweep6(spark, sf_dir):
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """
     return spark.sql(DIALECT.translate(ch_sql))
+
+
+@query(
+    "dialect_parity_sweep7",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS fmt_full,
+           strftime(ts, '%Y-%m-%d') AS fmt_date,
+           CAST(week(ts) AS INT) AS iso_w,
+           CAST(isoyear(ts) AS INT) AS iso_y,
+           CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS BIGINT) AS rel_h,
+           CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS BIGINT) AS rel_d,
+           CAST(len(regexp_extract_all(CAST(props AS VARCHAR), '[0-9]')) AS INT)
+               AS n_digits,
+           event_type || '-' || CAST(event_id AS VARCHAR) AS tag
+    FROM events WHERE event_id < 40 ORDER BY event_id
+    """,
+)
+def dialect_parity_sweep7(spark, sf_dir):
+    """§2.9 parity sweep #7 (r9): formatDateTime (CH MySQL-style % codes
+    compiled to a Java date_format pattern at translate time — literal
+    letters get Java-quoted, unknown codes RAISE, and %M is refused
+    outright because it means minute in old ClickHouse but month name in
+    MySQL-compat ≥ 23; %i is the unambiguous minute) / toISOWeek /
+    toISOYear (Spark weekofyear IS ISO week; YEAROFWEEK the ISO year —
+    both pinned against DuckDB week()/isoyear()) / toRelativeHourNum /
+    toRelativeDayNum (whole-epoch integer division — the FLOOR(epoch)
+    CLAUDE.md rule on the oracle side) / countMatches (regexp_count) /
+    concatWithSeparator (concat_ws), over real event rows."""
+    load_events(spark, sf_dir).createOrReplaceTempView("events")
+    ch_sql = """
+    SELECT event_id,
+           formatDateTime(ts, '%Y-%m-%d %H:%i:%S') AS fmt_full,
+           formatDateTime(ts, '%F') AS fmt_date,
+           toISOWeek(ts) AS iso_w,
+           toISOYear(ts) AS iso_y,
+           toRelativeHourNum(ts) AS rel_h,
+           toRelativeDayNum(ts) AS rel_d,
+           countMatches(props, '[0-9]') AS n_digits,
+           concatWithSeparator('-', event_type, toString(event_id)) AS tag
+    FROM events PREWHERE event_id < 40 ORDER BY event_id
+    """
+    return spark.sql(DIALECT.translate(ch_sql))

@@ -183,8 +183,11 @@ def test_tail_is_deliberate():
     # user_rfm_features (recency/frequency/monetary feature table) —
     # landed past the 50-slot cap; r10 windows them first (the r7-tail
     # precedent).
+    # 251→252 for dialect_parity_sweep7 (formatDateTime compile-to-Java-
+    # pattern, ISO week/year, relative hour/day nums, countMatches,
+    # concatWithSeparator) — tail addition, r10-windowed.
     names = list(queries())
-    assert len(names) <= 251
+    assert len(names) <= 252
 
 
 def test_coverage_window_column_consistent():

@@ -246,3 +246,34 @@ def test_r9_sweep6_executes(spark):
     assert (row.d0, row.d2, row.m0, row.m3) == (0, 3, 0, 1)
     # half-even: 2.5 -> 2, 3.5 -> 4
     assert (row.rb, row.rb2) == (2.0, 4.0)
+
+
+def test_r9_sweep7_format_date_time_translation():
+    out = D.translate("SELECT formatDateTime(ts, '%Y-%m-%dT%H:%i:%S') FROM t")
+    # literal letter T must be Java-quoted; codes mapped
+    assert "date_format(ts, 'yyyy-MM-dd'T'HH:mm:ss')" in out
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported format code %M"):
+        D.translate("SELECT formatDateTime(ts, '%H:%M') FROM t")
+    with _pytest.raises(ValueError, match="unsupported format code %Q"):
+        D.translate("SELECT formatDateTime(ts, '%Q') FROM t")
+    with _pytest.raises(ValueError, match="literal format strings"):
+        D.translate("SELECT formatDateTime(ts, fmtcol) FROM t")
+
+
+def test_r9_sweep7_executes(spark):
+    row = spark.sql(
+        D.translate(
+            "SELECT formatDateTime(CAST('2024-03-09 10:05:06' AS TIMESTAMP), "
+            "'%F %H:%i:%S') AS s, "
+            "toISOWeek(CAST('2021-01-01' AS TIMESTAMP)) AS w, "
+            "toISOYear(CAST('2021-01-01' AS TIMESTAMP)) AS y, "
+            "countMatches('a1b22c333', '[0-9]+') AS m, "
+            "concatWithSeparator('-', 'a', 'b', 'c') AS t"
+        )
+    ).collect()[0]
+    assert row.s == "2024-03-09 10:05:06"
+    # 2021-01-01 is ISO week 53 of ISO year 2020
+    assert (row.w, row.y) == (53, 2020)
+    assert row.m == 3 and row.t == "a-b-c"

@@ -854,8 +854,22 @@ def bench_sq8_knn_frozen(spark, sf_dir):
                    select=["vec_id", "label"], calibration=cal)
 
 
+def bench_containment_x10(spark, sf_dir):
+    """containment_join over the 10x word-perturbed corpus (the honest
+    dedup scale-up shape — per-replica shingle structure preserved
+    EXACTLY, and containment is a shingle-identity measure, so unlike
+    simhash the true pair count scales linearly). Same count-from-the-
+    index plan as the jaccard x10 probe; super-linear time here means
+    the stop-set split stopped bounding the bucket expansion."""
+    from chatdata_spark.operators.dedup import containment_join
+
+    d10 = _replicate_docs_perturbed(spark, sf_dir)
+    return containment_join(d10, "doc_id", "text", k=3, threshold=0.8)
+
+
 EXTRA = {
     "sq8_knn_frozen": bench_sq8_knn_frozen,
+    "dedup_containment_x10": bench_containment_x10,
     "ann_ivf_pruned": bench_ann_ivf_pruned,
     "knn_join_pruned": bench_knn_join_pruned,
     "ann_pq_adc": bench_ann_pq_adc,

@@ -301,3 +301,49 @@ def test_pmi_single_tokenize_broadcast_lookups(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "CartesianProduct" not in p
     assert "TakeOrderedAndProject" in p  # top-k is a heap, not global sort
+
+
+def test_locf_single_window_exchange(spark):
+    """locf is ONE window pass: exactly one hashpartitioning exchange on
+    the key before the final output sort."""
+    p = _plan(_QS["events_locf_fill"](spark, SF_ORACLE))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Window" in p
+
+
+def test_token_budget_agg_reuses_window_partitioning(spark):
+    """The audit aggregate groups on the window's partition key (source
+    leading), so no second hash exchange appears between the window and
+    the aggregate."""
+    p = _plan(_QS["token_budget_mixture"](spark, SF_ORACLE))
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_gap_fill_grid_joins_broadcast(spark):
+    """fill_gaps: the dims cross and the grid⋈observed join must both be
+    broadcast-side (the grid is |dims|x|buckets| — never a corpus-sized
+    shuffle)."""
+    p = _plan(_QS["timeseries_gap_fill"](spark, SF_ORACLE))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # the only hash exchanges are the two aggregations (bounds + counts)
+    assert p.count("Exchange hashpartitioning") <= 2
+
+
+def test_morton3d_is_scan_stage_codegen(spark):
+    """The 3-D interleave is constant-shift integer work inside
+    whole-stage codegen — no UDF/BatchEvalPython anywhere."""
+    p = _plan(_QS["morton3d_events_zvalues"](spark, SF_ORACLE))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the full interleave is a plain Project over the scan (JVM
+    # expressions — AQE's formatted mode doesn't print codegen spans),
+    # and the row filter reached the parquet scan
+    assert "shiftrightunsigned" in p
+    assert "LessThan(event_id,50)" in p
+
+
+def test_sq8_rerank_screen_is_take_ordered(spark):
+    """The quantized screen must end in TakeOrderedAndProject (top-50
+    without a global sort); only candidates pay the exact cosine."""
+    p = _plan(_QS["sq8_rerank_knn"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in p
+    assert "BatchEvalPython" not in p

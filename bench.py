@@ -117,6 +117,7 @@ HEADLINE = [
     "doc_novelty_curve",        # first-occurrence min on one gram shuffle + join-back
     "user_rfm_features",        # one user-keyed aggregate + broadcast scalar
     "dialect_parity_sweep7",    # formatDateTime/ISO-calendar/countMatches renames
+    "knn_batch_queries",        # Q-query batched kNN: one scan + salted group top-k
 ]
 # ITERATIVE / build-time-collecting operators get their own timing mode:
 # their work runs at plan-BUILD time (driver-looped rounds with eager

@@ -68,3 +68,58 @@ def knn(
     if select is not None:
         out = out.select(*select, dist_col)
     return out.drop(vector_col) if select is None else out
+
+
+def knn_batch(
+    df: DataFrame,
+    vector_col: str,
+    query_vecs: Sequence[Sequence[float]],
+    k: int = 10,
+    select: Sequence[str] | None = None,
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """BATCHED exact kNN — Q independent queries answered in ONE corpus
+    scan (the production batch-serving shape: per-query scans cost
+    Q × corpus I/O; here the scan is paid once and each row emits Q
+    (query_id, dist) pairs from a single Generate — the array of structs
+    is built inline in the explode, evaluated once per row, no
+    re-evaluation trap). Per-query top-k comes from
+    operators/grouptopk.py::grouped_topk with salting: Q groups are few
+    and corpus-sized — exactly the two-phase case (local top-k per
+    (query, salt) bucket, tiny exact re-rank) where a plain window would
+    serialize each query onto one task. Distances follow the V1
+    float64/round-6 convention with (dist, id) tie-break, so the result
+    set is the union of Q single-query kNN answers bit-for-bit.
+
+    Output: (query_id, select..., dist), ordered by (query_id, dist,
+    id)."""
+    from chatdata_spark.operators.grouptopk import grouped_topk
+
+    cols = list(select) if select else [id_col]
+    if id_col not in cols:
+        cols = [*cols, id_col]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("query_id"),
+                F.round(cosine_distance(F.col(vector_col), list(q)), round_digits).alias(
+                    "dist"
+                ),
+            )
+            for i, q in enumerate(query_vecs)
+        ]
+    )
+    exploded = df.filter(F.col(vector_col).isNotNull()).select(
+        *cols, F.explode(pairs).alias("__qd")
+    ).select(*cols, F.col("__qd.query_id").alias("query_id"), F.col("__qd.dist").alias("dist"))
+    out = grouped_topk(
+        exploded,
+        ["query_id"],
+        [F.asc("dist"), F.asc(id_col)],
+        k,
+        salt_on=id_col,
+    )
+    return out.select("query_id", *cols, "dist").orderBy(
+        "query_id", "dist", id_col
+    )

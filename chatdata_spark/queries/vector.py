@@ -1307,3 +1307,38 @@ def sq8_quant_knn(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return sq8_knn(emb, "embedding", Q1, dim=DIM, k=12, id_col="vec_id",
                    select=["vec_id", "label"])
+
+
+BQ = [hash_embed(f"batch-q{i}", DIM) for i in range(4)]
+
+
+@query(
+    "knn_batch_queries",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT * FROM (
+        SELECT {i} AS query_id, vec_id, label,
+               {_duck_cos('embedding', q)} AS dist
+        FROM embeddings WHERE embedding IS NOT NULL
+        ORDER BY dist ASC, vec_id ASC LIMIT 8
+    )"""
+        for i, q in enumerate(BQ)
+    )
+    + " ORDER BY query_id, dist, vec_id",
+)
+def knn_batch_queries(spark, sf_dir):
+    """BATCHED kNN (operators/knn.py::knn_batch): four independent query
+    vectors answered in ONE corpus scan — each row emits its four
+    (query_id, dist) pairs from a single Generate, and per-query top-8
+    runs through the salted two-phase grouped_topk (4 corpus-sized
+    groups would serialize onto 4 tasks under a plain window — the
+    grouptopk design case). The production batch-serving shape: corpus
+    I/O paid once instead of Q times, with each query's answer
+    bit-identical to its single-query knn_topk twin (same float64
+    distance, round 6, (dist, vec_id) tie-break — the oracle is
+    literally four single-query blocks UNION ALL'd)."""
+    from chatdata_spark.operators.knn import knn_batch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return knn_batch(emb, "embedding", BQ, k=8, select=["vec_id", "label"],
+                     id_col="vec_id")

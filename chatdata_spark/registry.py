@@ -125,8 +125,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 # Rotation plan for round 10: first checks for the two r9 TAIL
-# additions (doc_novelty_curve, user_rfm_features, dialect_parity_sweep7
-# — registered past the cap) + second greens for the 9 r9 additions +
+# additions (doc_novelty_curve, user_rfm_features, dialect_parity_sweep7,
+# knn_batch_queries — registered past the cap) + second greens for the 9 r9 additions +
 # the 9 placeholder names they displaced (graph_pagerank_transactions,
 # graph_trustrank_suppliers, bpe_learn_merges, dsir_resample_docs,
 # dedup_substring_removal, semantic_dedup_keep, decontam_embedding,

@@ -35,3 +35,26 @@ def test_topk_stable_under_repartition(spark):
         for r in knn(base.repartition(17), "embedding", q, k=15, select=["vec_id"], id_col="vec_id").collect()
     ]
     assert a == b
+
+
+def test_knn_batch_equals_per_query_knn(spark):
+    """Each query's slice of the batched answer must equal its
+    single-query knn() answer exactly (same distance convention and
+    tie-break) — the amortized scan changes cost, never results."""
+    from chatdata_spark.functions.vector import hash_embed
+    from chatdata_spark.operators.knn import knn, knn_batch
+
+    from tests.conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qs = [hash_embed(f"bq-prop{i}", 64) for i in range(3)]
+    batched = knn_batch(emb, "embedding", qs, k=6, select=["vec_id"], id_col="vec_id")
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r.query_id, []).append((r.vec_id, r.dist))
+    for i, q in enumerate(qs):
+        single = [
+            (r.vec_id, r.dist)
+            for r in knn(emb, "embedding", q, k=6, select=["vec_id"], id_col="vec_id").collect()
+        ]
+        assert got[i] == single, f"query {i} diverged"

@@ -186,8 +186,11 @@ def test_tail_is_deliberate():
     # 251→252 for dialect_parity_sweep7 (formatDateTime compile-to-Java-
     # pattern, ISO week/year, relative hour/day nums, countMatches,
     # concatWithSeparator) — tail addition, r10-windowed.
+    # 252→253 for knn_batch_queries (Q-query batched kNN: one corpus
+    # scan, one Generate, salted two-phase grouped_topk per query) —
+    # tail addition, r10-windowed.
     names = list(queries())
-    assert len(names) <= 252
+    assert len(names) <= 253
 
 
 def test_coverage_window_column_consistent():

@@ -1082,16 +1082,30 @@ def main() -> None:
                 prev_e2e = json.load(f).get("e2e", {})
         except (OSError, json.JSONDecodeError):
             prev_e2e = {}
-        for name, secs in sorted(e2e.items()):
-            prev = prev_e2e.get(name)
-            if prev and prev > 0 and secs > 0:
-                ratio = secs / prev
-                if ratio > 1.5 or ratio < 1 / 1.5:
-                    print(
-                        f"bench: E2E REGRESSION GUARD: {name} "
-                        f"{prev:.2f}s -> {secs:.2f}s ({ratio:.2f}x vs committed artifact)",
-                        file=sys.stderr,
-                    )
+        # Median-normalized guard (r9 verdict item 3): this box's full-suite
+        # numbers swing ±15-30% UNIFORMLY run-to-run, and the driver box
+        # inflates e2e entries ~1.5-1.9x vs the idle-box artifact — so a raw
+        # per-entry 1.5x line fires on ambient drift every driver run (r8 and
+        # r9 finals, every firing dissolving under isolated REPS=10). Divide
+        # each entry's ratio by the run's MEDIAN e2e ratio first: uniform box
+        # drift cancels, only RELATIVE movement (one entry moving against its
+        # 26 peers) can fire. An absolute 3x backstop catches the
+        # everything-regressed-together case the normalization would hide.
+        ratios = {
+            n: s / prev_e2e[n]
+            for n, s in e2e.items()
+            if prev_e2e.get(n) and prev_e2e[n] > 0 and s > 0
+        }
+        med = sorted(ratios.values())[len(ratios) // 2] if len(ratios) >= 5 else 1.0
+        for name, ratio in sorted(ratios.items()):
+            rel = ratio / med
+            if rel > 1.5 or rel < 1 / 1.5 or ratio > 3.0:
+                print(
+                    f"bench: E2E REGRESSION GUARD: {name} "
+                    f"{prev_e2e[name]:.2f}s -> {e2e[name]:.2f}s ({ratio:.2f}x raw, "
+                    f"{rel:.2f}x vs run median {med:.2f}x)",
+                    file=sys.stderr,
+                )
         # ONLY= iteration runs must not clobber the canonical full-suite
         # artifact with a partial map
         with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:

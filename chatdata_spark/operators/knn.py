@@ -32,6 +32,10 @@ from pyspark.sql import functions as F
 from chatdata_spark.functions.vector import cosine_distance, dot_product, l2_distance
 
 _METRICS = {"cosine": cosine_distance, "l2": l2_distance, "ip": dot_product}
+# knn_batch inlines each query vector as plan literals — O(Q·d) plan
+# growth, so batch size is bounded (the MMR fetch_n<=2048 precedent);
+# large-Q retrieval belongs to knnjoin.py (queries as a DataFrame)
+MAX_BATCH_QUERIES = 1024
 # ranking direction per metric: distances rank ascending; inner product is
 # a SIMILARITY, so IP ranks descending — the reference's `dist_order` knob
 # (myscale_without_metadata.py:33-34; MyScale metric_type=IP)
@@ -93,11 +97,27 @@ def knn_batch(
     set is the union of Q single-query kNN answers bit-for-bit.
 
     Output: (query_id, select..., dist), ordered by (query_id, dist,
-    id)."""
+    id). ``id_col`` is used internally for the tie-break but is NOT
+    added to the output when ``select`` omits it.
+
+    Q is capped at ``MAX_BATCH_QUERIES``: every query vector is inlined
+    as plan literals (Q×d floats inside one Generate), so plan size and
+    driver-side analysis time grow O(Q·d) — fine for a serving batch of
+    a few hundred, wrong for bulk retrieval. Callers with large Q should
+    put the queries in a DataFrame and use operators/knnjoin.py::knn_join
+    (per-cluster GEMM, queries shuffled as DATA not plan text)."""
     from chatdata_spark.operators.grouptopk import grouped_topk
 
+    if len(query_vecs) > MAX_BATCH_QUERIES:
+        raise ValueError(
+            f"knn_batch inlines query vectors as plan literals; "
+            f"Q={len(query_vecs)} > {MAX_BATCH_QUERIES} would bloat the plan "
+            f"O(Q*d). Put the queries in a DataFrame and use "
+            f"chatdata_spark.operators.knnjoin.knn_join instead."
+        )
     cols = list(select) if select else [id_col]
-    if id_col not in cols:
+    id_appended = id_col not in cols
+    if id_appended:
         cols = [*cols, id_col]
     pairs = F.array(
         *[
@@ -120,6 +140,9 @@ def knn_batch(
         k,
         salt_on=id_col,
     )
-    return out.select("query_id", *cols, "dist").orderBy(
+    out = out.select("query_id", *cols, "dist").orderBy(
         "query_id", "dist", id_col
     )
+    # honor the documented (query_id, select..., dist) contract: the
+    # tie-break id column stays internal unless the caller selected it
+    return out.drop(id_col) if id_appended and select else out

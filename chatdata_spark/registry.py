@@ -84,56 +84,48 @@ def _load_all() -> None:
 # stays pytest-oracled (tests/test_correctness runs the full registry).
 # COVERAGE.md's "driver window" column mirrors this.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # --- FIRST driver checks: the 4 r9 tail additions, the only
+    # never-driver-checked names in the registry (closes the ever-checked
+    # gap to 253/253) ---
+    "dialect_parity_sweep7", "doc_novelty_curve", "user_rfm_features",
+    "knn_batch_queries",
     # --- kept sentinels (multi-green; one per core family) ---
     "knn_topk", "dialect_knn", "dedup_minhash_lsh", "text_profile",
-    # --- the one r8 red, fixed this round (array output serialized via
-    # arrayStringConcat/array_to_string on both sides) — re-checked first ---
-    "dialect_parity_sweep5",
-    # --- second greens for the 16 names the r8 additions displaced
-    # (all once-green in r7) ---
-    "dialect_retention", "dialect_parity_datetime_bits",
-    "text_ngram_diversity", "text_zipf_slope", "ingest_csv_typed",
-    "ingest_orc_roundtrip", "dialect_argmax_argmin",
-    "drift_ks_event_values", "quantile_sketch_totalprice",
-    "sequence_count_conversion_cycles", "heavy_hitter_parts_weighted",
-    "funnel_tight_window", "corpus_health_report",
-    "sequence_match_click_to_purchase", "streaming_drift_psi",
-    "drift_psi_event_values",
-    # --- once-green r7 first-timer owed its second green ---
-    "dialect_uniq_upto",
-    # --- second greens for the r7-tail additions first-checked in r8 ---
-    "zorder_events_zvalues", "streaming_heavy_hitter_revenue",
-    "drift_ks_by_source", "store_kb_scoped_knn",
-    # --- second greens for the 15 green r8 additions ---
-    "anomaly_zscore_event_values", "streaming_zscore_anomaly",
-    "hll_distinct_deterministic", "trend_ols_event_values",
-    "drift_embedding_centroid", "store_cdc_changes",
-    "streaming_trend_ols", "corpus_shuffle_interleaved",
-    "heavy_hitter_tokens_by_lang", "streaming_hll_distinct",
-    "hilbert_events_hvalues", "pack_sequences_concat",
-    "streaming_scd2_history", "scd2_asof_events",
-    "embedding_norm_anomaly",
-    # --- 9 remaining slots: r9 additions displace these big-surface
-    # once-green backlog names one-for-one as they land (same policy as
-    # r7/r8); whatever placeholders survive get their second greens ---
-    # --- r9 additions, driver-verified in-round (each displaced one
-    # placeholder above) ---
+    # --- second greens for the 9 r9 additions (first-checked in r9) ---
     "morton3d_events_zvalues", "dialect_parity_sweep6",
     "timeseries_gap_fill", "events_locf_fill", "sq8_rerank_knn",
     "dedup_containment_pairs", "streaming_kmv_overlap",
     "token_budget_mixture", "corpus_epoch_upsample",
+    # --- second greens for the 9 big-surface placeholders the r9
+    # additions displaced (all once-green) ---
+    "graph_pagerank_transactions", "graph_trustrank_suppliers",
+    "bpe_learn_merges", "dsir_resample_docs", "dedup_substring_removal",
+    "semantic_dedup_keep", "decontam_embedding",
+    "rollup_incremental_refresh", "curation_select_v2",
+    # --- 24 lowest-green-count backlog slots, oldest single green first
+    # (the 23 surviving r1-green names + the oldest r2-green). r10
+    # additions displace from the TAIL of this segment one-for-one as
+    # they land (collect_list_sorted first, then bottom-up), keeping the
+    # stalest r1 greens in the window ---
+    "anti_join_customers", "array_contains_docs", "case_when_pivot",
+    "correlated_subquery", "cube_docs", "dialect_array_functions",
+    "distinct_segments", "except_users", "explode_unnest",
+    "expr_filter_docs", "group_count_docs", "having_filter",
+    "ilike_docs", "in_filter_parts", "json_extract_events",
+    "left_join_order_counts", "monthly_order_stats", "semi_join_orders",
+    "set_ops_users", "string_funcs_parts", "window_lag_delta",
+    "window_running_sum", "window_top3_orders_per_cust",
+    "collect_list_sorted",
 )
 
-# Rotation plan for round 10: first checks for the two r9 TAIL
-# additions (doc_novelty_curve, user_rfm_features, dialect_parity_sweep7,
-# knn_batch_queries — registered past the cap) + second greens for the 9 r9 additions +
-# the 9 placeholder names they displaced (graph_pagerank_transactions,
-# graph_trustrank_suppliers, bpe_learn_merges, dsir_resample_docs,
-# dedup_substring_removal, semantic_dedup_keep, decontam_embedding,
-# rollup_incremental_refresh, curation_select_v2 — all once-green,
-# big-surface-first) + the remaining ~100 once-green backlog as slots
-# allow. Steady state: sentinels + newest additions + the
-# lowest-green-count backlog.
+# Rotation plan for round 11: second greens for whatever r10 adds
+# in-round, then the remaining once-green backlog oldest-first (after
+# r10 the once-green pool is ~47 names: 7 r2-greens — pack_documents,
+# sample_hash_20pct, split_train_val_test, stratified_quota_by_lang,
+# text_lang_distribution, text_quality_by_source, vector_centroids_by_label
+# — then data_quality_report (r5) and the r6 block). COVERAGE.md's
+# green-count column is the mechanical priority order. Steady state:
+# sentinels + newest additions + the lowest-green-count backlog.
 
 
 def _ordered() -> dict[str, QueryDef]:

@@ -58,3 +58,38 @@ def test_knn_batch_equals_per_query_knn(spark):
             for r in knn(emb, "embedding", q, k=6, select=["vec_id"], id_col="vec_id").collect()
         ]
         assert got[i] == single, f"query {i} diverged"
+
+
+def test_knn_batch_large_q_guard():
+    """Q guard (r9 verdict item 4): query vectors are inlined as plan
+    literals, so plan size grows O(Q·d) — above MAX_BATCH_QUERIES the
+    call must refuse with a pointer at the knn_join GEMM path instead of
+    building a pathological driver-side plan."""
+    import pytest
+
+    from chatdata_spark.operators.knn import MAX_BATCH_QUERIES, knn_batch
+
+    too_many = [[0.0] * 4] * (MAX_BATCH_QUERIES + 1)
+    with pytest.raises(ValueError, match="knn_join"):
+        knn_batch(None, "embedding", too_many, k=3)
+
+
+def test_knn_batch_output_contract_without_id(spark):
+    """ADVICE r9: with `select` given and the id column NOT in it, the
+    output must be exactly (query_id, select..., dist) — the tie-break
+    id stays internal. Values must still match the id-selected run."""
+    from chatdata_spark.functions.vector import hash_embed
+    from chatdata_spark.operators.knn import knn_batch
+
+    from tests.conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qs = [hash_embed(f"bq-contract{i}", 64) for i in range(2)]
+    noid = knn_batch(emb, "embedding", qs, k=5, select=["label"], id_col="vec_id")
+    assert noid.columns == ["query_id", "label", "dist"]
+    withid = knn_batch(
+        emb, "embedding", qs, k=5, select=["label", "vec_id"], id_col="vec_id"
+    )
+    assert [(r.query_id, r.label, r.dist) for r in noid.collect()] == [
+        (r.query_id, r.label, r.dist) for r in withid.collect()
+    ]

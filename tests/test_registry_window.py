@@ -11,42 +11,28 @@ DRIVER_CAP = 50
 
 MUST_BE_DRIVER_CHECKED = {
     # Flagships that have NOT yet banked two green driver rounds, plus one
-    # kept sentinel per core family. r9 executes the r8 verdict's plan:
-    # the fixed dialect_parity_sweep5 re-checks first, the 16 names the
-    # r8 additions displaced plus dialect_uniq_upto and the four r7-tail
-    # additions get their second greens, and the 15 green r8 additions
-    # bank theirs (rotation policy in registry.DRIVER_WINDOW's comment);
-    # r9 additions are appended here in the commit that registers them.
+    # kept sentinel per core family. r10 executes the r9 verdict's plan:
+    # the 4 never-driver-checked tail additions check first (closing
+    # ever-checked to 253/253), the 9 r9 additions and the 9 big-surface
+    # placeholders they displaced bank second greens, and 24 slots go to
+    # the lowest-green-count backlog oldest-green-first (rotation policy
+    # in registry.DRIVER_WINDOW's comment); r10 additions are appended
+    # here in the commit that registers them, displacing backlog tail.
+    # first driver checks — the only never-checked names
+    "dialect_parity_sweep7", "doc_novelty_curve", "user_rfm_features",
+    "knn_batch_queries",
     # kept sentinels
     "knn_topk", "dialect_knn", "dedup_minhash_lsh", "text_profile",
-    # the r8 red, fixed in r9 (array output serialized) — must re-check
-    "dialect_parity_sweep5",
-    # second greens for the names the r8 additions displaced
-    "dialect_retention", "dialect_parity_datetime_bits",
-    "text_ngram_diversity", "text_zipf_slope", "ingest_csv_typed",
-    "ingest_orc_roundtrip", "dialect_argmax_argmin",
-    "drift_ks_event_values", "quantile_sketch_totalprice",
-    "sequence_count_conversion_cycles", "heavy_hitter_parts_weighted",
-    "funnel_tight_window", "corpus_health_report",
-    "sequence_match_click_to_purchase", "streaming_drift_psi",
-    "drift_psi_event_values", "dialect_uniq_upto",
-    # second greens for the r7-tail additions first-checked in r8
-    "zorder_events_zvalues", "streaming_heavy_hitter_revenue",
-    "drift_ks_by_source", "store_kb_scoped_knn",
-    # second greens for the 15 green r8 additions
-    "anomaly_zscore_event_values", "streaming_zscore_anomaly",
-    "hll_distinct_deterministic", "trend_ols_event_values",
-    "drift_embedding_centroid", "store_cdc_changes",
-    "streaming_trend_ols", "corpus_shuffle_interleaved",
-    "heavy_hitter_tokens_by_lang", "streaming_hll_distinct",
-    "hilbert_events_hvalues", "pack_sequences_concat",
-    "streaming_scd2_history", "scd2_asof_events",
-    "embedding_norm_anomaly",
-    # r9 additions (driver-verified in-round)
+    # second greens for the 9 r9 additions
     "morton3d_events_zvalues", "dialect_parity_sweep6",
     "timeseries_gap_fill", "events_locf_fill", "sq8_rerank_knn",
     "dedup_containment_pairs", "streaming_kmv_overlap",
     "token_budget_mixture", "corpus_epoch_upsample",
+    # second greens for the 9 placeholders the r9 additions displaced
+    "graph_pagerank_transactions", "graph_trustrank_suppliers",
+    "bpe_learn_merges", "dsir_resample_docs", "dedup_substring_removal",
+    "semantic_dedup_keep", "decontam_embedding",
+    "rollup_incremental_refresh", "curation_select_v2",
 }
 
 
@@ -204,20 +190,36 @@ def test_coverage_window_column_consistent():
     _load_all()
     text = open("/root/repo/COVERAGE.md").read()
     rows = dict()
-    for name, window, check in re.findall(
-        r"^\| `([a-z0-9_]+)` \| (in \(r\d+\)|out) \| (oracle|rows-only) \|$",
+    for name, window, greens, check in re.findall(
+        r"^\| `([a-z0-9_]+)` \| (in \(r\d+\)|out) \| (\d+(?: \([r0-9,]+\))?) "
+        r"\| (oracle|rows-only) \|$",
         text,
         re.M,
     ):
-        rows[name] = (window.startswith("in"), check)
+        rows[name] = (window.startswith("in"), greens, check)
     assert set(rows) == set(_REGISTRY), (
         f"missing: {set(_REGISTRY) - set(rows)}; stale: {set(rows) - set(_REGISTRY)}"
     )
-    for name, (in_window, check) in rows.items():
+    # green counts are MECHANICAL (r9 verdict item 6): re-derive from the
+    # CORRECTNESS history and pin the table against it, so rotation
+    # priority is auditable and the column can never drift by hand-editing
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/tools")
+    from gen_window_audit import green_rounds
+
+    gr = green_rounds()
+    for name, (in_window, greens, check) in rows.items():
         assert in_window == (name in DRIVER_WINDOW), f"{name} window flag stale"
         assert check == ("oracle" if _REGISTRY[name].oracle is not None else "rows-only"), (
             f"{name} check column stale"
         )
+        expect = (
+            f"{len(gr[name])} ({','.join(f'r{r}' for r in gr[name])})"
+            if name in gr
+            else "0"
+        )
+        assert greens == expect, f"{name} greens column stale: {greens!r} != {expect!r}"
     # the prose "N/N registered queries" count drifts when queries are
     # added (r5 postmortem item 8) — pin it to the live registry size
     m = re.search(r"(\d+)/(\d+)\s*\nregistered queries", text)

@@ -103,6 +103,69 @@ def _memo_put(cache: dict, key, value) -> None:
     cache[key] = value
 
 
+# Plan-literal InSet dispatch bound for collected stop sets (r9 verdict
+# item 5): at or below this the set compiles into the plan as an InSet
+# filter — zero extra shuffles, the common case. Above it the SAME set
+# ships as a broadcast DataFrame (left-anti / left-semi joins), because
+# the df-cap bounds |stop| by avg_doc_shingles/max_df — corpus-SIZE-free
+# but not small on boilerplate-heavy corpora (10^5–10^6 entries at avg
+# 10^3–10^4 shingles/doc), and a literal IN of that size bloats plan
+# text, analysis time, and task binaries where a broadcast stays flat.
+STOP_INSET_MAX = 4096
+
+
+def _split_stop_tokens(base: DataFrame, tokens: DataFrame, stops: list[int]):
+    """Apply the stop-shingle split, dispatched on ``len(stops)``.
+
+    Returns ``(nonstop, docs)``: the non-stop token stream (id, shingle)
+    and the per-doc frame (id, sz, stop_arr, n_stop). Both dispatch arms
+    produce IDENTICAL contents (pinned by
+    tests/test_dedup.py::test_stop_dispatch_paths_equivalent); only the
+    physical shape differs:
+
+    - ``len(stops) <= STOP_INSET_MAX``: plan-literal InSet filter + a
+      per-row ``filter(shh, isin)`` projection — no extra shuffles.
+    - above: the stop set becomes a broadcast 1-column DataFrame;
+      nonstop = left-anti join, and the per-doc stop arrays come from a
+      left-semi join + ``groupBy(id).collect_list`` joined back to the
+      doc frame — one extra id-keyed shuffle buys a plan whose size is
+      independent of |stop| (the 100 TB shape).
+
+    ``stop_arr`` element order differs between arms (shh order vs
+    collect_list arrival order) — irrelevant by contract: consumers only
+    ever take ``size(array_intersect(...))`` over it."""
+    if not stops:
+        docs = base.select(
+            "id", "sz", F.array().cast("array<bigint>").alias("stop_arr")
+        ).withColumn("n_stop", F.lit(0))
+        return tokens, docs
+    if len(stops) <= STOP_INSET_MAX:
+        nonstop = tokens.filter(~F.col("shingle").isin(stops))
+        docs = base.select(
+            "id", "sz", F.filter("shh", lambda x: x.isin(stops)).alias("stop_arr")
+        ).withColumn("n_stop", F.size("stop_arr"))
+        return nonstop, docs
+    spark = base.sparkSession
+    stop_df = F.broadcast(
+        spark.createDataFrame([(int(s),) for s in stops], schema="shingle bigint")
+    )
+    nonstop = tokens.join(stop_df, "shingle", "left_anti")
+    stop_arrs = (
+        tokens.join(stop_df, "shingle", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_list("shingle").alias("stop_arr"))
+    )
+    docs = (
+        base.select("id", "sz")
+        .join(stop_arrs, "id", "left")
+        .withColumn(
+            "stop_arr", F.coalesce("stop_arr", F.array().cast("array<bigint>"))
+        )
+        .withColumn("n_stop", F.size("stop_arr"))
+    )
+    return nonstop, docs
+
+
 def shingle_hashes_udf(k: int):
     """Arrow-vectorized twin of :func:`shingle_hashes_col`: array<bigint>
     word hashes → array<bigint> DISTINCT shingle hashes, bit-identical to
@@ -336,9 +399,13 @@ def jaccard_similarity_join(
 
     The stop SET is collected driver-side at plan-construction time (a
     bounded statistics pass, like the IVF index build or the rollup
-    watermark — NOT a per-row collect) and compiled into the plan as an
-    ``InSet`` filter, so the executed DAG carries no freq join, no
-    anti-join, and no per-doc stop shuffle: its only shuffles are
+    watermark — NOT a per-row collect). HOW it enters the plan is
+    size-dispatched (``_split_stop_tokens``): at or below
+    ``STOP_INSET_MAX`` it compiles to an ``InSet`` filter — no freq
+    join, no anti-join, no per-doc stop shuffle; above (boilerplate-
+    heavy corpora, where the avg_doc_size/max_df bound reaches 10⁵–10⁶)
+    it ships as a broadcast DataFrame via anti/semi joins so plan size
+    stays independent of |stop|. Either way the data-path shuffles are
     tokens→buckets (by shingle hash) and the pair count (by (i,j)), both
     on fixed-width longs. When the stop set is empty — the common case
     for non-boilerplate corpora — the plan collapses to index → pair
@@ -370,17 +437,9 @@ def jaccard_similarity_join(
                 .collect()
             ]
             _memo_put(_STOP_SETS, stop_key, stops)
-    if stops:
-        nonstop = tokens.filter(~F.col("shingle").isin(stops))
-        # per-row stop projection: InSet lookup per element, no shuffle
-        docs = base.select(
-            "id", "sz", F.filter("shh", lambda x: x.isin(stops)).alias("stop_arr")
-        ).withColumn("n_stop", F.size("stop_arr"))
-    else:
-        nonstop = tokens
-        docs = base.select(
-            "id", "sz", F.array().cast("array<bigint>").alias("stop_arr")
-        ).withColumn("n_stop", F.lit(0))
+    # size-dispatched split: InSet below STOP_INSET_MAX, broadcast
+    # anti/semi joins above (identical contents, flat plan at any |stop|)
+    nonstop, docs = _split_stop_tokens(base, tokens, stops)
     # f² pair expansion inside bounded buckets via chained Generates
     # (codegen row expansion, not interpreted lambdas, not a self-join —
     # the token index is shuffled by shingle exactly once)
@@ -478,16 +537,7 @@ def containment_join(
                 .collect()
             ]
             _memo_put(_STOP_SETS, stop_key, stops)
-    if stops:
-        nonstop = tokens.filter(~F.col("shingle").isin(stops))
-        docs = base.select(
-            "id", "sz", F.filter("shh", lambda x: x.isin(stops)).alias("stop_arr")
-        ).withColumn("n_stop", F.size("stop_arr"))
-    else:
-        nonstop = tokens
-        docs = base.select(
-            "id", "sz", F.array().cast("array<bigint>").alias("stop_arr")
-        ).withColumn("n_stop", F.lit(0))
+    nonstop, docs = _split_stop_tokens(base, tokens, stops)
     buckets = (
         nonstop.groupBy("shingle")
         .agg(F.collect_list("id").alias("docs"))
@@ -611,7 +661,11 @@ def prefix_filter_jaccard_join(
             _memo_put(_STOP_SETS, stop_key, stops)
         if stops:
             # struct sort key (is_hot, hash): native struct ordering, the
-            # InSet probe is the only per-element work
+            # InSet probe is the only per-element work. NB this arm keeps
+            # the plan-literal InSet at any |stop| (a per-ELEMENT sort key
+            # has no join-shaped twin); corpora whose stop set outgrows
+            # STOP_INSET_MAX should use order="df" (the default), which
+            # involves no stop set at all and minimizes candidates anyway.
             keyed = F.array_sort(
                 F.transform(
                     "shh",

@@ -114,14 +114,16 @@ def count_outliers(
     rhs <= z^2*n*s2), so the predicate is exact and throw-free whenever
     max(4, z^2) * n^2 * s2 < 1e37 — roughly n * v_max < 1e18 per group,
     an order of magnitude of headroom under the 38-digit ceiling. The
-    bound is ENFORCED per row via an assert_true guard on the broadcast
-    group stats (a float compare — no extra scan, evaluated before the
-    decimal square): out-of-domain groups raise a clear error telling
-    the caller to rescale values or shard groups, instead of a raw ANSI
-    decimal-overflow throw (Spark) / HUGEINT overflow (DuckDB) deep in
-    the predicate. Oracles need no mirror: in-domain results are
-    unchanged, and out-of-domain runs error on BOTH engines rather than
-    returning anything."""
+    bound is ENFORCED per row via CASE-conditional evaluation (ADVICE
+    r9: conjunct order inside one Filter is NOT contractual — Catalyst
+    may split the AND — but CASE branch laziness IS): the decimal square
+    sits in the THEN branch of the domain check, and the ELSE branch is
+    an assert_true that raises a clear error telling the caller to
+    rescale values or shard groups, so an out-of-domain group can never
+    surface the raw ANSI decimal-overflow throw (Spark) / HUGEINT
+    overflow (DuckDB) from deep in the predicate. Oracles need no
+    mirror: in-domain results are unchanged, and out-of-domain runs
+    error on BOTH engines rather than returning anything."""
     v = (F.col(int_col) if isinstance(int_col, str) else int_col).cast(_DEC)
     lhs = v * F.col("n").cast(_DEC) - F.col("s1")
     rhs = F.lit(int(z) * int(z)).cast(_DEC) * (
@@ -141,9 +143,13 @@ def count_outliers(
             "the integer values or shard the group"
         ),
     )
+    # the decimal square only evaluates when domain_ok holds (CASE branch
+    # laziness — contractual, unlike Filter conjunct order); otherwise the
+    # assert_true raises the friendly message
+    pred = F.when(domain_ok, lhs * lhs > rhs).otherwise(guard.isNotNull())
     joined = df.join(F.broadcast(moments), group_cols)
     return (
-        joined.filter(guard.isNull() & v.isNotNull() & (lhs * lhs > rhs))
+        joined.filter(v.isNotNull() & pred)
         .groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias("n_outliers"))
     )

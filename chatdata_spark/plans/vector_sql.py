@@ -251,11 +251,27 @@ class VectorSQLDialect:
                 raise ValueError(
                     "formatDateTime: only literal format strings are supported"
                 )
+            # %e dropped (ADVICE r9): CH/MySQL %e is SPACE-padded
+            # day-of-month (' 9'), Java 'd' is unpadded ('9') — ambiguous
+            # codes raise, the stated convention (%M precedent).
             codes = {"Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH",
                      "i": "mm", "S": "ss", "s": "ss", "F": "yyyy-MM-dd",
-                     "D": "MM/dd/yy", "T": "HH:mm:ss", "e": "d", "j": "DDD",
+                     "D": "MM/dd/yy", "T": "HH:mm:ss", "j": "DDD",
                      "%": "%"}
-            out = []
+            out = []  # Java pattern fragments (Java-level quoting applied)
+            lit: list[str] = []  # pending literal-alpha run
+
+            def flush():
+                # consecutive literal letters become ONE quoted run —
+                # per-char quoting ('h''r''s') reads as h, literal-',
+                # r, literal-', s in java.time, not "hrs". A run of ONLY
+                # escaped quotes stays bare ('' per quote): wrapping it
+                # ('''') would read as TWO literal quotes.
+                if lit:
+                    run = "".join(lit)
+                    out.append(f"'{run}'" if run.strip("'") else run)
+                    lit.clear()
+
             body = fmt[1:-1]
             i = 0
             while i < len(body):
@@ -265,18 +281,39 @@ class VectorSQLDialect:
                         nxt = body[i + 1] if i + 1 < len(body) else "<end>"
                         raise ValueError(
                             f"formatDateTime: unsupported format code %{nxt} "
-                            "(supported: %Y %y %m %d %H %i %S %s %F %D %T %e %j %%)"
+                            "(supported: %Y %y %m %d %H %i %S %s %F %D %T %j %%)"
                         )
+                    flush()
                     out.append(codes[body[i + 1]])
                     i += 2
-                else:
-                    # literal chars: Java patterns require quoting letters
-                    if c.isalpha():
-                        out.append(f"'{c}'")
+                elif c == "'":
+                    # inside a SQL literal a quote arrives SQL-escaped as
+                    # '' — it must join the surrounding QUOTED RUN as the
+                    # java.time in-section escaped quote ('o''clock'), not
+                    # stand alone: adjacent sections merge ('o'''' parses
+                    # the inner '' as an embedded quote, doubling it). A
+                    # lone quote here would mean the surrounding SQL
+                    # literal was malformed.
+                    if i + 1 < len(body) and body[i + 1] == "'":
+                        lit.append("''")
+                        i += 2
                     else:
-                        out.append(c)
+                        raise ValueError(
+                            "formatDateTime: malformed quote in format literal"
+                        )
+                elif c.isalpha():
+                    lit.append(c)
                     i += 1
-            return f"date_format({a[0]}, '{''.join(out)}')"
+                else:
+                    flush()
+                    out.append(c)
+                    i += 1
+            flush()
+            # SQL-escape the finished Java pattern when splicing it back
+            # into SQL text (every ' doubles) — emitting Java quotes raw
+            # produced unparseable SQL for any alpha literal
+            pattern = "".join(out).replace("'", "''")
+            return f"date_format({a[0]}, '{pattern}')"
 
         def _to_start_of_week(a: list[str]) -> str:
             # ClickHouse default mode is 0 (Sunday-start week); mode 1 is the

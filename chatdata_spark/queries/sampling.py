@@ -536,8 +536,10 @@ def token_budget_mixture(spark, sf_dir):
     sum_w = (
         d.select("source", "w").distinct().agg(F.sum("w").alias("s")).collect()[0].s
     )
-    quota = (F.lit(60000) * F.col("w")) / F.lit(int(sum_w))
-    d = d.withColumn("quota", F.floor(quota).cast("long"))
+    # exact BIGINT division (ADVICE r9): `div` is integer division on
+    # longs in Spark SQL, matching the oracle's `//` bit-for-bit at any
+    # magnitude — floor(double /) drifts once operands approach 2^53
+    d = d.withColumn("quota", F.expr(f"(60000L * w) div {int(sum_w)}L"))
     picked = budget_prefix_sample(d, "source", "n_chars", F.col("quota"), "doc_id", salt="tbm")
     return (
         picked.groupBy("source", "w", "quota")

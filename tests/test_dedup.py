@@ -272,3 +272,38 @@ def test_containment_join_catches_subdocument_dup(spark):
     assert r.c_ji < 0.1  # the big doc is NOT contained in the small one
     jac = jaccard_similarity_join(df, "doc_id", "text", k=3, threshold=0.5, max_df=None).collect()
     assert jac == []  # symmetric Jaccard misses the same pair at any sane threshold
+
+
+def test_stop_dispatch_paths_equivalent(spark, monkeypatch):
+    """r9 verdict item 5: the stop-set split dispatches on |stops| —
+    plan-literal InSet below STOP_INSET_MAX, broadcast anti/semi joins
+    above. Both arms must produce IDENTICAL pairs for jaccard and
+    containment (the dispatch changes physical shape only)."""
+    import chatdata_spark.operators.dedup as D
+    from chatdata_spark.operators.dedup import containment_join, jaccard_similarity_join
+
+    docs = _skewed_corpus(spark)  # boilerplate in EVERY doc → stop set ≥ 1
+    kw = dict(k=3, threshold=0.3)
+
+    def snap(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    jac_inset = snap(jaccard_similarity_join(docs, "doc_id", "text", **kw))
+    con_inset = snap(containment_join(docs, "doc_id", "text", threshold=0.6, k=3))
+    # force the broadcast-join arm for ANY non-empty stop set; clear the
+    # memo so the statistics pass re-runs under the patched bound
+    monkeypatch.setattr(D, "STOP_INSET_MAX", 0)
+    D._STOP_SETS.clear()
+    jac_bcast = snap(jaccard_similarity_join(docs, "doc_id", "text", **kw))
+    con_bcast = snap(containment_join(docs, "doc_id", "text", threshold=0.6, k=3))
+    D._STOP_SETS.clear()
+    assert jac_inset == jac_bcast and len(jac_inset) > 0
+    assert con_inset == con_bcast and len(con_inset) > 0
+    # the fixture must actually exercise a non-empty stop set at the
+    # default max_df (0.01 of 200 docs → cap 2; boilerplate df = 200)
+    base = D._with_shingle_hashes(docs, "doc_id", "text", 3, persist=False)
+    n_hot = (
+        base.select(F.explode("shh").alias("shingle"))
+        .groupBy("shingle").count().filter(F.col("count") > 2).count()
+    )
+    assert n_hot > 0, "fixture produced no stop shingles"

@@ -250,12 +250,24 @@ def test_r9_sweep6_executes(spark):
 
 def test_r9_sweep7_format_date_time_translation():
     out = D.translate("SELECT formatDateTime(ts, '%Y-%m-%dT%H:%i:%S') FROM t")
-    # literal letter T must be Java-quoted; codes mapped
-    assert "date_format(ts, 'yyyy-MM-dd'T'HH:mm:ss')" in out
+    # literal letter T: Java-quoted in the pattern, then SQL-escaped when
+    # spliced back into SQL text (raw 'T' made the emitted SQL unparseable)
+    assert "date_format(ts, 'yyyy-MM-dd''T''HH:mm:ss')" in out
+    # consecutive literal letters group into ONE quoted run ('hrs', not
+    # 'h''r''s' — which java.time reads as h, ', r, ', s)
+    out2 = D.translate("SELECT formatDateTime(ts, '%H hrs') FROM t")
+    assert "date_format(ts, 'HH ''hrs''')" in out2
+    # a literal quote in the body (SQL-escaped '') survives as the
+    # java.time literal-quote, SQL-escaped: 4 quotes in the emitted text
+    out3 = D.translate("SELECT formatDateTime(ts, 'o''clock %H') FROM t")
+    assert "date_format(ts, '''o''''clock'' HH')" in out3
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unsupported format code %M"):
         D.translate("SELECT formatDateTime(ts, '%H:%M') FROM t")
+    # %e dropped (ADVICE r9): CH space-pads day-of-month, Java does not
+    with _pytest.raises(ValueError, match="unsupported format code %e"):
+        D.translate("SELECT formatDateTime(ts, '%e') FROM t")
     with _pytest.raises(ValueError, match="unsupported format code %Q"):
         D.translate("SELECT formatDateTime(ts, '%Q') FROM t")
     with _pytest.raises(ValueError, match="literal format strings"):
@@ -277,3 +289,19 @@ def test_r9_sweep7_executes(spark):
     # 2021-01-01 is ISO week 53 of ISO year 2020
     assert (row.w, row.y) == (53, 2020)
     assert row.m == 3 and row.t == "a-b-c"
+    # literal letters and embedded quotes must EXECUTE, not just
+    # translate (the raw-quote emission parsed as containment-test-green
+    # but was unparseable SQL for any alpha literal)
+    row2 = spark.sql(
+        D.translate(
+            "SELECT formatDateTime(CAST('2024-03-09 10:05:06' AS TIMESTAMP), "
+            "'%Y-%m-%dT%H:%i:%S') AS iso, "
+            "formatDateTime(CAST('2024-03-09 10:05:06' AS TIMESTAMP), "
+            "'%H hrs') AS hrs, "
+            "formatDateTime(CAST('2024-03-09 10:05:06' AS TIMESTAMP), "
+            "'o''clock %H') AS oc"
+        )
+    ).collect()[0]
+    assert row2.iso == "2024-03-09T10:05:06"
+    assert row2.hrs == "10 hrs"
+    assert row2.oc == "o'clock 10"

@@ -154,6 +154,8 @@ E2E = [
     "sq8_rerank_knn",               # build-time calibration collect + funnel
     "streaming_kmv_overlap",        # two availableNow drains at build time
     "token_budget_mixture",         # build-time sum-of-weights collect (1 scalar)
+    # r10 additions (build-time collects / index builds)
+    "ann_ivf_merge_search",         # KMeans build + merge rewrite at build time
 ]
 
 # The ≤15 per-query entries repeated on stdout (full map goes to

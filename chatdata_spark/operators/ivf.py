@@ -183,6 +183,150 @@ class IVFIndex:
             shutil.rmtree(os.path.join(data_path, f"cluster_id={cid}"), ignore_errors=True)
         return IVFIndex(self.spark, self.path)
 
+    def merge_underfull(self, min_rows: int, retrain: bool = True) -> "IVFIndex":
+        """Merge every cluster holding fewer than ``min_rows`` rows into
+        its rows' nearest SURVIVING clusters — the re-balance half of the
+        skew-maintenance pair (:meth:`split_skewed` retires fat clusters;
+        this retires the thin ones that appear as the data distribution
+        drifts under append/delete churn). Row assignment uses the same
+        euclidean nearest-centroid rule as build/append, restricted to the
+        surviving centroids. With ``retrain=True`` every RECEIVING
+        cluster's centroid is re-trained as the exact mean of its
+        post-merge rows (one bounded aggregate over only the rewritten
+        clusters — the k·d ≤ a few thousand scalars collect, the d²-moment
+        convention), correcting centroid drift without a full KMeans
+        rebuild. Recall soundness is unaffected either way: assignment and
+        search always use the same committed centroids.
+
+        Layout discipline (the split_skewed rules verbatim): receiving
+        clusters are rewritten under FRESH ``cluster_id=`` directories —
+        never appended into a committed directory (a crash between the
+        data write and the meta swap must not double rows on retry), and
+        the opening sweep deletes any dir absent from the committed
+        ``cluster_ids``, making the call idempotent. The meta swap is
+        atomic; old receiving dirs and thin dirs are dropped only after
+        it. Cost: one scan + one partitioned write per receiving cluster;
+        clusters that neither vanish nor receive rows are untouched.
+        Empty committed clusters (e.g. fully drained by delete+compact)
+        merge for free — no rows to move, their ids and centroids simply
+        leave the meta. Degenerate all-thin inputs keep the largest
+        cluster as the sole survivor; an index with no rows is refused."""
+        import shutil
+
+        data_path = self._data_path()
+        committed = {f"cluster_id={cid}" for cid in self.cluster_ids}
+        for entry in os.listdir(data_path):
+            if entry.startswith("cluster_id=") and entry not in committed:
+                shutil.rmtree(os.path.join(data_path, entry), ignore_errors=True)
+        data = self.spark.read.parquet(data_path)
+        sizes = {r["cluster_id"]: r["n"] for r in
+                 data.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+        thin = [c for c in self.cluster_ids if sizes.get(c, 0) < min_rows]
+        if not thin:
+            return self
+        keep = [c for c in self.cluster_ids if c not in set(thin)]
+        if not keep:
+            if not sizes:
+                raise ValueError(
+                    "merge_underfull: index has no rows — rebuild instead"
+                )
+            largest = max(sizes, key=lambda c: (sizes[c], -c))
+            thin = [c for c in thin if c != largest]
+            keep = [largest]
+            if not thin:
+                return self
+        pos_of = {c: i for i, c in enumerate(self.cluster_ids)}
+        keep_cents = self.centroids[[pos_of[c] for c in keep]]  # (|keep|, d)
+        k_sq = (keep_cents**2).sum(axis=1)
+        keep_ids = np.array(keep, dtype=np.int64)
+
+        @F.pandas_udf("long")
+        def _nearest_keep(vecs: pd.Series) -> pd.Series:
+            x = np.array(vecs.tolist(), dtype=np.float64)
+            d2 = -2.0 * (x @ keep_cents.T) + k_sq[None, :]
+            return pd.Series(keep_ids[d2.argmin(axis=1)])
+
+        thin_with_rows = [c for c in thin if sizes.get(c, 0) > 0]
+        affected: list[int] = []
+        assigned = None
+        if thin_with_rows:
+            assigned = (
+                data.filter(F.col("cluster_id").isin(thin_with_rows))
+                .drop("cluster_id")
+                .withColumn(
+                    "__target",
+                    _nearest_keep(F.col(self.vector_col).cast("array<double>")),
+                )
+            )
+            affected = sorted(
+                r[0] for r in assigned.select("__target").distinct().collect()
+            )
+        next_id = max(self.cluster_ids) + 1
+        fresh_of = {old: next_id + i for i, old in enumerate(affected)}
+        if affected:
+            remap = F.create_map(
+                *[F.lit(int(x)) for kv in fresh_of.items() for x in kv]
+            )
+            old_rows = data.filter(F.col("cluster_id").isin(affected)).withColumn(
+                "cluster_id", remap[F.col("cluster_id")]
+            )
+            moved = assigned.withColumn("cluster_id", remap[F.col("__target")]).drop(
+                "__target"
+            )
+            (
+                old_rows.unionByName(moved)
+                .repartition("cluster_id")
+                .write.mode("append")
+                .partitionBy("cluster_id")
+                .parquet(data_path)
+            )
+        # meta: survivors keep their slot; receiving clusters re-enter
+        # under their fresh ids (old centroid, or the exact post-merge
+        # mean when retraining)
+        new_ids = [c for c in keep if c not in fresh_of]
+        new_cents = [list(map(float, self.centroids[pos_of[c]])) for c in new_ids]
+        fresh_cents = {
+            fresh_of[old]: list(map(float, self.centroids[pos_of[old]]))
+            for old in affected
+        }
+        if retrain and affected:
+            fresh_list = sorted(fresh_of.values())
+            means = (
+                self.spark.read.parquet(data_path)
+                .filter(F.col("cluster_id").isin(fresh_list))
+                .select(
+                    "cluster_id",
+                    F.posexplode(F.col(self.vector_col).cast("array<double>")).alias(
+                        "pos", "v"
+                    ),
+                )
+                .groupBy("cluster_id", "pos")
+                .agg(F.avg("v").alias("m"))
+                .collect()
+            )
+            dim = self.centroids.shape[1]
+            acc = {cid: [0.0] * dim for cid in fresh_list}
+            for r in means:
+                acc[r["cluster_id"]][r["pos"]] = float(r["m"])
+            fresh_cents = acc
+        for old in affected:
+            new_ids.append(fresh_of[old])
+            new_cents.append(fresh_cents[fresh_of[old]])
+        self._write_meta(self.path, {
+            "id_col": self.id_col,
+            "vector_col": self.vector_col,
+            "n_clusters": len(new_ids),
+            "metric": self.metric,
+            "centroids": new_cents,
+            "cluster_ids": new_ids,
+            "data_dir": self.data_dir,
+        })
+        for cid in thin + affected:  # unreachable after the meta swap
+            shutil.rmtree(
+                os.path.join(data_path, f"cluster_id={cid}"), ignore_errors=True
+            )
+        return IVFIndex(self.spark, self.path)
+
     # -- incremental maintenance ------------------------------------------------
     def append(self, new_df: DataFrame) -> None:
         """Incremental index maintenance: assign new vectors to their

@@ -755,6 +755,42 @@ def ann_ivf_delete_search(spark, sf_dir):
 
 
 @query(
+    "ann_ivf_merge_search",
+    oracle=f"""
+    SELECT vec_id, label, {_duck_cos('embedding', Q1)} AS dist
+    FROM embeddings
+    ORDER BY dist ASC, vec_id ASC
+    LIMIT 12
+    """,
+)
+def ann_ivf_merge_search(spark, sf_dir):
+    """Index RE-BALANCE lifecycle (r9 verdict item 8 — the merge/re-train
+    half completing split_skewed): build IVF with enough clusters that
+    some land under the median size, merge_underfull at that floor
+    (operators/ivf.py — thin clusters' rows reassigned to their nearest
+    surviving centroids, receivers rewritten under fresh ids, receiving
+    centroids re-trained as exact post-merge means), then a full-probe
+    search over the re-balanced layout must equal the exact scan of the
+    whole corpus — proving merge is a pure layout operation: no row
+    lost, duplicated, or made unreachable. Deterministic end to end
+    (KMeans seed 42, exact-mean retrain, euclidean reassignment)."""
+    import tempfile
+
+    from chatdata_spark.operators.ivf import IVFIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    root = tempfile.mkdtemp(prefix="chatdata_ivf_merge_")
+    idx = IVFIndex.build(emb, root, "vec_id", "embedding", n_clusters=24)
+    sizes = (
+        spark.read.parquet(f"{root}/data")
+        .groupBy("cluster_id").count().collect()
+    )
+    floor = sorted(r["count"] for r in sizes)[len(sizes) // 2]
+    idx = idx.merge_underfull(min_rows=floor, retrain=True)
+    return idx.search(Q1, k=12, n_probe=idx.n_clusters, select=["vec_id", "label"])
+
+
+@query(
     "matryoshka_knn",
     oracle=f"""
     SELECT vec_id, label,

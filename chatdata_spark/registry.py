@@ -115,7 +115,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "left_join_order_counts", "monthly_order_stats", "semi_join_orders",
     "set_ops_users", "string_funcs_parts", "window_lag_delta",
     "window_running_sum", "window_top3_orders_per_cust",
-    "collect_list_sorted",
+    # --- r10 additions (each displaced one backlog-tail name:
+    # ann_ivf_merge_search displaced collect_list_sorted) ---
+    "ann_ivf_merge_search",
 )
 
 # Rotation plan for round 11: second greens for whatever r10 adds

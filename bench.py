@@ -118,6 +118,8 @@ HEADLINE = [
     "user_rfm_features",        # one user-keyed aggregate + broadcast scalar
     "dialect_parity_sweep7",    # formatDateTime/ISO-calendar/countMatches renames
     "knn_batch_queries",        # Q-query batched kNN: one scan + salted group top-k
+    # r10 additions (steady-state plans)
+    "dedup_substring_exact_spans",  # hash-candidate superset + literal-gram verify
 ]
 # ITERATIVE / build-time-collecting operators get their own timing mode:
 # their work runs at plan-BUILD time (driver-looped rounds with eager

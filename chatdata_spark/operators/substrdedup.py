@@ -99,23 +99,47 @@ def duplicated_ngram_spans(
     text_col: str,
     n: int = 10,
     min_count: int = 2,
+    exact: bool = False,
 ) -> DataFrame:
     """Maximal duplicated-substring spans per document: every word n-gram
     with ``min_count``+ occurrences corpus-wide (intra- or cross-document)
     marks positions [p, p+n-1]; runs of marked grams whose starts are
     within ``n`` of each other (overlapping or touching regions) merge.
     Returns (id_col, span_start, span_len, n_grams) ordered spans,
-    1-based inclusive word positions."""
+    1-based inclusive word positions.
+
+    ``exact=True`` retires the hash-class caveat (r9 verdict item 8):
+    the corpus-wide count runs on 8-byte hashes as before (a SUPERSET of
+    the literal answer — a collision can only merge classes, never split
+    one), and the surviving candidate positions are then VERIFIED by
+    literal gram comparison: each candidate's n-word gram string is
+    materialized (an id-keyed join back to the token arrays — only docs
+    holding candidates pay it) and recounted by string. Result: exact
+    length-≥n duplicated-substring semantics at ANY corpus size — the
+    suffix-array answer for the fixed threshold n — with text shuffled
+    ONLY for candidate (≈ truly duplicated) positions, never the corpus.
+    Default stays hash-only: the 2⁻⁶⁴-per-pair collision odds are the
+    documented trade for a zero-text-shuffle plan."""
+    from pyspark import StorageLevel
+
     d = _tokenized(df, id_col, text_col)
-    return _spans_from_tokens(d, n, min_count).select(
+    if exact:
+        # both the gram pass and the verify join consume the tokenized
+        # frame — persist so tokenization runs once (the removal pattern)
+        d = d.persist(StorageLevel.MEMORY_AND_DISK)
+    return _spans_from_tokens(d, n, min_count, exact=exact).select(
         F.col("__id").alias(id_col), "span_start", "span_len", "n_grams"
     ).orderBy(id_col, "span_start")
 
 
-def _spans_from_tokens(d: DataFrame, n: int, min_count: int) -> DataFrame:
+def _spans_from_tokens(
+    d: DataFrame, n: int, min_count: int, exact: bool = False
+) -> DataFrame:
     """Span detection over an already-tokenized (__id, __ws) frame —
     shared by detection and removal so the removal path tokenizes the
-    corpus once, not twice."""
+    corpus once, not twice. ``exact`` adds the literal-gram verify pass
+    (see :func:`duplicated_ngram_spans`); callers must have persisted
+    ``d`` when setting it."""
     grams = (
         d.filter(F.size("__ws") >= n)
         .select("__id", F.transform("__ws", lambda t: F.xxhash64(t)).alias("__wh"))
@@ -136,6 +160,35 @@ def _spans_from_tokens(d: DataFrame, n: int, min_count: int) -> DataFrame:
         .filter(F.col("__c") >= min_count)
         .select("__id", "__pos")
     )
+    if exact:
+        # literal verify: the hash pass above yields a SUPERSET of the
+        # true duplicated positions (collisions only merge count classes).
+        # Materialize the n-word gram string for candidates only — per-doc
+        # candidate lists joined back to the token arrays (docs without
+        # candidates never ship their arrays) — and recount by string.
+        per_doc = hits.groupBy("__id").agg(F.collect_list("__pos").alias("__ps"))
+        gram_str = (
+            d.join(per_doc, "__id")
+            .select(
+                "__id",
+                F.explode(
+                    F.transform(
+                        "__ps",
+                        lambda p: F.struct(
+                            p.alias("p"),
+                            F.array_join(F.slice("__ws", p, n), " ").alias("g"),
+                        ),
+                    )
+                ).alias("__pg"),
+            )
+            .select("__id", F.col("__pg.p").alias("__pos"), F.col("__pg.g").alias("__g"))
+        )
+        w_g = Window.partitionBy("__g")
+        hits = (
+            gram_str.withColumn("__c", F.count(F.lit(1)).over(w_g))
+            .filter(F.col("__c") >= min_count)
+            .select("__id", "__pos")
+        )
     w = Window.partitionBy("__id").orderBy("__pos")
     prev = F.lag("__pos").over(w)
     is_new = F.when(prev.isNull() | (F.col("__pos") - prev > n), 1).otherwise(0)

@@ -362,25 +362,27 @@ def dedup_incremental_batches(spark, sf_dir):
     return p1.unionByName(p2).orderBy("i", "j")
 
 
-# Shared CTE chain for the substring-dedup oracles: 10-gram strings (the
+# Shared CTE chain for the substring-dedup oracles: n-gram strings (the
 # Spark side groups xxhash64 of the same space-joined window — identical
-# equivalence classes), corpus-wide count >= 2, span merge via the same
+# equivalence classes; the exact=True path groups the literal strings
+# themselves), corpus-wide count >= min_count, span merge via the same
 # lag/running-sum window the engine uses. 1-based word positions on both
 # sides (DuckDB list slicing is 1-based end-inclusive).
-_DUCK_SUBSTR_SPANS = """
+def _duck_substr_spans(n: int = 10, min_count: int = 2) -> str:
+    return f"""
 WITH words AS (
     SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents
 ),
 grams AS (
-    SELECT doc_id, pos, array_to_string(ws[pos:pos+9], ' ') AS g
-    FROM words, unnest(generate_series(1, len(ws) - 9)) AS t(pos)
-    WHERE len(ws) >= 10
+    SELECT doc_id, pos, array_to_string(ws[pos:pos+{n - 1}], ' ') AS g
+    FROM words, unnest(generate_series(1, len(ws) - {n - 1})) AS t(pos)
+    WHERE len(ws) >= {n}
 ),
-dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= 2),
+dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) >= {min_count}),
 hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
 marked AS (
     SELECT doc_id, pos,
-           CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 10
+           CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > {n}
                 THEN 1 ELSE 0 END AS is_new
     FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 ),
@@ -392,11 +394,14 @@ runs AS (
 ),
 spans AS (
     SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
-           CAST(MAX(pos) + 10 - MIN(pos) AS BIGINT) AS span_len,
+           CAST(MAX(pos) + {n} - MIN(pos) AS BIGINT) AS span_len,
            COUNT(*) AS n_grams
     FROM runs GROUP BY doc_id, sid
 )
 """
+
+
+_DUCK_SUBSTR_SPANS = _duck_substr_spans(10, 2)
 
 
 @query(
@@ -415,6 +420,27 @@ def dedup_substring_spans(spark, sf_dir):
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     return duplicated_ngram_spans(d, "doc_id", "text", n=10, min_count=2)
+
+
+@query(
+    "dedup_substring_exact_spans",
+    oracle=_duck_substr_spans(8, 2)
+    + "SELECT doc_id, span_start, span_len, n_grams FROM spans ORDER BY doc_id, span_start",
+)
+def dedup_substring_exact_spans(spark, sf_dir):
+    """EXACT sub-document duplicated-substring detection (r9 verdict item
+    8 — retiring the hash-class caveat): the hash-count pass yields a
+    candidate superset, then every candidate's literal 8-word gram is
+    materialized (id-keyed join back to the token arrays, candidates
+    only) and recounted by string, so the answer equals the literal
+    suffix-array-style semantics at any corpus size — no collision class
+    can create a span. Text shuffles only for candidate positions; the
+    corpus-sized shuffle stays (id, pos, hash8). n=8 (vs the hash-only
+    entry's 10) so the two entries exercise distinct gram grids."""
+    from chatdata_spark.operators.substrdedup import duplicated_ngram_spans
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return duplicated_ngram_spans(d, "doc_id", "text", n=8, min_count=2, exact=True)
 
 
 @query(

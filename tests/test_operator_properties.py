@@ -925,6 +925,16 @@ def test_substring_dedup_matches_python_reference(spark, docs, n, min_count):
         for r in duplicated_ngram_spans(df, "doc_id", "text", n=n, min_count=min_count).collect()
     ]
     assert sorted(got_spans) == sorted(want_spans)
+    # exact mode (literal-gram verify pass) must match the same reference
+    # — the reference counts LITERAL grams, so this pins the verify join
+    # end-to-end, not just hash-class agreement
+    got_exact = [
+        (r.doc_id, r.span_start, r.span_len, r.n_grams)
+        for r in duplicated_ngram_spans(
+            df, "doc_id", "text", n=n, min_count=min_count, exact=True
+        ).collect()
+    ]
+    assert sorted(got_exact) == sorted(want_spans)
     got_removed = [
         (r.doc_id, r.n_words, r.n_dropped, r.text_dedup)
         for r in remove_duplicated_spans(df, "doc_id", "text", n=n, min_count=min_count).collect()

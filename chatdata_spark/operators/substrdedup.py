@@ -209,6 +209,7 @@ def remove_duplicated_spans(
     text_col: str,
     n: int = 10,
     min_count: int = 2,
+    exact: bool = False,
 ) -> DataFrame:
     """Cut every duplicated span from the token stream: returns one row per
     input document — (id_col, n_words, n_dropped, text_dedup), where
@@ -216,7 +217,9 @@ def remove_duplicated_spans(
     the normalized token stream, the same granularity Lee et al. cut at —
     original casing/punctuation do not survive, which is the standard
     trade for a training-corpus pass). Documents with no duplicated spans
-    keep their full token stream with ``n_dropped = 0``."""
+    keep their full token stream with ``n_dropped = 0``. ``exact=True``
+    cuts at the literal-gram-verified spans (see
+    :func:`duplicated_ngram_spans`)."""
     from pyspark import StorageLevel
 
     # persisted because BOTH join branches (span detection and the token
@@ -224,7 +227,7 @@ def remove_duplicated_spans(
     # twice physically (each branch replans the scan); the persist is what
     # makes it once (the _with_shingle_hashes pattern)
     d = _tokenized(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
-    spans = _spans_from_tokens(d, n, min_count)
+    spans = _spans_from_tokens(d, n, min_count, exact=exact)
     per_doc = spans.groupBy("__id").agg(
         F.collect_list(
             F.struct(

@@ -940,6 +940,13 @@ def test_substring_dedup_matches_python_reference(spark, docs, n, min_count):
         for r in remove_duplicated_spans(df, "doc_id", "text", n=n, min_count=min_count).collect()
     ]
     assert got_removed == want_removed
+    got_removed_exact = [
+        (r.doc_id, r.n_words, r.n_dropped, r.text_dedup)
+        for r in remove_duplicated_spans(
+            df, "doc_id", "text", n=n, min_count=min_count, exact=True
+        ).collect()
+    ]
+    assert got_removed_exact == want_removed
 
 
 @settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])

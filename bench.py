@@ -120,6 +120,7 @@ HEADLINE = [
     "knn_batch_queries",        # Q-query batched kNN: one scan + salted group top-k
     # r10 additions (steady-state plans)
     "dedup_substring_exact_spans",  # hash-candidate superset + literal-gram verify
+    "dialect_parity_sweep8",    # bit/calendar/base64/array-mutation renames
 ]
 # ITERATIVE / build-time-collecting operators get their own timing mode:
 # their work runs at plan-BUILD time (driver-looped rounds with eager

@@ -481,6 +481,64 @@ class VectorSQLDialect:
             "toRelativeHourNum": lambda a: f"(unix_timestamp({a[0]}) div 3600)",
             "toRelativeDayNum": lambda a: f"(unix_timestamp({a[0]}) div 86400)",
             "concatWithSeparator": lambda a: f"concat_ws({', '.join(a)})",
+            # r10 parity sweep #8: bit/calendar/string/base64 scalars +
+            # array mutation/scan primitives
+            "bitCount": lambda a: f"bit_count({a[0]})",
+            "toLastDayOfMonth": lambda a: f"last_day({a[0]})",
+            "toStartOfFifteenMinutes": lambda a: (
+                f"timestamp_seconds((unix_timestamp({a[0]}) div 900) * 900)"
+            ),
+            "toStartOfFiveMinutes": lambda a: (
+                f"timestamp_seconds((unix_timestamp({a[0]}) div 300) * 300)"
+            ),
+            "substringUTF8": lambda a: f"substring({a[0]}, {a[1]}, {a[2]})",
+            "reverseUTF8": lambda a: f"reverse({a[0]})",
+            "base64Encode": lambda a: f"base64({a[0]})",
+            "base64Decode": lambda a: f"CAST(unbase64({a[0]}) AS STRING)",
+            # non-overlapping needle count — the greedy left-to-right
+            # replace matches CH's non-overlapping semantics exactly
+            "countSubstrings": lambda a: (
+                f"((length({a[0]}) - length(replace({a[0]}, {a[1]}, '')))"
+                f" div length({a[1]}))"
+            ),
+            "arrayPushBack": lambda a: f"concat({a[0]}, array({a[1]}))",
+            "arrayPushFront": lambda a: f"concat(array({a[1]}), {a[0]})",
+            "arrayPopBack": lambda a: (
+                f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))"
+            ),
+            "arrayPopFront": lambda a: (
+                f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0))"
+            ),
+            # 3-arg form only (arr, size, extender): CH's 2-arg default
+            # extender is type-dependent (0/''/NULL) — refuse rather than
+            # guess (the %M convention)
+            "arrayResize": lambda a: (
+                f"CASE WHEN size({a[0]}) >= ({a[1]}) THEN slice({a[0]}, 1, {a[1]}) "
+                f"ELSE concat({a[0]}, array_repeat({a[2]}, ({a[1]}) - size({a[0]}))) END"
+                if len(a) == 3
+                else (_ for _ in ()).throw(
+                    ValueError(
+                        "arrayResize: only the 3-arg (arr, size, extender) form "
+                        "is translated — CH's 2-arg default extender is "
+                        "type-dependent"
+                    )
+                )
+            ),
+            # running sum, BIGINT accumulate; NB the array expr is
+            # referenced inside the lambda (the arrayDifference caveat:
+            # pre-alias expensive arrays before calling)
+            "arrayCumSum": lambda a: (
+                f"aggregate({a[0]}, CAST(array() AS ARRAY<BIGINT>), "
+                f"(acc, x) -> array_append(acc, "
+                f"coalesce(try_element_at(acc, -1), 0L) + x))"
+            ),
+            # drop CONSECUTIVE duplicates (null-safe compare with the
+            # previous element; i is 0-based so element_at(arr, i) IS the
+            # predecessor in 1-based indexing)
+            "arrayCompact": lambda a: (
+                f"filter({a[0]}, (x, i) -> i = 0 "
+                f"OR NOT (x <=> try_element_at({a[0]}, i)))"
+            ),
         }
 
         def multi_if(a: list[str]) -> str:

@@ -609,3 +609,71 @@ def dialect_parity_sweep7(spark, sf_dir):
     FROM events PREWHERE event_id < 40 ORDER BY event_id
     """
     return spark.sql(DIALECT.translate(ch_sql))
+
+
+@query(
+    "dialect_parity_sweep8",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               CAST(props AS VARCHAR) AS p
+        FROM events WHERE event_id < 40
+    ), d AS (
+        SELECT *, len(regexp_extract_all(p, '[0-9]')) AS n FROM e
+    )
+    SELECT event_id,
+           CAST(bit_count(event_id) AS INT) AS bits,
+           CAST(last_day(ts) AS VARCHAR) AS eom,
+           strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S') AS q15,
+           strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS q5m,
+           substring(event_type, 2, 3) AS sub3,
+           reverse(event_type) AS rev,
+           to_base64(encode(event_type)) AS b64,
+           decode(from_base64(to_base64(encode(event_type)))) AS rt,
+           CAST((length(p) - length(replace(p, 'a', ''))) // length('a') AS BIGINT) AS n_a,
+           array_to_string(list_concat(
+               [CAST(i*(i+1)//2 AS BIGINT) for i in range(1, n)],
+               [CAST((n-1)*n//2 + 9 AS BIGINT)]), ',') AS cs,
+           array_to_string(CASE WHEN n = 0 THEN [] ELSE
+               [i for i in range(0, n//2 + 1)] END, ',') AS cp,
+           array_to_string((list_concat(range(1, n+1)[2:], [7,7,7,7]))[1:4], ',') AS rz
+    FROM d ORDER BY event_id
+    """,
+)
+def dialect_parity_sweep8(spark, sf_dir):
+    """§2.9 parity sweep #8 (r10): bitCount / toLastDayOfMonth /
+    toStartOfFifteenMinutes + toStartOfFiveMinutes (epoch-aligned integer
+    bucketing — DuckDB time_bucket's 2000-01-01 origin is a multiple of
+    both widths, so the buckets coincide) / substringUTF8 / reverseUTF8 /
+    base64Encode + base64Decode (round-tripped) / countSubstrings
+    (non-overlapping, the greedy-replace length formula on both sides) /
+    arrayPushBack + arrayPopBack + arrayPushFront-family slicing +
+    arrayResize (3-arg only — CH's 2-arg default extender is
+    type-dependent, refused like %M) / arrayCumSum (BIGINT running sum
+    via aggregate+array_append) / arrayCompact (consecutive dedup,
+    null-safe predecessor compare), over real event rows. Array outputs
+    serialized via arrayStringConcat/array_to_string (the sweep5
+    driver-hashability rule); oracle array legs use closed forms over
+    n = digit count (cumsum of [1..n-1,9] is triangular numbers;
+    compact of [i div 2] is [0..n div 2])."""
+    load_events(spark, sf_dir).createOrReplaceTempView("events")
+    ch_sql = """
+    SELECT event_id,
+           toInt32(bitCount(event_id)) AS bits,
+           toString(toLastDayOfMonth(ts)) AS eom,
+           toString(toStartOfFifteenMinutes(ts)) AS q15,
+           toString(toStartOfFiveMinutes(ts)) AS q5m,
+           substringUTF8(event_type, 2, 3) AS sub3,
+           reverseUTF8(event_type) AS rev,
+           base64Encode(event_type) AS b64,
+           base64Decode(base64Encode(event_type)) AS rt,
+           toInt64(countSubstrings(props, 'a')) AS n_a,
+           arrayStringConcat(arrayCumSum(arrayPushBack(arrayPopBack(
+               arrayEnumerate(extractAll(props, '[0-9]'))), 9)), ',') AS cs,
+           arrayStringConcat(arrayCompact(arrayMap(x -> intDiv(x, 2),
+               arrayEnumerate(extractAll(props, '[0-9]')))), ',') AS cp,
+           arrayStringConcat(arrayResize(arrayPopFront(
+               arrayEnumerate(extractAll(props, '[0-9]'))), 4, 7), ',') AS rz
+    FROM events PREWHERE event_id < 40 ORDER BY event_id
+    """
+    return spark.sql(DIALECT.translate(ch_sql))

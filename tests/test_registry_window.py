@@ -35,6 +35,7 @@ MUST_BE_DRIVER_CHECKED = {
     "rollup_incremental_refresh", "curation_select_v2",
     # r10 additions (driver-verified in-round)
     "ann_ivf_merge_search", "dedup_substring_exact_spans",
+    "dialect_parity_sweep8",
 }
 
 
@@ -184,8 +185,12 @@ def test_tail_is_deliberate():
     # 254→255 for dedup_substring_exact_spans (literal-gram verify pass
     # over the hash-candidate superset — exact substring-dedup semantics
     # at any corpus, retiring the hash-class caveat; r9 verdict item 8).
+    # 255→256 for dialect_parity_sweep8 (§2.9: bitCount, last-day /
+    # 15-and-5-minute bucketing, UTF8 string scalars, base64 round trip,
+    # countSubstrings, arrayPush/Pop/Resize/CumSum/Compact — ~14 more
+    # renames, array outputs serialized per the sweep5 rule).
     names = list(queries())
-    assert len(names) <= 255
+    assert len(names) <= 256
 
 
 def test_coverage_window_column_consistent():

@@ -305,3 +305,42 @@ def test_r9_sweep7_executes(spark):
     assert row2.iso == "2024-03-09T10:05:06"
     assert row2.hrs == "10 hrs"
     assert row2.oc == "o'clock 10"
+
+
+def test_r10_sweep8_translations_execute(spark):
+    """Sweep #8 renames: executed values pinned (translation-only
+    containment checks miss unparseable emissions — the formatDateTime
+    lesson)."""
+    row = spark.sql(
+        D.translate(
+            "SELECT toInt32(bitCount(11)) AS b, "
+            "toString(toLastDayOfMonth(toDateTime('2024-02-05 08:00:00'))) AS eom, "
+            "toString(toStartOfFifteenMinutes(toDateTime('2024-03-09 10:17:33'))) AS q15, "
+            "toString(toStartOfFiveMinutes(toDateTime('2024-03-09 10:17:33'))) AS q5m, "
+            "substringUTF8('purchase', 2, 3) AS sub3, "
+            "reverseUTF8('click') AS rev, "
+            "base64Decode(base64Encode('click')) AS rt, "
+            "countSubstrings('banana', 'an') AS n, "
+            "arrayStringConcat(arrayCumSum(arrayPushBack(arrayPopBack("
+            "arrayEnumerate(splitByChar('-', 'a-b-c'))), 9)), ',') AS cs, "
+            "arrayStringConcat(arrayCompact(arrayMap(x -> intDiv(x, 2), "
+            "arrayEnumerate(splitByChar('-', 'a-b-c-d')))), ',') AS cp, "
+            "arrayStringConcat(arrayResize(arrayPopFront("
+            "arrayEnumerate(splitByChar('-', 'a-b-c'))), 4, 7), ',') AS rz, "
+            "arrayStringConcat(arrayPushFront(arrayEnumerate("
+            "splitByChar('-', 'a-b')), 0), ',') AS pf"
+        )
+    ).collect()[0]
+    assert row.b == 3  # 11 = 0b1011
+    assert row.eom == "2024-02-29"  # leap year
+    assert (row.q15, row.q5m) == ("2024-03-09 10:15:00", "2024-03-09 10:15:00")
+    assert (row.sub3, row.rev, row.rt) == ("urc", "kcilc", "click")
+    assert row.n == 2  # non-overlapping
+    assert row.cs == "1,3,12"  # cumsum of [1,2,9]
+    assert row.cp == "0,1,2"  # compact of [0,1,1,2]
+    assert row.rz == "2,3,7,7"  # resize([2,3], 4, fill 7)
+    assert row.pf == "0,1,2"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="3-arg"):
+        D.translate("SELECT arrayResize(xs, 4) FROM t")

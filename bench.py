@@ -159,6 +159,7 @@ E2E = [
     "token_budget_mixture",         # build-time sum-of-weights collect (1 scalar)
     # r10 additions (build-time collects / index builds)
     "ann_ivf_merge_search",         # KMeans build + merge rewrite at build time
+    "bitext_margin_pairs",          # two side-index KMeans builds at build time
 ]
 
 # The ≤15 per-query entries repeated on stdout (full map goes to

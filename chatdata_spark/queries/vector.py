@@ -791,6 +791,57 @@ def ann_ivf_merge_search(spark, sf_dir):
 
 
 @query(
+    "bitext_margin_pairs",
+    oracle="""
+    WITH a AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE label = 0),
+    b AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE label = 1),
+    pairs AS (SELECT a.id AS a_id, b.id AS b_id,
+                     ROUND(1.0 - list_cosine_similarity(a.v, b.v), 6) AS dist
+              FROM a, b),
+    fwd AS (SELECT a_id, b_id, 1.0 - dist AS sim,
+                   ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dist ASC, b_id ASC) AS rn
+            FROM pairs),
+    bwd AS (SELECT a_id, b_id, 1.0 - dist AS sim,
+                   ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY dist ASC, a_id ASC) AS rn
+            FROM pairs),
+    f AS (SELECT a_id, b_id, sim FROM fwd WHERE rn <= 4),
+    w AS (SELECT a_id, b_id, sim FROM bwd WHERE rn <= 4),
+    sa AS (SELECT a_id, SUM(CAST(sim AS DECIMAL(18,6))) AS sum_a FROM f GROUP BY a_id),
+    sb AS (SELECT b_id, SUM(CAST(sim AS DECIMAL(18,6))) AS sum_b FROM w GROUP BY b_id),
+    cand AS (SELECT DISTINCT a_id, b_id, sim FROM
+             (SELECT * FROM f UNION ALL SELECT * FROM w)),
+    scored AS (SELECT c.a_id, c.b_id, c.sim,
+                      ROUND(c.sim * 8.0 / CAST(sa.sum_a + sb.sum_b AS DOUBLE), 6)
+                          AS margin
+               FROM cand c JOIN sa USING (a_id) JOIN sb USING (b_id)),
+    rk AS (SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY margin DESC, b_id ASC) AS ra,
+                  ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY margin DESC, a_id ASC) AS rb
+           FROM scored)
+    SELECT a_id, b_id, sim, margin FROM rk
+    WHERE ra = 1 AND rb = 1 AND margin >= 1.0
+    ORDER BY a_id, b_id
+    """,
+)
+def bitext_margin_pairs(spark, sf_dir):
+    """Margin-based bitext mining (operators/bitext.py — Artetxe &
+    Schwenk 2019 ratio margin, mutual-argmax "intersection" strategy):
+    label-0 embeddings as side A, label-1 as side B, k=4 neighborhoods,
+    full-probe IVF kNN joins both directions (exact — the oracle is the
+    all-pairs brute force), exact-decimal neighborhood sums, one double
+    division per pair rounded 6. The corpus-construction twin of the
+    reference's multilingual retrieval (myscale_tables.py:19,45)."""
+    from chatdata_spark.operators.bitext import margin_mine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.filter(F.col("label") == 0)
+    b = emb.filter(F.col("label") == 1)
+    return margin_mine(a, b, "vec_id", "embedding", k=4, threshold=1.0)
+
+
+@query(
     "matryoshka_knn",
     oracle=f"""
     SELECT vec_id, label,

@@ -113,13 +113,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "expr_filter_docs", "group_count_docs", "having_filter",
     "ilike_docs", "in_filter_parts", "json_extract_events",
     "left_join_order_counts", "monthly_order_stats", "semi_join_orders",
-    "set_ops_users", "string_funcs_parts", "window_lag_delta",
+    "set_ops_users", "string_funcs_parts",
     # --- r10 additions (each displaced one backlog-tail name:
     # ann_ivf_merge_search displaced collect_list_sorted,
     # dedup_substring_exact_spans displaced window_top3_orders_per_cust,
-    # dialect_parity_sweep8 displaced window_running_sum) ---
+    # dialect_parity_sweep8 displaced window_running_sum,
+    # bitext_margin_pairs displaced window_lag_delta) ---
     "ann_ivf_merge_search", "dedup_substring_exact_spans",
-    "dialect_parity_sweep8",
+    "dialect_parity_sweep8", "bitext_margin_pairs",
 )
 
 # Rotation plan for round 11: second greens for whatever r10 adds

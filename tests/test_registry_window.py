@@ -35,7 +35,7 @@ MUST_BE_DRIVER_CHECKED = {
     "rollup_incremental_refresh", "curation_select_v2",
     # r10 additions (driver-verified in-round)
     "ann_ivf_merge_search", "dedup_substring_exact_spans",
-    "dialect_parity_sweep8",
+    "dialect_parity_sweep8", "bitext_margin_pairs",
 }
 
 
@@ -189,8 +189,11 @@ def test_tail_is_deliberate():
     # 15-and-5-minute bucketing, UTF8 string scalars, base64 round trip,
     # countSubstrings, arrayPush/Pop/Resize/CumSum/Compact — ~14 more
     # renames, array outputs serialized per the sweep5 rule).
+    # 256→257 for bitext_margin_pairs (Artetxe & Schwenk margin-based
+    # parallel-pair mining: two directional IVF kNN joins, exact-decimal
+    # neighborhood sums, mutual argmax; full all-pairs SQL-replay oracle).
     names = list(queries())
-    assert len(names) <= 256
+    assert len(names) <= 257
 
 
 def test_coverage_window_column_consistent():

@@ -307,3 +307,45 @@ def test_stop_dispatch_paths_equivalent(spark, monkeypatch):
         .groupBy("shingle").count().filter(F.col("count") > 2).count()
     )
     assert n_hot > 0, "fixture produced no stop shingles"
+
+
+def test_optimal_lsh_params_properties():
+    """The (b, r) optimizer: valid splits, threshold monotonicity (higher
+    threshold → steeper curve → more rows per band), weight sensitivity
+    (penalizing FPs more never DECREASES r), and agreement with the
+    module default's documented regime at t=0.4."""
+    from chatdata_spark.operators.dedup import optimal_lsh_params
+
+    import pytest
+
+    for t in (0.2, 0.4, 0.6, 0.8):
+        b, r = optimal_lsh_params(t, 126)
+        assert 1 <= r <= 126 and b == 126 // r
+    rs = [optimal_lsh_params(t, 126)[1] for t in (0.2, 0.4, 0.6, 0.8)]
+    assert rs == sorted(rs), f"r must grow with threshold, got {rs}"
+    _, r_eq = optimal_lsh_params(0.4, 126, fp_weight=0.5, fn_weight=0.5)
+    _, r_fp = optimal_lsh_params(0.4, 126, fp_weight=0.9, fn_weight=0.1)
+    assert r_fp >= r_eq, "penalizing FPs harder must not flatten the curve"
+    # the hand-picked module default (r=3 at t=0.4, H=126) sits within one
+    # step of the equal-weight optimum — the docstring's derivability claim
+    assert abs(r_eq - 3) <= 1
+    with pytest.raises(ValueError):
+        optimal_lsh_params(0.0)
+
+
+def test_minhash_auto_band_matches_explicit(spark):
+    """rows_per_band='auto' must equal passing the optimizer's r
+    explicitly — same pairs, same jaccards."""
+    from chatdata_spark.operators.dedup import minhash_lsh_pairs, optimal_lsh_params
+
+    d = _docs(spark, SF_SMOKE)
+    _, r = optimal_lsh_params(0.4, 126)
+    auto = sorted(
+        tuple(x) for x in minhash_lsh_pairs(
+            d, "doc_id", "text", rows_per_band="auto", threshold=0.4).collect()
+    )
+    explicit = sorted(
+        tuple(x) for x in minhash_lsh_pairs(
+            d, "doc_id", "text", rows_per_band=r, threshold=0.4).collect()
+    )
+    assert auto == explicit and len(auto) > 0

@@ -123,12 +123,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dialect_parity_sweep8", "bitext_margin_pairs",
 )
 
-# Rotation plan for round 11: second greens for whatever r10 adds
-# in-round, then the remaining once-green backlog oldest-first (after
-# r10 the once-green pool is ~47 names: 7 r2-greens — pack_documents,
-# sample_hash_20pct, split_train_val_test, stratified_quota_by_lang,
-# text_lang_distribution, text_quality_by_source, vector_centroids_by_label
-# — then data_quality_report (r5) and the r6 block). COVERAGE.md's
+# Rotation plan for round 11: second greens for the 4 r10 additions
+# (ann_ivf_merge_search, dedup_substring_exact_spans,
+# dialect_parity_sweep8, bitext_margin_pairs) and the 4 r9 tails they
+# join (dialect_parity_sweep7, doc_novelty_curve, user_rfm_features,
+# knn_batch_queries — all first-checked in r10), then the once-green
+# backlog oldest-first: the 4 names the r10 additions displaced
+# (collect_list_sorted, window_top3_orders_per_cust,
+# window_running_sum, window_lag_delta), the remaining r2-greens
+# (pack_documents, sample_hash_20pct, split_train_val_test,
+# stratified_quota_by_lang, text_lang_distribution,
+# text_quality_by_source, vector_centroids_by_label),
+# data_quality_report (r5), then the r6 block. COVERAGE.md's
 # green-count column is the mechanical priority order. Steady state:
 # sentinels + newest additions + the lowest-green-count backlog.
 

@@ -185,6 +185,37 @@ STDOUT_HEADLINE = [
 ]
 
 
+def e2e_guard_firings(e2e: dict, prev_e2e: dict) -> list[str]:
+    """Median-normalized e2e regression guard (r9 verdict item 3): this
+    box's full-suite numbers swing ±15-30% UNIFORMLY run-to-run, and the
+    driver box inflates e2e entries ~1.5-1.9x vs the idle-box artifact —
+    a raw per-entry 1.5x line fired on ambient drift every driver run
+    (r8 and r9 finals, every firing dissolving under isolated REPS=10).
+    Each entry's ratio is divided by the run's MEDIAN e2e ratio first:
+    uniform box drift cancels, only RELATIVE movement (one entry moving
+    against its ~26 peers) can fire. An absolute 3x backstop catches the
+    everything-regressed-together case the normalization would hide;
+    with fewer than 5 shared entries the median is unreliable, so the
+    raw ratio is used (med = 1). Returns the warning lines (empty =
+    no firings) — unit-tested in tests/test_bench_meta.py."""
+    ratios = {
+        n: s / prev_e2e[n]
+        for n, s in e2e.items()
+        if prev_e2e.get(n) and prev_e2e[n] > 0 and s > 0
+    }
+    med = sorted(ratios.values())[len(ratios) // 2] if len(ratios) >= 5 else 1.0
+    out = []
+    for name, ratio in sorted(ratios.items()):
+        rel = ratio / med
+        if rel > 1.5 or rel < 1 / 1.5 or ratio > 3.0:
+            out.append(
+                f"bench: E2E REGRESSION GUARD: {name} "
+                f"{prev_e2e[name]:.2f}s -> {e2e[name]:.2f}s ({ratio:.2f}x raw, "
+                f"{rel:.2f}x vs run median {med:.2f}x)"
+            )
+    return out
+
+
 def _replicate(df, key_cols, reps=10):
     """reps× fact-table scale-up with disjoint join keys per replica —
     measures the same physical plan at 10× rows without new test data
@@ -1088,30 +1119,8 @@ def main() -> None:
                 prev_e2e = json.load(f).get("e2e", {})
         except (OSError, json.JSONDecodeError):
             prev_e2e = {}
-        # Median-normalized guard (r9 verdict item 3): this box's full-suite
-        # numbers swing ±15-30% UNIFORMLY run-to-run, and the driver box
-        # inflates e2e entries ~1.5-1.9x vs the idle-box artifact — so a raw
-        # per-entry 1.5x line fires on ambient drift every driver run (r8 and
-        # r9 finals, every firing dissolving under isolated REPS=10). Divide
-        # each entry's ratio by the run's MEDIAN e2e ratio first: uniform box
-        # drift cancels, only RELATIVE movement (one entry moving against its
-        # 26 peers) can fire. An absolute 3x backstop catches the
-        # everything-regressed-together case the normalization would hide.
-        ratios = {
-            n: s / prev_e2e[n]
-            for n, s in e2e.items()
-            if prev_e2e.get(n) and prev_e2e[n] > 0 and s > 0
-        }
-        med = sorted(ratios.values())[len(ratios) // 2] if len(ratios) >= 5 else 1.0
-        for name, ratio in sorted(ratios.items()):
-            rel = ratio / med
-            if rel > 1.5 or rel < 1 / 1.5 or ratio > 3.0:
-                print(
-                    f"bench: E2E REGRESSION GUARD: {name} "
-                    f"{prev_e2e[name]:.2f}s -> {e2e[name]:.2f}s ({ratio:.2f}x raw, "
-                    f"{rel:.2f}x vs run median {med:.2f}x)",
-                    file=sys.stderr,
-                )
+        for line in e2e_guard_firings(e2e, prev_e2e):
+            print(line, file=sys.stderr)
         # ONLY= iteration runs must not clobber the canonical full-suite
         # artifact with a partial map
         with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:

@@ -152,3 +152,88 @@ def chunk_dedup_reassemble(
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
     )
+
+
+def semantic_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_words: int = 16,
+    dim: int = 64,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """SEMANTIC chunking — split each document where consecutive
+    pseudo-sentence embeddings stop agreeing (the embedding-drift
+    "semantic chunking" method from the RAG-ingestion literature; the
+    reference chunks uploads before embedding, chat_bot/tools.py:13-50 —
+    this is the topic-boundary-aware upgrade of
+    :func:`chunk_documents`'s fixed grid). Pseudo-sentences are
+    ``window_words``-word windows (the fixture corpus carries no sentence
+    punctuation; swap the window expression for a sentence splitter on
+    prose corpora). A window opens a new chunk when
+    ``round6(cos(prev_window, window)) < threshold``.
+
+    Plan shape (100 TB posture): tokenize + window construction are
+    scan-stage (one Generate per doc, plain-column slices); one Arrow
+    embedder pass over the window texts (the V5 plumbing, deterministic
+    hash stub standing in for the sentence-transformer); ONE doc-keyed
+    window for lag + boundary + running chunk id (the lag vector is
+    materialized in a LAYERED select so the cosine folds reference a
+    column, not a repeated lag AST); one (doc, chunk) aggregate. Shuffle
+    keys are (id) twice — never text volume beyond the window texts the
+    embedder already carries.
+
+    Output: (id_col, chunk_idx, start_word, n_words, n_windows) — all
+    BIGINT, 1-based start_word, chunk_idx 0-based per doc. Docs with no
+    tokens produce no rows. Determinism: float32 embedder output, the
+    shared sequential float64 cosine folds, HALF_UP round-6 — replayed
+    exactly by the registered query's driver-side oracle."""
+    from chatdata_spark.functions.vector import dot_product, vector_norm
+    from chatdata_spark.functions.vector import make_embed_text_udf
+
+    W = int(window_words)
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    d = df.select(F.col(id_col).alias("__id"), ws.alias("__ws")).filter(
+        F.size("__ws") >= 1
+    )
+    from chatdata_spark.operators.dedup import _spread
+
+    d = _spread(d)
+    n_win = F.ceil(F.size("__ws") / F.lit(W)).cast("int")
+    win_texts = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.array_join(F.slice("__ws", i * W + 1, W), " "),
+    )
+    wins = d.select(
+        "__id", F.size("__ws").alias("__n"),
+        F.posexplode(win_texts).alias("__wi", "__wtext"),
+    ).withColumn("__v", make_embed_text_udf(dim)(F.col("__wtext")))
+    w = Window.partitionBy("__id").orderBy("__wi")
+    lagged = wins.select("__id", "__n", "__wi", "__v", F.lag("__v").over(w).alias("__pv"))
+    scored = lagged.select(
+        "__id", "__n", "__wi", "__pv",
+        F.round(
+            dot_product("__pv", "__v") / (vector_norm("__pv") * vector_norm("__v")), 6
+        ).alias("__sim"),
+    )
+    boundary = F.when(
+        F.col("__pv").isNull() | (F.col("__sim") < F.lit(float(threshold))), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunked = scored.withColumn("__cid", F.sum(boundary).over(run) - 1)
+    return (
+        chunked.groupBy("__id", "__cid")
+        .agg(
+            (F.min("__wi").cast("bigint") * W + 1).alias("start_word"),
+            F.sum(F.least(F.lit(W), F.col("__n") - F.col("__wi") * W))
+            .cast("bigint")
+            .alias("n_words"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cid").cast("bigint").alias("chunk_idx"),
+            "start_word", "n_words", "n_windows",
+        )
+        .orderBy(id_col, "chunk_idx")
+    )

@@ -492,3 +492,94 @@ def dedup_chunk_boilerplate(spark, sf_dir):
     return chunk_boilerplate_filter(d, "doc_id", "text", chunk_words=12, min_df=2).orderBy(
         "doc_id"
     )
+
+
+def _semantic_chunks_expected() -> str:
+    """Lazy oracle for semantic_chunk_spans (the embed_documents_batch /
+    dimred pattern): the whole pipeline — float32 hash embeddings, the
+    JVM's sequential float64 cosine folds, HALF_UP round-6, the boundary
+    rule — is deterministic, so a driver-side sequential recomputation
+    over the sf0.01 documents yields the exact expected table. Emulation
+    notes: python's str.split() equals Spark split(r'\\s+')+drop-empties
+    on any whitespace-run text; fold order is left-to-right (acc += x*y),
+    matching F.aggregate; Spark round(double, 6) goes through the
+    shortest-repr decimal (BigDecimal.valueOf) with HALF_UP."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import numpy as np
+
+    from chatdata_spark.functions.vector import hash_embed
+
+    W, DIM = 16, 64
+    q6 = Decimal("0.000001")
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM read_parquet("
+        "'/root/testdata/sf0.01/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    values = []
+    for doc_id, text in rows:
+        ws = (text or "").split()
+        if not ws:
+            continue
+        n = len(ws)
+        vecs = []
+        for i in range(-(-n // W)):
+            wtext = " ".join(ws[i * W : (i + 1) * W])
+            vecs.append(
+                np.array(hash_embed(wtext, DIM), dtype=np.float32).astype(np.float64)
+            )
+
+        def fold_dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + float(x) * float(y)
+            return acc
+
+        chunks = []  # list of [start_wi, n_windows]
+        for i, v in enumerate(vecs):
+            new = i == 0
+            if not new:
+                p = vecs[i - 1]
+                dot = fold_dot(p, v)
+                na = math.sqrt(fold_dot(p, p))
+                nb = math.sqrt(fold_dot(v, v))
+                sim = float(
+                    Decimal(repr(dot / (na * nb))).quantize(q6, ROUND_HALF_UP)
+                )
+                new = sim < 0.0
+            if new:
+                chunks.append([i, 0])
+            chunks[-1][1] += 1
+        for cid, (start_wi, n_win) in enumerate(chunks):
+            n_words = sum(
+                min(W, n - wi * W) for wi in range(start_wi, start_wi + n_win)
+            )
+            values.append(
+                f"({doc_id}, {cid}, {start_wi * W + 1}, {n_words}, {n_win})"
+            )
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, "
+        "CAST(start_word AS BIGINT) AS start_word, CAST(n_words AS BIGINT) AS n_words, "
+        "CAST(n_windows AS BIGINT) AS n_windows FROM (VALUES "
+        + ", ".join(values)
+        + ") AS t(doc_id, chunk_idx, start_word, n_words, n_windows) "
+        "ORDER BY doc_id, chunk_idx"
+    )
+
+
+@query("semantic_chunk_spans", oracle=_semantic_chunks_expected)
+def semantic_chunk_spans(spark, sf_dir):
+    """Semantic (embedding-drift) chunking over the documents table
+    (operators/chunks.py::semantic_chunks — the topic-boundary-aware
+    upgrade of the fixed chunk grid; reference role: upload chunking
+    before embedding, chat_bot/tools.py:13-50): 16-word pseudo-sentence
+    windows, one Arrow embedder pass, a new chunk wherever the round-6
+    consecutive-window cosine goes negative. Oracled against a
+    sequential driver-side replay of the full pipeline (lazy VALUES
+    literal at sf0.01 — the driver/tests comparison scale)."""
+    from chatdata_spark.operators.chunks import semantic_chunks
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return semantic_chunks(d, "doc_id", "text", window_words=16, dim=64, threshold=0.0)

@@ -123,7 +123,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dialect_parity_sweep8", "bitext_margin_pairs",
 )
 
-# Rotation plan for round 11: second greens for the 4 r10 additions
+# Rotation plan for round 11: FIRST driver check for the r10 TAIL
+# addition semantic_chunk_spans (registered past the cap — the r9-tail
+# precedent), second greens for the 4 windowed r10 additions
 # (ann_ivf_merge_search, dedup_substring_exact_spans,
 # dialect_parity_sweep8, bitext_margin_pairs) and the 4 r9 tails they
 # join (dialect_parity_sweep7, doc_novelty_curve, user_rfm_features,

@@ -84,61 +84,56 @@ def _load_all() -> None:
 # stays pytest-oracled (tests/test_correctness runs the full registry).
 # COVERAGE.md's "driver window" column mirrors this.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- FIRST driver checks: the 4 r9 tail additions, the only
-    # never-driver-checked names in the registry (closes the ever-checked
-    # gap to 253/253) ---
-    "dialect_parity_sweep7", "doc_novelty_curve", "user_rfm_features",
-    "knn_batch_queries",
+    # --- FIRST driver check: semantic_chunk_spans, the r10 tail addition
+    # and the registry's only never-driver-checked name (closes the
+    # ever-checked gap to 258/258) ---
+    "semantic_chunk_spans",
     # --- kept sentinels (multi-green; one per core family) ---
     "knn_topk", "dialect_knn", "dedup_minhash_lsh", "text_profile",
-    # --- second greens for the 9 r9 additions (first-checked in r9) ---
-    "morton3d_events_zvalues", "dialect_parity_sweep6",
-    "timeseries_gap_fill", "events_locf_fill", "sq8_rerank_knn",
-    "dedup_containment_pairs", "streaming_kmv_overlap",
-    "token_budget_mixture", "corpus_epoch_upsample",
-    # --- second greens for the 9 big-surface placeholders the r9
-    # additions displaced (all once-green) ---
-    "graph_pagerank_transactions", "graph_trustrank_suppliers",
-    "bpe_learn_merges", "dsir_resample_docs", "dedup_substring_removal",
-    "semantic_dedup_keep", "decontam_embedding",
-    "rollup_incremental_refresh", "curation_select_v2",
-    # --- 24 lowest-green-count backlog slots, oldest single green first
-    # (the 23 surviving r1-green names + the oldest r2-green). r10
+    # --- second greens for the 8 r10 first-timers (4 r9 tails + 4
+    # windowed r10 additions, all first-checked in r10) ---
+    "dialect_parity_sweep7", "doc_novelty_curve", "user_rfm_features",
+    "knn_batch_queries", "ann_ivf_merge_search",
+    "dedup_substring_exact_spans", "dialect_parity_sweep8",
+    "bitext_margin_pairs",
+    # --- once-green backlog, oldest green first: the 3 r1-greens the
+    # r10 additions displaced, the r2-greens, data_quality_report (r5) ---
+    "window_lag_delta", "window_running_sum",
+    "window_top3_orders_per_cust", "collect_list_sorted",
+    "pack_documents", "sample_hash_20pct", "split_train_val_test",
+    "stratified_quota_by_lang", "text_lang_distribution",
+    "text_quality_by_source", "vector_centroids_by_label",
+    "data_quality_report",
+    # --- 25 slots from the once-green r6 block (alphabetical; the
+    # remaining 13 r6 names + dialect_parity_sweep5 queue for r12). r11
     # additions displace from the TAIL of this segment one-for-one as
-    # they land (collect_list_sorted first, then bottom-up), keeping the
-    # stalest r1 greens in the window ---
-    "anti_join_customers", "array_contains_docs", "case_when_pivot",
-    "correlated_subquery", "cube_docs", "dialect_array_functions",
-    "distinct_segments", "except_users", "explode_unnest",
-    "expr_filter_docs", "group_count_docs", "having_filter",
-    "ilike_docs", "in_filter_parts", "json_extract_events",
-    "left_join_order_counts", "monthly_order_stats", "semi_join_orders",
-    "set_ops_users", "string_funcs_parts",
-    # --- r10 additions (each displaced one backlog-tail name:
-    # ann_ivf_merge_search displaced collect_list_sorted,
-    # dedup_substring_exact_spans displaced window_top3_orders_per_cust,
-    # dialect_parity_sweep8 displaced window_running_sum,
-    # bitext_margin_pairs displaced window_lag_delta) ---
-    "ann_ivf_merge_search", "dedup_substring_exact_spans",
-    "dialect_parity_sweep8", "bitext_margin_pairs",
+    # they land (pivot_status_by_priority first, then bottom-up) ---
+    "ann_ivf_delete_search", "ann_ivf_pruned", "approx_distinct_users",
+    "attribution_time_decay", "bpe_encode_token_stats",
+    "cms_user_frequency", "cohort_retention_daily", "corpus_report_docs",
+    "curation_domain_cap", "decontam_docs_bloom", "dedup_components_star",
+    "dedup_winnow_pairs", "dialect_conditional_aggs",
+    "dialect_parity_extended", "dimred_rp_knn", "domain_mixture_sample",
+    "embed_documents_batch", "exact_distinct_users",
+    "gopher_quality_filter", "histogram_order_totalprice",
+    "lm_perplexity_buckets", "moving_avg_customer_orders",
+    "nb_quality_classifier", "percentile_stats",
+    "pivot_status_by_priority",
 )
 
-# Rotation plan for round 11: FIRST driver check for the r10 TAIL
-# addition semantic_chunk_spans (registered past the cap — the r9-tail
-# precedent), second greens for the 4 windowed r10 additions
-# (ann_ivf_merge_search, dedup_substring_exact_spans,
-# dialect_parity_sweep8, bitext_margin_pairs) and the 4 r9 tails they
-# join (dialect_parity_sweep7, doc_novelty_curve, user_rfm_features,
-# knn_batch_queries — all first-checked in r10), then the once-green
-# backlog oldest-first: the 4 names the r10 additions displaced
-# (collect_list_sorted, window_top3_orders_per_cust,
-# window_running_sum, window_lag_delta), the remaining r2-greens
-# (pack_documents, sample_hash_20pct, split_train_val_test,
-# stratified_quota_by_lang, text_lang_distribution,
-# text_quality_by_source, vector_centroids_by_label),
-# data_quality_report (r5), then the r6 block. COVERAGE.md's
-# green-count column is the mechanical priority order. Steady state:
-# sentinels + newest additions + the lowest-green-count backlog.
+# Rotation plan for round 12: second greens for whatever r11 additions
+# land in-window, then the once-green backlog continues oldest-first —
+# the r6 names displaced from this window's tail by r11 additions, the
+# 13 r6 once-greens that didn't fit (pmi_phrase_mining,
+# range_join_bounded_recent_clicks, rollup_distinct_approx,
+# sliding_window_counts, store_session_lifecycle,
+# streaming_cms_user_frequency, streaming_static_dim_join,
+# text_fingerprint_rolling, tfidf_top_terms, union_all_counts,
+# unpivot_part_measures, vector_brute_force_scores,
+# weighted_sample_by_length), then dialect_parity_sweep5 (r9) and the
+# two-green pool lowest-count-first. COVERAGE.md's green-count column
+# is the mechanical priority order. Steady state: sentinels + newest
+# additions + the lowest-green-count backlog.
 
 
 def _ordered() -> dict[str, QueryDef]:

@@ -11,31 +11,22 @@ DRIVER_CAP = 50
 
 MUST_BE_DRIVER_CHECKED = {
     # Flagships that have NOT yet banked two green driver rounds, plus one
-    # kept sentinel per core family. r10 executes the r9 verdict's plan:
-    # the 4 never-driver-checked tail additions check first (closing
-    # ever-checked to 253/253), the 9 r9 additions and the 9 big-surface
-    # placeholders they displaced bank second greens, and 24 slots go to
-    # the lowest-green-count backlog oldest-green-first (rotation policy
-    # in registry.DRIVER_WINDOW's comment); r10 additions are appended
-    # here in the commit that registers them, displacing backlog tail.
-    # first driver checks — the only never-checked names
-    "dialect_parity_sweep7", "doc_novelty_curve", "user_rfm_features",
-    "knn_batch_queries",
+    # kept sentinel per core family. r11 executes the r10 verdict's plan:
+    # semantic_chunk_spans (the only never-driver-checked name) checks
+    # first (closing ever-checked to 258/258), the 8 r10 first-timers bank
+    # second greens, and the remaining slots go to the lowest-green-count
+    # backlog oldest-green-first (rotation policy in
+    # registry.DRIVER_WINDOW's comment); r11 additions are appended here
+    # in the commit that registers them, displacing backlog tail.
+    # first driver check — the only never-checked name
+    "semantic_chunk_spans",
     # kept sentinels
     "knn_topk", "dialect_knn", "dedup_minhash_lsh", "text_profile",
-    # second greens for the 9 r9 additions
-    "morton3d_events_zvalues", "dialect_parity_sweep6",
-    "timeseries_gap_fill", "events_locf_fill", "sq8_rerank_knn",
-    "dedup_containment_pairs", "streaming_kmv_overlap",
-    "token_budget_mixture", "corpus_epoch_upsample",
-    # second greens for the 9 placeholders the r9 additions displaced
-    "graph_pagerank_transactions", "graph_trustrank_suppliers",
-    "bpe_learn_merges", "dsir_resample_docs", "dedup_substring_removal",
-    "semantic_dedup_keep", "decontam_embedding",
-    "rollup_incremental_refresh", "curation_select_v2",
-    # r10 additions (driver-verified in-round)
-    "ann_ivf_merge_search", "dedup_substring_exact_spans",
-    "dialect_parity_sweep8", "bitext_margin_pairs",
+    # second greens for the 8 r10 first-timers
+    "dialect_parity_sweep7", "doc_novelty_curve", "user_rfm_features",
+    "knn_batch_queries", "ann_ivf_merge_search",
+    "dedup_substring_exact_spans", "dialect_parity_sweep8",
+    "bitext_margin_pairs",
 }
 
 

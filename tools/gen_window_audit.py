@@ -22,13 +22,20 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CURRENT_ROUND = 10  # bump when rotating the window for a new round
+CURRENT_ROUND = 11  # bump when rotating the window for a new round
 
 
 def green_rounds() -> dict[str, list[int]]:
+    """Driver-green rounds per query, from COMPLETED rounds only
+    (< CURRENT_ROUND). The live round's artifact lands post-close —
+    counting it would make the committed table red the moment the driver
+    writes CORRECTNESS_r{CURRENT_ROUND}.json (r10 ADVICE); the next
+    rotation's CURRENT_ROUND bump + regen folds it in deliberately."""
     out: dict[str, list[int]] = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        if rnd >= CURRENT_ROUND:
+            continue
         for name, v in json.load(open(f)).items():
             if v.get("hash_match"):
                 out.setdefault(name, []).append(rnd)

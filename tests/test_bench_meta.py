@@ -70,3 +70,25 @@ def test_small_overlap_uses_raw_ratio():
     cur = {"a": 1.6, "b": 1.0}
     lines = b.e2e_guard_firings(cur, prev)
     assert len(lines) == 1 and lines[0].count("a") >= 1
+
+
+def test_guard_context_lines_carry_sentinel_and_shard_medians():
+    """r10 verdict item 4: a firing must carry its own ambient-vs-real
+    evidence — the knn_topk sentinel time and each shard's median ratio
+    vs the committed artifact — so a driver-final firing is classifiable
+    from the artifact alone."""
+    b = _bench()
+    lines = b.guard_context_lines(
+        {"knn_topk": 0.121},
+        [("q1_pricing_summary+9", 1.43, ["graph_pagerank_transactions"])],
+    )
+    assert any("knn_topk sentinel=0.121s" in ln for ln in lines)
+    assert any(
+        "shard[q1_pricing_summary+9] median-vs-committed=1.43" in ln
+        and "graph_pagerank_transactions" in ln
+        for ln in lines
+    )
+    # missing sentinel (e.g. a shard failed) must not crash the guard path
+    lines = b.guard_context_lines({}, [("a+0", None, [])])
+    assert any("sentinel=n/a" in ln for ln in lines)
+    assert any("median-vs-committed=n/a" in ln for ln in lines)

@@ -178,15 +178,27 @@ def hash_embed(text: str, dim: int = 64) -> list[float]:
     return [float(x) for x in v]
 
 
+# UDF-object memoization (the CacheManager plan-equality rule, project
+# notes): a fresh @pandas_udf per call makes otherwise-identical plans
+# unequal, so persisted frames keyed on an embed plan cache-miss on every
+# invocation. Same pattern as embedders._ST_UDFS for the real-model path.
+_HASH_EMBED_UDFS: dict[int, object] = {}
+
+
 def make_embed_text_udf(dim: int = 64):
     """Distributed batch embedding (V5, tools.py:53-59 shape): an Arrow
     pandas UDF; a real deployment swaps ``hash_embed`` for a broadcast
     sentence-transformers model, the Spark plumbing is identical.
+    Memoized per ``dim`` — repeated calls return the SAME UDF object so
+    plans built by independent callers stay CacheManager-equal.
 
     The hashing logic is INLINED (not a call to the module-level
     ``hash_embed``): closures pickle by value, but their references to
     importable-module globals pickle by name — a ``hash_embed`` reference
     would require ``chatdata_spark`` on every Python worker's path."""
+    memo = _HASH_EMBED_UDFS.get(dim)
+    if memo is not None:
+        return memo
 
     @F.pandas_udf("array<float>")
     def _embed(texts: pd.Series) -> pd.Series:
@@ -198,6 +210,7 @@ def make_embed_text_udf(dim: int = 64):
 
         return texts.map(lambda t: he(t if t is not None else ""))
 
+    _HASH_EMBED_UDFS[dim] = _embed
     return _embed
 
 

@@ -59,3 +59,18 @@ def test_rag_pipeline_end_to_end(spark, tmp_path):
     ).withColumn("vector", make_embed_text_udf(DIM)(F.col("text")))
     store.upsert(updated, ["doc_id"], "n_chars")
     assert store.read().count() == valid.count()  # replaced, not appended
+
+
+def test_embed_udf_memoized_plans_cache_equal(spark):
+    """make_embed_text_udf must return the SAME UDF object per dim (the
+    CacheManager plan-equality rule): a fresh @pandas_udf per call makes
+    otherwise-identical plans unequal, so a persisted embed frame would
+    re-compute on every invocation (r10 verdict item 5)."""
+    assert make_embed_text_udf(64) is make_embed_text_udf(64)
+    assert make_embed_text_udf(16) is not make_embed_text_udf(64)
+
+    df = spark.createDataFrame([("a",), ("b",)], ["text"])
+    p1 = df.withColumn("v", make_embed_text_udf(32)(F.col("text")))
+    p2 = df.withColumn("v", make_embed_text_udf(32)(F.col("text")))
+    # sameSemantics is exactly the CacheManager's plan-equality question
+    assert p1.sameSemantics(p2)

@@ -485,21 +485,29 @@ class VectorSQLDialect:
             # array mutation/scan primitives
             "bitCount": lambda a: f"bit_count({a[0]})",
             "toLastDayOfMonth": lambda a: f"last_day({a[0]})",
+            # pmod floors for negative epochs too — `div` truncates toward
+            # zero, so pre-1970 timestamps would bucket to the boundary
+            # AFTER the value, diverging from CH/DuckDB floor semantics
             "toStartOfFifteenMinutes": lambda a: (
-                f"timestamp_seconds((unix_timestamp({a[0]}) div 900) * 900)"
+                f"timestamp_seconds(unix_timestamp({a[0]}) "
+                f"- pmod(unix_timestamp({a[0]}), 900))"
             ),
             "toStartOfFiveMinutes": lambda a: (
-                f"timestamp_seconds((unix_timestamp({a[0]}) div 300) * 300)"
+                f"timestamp_seconds(unix_timestamp({a[0]}) "
+                f"- pmod(unix_timestamp({a[0]}), 300))"
             ),
             "substringUTF8": lambda a: f"substring({a[0]}, {a[1]}, {a[2]})",
             "reverseUTF8": lambda a: f"reverse({a[0]})",
             "base64Encode": lambda a: f"base64({a[0]})",
             "base64Decode": lambda a: f"CAST(unbase64({a[0]}) AS STRING)",
             # non-overlapping needle count — the greedy left-to-right
-            # replace matches CH's non-overlapping semantics exactly
+            # replace matches CH's non-overlapping semantics exactly; the
+            # empty-needle CASE arm returns CH's defined 0 instead of
+            # throwing ANSI DIVIDE_BY_ZERO mid-query
             "countSubstrings": lambda a: (
-                f"((length({a[0]}) - length(replace({a[0]}, {a[1]}, '')))"
-                f" div length({a[1]}))"
+                f"(CASE WHEN length({a[1]}) = 0 THEN 0 "
+                f"ELSE (length({a[0]}) - length(replace({a[0]}, {a[1]}, '')))"
+                f" div length({a[1]}) END)"
             ),
             "arrayPushBack": lambda a: f"concat({a[0]}, array({a[1]}))",
             "arrayPushFront": lambda a: f"concat(array({a[1]}), {a[0]})",
@@ -532,12 +540,20 @@ class VectorSQLDialect:
                 f"(acc, x) -> array_append(acc, "
                 f"coalesce(try_element_at(acc, -1), 0L) + x))"
             ),
-            # drop CONSECUTIVE duplicates (null-safe compare with the
-            # previous element; i is 0-based so element_at(arr, i) IS the
-            # predecessor in 1-based indexing)
+            # drop CONSECUTIVE duplicates: head element + the zip of
+            # arr[2..n] against arr[1..n-1] filtered on null-safe
+            # inequality with the predecessor. Every reference to the
+            # array argument is ROW-level (three slices), never inside a
+            # per-element lambda — a computed argument costs O(n) per
+            # row, not the O(n²) expression-inlining trap the previous
+            # filter/try_element_at shape hit
             "arrayCompact": lambda a: (
-                f"filter({a[0]}, (x, i) -> i = 0 "
-                f"OR NOT (x <=> try_element_at({a[0]}, i)))"
+                f"concat(slice({a[0]}, 1, least(size({a[0]}), 1)), "
+                f"transform(filter(zip_with("
+                f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0)), "
+                f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0)), "
+                f"(x, p) -> named_struct('v', x, 'prev', p)), "
+                f"s -> NOT (s.v <=> s.prev)), s -> s.v))"
             ),
         }
 

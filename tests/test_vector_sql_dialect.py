@@ -344,3 +344,52 @@ def test_r10_sweep8_translations_execute(spark):
 
     with _pytest.raises(ValueError, match="3-arg"):
         D.translate("SELECT arrayResize(xs, 4) FROM t")
+
+
+def test_quarter_hour_buckets_floor_pre_1970(spark):
+    """div truncates toward zero, so pre-1970 epochs bucketed to the
+    boundary AFTER the value (r10 ADVICE); pmod floors for negative
+    epochs too. 1969-12-31 23:50:00 UTC = epoch -600."""
+    out = D.translate(
+        "SELECT toString(toStartOfFifteenMinutes(ts)) AS q15, "
+        "toString(toStartOfFiveMinutes(ts)) AS q5m"
+    )
+    row = spark.sql(
+        out + " FROM (SELECT timestamp_seconds(-600) AS ts)"
+    ).collect()[0]
+    assert row.q15 == "1969-12-31 23:45:00"  # floor, not 1970-01-01 00:00
+    assert row.q5m == "1969-12-31 23:50:00"
+    # post-1970 behavior unchanged
+    row = spark.sql(
+        out + " FROM (SELECT timestamp_seconds(1000) AS ts)"
+    ).collect()[0]
+    assert row.q15 == "1970-01-01 00:15:00"
+    assert row.q5m == "1970-01-01 00:15:00"
+
+
+def test_count_substrings_empty_needle_returns_zero(spark):
+    """An empty needle must yield CH's defined 0, not throw ANSI
+    DIVIDE_BY_ZERO mid-query (r10 ADVICE)."""
+    out = D.translate(
+        "SELECT countSubstrings('banana', '') AS z, "
+        "countSubstrings('banana', 'an') AS n, "
+        "countSubstrings('aaaa', 'aa') AS v"
+    )
+    row = spark.sql(out).collect()[0]
+    assert (row.z, row.n, row.v) == (0, 2, 2)  # non-overlapping count
+
+
+def test_array_compact_row_level_references(spark):
+    """arrayCompact drops CONSECUTIVE duplicates (null-safe); the
+    translation must reference the array argument only at row level
+    (three slices), never inside a per-element lambda — the O(n^2)
+    expression-inlining trap (r10 ADVICE)."""
+    out = D.translate("SELECT arrayCompact(xs) AS c")
+    # no per-element re-splice of the argument inside a lambda
+    assert "try_element_at" not in out
+    rows = spark.sql(
+        out
+        + " FROM VALUES (array(1,1,2,2,2,3,1)), (array(1)), "
+        "(CAST(array() AS ARRAY<INT>)), (array(NULL, NULL, 1, NULL)) AS t(xs)"
+    ).collect()
+    assert [r.c for r in rows] == [[1, 2, 3, 1], [1], [], [None, 1, None]]

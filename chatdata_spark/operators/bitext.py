@@ -36,6 +36,7 @@ single double division with fixed operand order, rounded to 6.
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 
@@ -60,18 +61,51 @@ def margin_mine(
     ``n_clusters`` (exact); prune it at scale exactly like any IVF
     search. ``index_root``: directory for the two side indexes (a
     tempdir when omitted — pass a shared cache path to amortize builds
-    across calls, the _ivf_index pattern)."""
+    across calls, the _ivf_index pattern). A cached index is validated
+    against the passed DataFrame (row count + order-free id XOR hash,
+    one column-pruned pass over the side); a mismatch raises rather than
+    silently mining wrong pairs from a stale cache. NB the tempdir
+    default is NOT removed on return: the result is lazy and scans the
+    index parquet on evaluation — the directory must outlive every
+    consumer of the returned frame. Pass ``index_root`` when per-call
+    tempdirs would accumulate (e.g. a long-lived service)."""
     from chatdata_spark.operators.ivf import IVFIndex
     from chatdata_spark.operators.knnjoin import knn_join
 
     root = index_root or tempfile.mkdtemp(prefix="chatdata_bitext_")
     probe = n_clusters if n_probe is None else n_probe
 
+    def _fingerprint(df: DataFrame) -> dict:
+        # order-independent, overflow-free (XOR), pruned to id_col only
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr(f"bit_xor(xxhash64(cast({id_col} AS STRING)))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return {"n_rows": int(row["n"]), "id_xor_hash": int(row["h"])}
+
     def _side_index(df: DataFrame, name: str) -> IVFIndex:
         path = os.path.join(root, name)
+        fp_path = os.path.join(path, "bitext_fingerprint.json")
         if not os.path.exists(os.path.join(path, "ivf_meta.json")):
             os.makedirs(path, exist_ok=True)
-            return IVFIndex.build(df, path, id_col, vector_col, n_clusters=n_clusters)
+            idx = IVFIndex.build(df, path, id_col, vector_col, n_clusters=n_clusters)
+            tmp = fp_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(_fingerprint(df), f)
+            os.replace(tmp, fp_path)
+            return idx
+        if os.path.exists(fp_path):
+            with open(fp_path) as f:
+                cached = json.load(f)
+            live = _fingerprint(df)
+            if cached != live:
+                raise ValueError(
+                    f"margin_mine: cached index at {path} was built from a "
+                    f"DIFFERENT corpus (cached {cached}, passed {live}) — "
+                    "clear the directory or pass a fresh index_root"
+                )
         return IVFIndex(df.sparkSession, path)
 
     idx_a = _side_index(a_df, "side_a")

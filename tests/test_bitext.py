@@ -75,3 +75,23 @@ def test_hub_vector_is_demoted(spark):
     assert out[2][1] > out.get(1, (None, 0.0))[1], (
         "the isolated pair must out-margin the hub"
     )
+
+
+def test_stale_index_cache_rejected(spark, tmp_path):
+    """A cached index built from a DIFFERENT corpus must raise, not
+    silently mine wrong pairs (r10 ADVICE): the side fingerprint
+    (row count + order-free id XOR hash) is validated before reuse."""
+    import pytest
+
+    a, b = _sides(spark)
+    root = str(tmp_path / "idx3")
+    margin_mine(a, b, "vec_id", "embedding", k=4, threshold=1.0,
+                index_root=root).collect()
+    # same corpora revalidate fine
+    margin_mine(a, b, "vec_id", "embedding", k=4, threshold=1.0,
+                index_root=root).collect()
+    # a subsetted side A against the cached full-A index must be rejected
+    a_sub = a.limit(5)
+    with pytest.raises(ValueError, match="DIFFERENT corpus"):
+        margin_mine(a_sub, b, "vec_id", "embedding", k=4, threshold=1.0,
+                    index_root=root).collect()

@@ -122,6 +122,8 @@ HEADLINE = [
     "dedup_substring_exact_spans",  # hash-candidate superset + literal-gram verify
     "dialect_parity_sweep8",    # bit/calendar/base64/array-mutation renames
     "semantic_chunk_spans",     # windowed Arrow embed + lag cosine + run-sum chunks
+    # r11 additions (steady-state plans)
+    "dedup_minhash_autoband",   # optimizer-derived (21,6) banding LSH pipeline
 ]
 # ITERATIVE / build-time-collecting operators get their own timing mode:
 # their work runs at plan-BUILD time (driver-looped rounds with eager

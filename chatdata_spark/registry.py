@@ -104,10 +104,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stratified_quota_by_lang", "text_lang_distribution",
     "text_quality_by_source", "vector_centroids_by_label",
     "data_quality_report",
-    # --- 25 slots from the once-green r6 block (alphabetical; the
-    # remaining 13 r6 names + dialect_parity_sweep5 queue for r12). r11
+    # --- slots from the once-green r6 block (alphabetical; the
+    # remaining r6 names + dialect_parity_sweep5 queue for r12). r11
     # additions displace from the TAIL of this segment one-for-one as
-    # they land (pivot_status_by_priority first, then bottom-up) ---
+    # they land (pivot_status_by_priority displaced first by
+    # dedup_minhash_autoband, then bottom-up) ---
     "ann_ivf_delete_search", "ann_ivf_pruned", "approx_distinct_users",
     "attribution_time_decay", "bpe_encode_token_stats",
     "cms_user_frequency", "cohort_retention_daily", "corpus_report_docs",
@@ -118,7 +119,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "gopher_quality_filter", "histogram_order_totalprice",
     "lm_perplexity_buckets", "moving_avg_customer_orders",
     "nb_quality_classifier", "percentile_stats",
-    "pivot_status_by_priority",
+    # --- r11 additions (driver-verified in-round) ---
+    "dedup_minhash_autoband",
 )
 
 # Rotation plan for round 12: second greens for whatever r11 additions

@@ -27,6 +27,8 @@ MUST_BE_DRIVER_CHECKED = {
     "knn_batch_queries", "ann_ivf_merge_search",
     "dedup_substring_exact_spans", "dialect_parity_sweep8",
     "bitext_margin_pairs",
+    # r11 additions (driver-verified in-round)
+    "dedup_minhash_autoband",
 }
 
 
@@ -186,8 +188,12 @@ def test_tail_is_deliberate():
     # 257→258 for semantic_chunk_spans (embedding-drift semantic chunking
     # — tail addition, r11 windows it first; full sequential-replay
     # oracle over the float32-embed/float64-fold/round-6 pipeline).
+    # 258→259 in r11 for dedup_minhash_autoband (optimizer-derived LSH
+    # banding driver-pinned end-to-end: optimal_lsh_params at 0.5 →
+    # (21, 6); exact-join oracle at 0.5, verified-LSH ≡ exact probed at
+    # all three SFs).
     names = list(queries())
-    assert len(names) <= 258
+    assert len(names) <= 259
 
 
 def test_coverage_window_column_consistent():

@@ -590,6 +590,25 @@ def bench_ann_pq_adc(spark, sf_dir):
     return idx.search(e, Q1, k=10, refine=4, select=["vec_id", "label"])
 
 
+def bench_ann_opq_adc(spark, sf_dir):
+    """Raw OPQ/ADC compressed scan + exact rerank — identical scan shape
+    to bench_ann_pq_adc (the rotation is baked into the stored codes and
+    the driver-side query table), so any delta vs ann_pq_adc is noise,
+    not the rotation; the bench pins that the rotated path keeps the
+    codes-only scan cost."""
+    from chatdata_spark.operators.pq import build_or_load_pq
+    from chatdata_spark.queries.vector import Q1
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from chatdata_spark.catalog import shared_cache_path
+
+    idx = build_or_load_pq(
+        spark, e, shared_cache_path("opq", sf_dir, "m8i6"), "vec_id", "embedding",
+        m=8, opq_iters=6,
+    )
+    return idx.search(e, Q1, k=10, refine=4, select=["vec_id", "label"])
+
+
 def bench_ann_ivfpq_search(spark, sf_dir):
     """Raw IVF-PQ routed compressed search (n_probe=4 of 8, ADC over the
     probed clusters' code partitions only, exact rerank of the top k·4) —
@@ -938,6 +957,7 @@ EXTRA = {
     "ann_ivf_pruned": bench_ann_ivf_pruned,
     "knn_join_pruned": bench_knn_join_pruned,
     "ann_pq_adc": bench_ann_pq_adc,
+    "ann_opq_adc": bench_ann_opq_adc,
     "ann_ivfpq_search": bench_ann_ivfpq_search,
     "fact_join_shuffle": bench_fact_join_shuffle,
     "fact_join_bucketed": bench_fact_join_bucketed,

@@ -30,6 +30,7 @@ Q2 = hash_embed("q2", DIM)
 # empirical knobs.
 LSH_PROBE_RANK_MARGIN = 90  # observed max candidate rank <=26 (sf0.01/sf0.1)
 PQ_ADC_RANK_MARGIN = 45     # observed max reranked rank <=16 (sf0.01/sf0.1)
+OPQ_ADC_RANK_MARGIN = 45    # observed max reranked rank <=14 (sf0.01/sf0.1)
 IVFPQ_RANK_MARGIN = 60      # observed max reranked rank <=24 (sf0.01/sf0.1)
 KNN_JOIN_RANK_MARGIN = 45   # observed max pruned-pair rank <=19 (sf0.01/sf0.1)
 # Fraction of queries whose pruned (n_probe=2) best distance must equal the
@@ -619,6 +620,107 @@ def ann_pq_adc(spark, sf_dir):
         .join(F.broadcast(exact1))
         .select(
             "n_results", "n_in_top45", "min_dist",
+            (F.col("min_dist") == F.col("exact_min")).alias("found_true_nn"),
+        )
+    )
+
+
+def _opq_adc_expected() -> str:
+    """Lazy replay-derived oracle for ann_opq_adc: replays
+    :func:`chatdata_spark.operators.pq.opq_train` (deterministic — fixed
+    seeds, fixed-order sample, Procrustes SVD over a fixed product) plus
+    the rotated float32-round-trip encode, reproducing the exact ADC
+    survivor ID set; the final float stats derive in DuckDB from that
+    integer set (the _pq_adc_expected convention)."""
+    import numpy as np
+    import pyarrow.parquet as pa_pq
+
+    from chatdata_spark.operators.pq import _encode_np, opq_train
+
+    t = pa_pq.read_table(
+        f"{_oracle_sf_dir()}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    m, train_rows, k, refine = 8, 4096, 10, 4
+    sample = x[:train_rows].copy()
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    rot, books = opq_train(sample, m, iters=12, seed=42, opq_iters=6)
+    # encode (same expressions as PQIndex.build._encode with rotation,
+    # incl. the float32 round-trip of the Spark cast)
+    xe = x.astype(np.float32).astype(np.float64)
+    xe /= np.linalg.norm(xe, axis=1, keepdims=True)
+    codes = _encode_np(xe @ rot, books)
+    q = np.asarray(Q1, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    qr = q @ rot
+    dsub = x.shape[1] // m
+    table = np.stack(
+        [((qr[j * dsub: (j + 1) * dsub][None, :] - books[j]) ** 2).sum(axis=1) for j in range(m)]
+    )
+    adc = table[np.arange(m)[None, :], codes].sum(axis=1)
+    order = np.lexsort((ids, adc))[: k * refine]  # (__adc asc, vec_id asc)
+    id_list = ",".join(str(int(i)) for i in sorted(ids[order]))
+    return f"""
+    WITH cand AS (
+        SELECT vec_id, {_duck_cos('embedding', Q1)} AS dist
+        FROM embeddings WHERE vec_id IN ({id_list})
+    ),
+    topk AS (SELECT vec_id, dist FROM cand ORDER BY dist ASC, vec_id ASC LIMIT {k}),
+    topm AS (SELECT vec_id FROM embeddings
+             ORDER BY {_duck_cos('embedding', Q1)} ASC, vec_id ASC
+             LIMIT {OPQ_ADC_RANK_MARGIN})
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM topk) AS n_results,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM topk t JOIN topm USING (vec_id)) AS n_in_topm,
+           (SELECT CAST(MIN(dist) AS DOUBLE) FROM topk) AS min_dist,
+           (SELECT MIN(dist) FROM topk)
+               = (SELECT MIN({_duck_cos('embedding', Q1)}) FROM embeddings)
+               AS found_true_nn
+    """
+
+
+@query("ann_opq_adc", oracle=_opq_adc_expected)
+def ann_opq_adc(spark, sf_dir):
+    """OPQ/ADC compressed-scan ANN (Ge et al. CVPR'13; the FAISS
+    OPQMatrix pre-transform): an orthonormal rotation learned by
+    Procrustes alternation precedes the PQ codebooks, cutting
+    quantization error ~24% on this corpus at the SAME 32x code budget
+    and scan shape — codes-only column scan, m table lookups per row in
+    one Arrow fancy-index pass, exact cosine rerank of the top k·4 in
+    the ORIGINAL space (the rotation is search-transparent: it preserves
+    norms/inner products, only the query gets rotated for the table).
+    Oracle is replay-derived like ann_pq_adc (see _opq_adc_expected);
+    containment depth OPQ_ADC_RANK_MARGIN is the empirical knob.
+    Rotation quality/orthonormality/determinism pinned in
+    tests/test_pq.py."""
+    from chatdata_spark.operators.pq import build_or_load_pq
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from chatdata_spark.catalog import shared_cache_path
+
+    idx = build_or_load_pq(
+        spark, e, shared_cache_path("opq", sf_dir, "m8i6"), "vec_id", "embedding",
+        m=8, opq_iters=6,
+    )
+    res = idx.search(e, Q1, k=10, refine=4, select=["vec_id"])
+    exact1 = knn(e, "embedding", Q1, k=1, select=["vec_id"], id_col="vec_id").select(
+        F.col("dist").alias("exact_min")
+    )
+    topm = knn(
+        e, "embedding", Q1, k=OPQ_ADC_RANK_MARGIN, select=["vec_id"], id_col="vec_id"
+    ).select("vec_id")
+    stats = res.agg(
+        F.count(F.lit(1)).alias("n_results"), F.min("dist").cast("double").alias("min_dist")
+    )
+    inm = (
+        res.join(F.broadcast(topm), "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_in_topm"))
+    )
+    return (
+        stats.join(F.broadcast(inm))
+        .join(F.broadcast(exact1))
+        .select(
+            "n_results", "n_in_topm", "min_dist",
             (F.col("min_dist") == F.col("exact_min")).alias("found_true_nn"),
         )
     )

@@ -28,7 +28,7 @@ MUST_BE_DRIVER_CHECKED = {
     "dedup_substring_exact_spans", "dialect_parity_sweep8",
     "bitext_margin_pairs",
     # r11 additions (driver-verified in-round)
-    "dedup_minhash_autoband",
+    "dedup_minhash_autoband", "ann_opq_adc",
 }
 
 
@@ -192,8 +192,12 @@ def test_tail_is_deliberate():
     # banding driver-pinned end-to-end: optimal_lsh_params at 0.5 →
     # (21, 6); exact-join oracle at 0.5, verified-LSH ≡ exact probed at
     # all three SFs).
+    # 259→260 for ann_opq_adc (OPQ rotation — Ge et al. CVPR'13
+    # Procrustes alternation — in front of the PQ codebooks at the same
+    # 32x code budget; replay-derived oracle reproduces the rotated ADC
+    # survivor set exactly).
     names = list(queries())
-    assert len(names) <= 259
+    assert len(names) <= 260
 
 
 def test_coverage_window_column_consistent():

@@ -124,6 +124,7 @@ HEADLINE = [
     "semantic_chunk_spans",     # windowed Arrow embed + lag cosine + run-sum chunks
     # r11 additions (steady-state plans)
     "dedup_minhash_autoband",   # optimizer-derived (21,6) banding LSH pipeline
+    "semantic_chunk_sentences", # sentence-split drift chunking (prose synthesis)
 ]
 # ITERATIVE / build-time-collecting operators get their own timing mode:
 # their work runs at plan-BUILD time (driver-looped rounds with eager

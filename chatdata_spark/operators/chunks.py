@@ -188,9 +188,6 @@ def semantic_chunks(
     tokens produce no rows. Determinism: float32 embedder output, the
     shared sequential float64 cosine folds, HALF_UP round-6 — replayed
     exactly by the registered query's driver-side oracle."""
-    from chatdata_spark.functions.vector import dot_product, vector_norm
-    from chatdata_spark.functions.vector import make_embed_text_udf
-
     W = int(window_words)
     ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
     d = df.select(F.col(id_col).alias("__id"), ws.alias("__ws")).filter(
@@ -207,7 +204,29 @@ def semantic_chunks(
     wins = d.select(
         "__id", F.size("__ws").alias("__n"),
         F.posexplode(win_texts).alias("__wi", "__wtext"),
-    ).withColumn("__v", make_embed_text_udf(dim)(F.col("__wtext")))
+    )
+    return _drift_chunk_spans(wins, W, dim, threshold, id_col, "start_word", "n_words")
+
+
+def _drift_chunk_spans(
+    wins: DataFrame,
+    W: int,
+    dim: int,
+    threshold: float,
+    id_col: str,
+    start_name: str,
+    count_name: str,
+) -> DataFrame:
+    """Shared drift-scoring tail for the semantic chunkers: ``wins`` has
+    (__id, __n total units, __wi window index, __wtext window text). One
+    Arrow embedder pass, one doc-keyed window (layered lag-vector select
+    per the inlining convention), one (doc, chunk) aggregate. Expressions
+    are pinned bit-for-bit by semantic_chunk_spans' sequential replay
+    oracle — any numeric change here must change the replay too."""
+    from chatdata_spark.functions.vector import dot_product, vector_norm
+    from chatdata_spark.functions.vector import make_embed_text_udf
+
+    wins = wins.withColumn("__v", make_embed_text_udf(dim)(F.col("__wtext")))
     w = Window.partitionBy("__id").orderBy("__wi")
     lagged = wins.select("__id", "__n", "__wi", "__v", F.lag("__v").over(w).alias("__pv"))
     scored = lagged.select(
@@ -224,16 +243,63 @@ def semantic_chunks(
     return (
         chunked.groupBy("__id", "__cid")
         .agg(
-            (F.min("__wi").cast("bigint") * W + 1).alias("start_word"),
+            (F.min("__wi").cast("bigint") * W + 1).alias(start_name),
             F.sum(F.least(F.lit(W), F.col("__n") - F.col("__wi") * W))
             .cast("bigint")
-            .alias("n_words"),
+            .alias(count_name),
             F.count(F.lit(1)).alias("n_windows"),
         )
         .select(
             F.col("__id").alias(id_col),
             F.col("__cid").cast("bigint").alias("chunk_idx"),
-            "start_word", "n_words", "n_windows",
+            start_name, count_name, "n_windows",
         )
         .orderBy(id_col, "chunk_idx")
     )
+
+
+# sentence boundary: whitespace run preceded by terminal punctuation
+# (Java regex lookbehind — the Spark side; replays split with python re)
+SENTENCE_SPLIT_RE = r"(?<=[.!?])\s+"
+
+
+def semantic_sentence_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window_sents: int = 2,
+    dim: int = 64,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """:func:`semantic_chunks` with REAL sentence units — the documented
+    splitter swap for prose corpora: pseudo-sentences are runs ending in
+    ``.!?`` (lookbehind split, so the punctuation stays with its
+    sentence), windows are ``window_sents`` consecutive sentences, and
+    the drift rule/plan shape are exactly the word-window operator's
+    (shared :func:`_drift_chunk_spans` tail — same embedder pass, same
+    doc-keyed window, same aggregate).
+
+    Output: (id_col, chunk_idx, start_sent, n_sents, n_windows) — start
+    is 1-based in SENTENCE units. Empty/whitespace-only sentences (e.g.
+    trailing punctuation) are dropped before windowing."""
+    W = int(window_sents)
+    sents = F.filter(
+        F.transform(F.split(F.col(text_col), SENTENCE_SPLIT_RE), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    d = df.select(F.col(id_col).alias("__id"), sents.alias("__ws")).filter(
+        F.size("__ws") >= 1
+    )
+    from chatdata_spark.operators.dedup import _spread
+
+    d = _spread(d)
+    n_win = F.ceil(F.size("__ws") / F.lit(W)).cast("int")
+    win_texts = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.array_join(F.slice("__ws", i * W + 1, W), " "),
+    )
+    wins = d.select(
+        "__id", F.size("__ws").alias("__n"),
+        F.posexplode(win_texts).alias("__wi", "__wtext"),
+    )
+    return _drift_chunk_spans(wins, W, dim, threshold, id_col, "start_sent", "n_sents")

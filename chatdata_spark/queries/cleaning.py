@@ -583,3 +583,125 @@ def semantic_chunk_spans(spark, sf_dir):
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     return semantic_chunks(d, "doc_id", "text", window_words=16, dim=64, threshold=0.0)
+
+
+def _prose_expr():
+    """Deterministic punctuation-bearing prose from the fixture corpus
+    (which carries none): 7-word sentences terminated by a rotating
+    ./!/? — same construction replayed in Python by the oracle."""
+    from pyspark.sql import functions as F
+
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    n_s = F.ceil(F.size(ws) / F.lit(7)).cast("int")
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_s - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(ws, i * 7 + 1, 7), " "),
+                F.element_at(F.array(F.lit("."), F.lit("!"), F.lit("?")), F.pmod(i, 3) + 1),
+            ),
+        ),
+        " ",
+    )
+
+
+def _semantic_sentence_chunks_expected() -> str:
+    """Lazy oracle for semantic_chunk_sentences: replays prose synthesis
+    (7-word ./!/?-terminated sentences), the LOOKBEHIND sentence split,
+    2-sentence windowing, and the shared drift pipeline sequentially
+    (the _semantic_chunks_expected conventions: python split ≡ Spark
+    split+drop-empties, left-to-right float64 folds, HALF_UP round-6)."""
+    import math
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+    import numpy as np
+
+    from chatdata_spark.functions.vector import hash_embed
+
+    W, DIM = 2, 64
+    q6 = Decimal("0.000001")
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM read_parquet("
+        "'/root/testdata/sf0.01/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    values = []
+    for doc_id, text in rows:
+        ws = (text or "").split()
+        if not ws:
+            continue
+        prose = " ".join(
+            " ".join(ws[i * 7 : (i + 1) * 7]) + ".!?"[i % 3]
+            for i in range(-(-len(ws) // 7))
+        )
+        units = [u.strip() for u in re.split(r"(?<=[.!?])\s+", prose)]
+        units = [u for u in units if u]
+        if not units:
+            continue
+        n = len(units)
+        vecs = []
+        for i in range(-(-n // W)):
+            wtext = " ".join(units[i * W : (i + 1) * W])
+            vecs.append(
+                np.array(hash_embed(wtext, DIM), dtype=np.float32).astype(np.float64)
+            )
+
+        def fold_dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + float(x) * float(y)
+            return acc
+
+        chunks = []  # list of [start_wi, n_windows]
+        for i, v in enumerate(vecs):
+            new = i == 0
+            if not new:
+                p = vecs[i - 1]
+                dot = fold_dot(p, v)
+                na = math.sqrt(fold_dot(p, p))
+                nb = math.sqrt(fold_dot(v, v))
+                sim = float(
+                    Decimal(repr(dot / (na * nb))).quantize(q6, ROUND_HALF_UP)
+                )
+                new = sim < 0.0
+            if new:
+                chunks.append([i, 0])
+            chunks[-1][1] += 1
+        for cid, (start_wi, n_win) in enumerate(chunks):
+            n_sents = sum(
+                min(W, n - wi * W) for wi in range(start_wi, start_wi + n_win)
+            )
+            values.append(
+                f"({doc_id}, {cid}, {start_wi * W + 1}, {n_sents}, {n_win})"
+            )
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, "
+        "CAST(start_sent AS BIGINT) AS start_sent, CAST(n_sents AS BIGINT) AS n_sents, "
+        "CAST(n_windows AS BIGINT) AS n_windows FROM (VALUES "
+        + ", ".join(values)
+        + ") AS t(doc_id, chunk_idx, start_sent, n_sents, n_windows) "
+        "ORDER BY doc_id, chunk_idx"
+    )
+
+
+@query("semantic_chunk_sentences", oracle=_semantic_sentence_chunks_expected)
+def semantic_chunk_sentences(spark, sf_dir):
+    """Semantic chunking over REAL sentence units — the splitter swap
+    semantic_chunk_spans documents (operators/chunks.py::
+    semantic_sentence_chunks): the fixture corpus carries no punctuation,
+    so the query first synthesizes deterministic prose (7-word sentences
+    terminated by a rotating ./!/?), then splits on the lookbehind
+    sentence boundary (punctuation stays with its sentence), windows 2
+    sentences per embedding, and applies the shared drift rule. Oracled
+    against a sequential driver-side replay of prose synthesis + the
+    full pipeline (the _semantic_chunks_expected conventions)."""
+    from chatdata_spark.operators.chunks import semantic_sentence_chunks
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", _prose_expr().alias("prose"))
+    )
+    return semantic_sentence_chunks(
+        d, "doc_id", "prose", window_sents=2, dim=64, threshold=0.0
+    )

@@ -118,10 +118,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "embed_documents_batch", "exact_distinct_users",
     "gopher_quality_filter", "histogram_order_totalprice",
     "lm_perplexity_buckets", "moving_avg_customer_orders",
-    "nb_quality_classifier",
     # --- r11 additions (driver-verified in-round; displaced
-    # pivot_status_by_priority then percentile_stats from the tail) ---
-    "dedup_minhash_autoband", "ann_opq_adc",
+    # pivot_status_by_priority, percentile_stats, nb_quality_classifier
+    # from the tail) ---
+    "dedup_minhash_autoband", "ann_opq_adc", "semantic_chunk_sentences",
 )
 
 # Rotation plan for round 12: second greens for whatever r11 additions

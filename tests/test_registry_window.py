@@ -28,7 +28,7 @@ MUST_BE_DRIVER_CHECKED = {
     "dedup_substring_exact_spans", "dialect_parity_sweep8",
     "bitext_margin_pairs",
     # r11 additions (driver-verified in-round)
-    "dedup_minhash_autoband", "ann_opq_adc",
+    "dedup_minhash_autoband", "ann_opq_adc", "semantic_chunk_sentences",
 }
 
 
@@ -196,8 +196,12 @@ def test_tail_is_deliberate():
     # Procrustes alternation — in front of the PQ codebooks at the same
     # 32x code budget; replay-derived oracle reproduces the rotated ADC
     # survivor set exactly).
+    # 260→261 for semantic_chunk_sentences (the documented splitter swap
+    # exercised end-to-end: deterministic punctuation synthesis →
+    # lookbehind sentence split → 2-sentence drift windows; sequential
+    # replay oracle).
     names = list(queries())
-    assert len(names) <= 260
+    assert len(names) <= 261
 
 
 def test_coverage_window_column_consistent():

@@ -555,6 +555,52 @@ class VectorSQLDialect:
                 f"(x, p) -> named_struct('v', x, 'prev', p)), "
                 f"s -> NOT (s.v <=> s.prev)), s -> s.v))"
             ),
+            # r11 parity sweep #9: trim/substring/search scalars, the
+            # remaining calendar add/trunc family, bit tests, null
+            # predicates, multi-needle search, set-array ops
+            "trimLeft": lambda a: f"ltrim({a[0]})",
+            "trimRight": lambda a: f"rtrim({a[0]})",
+            "substringIndex": lambda a: f"substring_index({a[0]}, {a[1]}, {a[2]})",
+            # CH position* take (haystack, needle); Spark locate is
+            # (substr, str) — args swap
+            "positionCaseInsensitive": lambda a: (
+                f"locate(lower({a[1]}), lower({a[0]}))"
+            ),
+            # NB CH replaceRegexpAll uses RE2 \\1 backrefs; Spark/Java use
+            # $1 — literal replacements translate exactly, backrefs do not
+            # (the arrayDifference-style caveat)
+            "replaceRegexpAll": lambda a: f"regexp_replace({a[0]}, {a[1]}, {a[2]})",
+            "dateTrunc": lambda a: f"date_trunc({a[0]}, {a[1]})",
+            # CH timeSlot = 30-minute floor; pmod floors pre-1970 too (the
+            # toStartOfFifteenMinutes rule)
+            "timeSlot": lambda a: (
+                f"timestamp_seconds(unix_timestamp({a[0]}) "
+                f"- pmod(unix_timestamp({a[0]}), 1800))"
+            ),
+            "toStartOfQuarter": lambda a: f"trunc({a[0]}, 'quarter')",
+            "toStartOfMinute": lambda a: f"date_trunc('MINUTE', {a[0]})",
+            "addMonths": lambda a: f"timestampadd(MONTH, {a[1]}, {a[0]})",
+            "addYears": lambda a: f"timestampadd(YEAR, {a[1]}, {a[0]})",
+            "addMinutes": lambda a: f"timestampadd(MINUTE, {a[1]}, {a[0]})",
+            "addSeconds": lambda a: f"timestampadd(SECOND, {a[1]}, {a[0]})",
+            "subtractMonths": lambda a: f"timestampadd(MONTH, -({a[1]}), {a[0]})",
+            "bitTest": lambda a: f"(shiftright({a[0]}, {a[1]}) & 1)",
+            "bitNot": lambda a: f"~({a[0]})",
+            "isNull": lambda a: f"({a[0]} IS NULL)",
+            "isNotNull": lambda a: f"({a[0]} IS NOT NULL)",
+            # needles arg must be a SQL array expression (array('a','b'));
+            # CH bracket literals are not rewritten
+            "multiSearchAllPositions": lambda a: (
+                f"transform({a[1]}, __n -> locate(__n, {a[0]}))"
+            ),
+            # CH documents the result order as unspecified — canonicalize
+            # with a sort on both sides
+            "arrayIntersect": lambda a: (
+                f"array_sort(array_intersect({a[0]}, {a[1]}))"
+            ),
+            "splitByWhitespace": lambda a: (
+                f"filter(split({a[0]}, '\\\\s+'), x -> x != '')"
+            ),
         }
 
         def multi_if(a: list[str]) -> str:

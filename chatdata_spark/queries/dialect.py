@@ -677,3 +677,85 @@ def dialect_parity_sweep8(spark, sf_dir):
     FROM events PREWHERE event_id < 40 ORDER BY event_id
     """
     return spark.sql(DIALECT.translate(ch_sql))
+
+
+@query(
+    "dialect_parity_sweep9",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+               CAST(props AS VARCHAR) AS p
+        FROM events WHERE event_id < 40
+    ), d AS (SELECT *, date_trunc('second', ts) AS ts0 FROM e)
+    SELECT event_id,
+           ltrim('  ' || event_type) AS tl,
+           rtrim(event_type || '  ') AS tr,
+           array_to_string(string_split(event_type, 'i')[1:1], 'i') AS ssi,
+           CAST(strpos(lower(event_type), 'i') AS BIGINT) AS pci,
+           regexp_replace(p, '[0-9]', '#', 'g') AS rra,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS dt_h,
+           strftime(time_bucket(INTERVAL '30 minutes', ts), '%Y-%m-%d %H:%M:%S') AS slot30,
+           CAST(CAST(date_trunc('quarter', ts) AS DATE) AS VARCHAR) AS soq,
+           strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS som,
+           strftime(ts0 + INTERVAL 2 MONTH, '%Y-%m-%d %H:%M:%S') AS am,
+           strftime(ts0 + INTERVAL 1 YEAR, '%Y-%m-%d %H:%M:%S') AS ay,
+           strftime(ts0 + INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS amin,
+           strftime(ts0 + INTERVAL 45 SECOND, '%Y-%m-%d %H:%M:%S') AS asec,
+           strftime(ts0 - INTERVAL 3 MONTH, '%Y-%m-%d %H:%M:%S') AS sm,
+           CAST(((event_id >> 2) & 1) AS INT) AS bt,
+           ~event_id AS bn,
+           (nullif(event_type, 'click') IS NULL) AS isn,
+           (nullif(event_type, 'click') IS NOT NULL) AS isnn,
+           array_to_string([CAST(strpos(event_type, 'i') AS VARCHAR),
+                            CAST(strpos(event_type, 'e') AS VARCHAR),
+                            CAST(strpos(event_type, 'r') AS VARCHAR)], ',') AS msp,
+           array_to_string(list_sort(list_intersect(
+               string_split(event_type || ' zz aa', ' '),
+               ['view', 'click', 'aa'])), ',') AS ai
+    FROM d ORDER BY event_id
+    """,
+)
+def dialect_parity_sweep9(spark, sf_dir):
+    """§2.9 parity sweep #9 (r11): trimLeft/trimRight / substringIndex
+    (DuckDB replays via string_split slicing) / positionCaseInsensitive
+    (haystack-needle arg swap into locate) / replaceRegexpAll (literal
+    replacement — RE2 \\1 vs Java $1 backrefs documented untranslatable)
+    / dateTrunc / timeSlot (30-minute epoch floor, pmod pre-1970 rule) /
+    toStartOfQuarter + toStartOfMinute / the add-interval family
+    addMonths/addYears/addMinutes/addSeconds/subtractMonths over a
+    second-truncated base (sub-second strings differ in trailing-zero
+    form across engines) / bitTest (shift-and-mask) + bitNot / isNull +
+    isNotNull function forms / multiSearchAllPositions (array of 1-based
+    locates, 0 = absent) / arrayIntersect (CH leaves order unspecified —
+    canonicalized with array_sort on both sides) / splitByWhitespace,
+    over real event rows. Array outputs serialized per the sweep5
+    driver-hashability rule."""
+    load_events(spark, sf_dir).createOrReplaceTempView("events")
+    ch_sql = """
+    SELECT event_id,
+           trimLeft(concat('  ', event_type)) AS tl,
+           trimRight(concat(event_type, '  ')) AS tr,
+           substringIndex(event_type, 'i', 1) AS ssi,
+           toInt64(positionCaseInsensitive(upperUTF8(event_type), 'i')) AS pci,
+           replaceRegexpAll(props, '[0-9]', '#') AS rra,
+           toString(dateTrunc('hour', ts)) AS dt_h,
+           toString(timeSlot(ts)) AS slot30,
+           toString(toStartOfQuarter(ts)) AS soq,
+           toString(toStartOfMinute(ts)) AS som,
+           toString(addMonths(dateTrunc('second', ts), 2)) AS am,
+           toString(addYears(dateTrunc('second', ts), 1)) AS ay,
+           toString(addMinutes(dateTrunc('second', ts), 90)) AS amin,
+           toString(addSeconds(dateTrunc('second', ts), 45)) AS asec,
+           toString(subtractMonths(dateTrunc('second', ts), 3)) AS sm,
+           toInt32(bitTest(event_id, 2)) AS bt,
+           bitNot(event_id) AS bn,
+           isNull(nullIf(event_type, 'click')) AS isn,
+           isNotNull(nullIf(event_type, 'click')) AS isnn,
+           arrayStringConcat(arrayMap(x -> toString(x),
+               multiSearchAllPositions(event_type, array('i', 'e', 'r'))), ',') AS msp,
+           arrayStringConcat(arrayIntersect(
+               splitByWhitespace(concat(event_type, ' zz aa')),
+               array('view', 'click', 'aa')), ',') AS ai
+    FROM events PREWHERE event_id < 40 ORDER BY event_id
+    """
+    return spark.sql(DIALECT.translate(ch_sql))

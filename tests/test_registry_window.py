@@ -29,6 +29,7 @@ MUST_BE_DRIVER_CHECKED = {
     "bitext_margin_pairs",
     # r11 additions (driver-verified in-round)
     "dedup_minhash_autoband", "ann_opq_adc", "semantic_chunk_sentences",
+    "dialect_parity_sweep9",
 }
 
 
@@ -200,8 +201,13 @@ def test_tail_is_deliberate():
     # exercised end-to-end: deterministic punctuation synthesis →
     # lookbehind sentence split → 2-sentence drift windows; sequential
     # replay oracle).
+    # 261→262 for dialect_parity_sweep9 (§2.9: trim/substringIndex/
+    # positionCaseInsensitive/replaceRegexpAll scalars, the add-interval
+    # calendar family + dateTrunc/timeSlot/quarter/minute starts,
+    # bitTest/bitNot, isNull fns, multiSearchAllPositions,
+    # arrayIntersect, splitByWhitespace — ~21 more renames).
     names = list(queries())
-    assert len(names) <= 261
+    assert len(names) <= 262
 
 
 def test_coverage_window_column_consistent():

@@ -54,6 +54,9 @@ class IVFPQIndex:
         self.dsub = meta["dsub"]
         self.ivf_path = meta["ivf_path"]
         self.codebooks = np.array(meta["codebooks"], dtype=np.float64)
+        # OPQ rotation (d, d), or None for plain-PQ metas
+        rot = meta.get("rotation")
+        self.rotation = None if rot is None else np.array(rot, dtype=np.float64)
         self.ivf = IVFIndex(spark, self.ivf_path)
 
     @staticmethod
@@ -64,13 +67,18 @@ class IVFPQIndex:
         train_rows: int = 4096,
         iters: int = 12,
         seed: int = 42,
+        opq_iters: int = 0,
     ) -> "IVFPQIndex":
         """Train PQ codebooks on a bounded driver-side sample of the IVF
         data (the same bounded-statistics-pass license as the IVF build
         itself), then Arrow-encode every row INSIDE its cluster partition
         and write codes partitioned by the same cluster_id. One scan, one
         partitioned write — no shuffle beyond the partitioning the IVF
-        layout already established."""
+        layout already established. ``opq_iters > 0`` trains an OPQ
+        rotation first (operators/pq.py::opq_train) and encodes
+        ``(x @ R)`` — the rotation lives entirely in the driver-side
+        constants (codebooks, query table), so routing and the
+        partition-pruned scan shape are untouched."""
         data = ivf.spark.read.parquet(ivf._data_path())
         sample = np.array(
             [r[0] for r in data.select(ivf.vector_col).limit(train_rows).collect()],
@@ -80,22 +88,30 @@ class IVFPQIndex:
         d = sample.shape[1]
         assert d % m == 0, f"dim {d} not divisible by m={m}"
         dsub = d // m
-        books = np.stack(
-            [
-                _kmeans_1d(sample[:, j * dsub : (j + 1) * dsub], 256, iters, seed + j)
-                for j in range(m)
-            ]
-        )
-        if books.shape[1] < 256:
-            pad = np.repeat(books[:, :1, :], 256 - books.shape[1], axis=1)
-            books = np.concatenate([books, pad], axis=1)
+        rotation = None
+        if opq_iters > 0:
+            from chatdata_spark.operators.pq import opq_train
 
-        bks, mm, dd = books, m, dsub
+            rotation, books = opq_train(sample, m, iters=iters, seed=seed, opq_iters=opq_iters)
+        else:
+            books = np.stack(
+                [
+                    _kmeans_1d(sample[:, j * dsub : (j + 1) * dsub], 256, iters, seed + j)
+                    for j in range(m)
+                ]
+            )
+            if books.shape[1] < 256:
+                pad = np.repeat(books[:, :1, :], 256 - books.shape[1], axis=1)
+                books = np.concatenate([books, pad], axis=1)
+
+        bks, mm, dd, rot = books, m, dsub, rotation
 
         @F.pandas_udf("array<smallint>")
         def _encode(vecs: pd.Series) -> pd.Series:
             x = np.array(vecs.tolist(), dtype=np.float64)
             x /= np.linalg.norm(x, axis=1, keepdims=True)
+            if rot is not None:
+                x = x @ rot
             codes = np.empty((x.shape[0], mm), dtype=np.int64)
             for j in range(mm):
                 sub = x[:, j * dd : (j + 1) * dd]
@@ -122,6 +138,9 @@ class IVFPQIndex:
             "dsub": dsub,
             "ivf_path": ivf.path,
             "codebooks": [[list(map(float, c)) for c in book] for book in books],
+            "rotation": None
+            if rotation is None
+            else [list(map(float, r)) for r in rotation],
         }
         tmp = os.path.join(path, "ivfpq_meta.json.tmp")
         with open(tmp, "w") as f:
@@ -155,10 +174,13 @@ class IVFPQIndex:
            set, mirroring IVFIndex.search."""
         q = np.asarray(query_vec, dtype=np.float64)
         q = q / np.linalg.norm(q)
+        # routing stays in the ORIGINAL space (centroids are unrotated);
+        # only the ADC table sees the rotated query
+        qr = q if self.rotation is None else q @ self.rotation
         table = np.stack(
             [
                 (
-                    (q[j * self.dsub : (j + 1) * self.dsub][None, :] - self.codebooks[j]) ** 2
+                    (qr[j * self.dsub : (j + 1) * self.dsub][None, :] - self.codebooks[j]) ** 2
                 ).sum(axis=1)
                 for j in range(self.m)
             ]
@@ -200,9 +222,11 @@ class IVFPQIndex:
         )
 
 
-def build_or_load_ivfpq(ivf: IVFIndex, path: str, m: int = 8) -> IVFPQIndex:
+def build_or_load_ivfpq(
+    ivf: IVFIndex, path: str, m: int = 8, opq_iters: int = 0
+) -> IVFPQIndex:
     """Idempotent build, same convention as build_or_load_ivf/pq."""
     if os.path.exists(os.path.join(path, "ivfpq_meta.json")):
         return IVFPQIndex(ivf.spark, path)
     os.makedirs(path, exist_ok=True)
-    return IVFPQIndex.build(ivf, path, m=m)
+    return IVFPQIndex.build(ivf, path, m=m, opq_iters=opq_iters)

@@ -90,3 +90,32 @@ def test_build_or_load_idempotent(spark, tmp_path):
     again = build_or_load_ivfpq(ivf, str(tmp_path / "ivfpq"), m=8)
     assert isinstance(again, IVFPQIndex)
     assert (again.codebooks == idx.codebooks).all()
+
+
+def test_opq_ivfpq_rotation_roundtrip_and_full_probe_exact(spark, tmp_path):
+    """OPQ-composed IVF-PQ: the rotation persists through the meta, the
+    routing stays in the ORIGINAL space (centroids unrotated), and the
+    full-probe + deep-refine configuration still reproduces the exact
+    top-k (the rotation is search-transparent)."""
+    import numpy as np
+
+    ivf = _ivf_index(spark, SF_ORACLE)
+    built = build_or_load_ivfpq(ivf, str(tmp_path / "opq"), m=8, opq_iters=3)
+    assert built.rotation is not None
+    loaded = IVFPQIndex(spark, str(tmp_path / "opq"))
+    assert np.array_equal(built.rotation, loaded.rotation)
+    assert np.allclose(
+        loaded.rotation @ loaded.rotation.T, np.eye(64), atol=1e-10
+    )
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    got = [
+        r.vec_id
+        for r in loaded.search(
+            Q2, k=10, n_probe=ivf.n_clusters, refine=50, select=["vec_id"]
+        ).collect()
+    ]
+    want = [
+        r.vec_id
+        for r in knn(e, "embedding", Q2, k=10, select=["vec_id"], id_col="vec_id").collect()
+    ]
+    assert got == want

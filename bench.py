@@ -611,6 +611,23 @@ def bench_ann_opq_adc(spark, sf_dir):
     return idx.search(e, Q1, k=10, refine=4, select=["vec_id", "label"])
 
 
+def bench_ann_ivfpq_residual_search(spark, sf_dir):
+    """Raw residual+OPQ IVF-PQ routed search — same partition-pruned
+    scan as bench_ann_ivfpq_search; the per-probed-cluster ADC tables
+    are driver-side constants, so any delta vs the plain entry is the
+    (B, m, 256) gather vs the (m, 256) lookup inside the Arrow pass."""
+    from chatdata_spark.catalog import shared_cache_path
+    from chatdata_spark.operators.ivfpq import build_or_load_ivfpq
+    from chatdata_spark.queries.vector import Q2, _ivf_index
+
+    ivf = _ivf_index(spark, sf_dir)
+    idx = build_or_load_ivfpq(
+        ivf, shared_cache_path("ivfpq", sf_dir, "k8m8r1o6"), m=8,
+        residual=True, opq_iters=6,
+    )
+    return idx.search(Q2, k=15, n_probe=4, refine=4, select=["vec_id"])
+
+
 def bench_ann_ivfpq_search(spark, sf_dir):
     """Raw IVF-PQ routed compressed search (n_probe=4 of 8, ADC over the
     probed clusters' code partitions only, exact rerank of the top k·4) —
@@ -961,6 +978,7 @@ EXTRA = {
     "ann_pq_adc": bench_ann_pq_adc,
     "ann_opq_adc": bench_ann_opq_adc,
     "ann_ivfpq_search": bench_ann_ivfpq_search,
+    "ann_ivfpq_residual_search": bench_ann_ivfpq_residual_search,
     "fact_join_shuffle": bench_fact_join_shuffle,
     "fact_join_bucketed": bench_fact_join_bucketed,
     "knn_topk_x10": bench_knn_topk_x10,

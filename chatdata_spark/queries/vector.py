@@ -771,6 +771,49 @@ def ann_ivfpq_search(spark, sf_dir):
     return stats.join(F.broadcast(in60)).select("n_results", "n_in_top60", "min_dist")
 
 
+@query(
+    "ann_ivfpq_residual_search",
+    oracle=f"""
+    SELECT CAST(15 AS BIGINT) AS n_results,
+           CAST(15 AS BIGINT) AS n_in_top60,
+           CAST(MIN({_duck_cos('embedding', Q2)}) AS DOUBLE) AS min_dist
+    FROM embeddings
+    """,
+)
+def ann_ivfpq_residual_search(spark, sf_dir):
+    """Residual + OPQ IVF-PQ composed (the full FAISS IVFPQ training
+    recipe: codes quantize the rotated WITHIN-CLUSTER displacement
+    ``(x_norm − centroid[cluster]) @ R`` — operators/ivfpq.py
+    ``residual=True, opq_iters=6``): same routed, partition-pruned scan
+    as ann_ivfpq_search but the ADC screen reads one small per-probed-
+    cluster table instead of a global one. Same soundness-invariant
+    oracle (15 results, all within the exact top-IVFPQ_RANK_MARGIN,
+    best distance equal to the global exact minimum — observed max
+    exact rank 26 at both compare scales vs plain's 24). Quantization-
+    error mechanics pinned in tests/test_ivfpq.py."""
+    from chatdata_spark.catalog import shared_cache_path
+    from chatdata_spark.operators.ivfpq import build_or_load_ivfpq
+
+    ivf = _ivf_index(spark, sf_dir)
+    idx = build_or_load_ivfpq(
+        ivf, shared_cache_path("ivfpq", sf_dir, "k8m8r1o6"), m=8,
+        residual=True, opq_iters=6,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = idx.search(Q2, k=15, n_probe=4, refine=4, select=["vec_id"])
+    top60 = knn(
+        emb, "embedding", Q2, k=IVFPQ_RANK_MARGIN, select=["vec_id"], id_col="vec_id"
+    ).select("vec_id")
+    stats = res.agg(
+        F.count(F.lit(1)).alias("n_results"), F.min("dist").cast("double").alias("min_dist")
+    )
+    in60 = (
+        res.join(F.broadcast(top60), "vec_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_in_top60"))
+    )
+    return stats.join(F.broadcast(in60)).select("n_results", "n_in_top60", "min_dist")
+
+
 MQ = [hash_embed(f"mq{i}", DIM) for i in range(3)]
 
 

@@ -119,3 +119,95 @@ def test_opq_ivfpq_rotation_roundtrip_and_full_probe_exact(spark, tmp_path):
         for r in knn(e, "embedding", Q2, k=10, select=["vec_id"], id_col="vec_id").collect()
     ]
     assert got == want
+
+
+def _recon_err(x, cid, lut, books):
+    import numpy as np
+
+    from chatdata_spark.operators.pq import _encode_np
+
+    target = x if lut is None else x - lut[cid]
+    codes = _encode_np(target, books)
+    recon = np.concatenate([books[j][codes[:, j]] for j in range(8)], axis=1)
+    return float(((target - recon) ** 2).sum(axis=1).mean())
+
+
+def test_residual_ivfpq_quantization_error_below_plain(spark, tmp_path):
+    """Residual codes must reconstruct the corpus more finely than
+    raw-vector codes at the same 256-entry budget — the point of
+    quantizing the within-cluster displacement (FAISS IVFPQ default).
+    The fixture's hash embeddings are near-uniform on the sphere, so the
+    gain there is small (0.100 vs 0.107) — asserted directionally; the
+    clustered-corpus test below pins the ~10x mechanism."""
+    import numpy as np
+
+    from chatdata_spark.operators.ivfpq import _centroid_lookup
+
+    ivf = _ivf_index(spark, SF_ORACLE)
+    plain = build_or_load_ivfpq(ivf, str(tmp_path / "plain"), m=8)
+    resid = build_or_load_ivfpq(ivf, str(tmp_path / "resid"), m=8, residual=True)
+    assert resid.residual and not plain.residual
+
+    data = spark.read.parquet(ivf._data_path()).select("embedding", "cluster_id").collect()
+    x = np.array([r[0] for r in data], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    cid = np.array([r[1] for r in data], dtype=np.int64)
+    lut = _centroid_lookup(ivf)
+    e_plain = _recon_err(x, None, None, plain.codebooks)
+    e_resid = _recon_err(x, cid, lut, resid.codebooks)
+    assert e_resid < e_plain, (e_resid, e_plain)
+
+
+def test_residual_ivfpq_strong_gain_on_clustered_corpus(spark, tmp_path):
+    """On a corpus with REAL cluster structure (64 tight clusters, noise
+    sigma 0.05) the residual codebooks must beat plain decisively: plain
+    must spread 256 entries per subspace over 64 blobs while residual
+    covers one zero-centered blob (probed ratio 0.34 with ideal routing;
+    asserted at 0.5 to absorb KMeans routing imperfection)."""
+    import numpy as np
+
+    from chatdata_spark.operators.ivf import IVFIndex
+    from chatdata_spark.operators.ivfpq import IVFPQIndex, _centroid_lookup
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((64, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[np.arange(1600) % 64] + 0.05 * rng.standard_normal((1600, 64))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(pts)],
+        "vec_id: long, embedding: array<float>",
+    )
+    ivf = IVFIndex.build(df, str(tmp_path / "civf"), "vec_id", "embedding", n_clusters=64)
+    plain = IVFPQIndex.build(ivf, str(tmp_path / "cp"), m=8)
+    resid = IVFPQIndex.build(ivf, str(tmp_path / "cr"), m=8, residual=True)
+    data = spark.read.parquet(ivf._data_path()).select("embedding", "cluster_id").collect()
+    x = np.array([r[0] for r in data], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    cid = np.array([r[1] for r in data], dtype=np.int64)
+    lut = _centroid_lookup(ivf)
+    e_plain = _recon_err(x, None, None, plain.codebooks)
+    e_resid = _recon_err(x, cid, lut, resid.codebooks)
+    assert e_resid < e_plain * 0.5, (e_resid, e_plain)
+
+
+def test_residual_ivfpq_full_probe_deep_refine_equals_exact(spark, tmp_path):
+    """Residual (and residual+OPQ) funnels must reproduce the exact
+    top-k at full probe + deep refine — the rerank is in original space,
+    so only the screen changed."""
+    ivf = _ivf_index(spark, SF_ORACLE)
+    e = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    want = [
+        r.vec_id
+        for r in knn(e, "embedding", Q2, k=10, select=["vec_id"], id_col="vec_id").collect()
+    ]
+    for name, kw in (("r", dict(residual=True)),
+                     ("ro", dict(residual=True, opq_iters=3))):
+        idx = build_or_load_ivfpq(ivf, str(tmp_path / name), m=8, **kw)
+        got = [
+            r.vec_id
+            for r in idx.search(
+                Q2, k=10, n_probe=ivf.n_clusters, refine=50, select=["vec_id"]
+            ).collect()
+        ]
+        assert got == want, name

@@ -29,7 +29,7 @@ MUST_BE_DRIVER_CHECKED = {
     "bitext_margin_pairs",
     # r11 additions (driver-verified in-round)
     "dedup_minhash_autoband", "ann_opq_adc", "semantic_chunk_sentences",
-    "dialect_parity_sweep9",
+    "dialect_parity_sweep9", "ann_ivfpq_residual_search",
 }
 
 
@@ -206,8 +206,12 @@ def test_tail_is_deliberate():
     # calendar family + dateTrunc/timeSlot/quarter/minute starts,
     # bitTest/bitNot, isNull fns, multiSearchAllPositions,
     # arrayIntersect, splitByWhitespace — ~21 more renames).
+    # 262→263 for ann_ivfpq_residual_search (the full FAISS IVFPQ
+    # training recipe: residual codes + OPQ rotation over the routed
+    # partition-pruned layout; same soundness-invariant oracle as
+    # ann_ivfpq_search).
     names = list(queries())
-    assert len(names) <= 262
+    assert len(names) <= 263
 
 
 def test_coverage_window_column_consistent():

@@ -30,6 +30,7 @@ MUST_BE_DRIVER_CHECKED = {
     # r11 additions (driver-verified in-round)
     "dedup_minhash_autoband", "ann_opq_adc", "semantic_chunk_sentences",
     "dialect_parity_sweep9", "ann_ivfpq_residual_search",
+    "pack_best_fit_docs",
 }
 
 
@@ -210,8 +211,12 @@ def test_tail_is_deliberate():
     # training recipe: residual codes + OPQ rotation over the routed
     # partition-pruned layout; same soundness-invariant oracle as
     # ann_ivfpq_search).
+    # 263→264 for pack_best_fit_docs (best-fit-decreasing sequence
+    # packing per hash shard — Ding et al. 2024; 3.5% padding waste vs
+    # greedy's 20.3% at the same budget; shard-hash + bfd_pack replay
+    # oracle).
     names = list(queries())
-    assert len(names) <= 263
+    assert len(names) <= 264
 
 
 def test_coverage_window_column_consistent():

@@ -166,6 +166,8 @@ E2E = [
     # r10 additions (build-time collects / index builds)
     "ann_ivf_merge_search",         # KMeans build + merge rewrite at build time
     "bitext_margin_pairs",          # two side-index KMeans builds at build time
+    # r11 additions (build-time collects)
+    "unigram_vocab_docs",           # hard-EM rounds: Arrow Viterbi pass + bounded collect each
 ]
 
 # The ≤15 per-query entries repeated on stdout (full map goes to

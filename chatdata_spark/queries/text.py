@@ -1081,3 +1081,67 @@ def doc_novelty_curve(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_UNIGRAM_REPLAY_CACHE: dict[str, dict] = {}  # keyed on the fixture dir
+
+
+def _unigram_vocab_expected() -> str:
+    """Lazy oracle for unigram_vocab_docs: pure-Python replay of the
+    hard-EM training (operators/unigram.py::train_unigram_reference —
+    shared Viterbi, identical integer count algebra) over word
+    frequencies DuckDB/re re-derive from the same parquet (the
+    oracle_sf_dir fixture — never a hardcoded path; memoized per dir,
+    the _bpe_replay convention)."""
+    import re
+
+    import duckdb
+
+    from chatdata_spark.catalog import oracle_sf_dir
+    from chatdata_spark.operators.unigram import train_unigram_reference
+
+    sf = oracle_sf_dir()
+    if sf not in _UNIGRAM_REPLAY_CACHE:
+        rows = duckdb.sql(
+            "SELECT lower(text) FROM read_parquet("
+            f"'{sf}/documents.parquet')"
+        ).fetchall()
+        wf: dict = {}
+        for (t,) in rows:
+            for w in re.findall(r"[a-z0-9]+", t or ""):
+                wf[w] = wf.get(w, 0) + 1
+        _UNIGRAM_REPLAY_CACHE[sf] = train_unigram_reference(
+            wf, vocab_size=300, max_piece_len=4, n_candidates=1500,
+            em_iters=3,
+        )
+    counts = _UNIGRAM_REPLAY_CACHE[sf]
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    values = ", ".join(f"('{p}', {c})" for p, c in top)
+    return (
+        "SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM (VALUES "
+        + values
+        + ") AS t(piece, cnt) ORDER BY cnt DESC, piece ASC"
+    )
+
+
+@query("unigram_vocab_docs", oracle=_unigram_vocab_expected)
+def unigram_vocab_docs(spark, sf_dir):
+    """Unigram-LM tokenizer vocabulary training (operators/unigram.py —
+    Kudo 2018, the SentencePiece `unigram` algorithm, hard-EM variant):
+    candidate substrings of the DISTINCT-word table (vocab-collapse —
+    bounded by vocabulary, not corpus), three EM rounds of one Arrow
+    Viterbi pass + one piece-keyed aggregate each, chars never pruned.
+    Top 50 pieces by (count, piece). Oracled against the sequential
+    pure-Python replay (integer hard-EM counts are engine-order-free;
+    distributed ≡ sequential pinned in tests/test_unigram.py too)."""
+    from chatdata_spark.operators.unigram import train_unigram_vocab
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        train_unigram_vocab(
+            d, "text", vocab_size=300, max_piece_len=4,
+            n_candidates=1500, em_iters=3,
+        )
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(50)
+    )

@@ -116,14 +116,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_winnow_pairs", "dialect_conditional_aggs",
     "dialect_parity_extended", "dimred_rp_knn", "domain_mixture_sample",
     "embed_documents_batch", "exact_distinct_users",
-    "gopher_quality_filter",
     # --- r11 additions (driver-verified in-round; displaced
     # pivot_status_by_priority, percentile_stats, nb_quality_classifier,
     # moving_avg_customer_orders, lm_perplexity_buckets,
-    # histogram_order_totalprice from the tail) ---
+    # histogram_order_totalprice, gopher_quality_filter from the tail) ---
     "dedup_minhash_autoband", "ann_opq_adc", "semantic_chunk_sentences",
     "dialect_parity_sweep9", "ann_ivfpq_residual_search",
-    "pack_best_fit_docs",
+    "pack_best_fit_docs", "unigram_vocab_docs",
 )
 
 # Rotation plan for round 12: second greens for whatever r11 additions

@@ -705,3 +705,149 @@ def semantic_chunk_sentences(spark, sf_dir):
     return semantic_sentence_chunks(
         d, "doc_id", "prose", window_sents=2, dim=64, threshold=0.0
     )
+
+
+def _gopher_repetition_expected() -> str:
+    """Lazy oracle for gopher_repetition_filter: sequential pure-Python
+    replay of the A1.2 numerators (operators/repetition.py::
+    repetition_stats_py — the same integer count/marking algebra the
+    Arrow pass inlines) over the same tokenization and the same
+    deterministic prefix-repeat perturbation, aggregated per source."""
+    import re
+
+    import duckdb
+
+    from chatdata_spark.catalog import oracle_sf_dir
+    from chatdata_spark.operators.repetition import (
+        DUP_NGRAM_RULES,
+        TOP_NGRAM_RULES,
+        repetition_stats_py,
+    )
+
+    rows = duckdb.sql(
+        "SELECT doc_id, source, lower(text) FROM read_parquet("
+        f"'{oracle_sf_dir()}/documents.parquet')"
+    ).fetchall()
+    rules = TOP_NGRAM_RULES + DUP_NGRAM_RULES
+    agg: dict = {}
+    for doc_id, source, t in rows:
+        ws = re.findall(r"[a-z0-9]+", t or "")
+        if doc_id % 5 == 0:
+            ws = ws + ws[:40]
+        st = repetition_stats_py(ws)
+        a = agg.setdefault(
+            source,
+            {"docs": 0, "chars": 0, "sum_t2": 0, "sum_d5": 0, "clean": 0,
+             **{f"fail_{f}": 0 for f, _, _ in rules}},
+        )
+        a["docs"] += 1
+        a["chars"] += st["total"]
+        a["sum_t2"] += st["t2"]
+        a["sum_d5"] += st["d5"]
+        fails = 0
+        for f, _n, pct in rules:
+            bad = st[f] * 100 > st["total"] * pct
+            a[f"fail_{f}"] += int(bad)
+            fails += int(bad)
+        a["clean"] += int(fails == 0)
+    values = ", ".join(
+        "('{s}', {docs}, {chars}, {sum_t2}, {sum_d5}, {ff}, {clean})".format(
+            s=s, docs=a["docs"], chars=a["chars"], sum_t2=a["sum_t2"],
+            sum_d5=a["sum_d5"],
+            ff=", ".join(str(a[f"fail_{f}"]) for f, _, _ in rules),
+            clean=a["clean"],
+        )
+        for s, a in sorted(agg.items())
+    )
+    cols = ", ".join(f"fail_{f}" for f, _, _ in rules)
+    casts = ", ".join(
+        f"CAST(fail_{f} AS BIGINT) AS fail_{f}" for f, _, _ in rules
+    )
+    return (
+        f"SELECT source, CAST(docs AS BIGINT) AS docs,"
+        f" CAST(chars AS BIGINT) AS chars,"
+        f" CAST(sum_t2 AS BIGINT) AS sum_t2,"
+        f" CAST(sum_d5 AS BIGINT) AS sum_d5, {casts},"
+        f" CAST(clean_docs AS BIGINT) AS clean_docs"
+        f" FROM (VALUES {values}) AS t(source, docs, chars, sum_t2,"
+        f" sum_d5, {cols}, clean_docs) ORDER BY source"
+    )
+
+
+@query("gopher_repetition_filter", oracle=_gopher_repetition_expected)
+def gopher_repetition_filter(spark, sf_dir):
+    """Gopher A1.2 duplicated-n-gram repetition rules (Rae et al. 2021):
+    top-{2,3,4}-gram character fractions and duplicated-{5..10}-gram
+    character fractions with union-of-spans semantics
+    (operators/repetition.py — exact semantics pinned there), aggregated
+    per source: doc/char totals, two value-bearing numerator sums, the
+    nine per-rule fail counts, and the count of fully-clean docs. A
+    deterministic prefix-repeat perturbation (doc_id % 5 == 0 appends the
+    doc's first 40 tokens) gives the dup-{5..10} rules real signal on the
+    word-salad fixture, replayed identically in the oracle.
+
+    Scale shape: the numerators come from ONE scan-stage Arrow pass (per-
+    doc O(9·tokens) dict counting — the Arrow-UDF-for-O(H·S) rule); flags
+    are exact integer cross-multiplications (100·num > pct·total) JVM-
+    side; the only shuffle is the |sources|-row final aggregate.
+
+    Reference surface: pretraining-corpus hygiene in front of the upload
+    pipeline (app/backend/chat_bot/tools.py:42)."""
+    from chatdata_spark.operators.repetition import (
+        DUP_NGRAM_RULES,
+        TOP_NGRAM_RULES,
+        ngram_repetition_stats,
+        repetition_fail_flags,
+    )
+    from chatdata_spark.operators.dedup import _spread
+
+    rules = TOP_NGRAM_RULES + DUP_NGRAM_RULES
+    d = _spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "source", "text"
+        )
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0).alias(
+            "w0"
+        ),
+    )
+    pert = base.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("w0"), F.slice(F.col("w0"), 1, 40)),
+        )
+        .otherwise(F.col("w0"))
+        .alias("w"),
+    )
+    st = pert.select("source", ngram_repetition_stats("w").alias("s"))
+    flags = repetition_fail_flags("s")
+    flagged = st.select(
+        "source",
+        F.col("s")["total"].alias("chars_"),
+        F.col("s")["t2"].alias("t2_"),
+        F.col("s")["d5"].alias("d5_"),
+        *[expr.alias(name) for name, expr in flags.items()],
+    )
+    any_fail = None
+    for f, _n, _p in rules:
+        c = F.col(f"fail_{f}")
+        any_fail = c if any_fail is None else F.greatest(any_fail, c)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("chars_").alias("chars"),
+            F.sum("t2_").alias("sum_t2"),
+            F.sum("d5_").alias("sum_d5"),
+            *[
+                F.sum(f"fail_{f}").cast("bigint").alias(f"fail_{f}")
+                for f, _n, _p in rules
+            ],
+            F.sum(F.lit(1) - any_fail).cast("bigint").alias("clean_docs"),
+        )
+        .orderBy("source")
+    )

@@ -30,7 +30,7 @@ MUST_BE_DRIVER_CHECKED = {
     # r11 additions (driver-verified in-round)
     "dedup_minhash_autoband", "ann_opq_adc", "semantic_chunk_sentences",
     "dialect_parity_sweep9", "ann_ivfpq_residual_search",
-    "pack_best_fit_docs", "unigram_vocab_docs",
+    "pack_best_fit_docs", "unigram_vocab_docs", "gopher_repetition_filter",
 }
 
 
@@ -219,8 +219,12 @@ def test_tail_is_deliberate():
     # Kudo 2018, the SentencePiece algorithm, deterministic hard-EM
     # variant; the OTHER mainstream subword tokenizer next to BPE;
     # sequential pure-Python replay oracle over shared integer counts).
+    # 265→266 for gopher_repetition_filter (the A1.2 duplicated-n-gram
+    # char-fraction rules — top-{2,3,4} and dup-{5..10} with
+    # union-of-spans semantics; all-integer numerators, sequential
+    # replay oracle; completes the Gopher family next to A1.1).
     names = list(queries())
-    assert len(names) <= 265
+    assert len(names) <= 266
 
 
 def test_coverage_window_column_consistent():

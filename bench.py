@@ -169,6 +169,7 @@ E2E = [
     "bitext_margin_pairs",          # two side-index KMeans builds at build time
     # r11 additions (build-time collects)
     "unigram_vocab_docs",           # hard-EM rounds: Arrow Viterbi pass + bounded collect each
+    "unigram_encode_stats",         # training collect + vocab-collapse encode pass
 ]
 
 # The ≤15 per-query entries repeated on stdout (full map goes to

@@ -202,3 +202,78 @@ def train_unigram_reference(word_freqs: dict, vocab_size: int = 400,
                 new[p] = new.get(p, 0) + f
         counts = prune(new)
     return counts
+
+
+_NPIECES_UDFS: dict = {}  # (L, sorted counts) -> UDF; memoized so repeated
+# plans stay CacheManager-equal (CLAUDE.md memoization rule)
+
+
+def unigram_piece_counts(df: DataFrame, text_col: str, counts: dict,
+                         max_piece_len: int = 4, group_col: str = "lang",
+                         ) -> DataFrame:
+    """(group, total_pieces): total unigram-LM token count per group when
+    the corpus is segmented with the trained vocabulary ``counts`` — the
+    encode half of the tokenizer (pairs with train_unigram_vocab the way
+    apply_bpe pairs with learn_bpe_merges).
+
+    Vocab-collapse shape: one corpus-sized (group, word) frequency
+    aggregate, ONE Arrow Viterbi pass over the DISTINCT words only
+    (bounded by vocabulary), then freq·n_pieces summed per group — the
+    text itself is never segmented row-by-row at corpus scale.
+
+    Precondition: every character of every word appears in ``counts``
+    (guaranteed when counts came from train_unigram_vocab over the same
+    token stream — the char inventory is never pruned), so the Viterbi
+    DP always reaches every position."""
+    from chatdata_spark.operators.dedup import _spread
+
+    L = int(max_piece_len)
+    total = sum(counts.values())
+    logp = {p: math.log(c) - math.log(total) for p, c in counts.items()}
+
+    key = (L, tuple(sorted(counts.items())))
+    if key not in _NPIECES_UDFS:
+
+        @F.pandas_udf("int")
+        def _npieces(words: pd.Series) -> pd.Series:
+            # viterbi_pieces inlined, counting pieces only (cloudpickle
+            # by-name rule: capture logp/L constants, no module fns)
+            def n_pieces(w):
+                n = len(w)
+                best = [0.0] + [float("-inf")] * n
+                back = [0] * (n + 1)
+                for i in range(1, n + 1):
+                    for length in range(1, min(L, i) + 1):
+                        lp = logp.get(w[i - length : i])
+                        if lp is None:
+                            continue
+                        s = best[i - length] + lp
+                        if s > best[i]:
+                            best[i] = s
+                            back[i] = length
+                k = 0
+                i = n
+                while i > 0:
+                    k += 1
+                    i -= back[i]
+                return k
+
+            return words.map(n_pieces).astype("int32")
+
+        _NPIECES_UDFS[key] = _npieces
+
+    words = F.explode(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    ).alias("word")
+    gw = (
+        _spread(df.select(F.col(group_col).alias("grp"), F.col(text_col)))
+        .select("grp", words)
+        .groupBy("grp", "word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pieces = gw.select(
+        "grp", "freq", _NPIECES_UDFS[key](F.col("word")).alias("np")
+    )
+    return pieces.groupBy("grp").agg(
+        F.sum(F.col("freq") * F.col("np")).alias("total_pieces")
+    )

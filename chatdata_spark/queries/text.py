@@ -1145,3 +1145,84 @@ def unigram_vocab_docs(spark, sf_dir):
         .orderBy(F.col("cnt").desc(), F.col("piece").asc())
         .limit(50)
     )
+
+
+def _unigram_encode_expected() -> str:
+    """Lazy oracle for unigram_encode_stats: the memoized training replay
+    (_unigram_vocab_expected's cache) segments every distinct word
+    sequentially via the shared viterbi_pieces; totals are exact
+    integer freq·n_pieces sums per lang."""
+    import re
+
+    import duckdb
+
+    from chatdata_spark.catalog import oracle_sf_dir
+    from chatdata_spark.operators.unigram import viterbi_pieces
+
+    import math
+
+    _unigram_vocab_expected()  # populate the training cache for this sf
+    sf = oracle_sf_dir()
+    counts = _UNIGRAM_REPLAY_CACHE[sf]
+    total = sum(counts.values())
+    logp = {p: math.log(c) - math.log(total) for p, c in counts.items()}
+    rows = duckdb.sql(
+        "SELECT lang, lower(text) FROM read_parquet("
+        f"'{sf}/documents.parquet')"
+    ).fetchall()
+    agg: dict = {}
+    np_cache: dict = {}
+    for lang, t in rows:
+        a = agg.setdefault(lang, [0, 0])
+        a[0] += 1
+        for w in re.findall(r"[a-z0-9]+", t or ""):
+            if w not in np_cache:
+                np_cache[w] = len(viterbi_pieces(w, logp, 4))
+            a[1] += np_cache[w]
+    values = ", ".join(
+        f"('{lang}', CAST({a[0]} AS BIGINT), CAST({a[1]} AS BIGINT))"
+        for lang, a in sorted(agg.items())
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + values
+        + ") AS t(lang, n_docs, total_unigram_tokens) ORDER BY lang"
+    )
+
+
+@query("unigram_encode_stats", oracle=_unigram_encode_expected)
+def unigram_encode_stats(spark, sf_dir):
+    """The trained unigram vocabulary APPLIED at corpus scale
+    (operators/unigram.py::unigram_piece_counts): per-lang doc counts and
+    total unigram-LM token counts — the token-budget report for the
+    SentencePiece-style tokenizer, pairing with unigram_vocab_docs the
+    way bpe_encode_token_stats pairs with bpe_learn_merges. Vocab-collapse
+    shape: the Arrow Viterbi pass runs over DISTINCT (lang, word) rows
+    only; the corpus contributes one word-frequency aggregate. Train +
+    encode both replayed exactly by the sequential Python oracle (shared
+    viterbi_pieces, integer count algebra)."""
+    from chatdata_spark.operators.unigram import (
+        train_unigram_vocab,
+        unigram_piece_counts,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = train_unigram_vocab(
+        d, "text", vocab_size=300, max_piece_len=4,
+        n_candidates=1500, em_iters=3,
+    )
+    counts = {r["piece"]: int(r["cnt"]) for r in vocab.collect()}
+    totals = unigram_piece_counts(d, "text", counts, max_piece_len=4,
+                                  group_col="lang")
+    ndocs = d.groupBy(F.col("lang").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        ndocs.join(F.broadcast(totals), "grp")
+        .select(
+            F.col("grp").alias("lang"),
+            "n_docs",
+            F.col("total_pieces").alias("total_unigram_tokens"),
+        )
+        .orderBy("lang")
+    )

@@ -31,6 +31,7 @@ MUST_BE_DRIVER_CHECKED = {
     "dedup_minhash_autoband", "ann_opq_adc", "semantic_chunk_sentences",
     "dialect_parity_sweep9", "ann_ivfpq_residual_search",
     "pack_best_fit_docs", "unigram_vocab_docs", "gopher_repetition_filter",
+    "unigram_encode_stats",
 }
 
 
@@ -223,8 +224,12 @@ def test_tail_is_deliberate():
     # char-fraction rules — top-{2,3,4} and dup-{5..10} with
     # union-of-spans semantics; all-integer numerators, sequential
     # replay oracle; completes the Gopher family next to A1.1).
+    # 266→267 for unigram_encode_stats (the trained unigram vocab applied
+    # at corpus scale — per-lang token-budget report; vocab-collapse Arrow
+    # Viterbi over distinct (lang, word) rows only; pairs with
+    # unigram_vocab_docs the way bpe_encode pairs with bpe_learn).
     names = list(queries())
-    assert len(names) <= 266
+    assert len(names) <= 267
 
 
 def test_coverage_window_column_consistent():

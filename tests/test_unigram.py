@@ -71,3 +71,40 @@ def test_vocab_contains_all_single_chars_and_multichar_pieces(spark):
     assert chars <= pieces
     assert any(len(p) >= 2 for p in pieces)
     assert all(r.cnt > 0 for r in out)
+
+
+def test_piece_counts_matches_sequential(spark):
+    import math
+    import re
+
+    from chatdata_spark.operators.unigram import (
+        train_unigram_reference,
+        unigram_piece_counts,
+        viterbi_pieces,
+    )
+
+    rows = [
+        (1, "en", "the cat sat on the mat the cat"),
+        (2, "en", "a cat and a mat and a hat"),
+        (3, "de", "der hut der hut der hut ist gut"),
+    ]
+    wf: dict = {}
+    for _i, _l, t in rows:
+        for w in re.findall(r"[a-z0-9]+", t):
+            wf[w] = wf.get(w, 0) + 1
+    counts = train_unigram_reference(wf, vocab_size=30, max_piece_len=3,
+                                     n_candidates=100, em_iters=2)
+    total = sum(counts.values())
+    logp = {p: math.log(c) - math.log(total) for p, c in counts.items()}
+    exp: dict = {}
+    for _i, lang, t in rows:
+        for w in re.findall(r"[a-z0-9]+", t):
+            exp[lang] = exp.get(lang, 0) + len(viterbi_pieces(w, logp, 3))
+
+    df = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    got = {
+        r["grp"]: r["total_pieces"]
+        for r in unigram_piece_counts(df, "text", counts, max_piece_len=3,
+                                      group_col="lang").collect()
+    }
+    assert got == exp

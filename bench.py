@@ -170,6 +170,7 @@ E2E = [
     # r11 additions (build-time collects)
     "unigram_vocab_docs",           # hard-EM rounds: Arrow Viterbi pass + bounded collect each
     "unigram_encode_stats",         # training collect + vocab-collapse encode pass
+    "graph_hits_entities",          # 6 double half-rounds, max-quantizer normalization
 ]
 
 # The ≤15 per-query entries repeated on stdout (full map goes to

@@ -408,3 +408,97 @@ def label_propagation(
             "node", (-F.col("m.nl")).alias("lbl")
         ).localCheckpoint()
     return labels.select("node", F.col("lbl").alias("label"))
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 6,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) → (node, auth_fp,
+    hub_fp, auth, hub) — the mutually-recursive counterpart of
+    :func:`pagerank`: a node is a good AUTHORITY when good hubs point at
+    it and a good HUB when it points at good authorities. On a crawl
+    graph this separates link-directory/aggregator pages (hubs) from
+    canonical content (authorities) — a curation signal PageRank
+    conflates.
+
+    Determinism (the module's integer fixed-point discipline): HITS
+    needs a per-round normalization, which in float form is partition-
+    order-dependent. Here each half-round rescales by the integer
+    quantizer ``q = GREATEST(max(raw) DIV SCALE, 1)`` and sets
+    ``score = raw DIV q`` — exact integer ops only, so scores are
+    bit-identical across engines and the max score lands in
+    [SCALE, 2·SCALE). ``auth``/``hub`` are the exact double views
+    ``*_fp / SCALE`` (all fp values < 2^53).
+
+    Overflow bound (documented, not checked row-wise): raw sums are
+    ≤ max_degree · 2·SCALE, so ANSI-safe while max in-degree and
+    out-degree stay < 2^63 / (2·SCALE) ≈ 4.6e6 at SCALE = 1e12; beyond
+    that, pre-aggregate hub mass per (dst, salt) — the standard
+    two-level combine — before the final sum.
+
+    Scale posture: TWO checkpointed edge layouts (partitioned on src for
+    the authority half-round, on dst for the hub half-round) are built
+    once and reused every round; per round the shuffles are the
+    node-sized score tables only. The quantizers are 1-row aggregates
+    broadcast into the update (the benign broadcast-scalar pattern);
+    localCheckpoint truncates lineage per round."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
+        F.col(src).isNotNull() & F.col(dst).isNotNull()
+    )
+    e_src = e.repartition("src").localCheckpoint()
+    e_dst = e_src.repartition("dst").localCheckpoint()
+    nodes = (
+        e_src.select(F.col("src").alias("node"))
+        .union(e_src.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    h = nodes.select("node", F.lit(SCALE).cast("long").alias("h"))
+    a = None
+    for _ in range(int(iterations)):
+        a_raw = (
+            e_src.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("raw"))
+        )
+        qa = a_raw.agg(
+            F.greatest(F.expr(f"max(raw) DIV {SCALE}"), F.lit(1).cast("long")).alias("q")
+        )
+        a = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(qa))
+            .select(
+                "node", F.expr("coalesce(raw, 0L) DIV q").alias("a")
+            )
+            .localCheckpoint()
+        )
+        h_raw = (
+            e_dst.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("raw"))
+        )
+        qh = h_raw.agg(
+            F.greatest(F.expr(f"max(raw) DIV {SCALE}"), F.lit(1).cast("long")).alias("q")
+        )
+        h = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(qh))
+            .select(
+                "node", F.expr("coalesce(raw, 0L) DIV q").alias("h")
+            )
+            .localCheckpoint()
+        )
+    return (
+        nodes.join(a, "node")
+        .join(h, "node")
+        .select(
+            "node",
+            F.col("a").alias("auth_fp"),
+            F.col("h").alias("hub_fp"),
+            (F.col("a").cast("double") / F.lit(float(SCALE))).alias("auth"),
+            (F.col("h").cast("double") / F.lit(float(SCALE))).alias("hub"),
+        )
+    )

@@ -1072,3 +1072,107 @@ def morton3d_events_zvalues(spark, sf_dir):
         "event_id", "ub", "vb", "hb",
         morton_nd(["ub", "vb", "hb"], bits=16).alias("z3"),
     ).orderBy("event_id")
+
+
+def _hits_oracle(iterations: int = 6, k: int = 10) -> str:
+    """Unrolled integer fixed-point HITS in DuckDB SQL (the _pagerank_oracle
+    convention: chained CTEs, `//` floor division ≡ Spark DIV on the
+    non-negative operands, SUMs cast back to BIGINT against the HUGEINT
+    promotion). Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    each HITS level references the previous one 4× (raw twice via the
+    quantizer, nodes, edges), so un-materialized unrolling duplicates the
+    base parquet scan 4^iterations times — 4096 open file handles blew
+    EMFILE before materialization pinned the chain to linear."""
+    scale = 10**12
+    its = []
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+ar{i} AS MATERIALIZED (
+    SELECT e.dst AS node, CAST(SUM(p.h) AS BIGINT) AS raw
+    FROM {prev_h} p JOIN edges e ON e.src = p.node GROUP BY e.dst
+),
+qa{i} AS MATERIALIZED (SELECT GREATEST(MAX(raw) // {scale}, 1) AS q FROM ar{i}),
+a{i} AS MATERIALIZED (
+    SELECT nd.node, COALESCE(r.raw, 0) // q.q AS a
+    FROM nodes nd CROSS JOIN qa{i} q LEFT JOIN ar{i} r ON r.node = nd.node
+),
+hr{i} AS MATERIALIZED (
+    SELECT e.src AS node, CAST(SUM(p.a) AS BIGINT) AS raw
+    FROM a{i} p JOIN edges e ON e.dst = p.node GROUP BY e.src
+),
+qh{i} AS MATERIALIZED (SELECT GREATEST(MAX(raw) // {scale}, 1) AS q FROM hr{i}),
+h{i} AS MATERIALIZED (
+    SELECT nd.node, COALESCE(r.raw, 0) // q.q AS h
+    FROM nodes nd CROSS JOIN qh{i} q LEFT JOIN hr{i} r ON r.node = nd.node
+)""")
+        prev_h = f"h{i}"
+    last = iterations
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                        's' || CAST(l_suppkey AS VARCHAR) AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    h0 AS MATERIALIZED (SELECT node, CAST({scale} AS BIGINT) AS h FROM nodes),
+    {','.join(its)},
+    scored AS (
+        SELECT a.node, a.a AS auth_fp, h.h AS hub_fp
+        FROM a{last} a JOIN h{last} h ON a.node = h.node
+    )
+    SELECT * FROM (
+        SELECT 'authority' AS role, node, auth_fp, hub_fp,
+               CAST(auth_fp AS DOUBLE) / {float(scale)} AS auth,
+               CAST(hub_fp AS DOUBLE) / {float(scale)} AS hub
+        FROM scored ORDER BY auth_fp DESC, node LIMIT {k}
+    )
+    UNION ALL
+    SELECT * FROM (
+        SELECT 'hub' AS role, node, auth_fp, hub_fp,
+               CAST(auth_fp AS DOUBLE) / {float(scale)} AS auth,
+               CAST(hub_fp AS DOUBLE) / {float(scale)} AS hub
+        FROM scored ORDER BY hub_fp DESC, node LIMIT {k}
+    )
+    ORDER BY role, node
+    """
+
+
+@query("graph_hits_entities", oracle=_hits_oracle())
+def graph_hits_entities(spark, sf_dir):
+    """HITS hubs and authorities (Kleinberg 1999) over the DIRECTED
+    customer→supplier transaction graph — on this bipartite graph hubs
+    are broad-basket customers and authorities are widely-bought-from
+    suppliers, the two roles PageRank's single score conflates (compare
+    graph_pagerank_transactions on the symmetrized version of the same
+    edges). Top-10 of each role. Exercises the second iterative
+    fixed-point template in operators/graph.py: per-half-round integer
+    max-quantizer normalization (score = raw DIV GREATEST(max DIV SCALE,
+    1)) instead of PageRank's mass conservation — bit-identical across
+    engines, replayed exactly by the unrolled DuckDB CTE oracle."""
+    from chatdata_spark.operators.graph import hits
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    scored = hits(edges, iterations=6)
+    auth_top = (
+        scored.orderBy(F.desc("auth_fp"), "node")
+        .limit(10)
+        .select(F.lit("authority").alias("role"), "*")
+    )
+    hub_top = (
+        scored.orderBy(F.desc("hub_fp"), "node")
+        .limit(10)
+        .select(F.lit("hub").alias("role"), "*")
+    )
+    return auth_top.unionByName(hub_top).orderBy("role", "node")

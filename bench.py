@@ -171,6 +171,7 @@ E2E = [
     "unigram_vocab_docs",           # hard-EM rounds: Arrow Viterbi pass + bounded collect each
     "unigram_encode_stats",         # training collect + vocab-collapse encode pass
     "graph_hits_entities",          # 6 double half-rounds, max-quantizer normalization
+    "graph_harmonic_hyperball",     # 4 register-lattice rounds + HLL estimates
 ]
 
 # The ≤15 per-query entries repeated on stdout (full map goes to

@@ -1176,3 +1176,128 @@ def graph_hits_entities(spark, sf_dir):
         .select(F.lit("hub").alias("role"), "*")
     )
     return auth_top.unionByName(hub_top).orderBy("role", "node")
+
+
+def _hyperball_oracle() -> str:
+    """Lazy oracle for graph_harmonic_hyperball: sequential pure-Python
+    replay of the register lattice (dict-of-buckets MIN merges — exact
+    integers), the hll_estimate arithmetic (same a_num literal via
+    hll_alpha, same one float64 division, same ln-on-integer-ratio
+    small-range branch), and the clamped fixed-order harmonic fold;
+    HALF_UP round-6 via Decimal(repr(x)) — Spark's BigDecimal.valueOf
+    shortest-repr convention."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from chatdata_spark.catalog import oracle_sf_dir
+    from chatdata_spark.operators.hll import hll_alpha
+
+    sf = oracle_sf_dir()
+    pairs = duckdb.sql(
+        "SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR),"
+        " 's' || CAST(l_suppkey AS VARCHAR)"
+        f" FROM read_parquet('{sf}/orders.parquet') o"
+        f" JOIN read_parquet('{sf}/lineitem.parquet') l"
+        " ON o_orderkey = l_orderkey"
+    ).fetchall()
+    edges = [(c, s) for c, s in pairs] + [(s, c) for c, s in pairs]
+    nodes = sorted({n for e in edges for n in e})
+    p, radius = 6, 4
+    w, m = 32 - p, 1 << p
+    out: dict = {}
+    for s_, d_ in edges:
+        out.setdefault(s_, []).append(d_)
+
+    def hb(key: str) -> int:
+        return int(hashlib.md5(("hb" + key).encode()).hexdigest()[:8], 16)
+
+    state = {}
+    for n in nodes:
+        h = hb(n)
+        state[n] = {h >> w: h & ((1 << w) - 1)}
+    a_num = hll_alpha(m) * m * m * float(1 << (w + 1))
+
+    def estimate(regs: dict) -> float:
+        s_used = 0
+        for tail in regs.values():
+            rho = (w + 1) if tail == 0 else (w + 1) - tail.bit_length()
+            s_used += 1 << ((w + 1) - rho)
+        hs = s_used + (m - len(regs)) * (1 << (w + 1))
+        raw = a_num / float(hs)
+        v = m - len(regs)
+        if raw <= 2.5 * m and v > 0:
+            return float(m) * math.log(float(m) / float(v))
+        return raw
+
+    ests = {n: [estimate(state[n])] for n in nodes}
+    for _t in range(radius):
+        new = {n: dict(state[n]) for n in nodes}
+        for n in nodes:
+            tgt = new[n]
+            for d_ in out.get(n, ()):
+                for b, tail in state[d_].items():
+                    if b not in tgt or tail < tgt[b]:
+                        tgt[b] = tail
+        state = new
+        for n in nodes:
+            ests[n].append(estimate(state[n]))
+    rows = []
+    for n in nodes:
+        h = 0.0
+        for t in range(1, radius + 1):
+            h = h + max(ests[n][t] - ests[n][t - 1], 0.0) / float(t)
+        rows.append((n, h, ests[n][radius]))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    q6 = Decimal("0.000001")
+    values = ", ".join(
+        f"('{n}', {Decimal(repr(h)).quantize(q6, ROUND_HALF_UP)},"
+        f" {Decimal(repr(b)).quantize(q6, ROUND_HALF_UP)})"
+        for n, h, b in rows[:20]
+    )
+    return (
+        "SELECT node, CAST(harmonic AS DOUBLE) AS harmonic,"
+        " CAST(ball_est AS DOUBLE) AS ball_est FROM (VALUES "
+        + values
+        + ") AS t(node, harmonic, ball_est) ORDER BY harmonic DESC, node"
+    )
+
+
+@query("graph_harmonic_hyperball", oracle=_hyperball_oracle)
+def graph_harmonic_hyperball(spark, sf_dir):
+    """Radius-4 harmonic centrality over the symmetric customer↔supplier
+    graph via HyperBall (Boldi & Vigna 2013) on the deterministic HLL
+    (operators/graph.py::harmonic_hyperball) — the distance-based third
+    member of the centrality family, the closeness prior all-pairs BFS
+    can't deliver at crawl scale. Top-20 by harmonic score. The Python
+    oracle replays register lattice, estimator arithmetic, and the
+    clamped fixed-order harmonic fold operand-for-operand — doubles are
+    bit-identical, so even the top-20 CUT is tie-hazard-free."""
+    from chatdata_spark.operators.graph import harmonic_hyperball
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    scored = harmonic_hyperball(edges, radius=4, p=6, salt="hb")
+    return (
+        scored.orderBy(F.desc("harmonic"), "node")
+        .limit(20)
+        .select(
+            "node",
+            F.round("harmonic", 6).alias("harmonic"),
+            F.round("ball_est", 6).alias("ball_est"),
+        )
+        .orderBy(F.desc("harmonic"), "node")
+    )

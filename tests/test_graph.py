@@ -46,3 +46,43 @@ class TestHits:
         )
         nodes = {r["node"] for r in hits(edges, iterations=2).collect()}
         assert nodes == {"x", "y"}
+
+
+class TestHyperball:
+    def test_center_beats_leaves(self, spark):
+        from chatdata_spark.operators.graph import harmonic_hyperball
+
+        # undirected star: center reaches every leaf at distance 1, leaves
+        # reach each other only at distance 2 -> center's harmonic wins
+        leaves = [f"l{i}" for i in range(8)]
+        e = [("c0", l) for l in leaves] + [(l, "c0") for l in leaves]
+        edges = spark.createDataFrame(e, "src string, dst string")
+        out = {r["node"]: r["harmonic"]
+               for r in harmonic_hyperball(edges, radius=3).collect()}
+        assert out["c0"] > max(out[l] for l in leaves)
+
+    def test_partition_invariant(self, spark):
+        from chatdata_spark.operators.graph import harmonic_hyperball
+
+        e = [(f"u{i % 6}", f"u{(i * 3 + 1) % 6}") for i in range(18)]
+        edges = spark.createDataFrame(e, "src string, dst string").distinct()
+        a = {r["node"]: (r["harmonic"], r["ball_est"])
+             for r in harmonic_hyperball(edges.repartition(1), radius=3).collect()}
+        b = {r["node"]: (r["harmonic"], r["ball_est"])
+             for r in harmonic_hyperball(edges.repartition(7), radius=3).collect()}
+        assert a == b
+
+    def test_ball_estimates_grow_with_radius(self, spark):
+        from chatdata_spark.operators.graph import harmonic_hyperball
+
+        # path a->b->c->d: a's ball keeps growing for 3 rounds
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+        )
+        r1 = {r["node"]: r["ball_est"]
+              for r in harmonic_hyperball(edges, radius=1).collect()}
+        r3 = {r["node"]: r["ball_est"]
+              for r in harmonic_hyperball(edges, radius=3).collect()}
+        assert r3["a"] > r1["a"]
+        # d has no out-edges: ball stays {d} at every radius
+        assert r3["d"] == r1["d"]

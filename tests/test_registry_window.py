@@ -32,6 +32,7 @@ MUST_BE_DRIVER_CHECKED = {
     "dialect_parity_sweep9", "ann_ivfpq_residual_search",
     "pack_best_fit_docs", "unigram_vocab_docs", "gopher_repetition_filter",
     "unigram_encode_stats", "graph_hits_entities",
+    "graph_harmonic_hyperball",
 }
 
 
@@ -232,8 +233,13 @@ def test_tail_is_deliberate():
     # customer→supplier graph — the second iterative fixed-point template:
     # integer max-quantizer normalization; unrolled MATERIALIZED-CTE
     # DuckDB oracle).
+    # 268→269 for graph_harmonic_hyperball (Boldi-Vigna HyperBall on the
+    # deterministic HLL: radius-capped harmonic centrality — register
+    # lattice merges are exact integer MINs, estimator doubles replayed
+    # operand-for-operand; distance-based centrality next to
+    # pagerank/hits).
     names = list(queries())
-    assert len(names) <= 268
+    assert len(names) <= 269
 
 
 def test_coverage_window_column_consistent():

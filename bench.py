@@ -172,6 +172,7 @@ E2E = [
     "unigram_encode_stats",         # training collect + vocab-collapse encode pass
     "graph_hits_entities",          # 6 double half-rounds, max-quantizer normalization
     "graph_harmonic_hyperball",     # 4 register-lattice rounds + HLL estimates
+    "kcenter_coreset_embeddings",   # k sequential Arrow argmax rounds
 ]
 
 # The ≤15 per-query entries repeated on stdout (full map goes to

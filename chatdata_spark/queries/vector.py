@@ -1574,3 +1574,56 @@ def knn_batch_queries(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return knn_batch(emb, "embedding", BQ, k=8, select=["vec_id", "label"],
                      id_col="vec_id")
+
+
+def _kcenter_expected() -> str:
+    """Lazy oracle for kcenter_coreset_embeddings: sequential replay
+    (operators/coreset.py::kcenter_greedy_py) over the same 4-decimal
+    fixed-point integers — Decimal(repr(double)).quantize(HALF_UP)
+    mirrors Spark's double→DECIMAL(18,4) shortest-repr cast."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from chatdata_spark.catalog import oracle_sf_dir
+    from chatdata_spark.operators.coreset import kcenter_greedy_py
+
+    q4 = Decimal("0.0001")
+    rows = duckdb.sql(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) FROM read_parquet("
+        f"'{oracle_sf_dir()}/embeddings.parquet')"
+        " WHERE embedding IS NOT NULL"
+    ).fetchall()
+    vectors = {
+        int(vid): [
+            int(Decimal(repr(c)).quantize(q4, ROUND_HALF_UP) * 10_000)
+            for c in vec
+        ]
+        for vid, vec in rows
+    }
+    sel = kcenter_greedy_py(vectors, k=12)
+    values = ", ".join(
+        f"({r}, CAST({v} AS BIGINT), CAST({d} AS BIGINT))" for r, v, d in sel
+    )
+    return (
+        "SELECT CAST(rank AS INT) AS rank, vec_id, d2_prev FROM (VALUES "
+        + values
+        + ") AS t(rank, vec_id, d2_prev) ORDER BY rank"
+    )
+
+
+@query("kcenter_coreset_embeddings", oracle=_kcenter_expected)
+def kcenter_coreset_embeddings(spark, sf_dir):
+    """k-center greedy coreset selection (Gonzalez farthest-first;
+    Sener & Savarese 2018) — 12 maximally-diverse embedding vectors with
+    the non-increasing coreset radius sequence d2_prev
+    (operators/coreset.py). The geometry-covering dual of semantic_dedup:
+    that PRUNES redundant vectors, this SELECTS spanning ones — the
+    data-pruning/active-learning step a curation pipeline runs on the
+    embedding column. Exact integer distances (4-decimal fixed-point, the
+    embedding_norm_anomaly idiom) make every argmax total-ordered; the
+    sequential oracle replays selection bit-for-bit."""
+    from chatdata_spark.operators.coreset import kcenter_greedy
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kcenter_greedy(e, "vec_id", "embedding", k=12).orderBy("rank")

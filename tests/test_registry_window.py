@@ -32,7 +32,7 @@ MUST_BE_DRIVER_CHECKED = {
     "dialect_parity_sweep9", "ann_ivfpq_residual_search",
     "pack_best_fit_docs", "unigram_vocab_docs", "gopher_repetition_filter",
     "unigram_encode_stats", "graph_hits_entities",
-    "graph_harmonic_hyperball",
+    "graph_harmonic_hyperball", "kcenter_coreset_embeddings",
 }
 
 
@@ -238,8 +238,12 @@ def test_tail_is_deliberate():
     # lattice merges are exact integer MINs, estimator doubles replayed
     # operand-for-operand; distance-based centrality next to
     # pagerank/hits).
+    # 269→270 for kcenter_coreset_embeddings (Gonzalez farthest-first
+    # coreset selection — exact 4-decimal fixed-point integer distances,
+    # total-ordered argmax per round, k bounded 1-row collects;
+    # sequential replay oracle).
     names = list(queries())
-    assert len(names) <= 269
+    assert len(names) <= 270
 
 
 def test_coverage_window_column_consistent():

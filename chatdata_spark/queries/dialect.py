@@ -759,3 +759,138 @@ def dialect_parity_sweep9(spark, sf_dir):
     FROM events PREWHERE event_id < 40 ORDER BY event_id
     """
     return spark.sql(DIALECT.translate(ch_sql))
+
+
+@query(
+    "dialect_parity_sweep10",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(props AS VARCHAR) AS p
+        FROM events WHERE event_id < 40
+    ), d AS (
+        SELECT *, date_trunc('second', ts) AS ts0,
+               range(1, CAST(len(regexp_extract_all(p, '[0-9]')) AS BIGINT) + 1) AS l
+        FROM e
+    )
+    SELECT event_id,
+           CAST(event_id * 3 + (event_id - 7) AS BIGINT) AS ar,
+           CAST(event_id + 1 AS DOUBLE) / 4 AS dv,
+           CAST(-event_id AS BIGINT) AS ng,
+           (1::BIGINT << CAST(event_id % 20 AS INT)) AS ie2,
+           power(2, event_id % 10) AS e2,
+           CAST(CASE WHEN event_id + 1 < 1 THEN 0
+                     ELSE (1::BIGINT << (length(bin(CAST(event_id + 1 AS BIGINT))) - 1))
+                END AS BIGINT) AS rexp,
+           CAST(COALESCE(list_aggregate(list_filter([0, 10, 20, 40],
+                    __rd -> __rd <= event_id % 50), 'max'),
+                list_aggregate([0, 10, 20, 40], 'min')) AS BIGINT) AS rdown,
+           CAST(CASE WHEN event_id % 80 < 1 THEN 0
+                     WHEN event_id % 80 <= 17 THEN 17
+                     WHEN event_id % 80 <= 24 THEN 18
+                     WHEN event_id % 80 <= 34 THEN 25
+                     WHEN event_id % 80 <= 44 THEN 35
+                     WHEN event_id % 80 <= 54 THEN 45
+                     ELSE 55 END AS INT) AS rage,
+           CAST(CASE WHEN (event_id % 400) * 100 < 1 THEN 0
+                     WHEN (event_id % 400) * 100 >= 36000 THEN 36000
+                     WHEN (event_id % 400) * 100 >= 18000 THEN 18000
+                     WHEN (event_id % 400) * 100 >= 7200 THEN 7200
+                     WHEN (event_id % 400) * 100 >= 3600 THEN 3600
+                     WHEN (event_id % 400) * 100 >= 1800 THEN 1800
+                     WHEN (event_id % 400) * 100 >= 1200 THEN 1200
+                     WHEN (event_id % 400) * 100 >= 600 THEN 600
+                     WHEN (event_id % 400) * 100 >= 300 THEN 300
+                     WHEN (event_id % 400) * 100 >= 240 THEN 240
+                     WHEN (event_id % 400) * 100 >= 180 THEN 180
+                     WHEN (event_id % 400) * 100 >= 120 THEN 120
+                     WHEN (event_id % 400) * 100 >= 60 THEN 60
+                     WHEN (event_id % 400) * 100 >= 30 THEN 30
+                     WHEN (event_id % 400) * 100 >= 10 THEN 10
+                     ELSE 1 END AS BIGINT) AS rdur,
+           isnan(CASE WHEN event_id % 2 = 0 THEN CAST('NaN' AS DOUBLE)
+                      ELSE CAST(1 AS DOUBLE) END) AS nanf,
+           isfinite(CASE WHEN event_id % 3 = 0 THEN CAST('Infinity' AS DOUBLE)
+                         ELSE CAST(2 AS DOUBLE) END) AS finf,
+           isinf(CASE WHEN event_id % 3 = 0 THEN CAST('-Infinity' AS DOUBLE)
+                      ELSE CAST(2 AS DOUBLE) END) AS inff,
+           (CASE WHEN isfinite(CASE WHEN event_id % 3 = 0
+                                    THEN CAST('Infinity' AS DOUBLE)
+                                    ELSE CAST(event_id AS DOUBLE) END)
+                 THEN CASE WHEN event_id % 3 = 0
+                           THEN CAST('Infinity' AS DOUBLE)
+                           ELSE CAST(event_id AS DOUBLE) END
+                 ELSE CAST(-1 AS DOUBLE) END) AS infn,
+           CAST(COALESCE((list_filter(l, x -> x > 2))[1], -1) AS BIGINT) AS af,
+           CAST(COALESCE((list_filter(l, x -> x < 3))[-1], -1) AS BIGINT) AS al,
+           CAST(COALESCE(list_position(l, (list_filter(l, x -> x > 2))[1]), 0)
+                AS BIGINT) AS afi,
+           COALESCE(array_to_string(list_transform(range(CAST(event_id % 5 AS BIGINT)),
+                x -> CAST(x AS VARCHAR)), ','), '') AS rng,
+           strftime(time_bucket(INTERVAL '10 minutes', ts),
+                    '%Y-%m-%d %H:%M:%S') AS t10,
+           strftime(ts0 + INTERVAL 14 DAY, '%Y-%m-%d %H:%M:%S') AS aw,
+           strftime(ts0 - INTERVAL 7 DAY, '%Y-%m-%d %H:%M:%S') AS sw,
+           strftime(ts0 + INTERVAL 3 MONTH, '%Y-%m-%d %H:%M:%S') AS aq,
+           strftime(ts0 - INTERVAL 6 MONTH, '%Y-%m-%d %H:%M:%S') AS sq,
+           strftime(ts0 - INTERVAL 90 MINUTE, '%Y-%m-%d %H:%M:%S') AS smin,
+           strftime(ts0 - INTERVAL 45 SECOND, '%Y-%m-%d %H:%M:%S') AS ssec,
+           strftime(ts0 - INTERVAL 1 YEAR, '%Y-%m-%d %H:%M:%S') AS sy
+    FROM d ORDER BY event_id
+    """,
+)
+def dialect_parity_sweep10(spark, sf_dir):
+    """§2.9 parity sweep #10 (r11): the functional arithmetic family
+    plus/minus/multiply/divide/negate (CH emits these for generated
+    queries; divide is always-float — zero divisors diverge, documented)
+    / intExp2 + exp2 + exp10 / roundToExp2 (bin()-length power-of-two,
+    no float log2) / roundDown (largest array element <= x, below-all ->
+    min) / roundAge + roundDuration (the documented CH bucket tables as
+    CASE chains) / isNaN + isFinite + isInfinite + ifNotFinite (DuckDB
+    replays via isnan/isfinite/isinf) / arrayFirst + arrayLast (try_
+    element_at against ANSI out-of-range) + arrayFirstIndex (position of
+    the first match's value — pure-predicate equivalence argument in the
+    rename table) / range (empty-case guard vs Spark's descending
+    sequence) / toStartOfTenMinutes / addWeeks + subtractWeeks +
+    addQuarters + subtractQuarters + subtractMinutes + subtractSeconds +
+    subtractYears — ~26 more renames over real event rows; multiIf
+    drives the float-classification branches."""
+    load_events(spark, sf_dir).createOrReplaceTempView("events")
+    ch_sql = """
+    SELECT event_id,
+           toInt64(plus(multiply(event_id, 3), minus(event_id, 7))) AS ar,
+           divide(plus(event_id, 1), 4) AS dv,
+           toInt64(negate(event_id)) AS ng,
+           intExp2(modulo(event_id, 20)) AS ie2,
+           exp2(modulo(event_id, 10)) AS e2,
+           toInt64(roundToExp2(plus(event_id, 1))) AS rexp,
+           toInt64(roundDown(modulo(event_id, 50), array(0, 10, 20, 40))) AS rdown,
+           toInt32(roundAge(modulo(event_id, 80))) AS rage,
+           toInt64(roundDuration(multiply(modulo(event_id, 400), 100))) AS rdur,
+           isNaN(multiIf(modulo(event_id, 2) = 0, toFloat64('NaN'),
+                         toFloat64(1))) AS nanf,
+           isFinite(multiIf(modulo(event_id, 3) = 0, toFloat64('Infinity'),
+                            toFloat64(2))) AS finf,
+           isInfinite(multiIf(modulo(event_id, 3) = 0, toFloat64('-Infinity'),
+                              toFloat64(2))) AS inff,
+           ifNotFinite(multiIf(modulo(event_id, 3) = 0, toFloat64('Infinity'),
+                               toFloat64(event_id)), toFloat64(-1)) AS infn,
+           toInt64(ifNull(arrayFirst(x -> x > 2,
+               arrayEnumerate(extractAll(props, '[0-9]'))), -1)) AS af,
+           toInt64(ifNull(arrayLast(x -> x < 3,
+               arrayEnumerate(extractAll(props, '[0-9]'))), -1)) AS al,
+           toInt64(arrayFirstIndex(x -> x > 2,
+               arrayEnumerate(extractAll(props, '[0-9]')))) AS afi,
+           arrayStringConcat(arrayMap(x -> toString(x),
+               range(modulo(event_id, 5))), ',') AS rng,
+           toString(toStartOfTenMinutes(ts)) AS t10,
+           toString(addWeeks(dateTrunc('second', ts), 2)) AS aw,
+           toString(subtractWeeks(dateTrunc('second', ts), 1)) AS sw,
+           toString(addQuarters(dateTrunc('second', ts), 1)) AS aq,
+           toString(subtractQuarters(dateTrunc('second', ts), 2)) AS sq,
+           toString(subtractMinutes(dateTrunc('second', ts), 90)) AS smin,
+           toString(subtractSeconds(dateTrunc('second', ts), 45)) AS ssec,
+           toString(subtractYears(dateTrunc('second', ts), 1)) AS sy
+    FROM events PREWHERE event_id < 40 ORDER BY event_id
+    """
+    return spark.sql(DIALECT.translate(ch_sql))

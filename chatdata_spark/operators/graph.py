@@ -509,7 +509,7 @@ def harmonic_hyperball(
     src: str = "src",
     dst: str = "dst",
     radius: int = 4,
-    p: int = 6,
+    p: int = 4,
     salt: str = "hb",
 ) -> DataFrame:
     """Radius-capped harmonic centrality via HyperBall (Boldi & Vigna
@@ -536,10 +536,15 @@ def harmonic_hyperball(
     Scale shape: state is |V|·m register rows (m = 2^p); each round is
     ONE edge⋈state join on the dst-partitioned edge layout (built once,
     checkpointed) plus ONE (node, bucket) lattice-merge aggregate — the
-    register rows shuffle, never the text/attributes. Production
-    HyperBall packs registers into bitmaps; the exploded-row layout
-    trades memory for Spark-native exact aggregates and is capped by m.
-    Estimates are node-sized frames joined radius+1 times."""
+    register rows shuffle, never the text/attributes. The edge join fans
+    out by ≤m register rows per edge, so m is THE cost knob: the p = 4
+    default (m = 16, ~26% relative error — a ranking prior, not a
+    count) measured 4x cheaper per round than p = 6 and sub-linear
+    sf0.1→sf1; raise p when the estimate itself is the product.
+    Production HyperBall packs registers into bitmaps; the exploded-row
+    layout trades memory for Spark-native exact aggregates and is
+    capped by m. Estimates are node-sized frames joined radius+1
+    times."""
     from chatdata_spark.operators.hll import hll_estimate
     from chatdata_spark.operators.sampling import hash_bucket
 

@@ -1205,7 +1205,7 @@ def _hyperball_oracle() -> str:
     ).fetchall()
     edges = [(c, s) for c, s in pairs] + [(s, c) for c, s in pairs]
     nodes = sorted({n for e in edges for n in e})
-    p, radius = 6, 4
+    p, radius = 4, 4
     w, m = 32 - p, 1 << p
     out: dict = {}
     for s_, d_ in edges:
@@ -1290,7 +1290,7 @@ def graph_harmonic_hyperball(spark, sf_dir):
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    scored = harmonic_hyperball(edges, radius=4, p=6, salt="hb")
+    scored = harmonic_hyperball(edges, radius=4, p=4, salt="hb")
     return (
         scored.orderBy(F.desc("harmonic"), "node")
         .limit(20)

@@ -393,3 +393,54 @@ def test_array_compact_row_level_references(spark):
         "(CAST(array() AS ARRAY<INT>)), (array(NULL, NULL, 1, NULL)) AS t(xs)"
     ).collect()
     assert [r.c for r in rows] == [[1, 2, 3, 1], [1], [], [None, 1, None]]
+
+
+def test_r11_sweep10_edge_cases(spark):
+    """Sweep #10's sharp edges: range's empty-case guard (Spark
+    sequence(0, -1) would emit a DESCENDING [0, -1]), roundToExp2's
+    bin()-length power-of-two with the x < 1 floor, roundDown's
+    below-all -> array-min rule, arrayFirst/Last/FirstIndex no-match
+    behavior, and the NaN-literal-equality predicates (the
+    case-insensitive replace_calls self-match lesson: the translation
+    must not emit isnan())."""
+    out = D.translate(
+        "SELECT arrayStringConcat(arrayMap(x -> toString(x), range(n)), ',') AS r, "
+        "roundToExp2(n) AS e, "
+        "roundDown(n, array(10, 20)) AS d, "
+        "arrayFirst(x -> x > 99, array(1, 2)) AS af, "
+        "arrayLast(x -> x > 99, array(1, 2)) AS al, "
+        "arrayFirstIndex(x -> x > 99, array(1, 2)) AS ai, "
+        "isNaN(toFloat64(n)) AS nn"
+    )
+    assert "isnan(" not in out.lower().replace("= double('nan')", "")
+    rows = spark.sql(
+        out + " FROM VALUES (0), (1), (5), (48) AS t(n)"
+    ).collect()
+    by_n = {r.e if r.e != 0 else 0: r for r in rows}
+    got = {n: (r.r, r.e, r.d) for n, r in
+           [(0, rows[0]), (1, rows[1]), (5, rows[2]), (48, rows[3])]}
+    assert got[0] == ("", 0, 10)        # empty range; below-all -> min
+    assert got[1] == ("0", 1, 10)
+    assert got[5] == ("0,1,2,3,4", 4, 10)
+    assert got[48] == (",".join(map(str, range(48))), 32, 20)
+    assert rows[0].af is None and rows[0].al is None and rows[0].ai == 0
+    assert rows[0].nn is False
+
+
+def test_r11_sweep10_round_buckets(spark):
+    """roundAge / roundDuration replicate the documented CH bucket
+    tables exactly (CASE chains, pure integers)."""
+    out = D.translate(
+        "SELECT roundAge(a) AS ra, roundDuration(a) AS rd"
+    )
+    rows = spark.sql(
+        out + " FROM VALUES (0), (1), (17), (18), (24), (25), (34), (35), "
+        "(44), (45), (54), (55), (90), (9), (10), (29), (30), (59), (60), "
+        "(36000), (99999) AS t(a)"
+    ).collect()
+    ages = [r.ra for r in rows]
+    durs = [r.rd for r in rows]
+    assert ages == [0, 17, 17, 18, 18, 25, 25, 35, 35, 45, 45, 55, 55,
+                    17, 17, 25, 25, 55, 55, 55, 55]
+    assert durs == [0, 1, 10, 10, 10, 10, 30, 30, 30, 30, 30, 30, 60,
+                    1, 10, 10, 30, 30, 60, 36000, 36000]

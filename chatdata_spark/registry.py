@@ -129,15 +129,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dialect_parity_sweep10",
 )
 
-# Rotation plan for round 12: second greens for whatever r11 additions
-# land in-window, then the once-green backlog continues oldest-first —
-# the r6 names displaced from this window's tail by r11 additions, the
-# 13 r6 once-greens that didn't fit (pmi_phrase_mining,
-# range_join_bounded_recent_clicks, rollup_distinct_approx,
-# sliding_window_counts, store_session_lifecycle,
-# streaming_cms_user_frequency, streaming_static_dim_join,
-# text_fingerprint_rolling, tfidf_top_terms, union_all_counts,
-# unpivot_part_measures, vector_brute_force_scores,
+# Rotation plan for round 12: second greens for the 14 r11 in-window
+# additions (incl. semantic_chunk_spans' would-be second), then the
+# once-green backlog oldest-first — the 13 r6 names the r11 additions
+# displaced from this window's tail (pivot_status_by_priority,
+# percentile_stats, nb_quality_classifier, moving_avg_customer_orders,
+# lm_perplexity_buckets, histogram_order_totalprice,
+# gopher_quality_filter, exact_distinct_users, embed_documents_batch,
+# domain_mixture_sample, dimred_rp_knn, dialect_parity_extended,
+# dialect_conditional_aggs), the 13 r6 once-greens that didn't fit
+# (pmi_phrase_mining, range_join_bounded_recent_clicks,
+# rollup_distinct_approx, sliding_window_counts,
+# store_session_lifecycle, streaming_cms_user_frequency,
+# streaming_static_dim_join, text_fingerprint_rolling, tfidf_top_terms,
+# union_all_counts, unpivot_part_measures, vector_brute_force_scores,
 # weighted_sample_by_length), then dialect_parity_sweep5 (r9) and the
 # two-green pool lowest-count-first. COVERAGE.md's green-count column
 # is the mechanical priority order. Steady state: sentinels + newest

@@ -129,6 +129,7 @@ HEADLINE = [
     "pack_best_fit_docs",       # per-shard BFD packing (one Arrow pass)
     "gopher_repetition_filter", # A1.2 dup-n-gram char fractions (one Arrow pass)
     "dialect_parity_sweep10",   # arithmetic/round-bucket/float-class renames
+    "span_corruption_docs",     # hash-driven denoising span walk (one Arrow pass)
 ]
 # ITERATIVE / build-time-collecting operators get their own timing mode:
 # their work runs at plan-BUILD time (driver-looped rounds with eager

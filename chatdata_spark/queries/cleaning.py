@@ -851,3 +851,74 @@ def gopher_repetition_filter(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def _span_corruption_expected() -> str:
+    """Lazy oracle for span_corruption_docs: sequential replay of the
+    hash-driven corruption walk (operators/spancorrupt.py::
+    corruption_plan_py — same md5 recipe, same inlined integer
+    threshold) over the same tokenization."""
+    import re
+
+    import duckdb
+
+    from chatdata_spark.catalog import oracle_sf_dir
+    from chatdata_spark.operators.spancorrupt import corruption_plan_py
+
+    rows = duckdb.sql(
+        "SELECT doc_id, lower(text) FROM read_parquet("
+        f"'{oracle_sf_dir()}/documents.parquet')"
+    ).fetchall()
+    out = []
+    for doc_id, t in rows:
+        ws = re.findall(r"[a-z0-9]+", t or "")
+        nt, ns, nm, prev = corruption_plan_py(int(doc_id), ws)
+        out.append((int(doc_id), nt, ns, nm, prev))
+    out.sort()
+    values = ", ".join(
+        f"({d}, {nt}, {ns}, {nm}, '{prev}')" for d, nt, ns, nm, prev in out
+    )
+    return (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id,"
+        " CAST(n_tokens AS INT) AS n_tokens,"
+        " CAST(n_spans AS INT) AS n_spans,"
+        " CAST(n_masked AS INT) AS n_masked, spans_preview"
+        f" FROM (VALUES {values})"
+        " AS t(doc_id, n_tokens, n_spans, n_masked, spans_preview)"
+        " ORDER BY doc_id"
+    )
+
+
+@query("span_corruption_docs", oracle=_span_corruption_expected)
+def span_corruption_docs(spark, sf_dir):
+    """T5/UL2 span-corruption planning (operators/spancorrupt.py —
+    Raffel et al. 2020's denoising objective, ~15% corruption from 5%
+    hash-driven span starts × mean-3 uniform lengths, one-token
+    no-merge gaps): per document the token count, span count, masked
+    count, and the first-3-spans preview. Hash-driven instead of
+    RNG-driven, so the sampled plan is reproducible across engines,
+    retries, and partitionings — the property that makes a corruption
+    pass auditable at 100 TB. One scan-stage Arrow pass, no shuffle;
+    sequential Python replay oracle."""
+    from chatdata_spark.operators.dedup import _spread
+    from chatdata_spark.operators.spancorrupt import span_corruption_plan
+
+    d = _spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+    )
+    base = d.select(
+        "doc_id",
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0).alias(
+            "w"
+        ),
+    )
+    st = base.select("doc_id", span_corruption_plan("doc_id", "w").alias("s"))
+    return st.select(
+        "doc_id",
+        F.col("s")["nt"].alias("n_tokens"),
+        F.col("s")["ns"].alias("n_spans"),
+        F.col("s")["nm"].alias("n_masked"),
+        F.col("s")["prev"].alias("spans_preview"),
+    ).orderBy("doc_id")

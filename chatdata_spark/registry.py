@@ -113,20 +113,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "attribution_time_decay", "bpe_encode_token_stats",
     "cms_user_frequency", "cohort_retention_daily", "corpus_report_docs",
     "curation_domain_cap", "decontam_docs_bloom", "dedup_components_star",
-    "dedup_winnow_pairs",
     # --- r11 additions (driver-verified in-round; displaced
     # pivot_status_by_priority, percentile_stats, nb_quality_classifier,
     # moving_avg_customer_orders, lm_perplexity_buckets,
     # histogram_order_totalprice, gopher_quality_filter,
     # exact_distinct_users, embed_documents_batch,
     # domain_mixture_sample, dimred_rp_knn, dialect_parity_extended,
-    # dialect_conditional_aggs from the tail) ---
+    # dialect_conditional_aggs, dedup_winnow_pairs from the tail) ---
     "dedup_minhash_autoband", "ann_opq_adc", "semantic_chunk_sentences",
     "dialect_parity_sweep9", "ann_ivfpq_residual_search",
     "pack_best_fit_docs", "unigram_vocab_docs", "gopher_repetition_filter",
     "unigram_encode_stats", "graph_hits_entities",
     "graph_harmonic_hyperball", "kcenter_coreset_embeddings",
-    "dialect_parity_sweep10",
+    "dialect_parity_sweep10", "span_corruption_docs",
 )
 
 # Rotation plan for round 12: second greens for the 14 r11 in-window

@@ -33,7 +33,7 @@ MUST_BE_DRIVER_CHECKED = {
     "pack_best_fit_docs", "unigram_vocab_docs", "gopher_repetition_filter",
     "unigram_encode_stats", "graph_hits_entities",
     "graph_harmonic_hyperball", "kcenter_coreset_embeddings",
-    "dialect_parity_sweep10",
+    "dialect_parity_sweep10", "span_corruption_docs",
 }
 
 
@@ -249,8 +249,11 @@ def test_tail_is_deliberate():
     # case-insensitive replace_calls self-match lesson), arrayFirst/Last/
     # FirstIndex, range, the remaining add/subtract calendar family —
     # ~26 more renames).
+    # 271→272 for span_corruption_docs (T5/UL2 denoising span planning —
+    # hash-driven instead of RNG-driven so the sampled plan replays
+    # bit-exactly across engines; one scan-stage Arrow walk).
     names = list(queries())
-    assert len(names) <= 271
+    assert len(names) <= 272
 
 
 def test_coverage_window_column_consistent():

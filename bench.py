@@ -130,6 +130,7 @@ HEADLINE = [
     "gopher_repetition_filter", # A1.2 dup-n-gram char fractions (one Arrow pass)
     "dialect_parity_sweep10",   # arithmetic/round-bucket/float-class renames
     "span_corruption_docs",     # hash-driven denoising span walk (one Arrow pass)
+    "fuzzy_name_pairs",         # q-gram count-filtered edit-distance join
 ]
 # ITERATIVE / build-time-collecting operators get their own timing mode:
 # their work runs at plan-BUILD time (driver-looped rounds with eager

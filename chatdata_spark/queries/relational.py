@@ -1801,3 +1801,32 @@ def bucketed_fact_join_revenue(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name AS s FROM part)
+    SELECT a.s AS name_a, b.s AS name_b,
+           CAST(levenshtein(a.s, b.s) AS INT) AS dist
+    FROM n a JOIN n b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1
+    ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_name_pairs(spark, sf_dir):
+    """Edit-distance similarity self-join over the part-name vocabulary
+    (operators/fuzzyjoin.py — Gravano et al. 2001 q-gram count
+    filtering): every distinct-name pair within Levenshtein distance 1,
+    found WITHOUT the O(n²) cross join the oracle runs. Occurrence-
+    indexed q-gram equi-join + the count-filter bound generates
+    candidates with zero false negatives (short strings take the
+    broadcast band route); built-in levenshtein verifies. The fuzzy
+    entity-resolution primitive next to the token-set joins — matches
+    typo distance, not word overlap. Vocab-collapse shape: the join runs
+    on DISTINCT strings, never corpus rows."""
+    from chatdata_spark.operators.fuzzyjoin import edit_distance_self_join
+
+    p = _t(spark, sf_dir, "part").select("p_name")
+    return edit_distance_self_join(p, "p_name", k=1, q=2).orderBy(
+        "name_a", "name_b"
+    )

@@ -143,8 +143,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # streaming_static_dim_join, text_fingerprint_rolling, tfidf_top_terms,
 # union_all_counts, unpivot_part_measures, vector_brute_force_scores,
 # weighted_sample_by_length), then dialect_parity_sweep5 (r9) and the
-# two-green pool lowest-count-first. COVERAGE.md's green-count column
-# is the mechanical priority order. Steady state: sentinels + newest
+# two-green pool lowest-count-first. The past-the-cap r11 tail addition
+# fuzzy_name_pairs takes a FIRST check with the r11 second greens (the
+# semantic_chunk_spans precedent). COVERAGE.md's green-count column is
+# the mechanical priority order. Steady state: sentinels + newest
 # additions + the lowest-green-count backlog.
 
 

@@ -1,46 +1,69 @@
-"""Deletion-neighborhood fuzzy join: completeness for every d=1 edit kind
-vs a brute-force reference, and the no-cross-product plan shape."""
-
-from __future__ import annotations
+"""Edit-distance similarity join (operators/fuzzyjoin.py): exactness vs
+brute force (incl. short-string and no-gram edge cases), q/k variants."""
 
 import itertools
 
-from chatdata_spark.operators.fuzzyjoin import fuzzy_self_join
-from tests.conftest import SF_ORACLE
+
+def _brute(strings, k):
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    out = set()
+    for x, y in itertools.combinations(sorted(set(strings)), 2):
+        d = lev(x, y)
+        if d <= k:
+            out.add((x, y, d))
+    return out
 
 
-def _lev(a, b):
-    dp = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        prev, dp[0] = dp[0], i
-        for j, cb in enumerate(b, 1):
-            prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
-    return dp[-1]
+def _run(spark, strings, k, q):
+    from chatdata_spark.operators.fuzzyjoin import edit_distance_self_join
 
-
-def test_fuzzy_join_complete_for_all_edit_kinds(spark):
-    vals = [
-        "quartz", "quartx",      # substitution
-        "quart",                 # deletion
-        "quartzy",               # insertion (vs quartz? no — 'quartzy' = quartz+y)
-        "granite", "granit",     # deletion
-        "slate", "plate",        # substitution at position 0
-        "slates",                # insertion at end
-        "obsidian",              # no neighbor
-        "",                      # empty string edge
-        "a",                     # one char (dist 1 from "")
-    ]
-    df = spark.createDataFrame([(v,) for v in vals], "name string")
-    got = {(r.left_name, r.right_name) for r in fuzzy_self_join(df, "name").collect()}
-    want = {
-        (min(a, b), max(a, b))
-        for a, b in itertools.combinations(set(vals), 2)
-        if _lev(a, b) <= 1
+    df = spark.createDataFrame([(s,) for s in strings], "name string")
+    got = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in edit_distance_self_join(df, "name", k=k, q=q).collect()
     }
-    assert got == want and len(want) >= 6
+    assert got == _brute(strings, k), (k, q, got ^ _brute(strings, k))
 
 
-def test_fuzzy_join_plan_has_no_cross_product(spark):
-    p = spark.read.parquet(f"{SF_ORACLE}/part.parquet")
-    plan = fuzzy_self_join(p, "p_name")._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+def test_exact_vs_brute_force_mixed_lengths(spark):
+    strings = [
+        "widget", "widgit", "widgets", "gadget", "gadgets", "bolt",
+        "bolts", "bolt", "jolt", "a", "b", "ab", "ba", "abc", "hammer",
+        "hammers", "spanner", "spaner", "xy",
+    ]
+    _run(spark, strings, k=1, q=2)
+
+
+def test_exact_k2_q3(spark):
+    strings = [
+        "deduplicate", "deduplicote", "deduplicatex", "replicate",
+        "replicant", "duplicate", "duplicates", "dup", "dupe", "du",
+    ]
+    _run(spark, strings, k=2, q=3)
+
+
+def test_short_strings_zero_grams_still_found(spark):
+    # len < q strings emit no q-grams; pairs must come from the short
+    # route (the bound-<=0 band)
+    _run(spark, ["a", "b", "ab", "ac", "bc", "c", "abcd"], k=1, q=2)
+
+
+def test_duplicate_corpus_rows_collapse(spark):
+    from chatdata_spark.operators.fuzzyjoin import edit_distance_self_join
+
+    df = spark.createDataFrame(
+        [("cat",)] * 50 + [("car",)] * 30 + [("dog",)] * 20, "name string"
+    )
+    rows = edit_distance_self_join(df, "name", k=1, q=2).collect()
+    assert [(r["name_a"], r["name_b"], r["dist"]) for r in rows] == [
+        ("car", "cat", 1)
+    ]

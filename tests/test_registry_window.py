@@ -252,8 +252,12 @@ def test_tail_is_deliberate():
     # 271→272 for span_corruption_docs (T5/UL2 denoising span planning —
     # hash-driven instead of RNG-driven so the sampled plan replays
     # bit-exactly across engines; one scan-stage Arrow walk).
+    # 272→273 for fuzzy_name_pairs (Gravano q-gram-filtered edit-distance
+    # self-join — exact vs the brute-force oracle, zero false negatives
+    # by the count-filter theorem + short-string band; registered past
+    # the cap, r12 windows it — the semantic_chunk_spans precedent).
     names = list(queries())
-    assert len(names) <= 272
+    assert len(names) <= 273
 
 
 def test_coverage_window_column_consistent():

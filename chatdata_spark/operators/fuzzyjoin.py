@@ -1,40 +1,74 @@
-"""Edit-distance similarity self-join with q-gram count filtering
-(Gravano et al., VLDB 2001 — the classic SQL-native approximate string
-join): all pairs of strings within Levenshtein distance k, without the
-O(n²) cross join. The entity-resolution / fuzzy-matching primitive next
-to the token-set joins here (Jaccard+prefix, containment): those match
-WORD overlap, this matches CHARACTER-level typo distance.
+"""Edit-distance (fuzzy) self-join without the O(n²) cross product — the
+typo/variant-collapsing primitive of entity resolution and catalog dedup.
 
-Exactness argument (no false negatives, so the brute-force oracle is an
-equality check, not a recall bound):
-- one edit operation destroys at most q of a string's positional
-  q-grams, and a string of length L has L − q + 1 of them, so
-  ed(s, t) ≤ k ⟹ multiset-common q-grams ≥ max(|s|,|t|) − q + 1 − k·q
-  (the count-filter theorem). Candidates = gram-join pairs meeting the
-  bound; survivors are VERIFIED with the built-in levenshtein.
-- multiset semantics come from occurrence-indexed grams ((gram, 1),
-  (gram, 2), …): the equi-join on (gram, occ) yields exactly
-  Σ_g min(count_s(g), count_t(g)) matches.
-- strings short enough that the bound can be ≤ 0 (len ≤ k·q + q − 1)
-  can be within distance k while sharing ZERO grams, so they take a
-  SHORT ROUTE: a broadcast band join against every string within the
-  length window (length difference > k is impossible at ed ≤ k). Both
-  routes emit (a < b, dist); union + distinct merges them.
+Candidate generation is the **deletion-neighborhood signature** scheme
+(FastSS family): each string s emits {s} ∪ {s with one char deleted}.
+Two strings with levenshtein(a, b) <= 1 ALWAYS share a signature
+(substitution at i → both del_i's equal; insertion/deletion → one equals
+a deletion of the other; equality → s itself), so an equi-join on the
+signature is a complete candidate generator for d=1 and the final
+``levenshtein <= 1`` check makes the result exact.
 
-Spark-first / 100 TB shape: the join runs on DISTINCT strings
-(vocab-collapse — fuzzy entity resolution matches the vocabulary, not
-the corpus; callers broadcast results back); the gram join shuffles
-(gram, occ) keys with map-side combine on the pair count; the verify is
-a scan-stage JVM levenshtein on candidates only. q is the selectivity
-knob — raise it for longer strings so frequent grams don't fan out. The
-short-route band is broadcast (tiny for realistic length distributions;
-it is ONLY strings of length ≤ k·q + q − 1).
+Scale shape: signatures are built JVM-side (one transform over a
+character sequence, no UDF), the join is a plain equi-shuffle on short
+signature strings whose bucket sizes are bounded by how many strings in
+the corpus are one deletion apart (corpus-dependent, but never the n²
+product; a `max candidate bucket` guard like jaccard's max_df can be
+added for adversarial corpora). Verification cost is |candidates|
+levenshtein calls, JVM built-in.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def deletion_signatures(col: str) -> Column:
+    """{s} ∪ single-char deletions of s, as array<string> (JVM expr)."""
+    return F.expr(
+        f"array_union(array({col}), transform(sequence(1, length({col})),"
+        f" i -> concat(substring({col}, 1, i-1), substring({col}, i+1, length({col})))))"
+    )
+
+
+def fuzzy_self_join(df: DataFrame, col: str, max_dist: int = 1) -> DataFrame:
+    """All DISTINCT value pairs (left_{col} < right_{col}) within
+    levenshtein distance ``max_dist`` (only 1 supported — the signature
+    scheme is d=1; chain the output's connected components for broader
+    clusters). Output: left_{col}, right_{col}, dist."""
+    assert max_dist == 1, "deletion-neighborhood signatures cover d=1"
+    vals = df.select(F.col(col)).distinct()
+    sigs = vals.select(F.col(col), F.explode(deletion_signatures(col)).alias("__sig"))
+    a = sigs.select(F.col(col).alias("__l"), "__sig")
+    b = sigs.select(F.col(col).alias("__r"), "__sig")
+    pairs = (
+        a.join(b, "__sig")
+        .filter(F.col("__l") < F.col("__r"))
+        .select("__l", "__r")
+        .distinct()
+        .withColumn("dist", F.levenshtein("__l", "__r"))
+        .filter(F.col("dist") <= max_dist)
+    )
+    return pairs.select(
+        F.col("__l").alias(f"left_{col}"), F.col("__r").alias(f"right_{col}"), "dist"
+    )
+
+
+# ---------------------------------------------------------------------------
+# General-k scheme (r11): q-gram count filtering (Gravano et al., VLDB
+# 2001). The deletion-neighborhood signatures above are complete ONLY for
+# d = 1; for arbitrary k the count-filter theorem applies instead:
+# one edit destroys at most q positional q-grams and a length-L string
+# has L - q + 1 of them, so ed(s, t) <= k implies multiset-common
+# q-grams >= max(|s|,|t|) - q + 1 - k*q. Candidates = occurrence-indexed
+# gram equi-join pairs meeting the bound ((gram, occ) keys give exactly
+# sum_g min(count_s, count_t) matches); strings short enough that the
+# bound can reach 0 (len <= k*q + q - 1 — these can be within k while
+# sharing ZERO grams, and len < q strings emit no grams at all) take a
+# broadcast band route. Both routes are levenshtein-verified, so the
+# result is EXACT (the brute-force oracle is an equality check).
+# q is the selectivity knob — raise it for longer strings.
 
 
 def edit_distance_self_join(

@@ -684,10 +684,15 @@ def prefix_filter_jaccard_join(
             ).select("id", "sz", (F.col("p0") + 1).alias("pos"), "shingle")
     else:
         tokens = base.select("id", "sz", F.explode("shh").alias("shingle"))
-        dfreq = tokens.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        # document frequency as an unordered count window: ONE shuffle of
+        # the token stream and ONE evaluation of the explode — the
+        # groupBy-count + join-back formulation shuffled the stream for
+        # the join AND ran a second aggregate pass over the persisted
+        # frame (the CLAUDE.md occurrence-count-filter pattern)
+        w_df = Window.partitionBy("shingle")
         w = Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("shingle").asc())
         pref = (
-            tokens.join(dfreq, "shingle")
+            tokens.withColumn("df", F.count(F.lit(1)).over(w_df))
             .withColumn("pos", F.row_number().over(w))
             .filter(F.col("pos") <= plen)
             .select("id", "sz", "pos", "shingle")

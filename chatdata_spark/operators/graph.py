@@ -86,8 +86,9 @@ def _seeded_pagerank(
         .distinct()
         .localCheckpoint()
     )
+    # consumed exactly once now (folded into the initial state below) —
+    # no checkpoint needed; it is one pass over the checkpointed edges
     outdeg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
-    outdeg = outdeg.localCheckpoint()
 
     n = nodes.count()  # driver-side scalar (bounded: one long)
     if n == 0:
@@ -119,15 +120,27 @@ def _seeded_pagerank(
             F.broadcast(sn.select("node", F.lit(True).alias("is_seed"))),
             "node",
             "left",
-        ).localCheckpoint()
-
-    ranks = flagged.select(
-        "node",
-        F.when(F.col("is_seed"), F.lit(SCALE // ns)).otherwise(F.lit(0)).alias("r"),
+        )
+    # Fold the STATIC per-node attributes (seed flag, out-degree) into the
+    # iterated state once, so no round re-joins them: the old shape paid a
+    # ranks⋈outdeg sort-merge join every iteration for a value that never
+    # changes (guide §2.4 — two operations keyed the same way share one
+    # layout). ``deg`` is NULL exactly for dangling nodes (the old
+    # left_anti membership), so the per-round dangling aggregate becomes a
+    # filter over the checkpointed state instead of an anti-join.
+    ranks = (
+        flagged.join(outdeg, "node", "left")
+        .select(
+            "node",
+            "is_seed",
+            "deg",
+            F.when(F.col("is_seed"), F.lit(SCALE // ns)).otherwise(F.lit(0)).alias("r"),
+        )
+        .localCheckpoint()
     )
     for _ in range(iterations):
         contrib = (
-            ranks.join(outdeg, "node")
+            ranks.filter(F.col("deg").isNotNull())
             .select(F.col("node").alias("cn"), F.expr("r DIV deg").alias("cpe"))
             .join(e, F.col("cn") == F.col("src"))
             .groupBy(F.col("dst").alias("node"))
@@ -136,15 +149,18 @@ def _seeded_pagerank(
         # dangling mass: rank stuck on zero-outdegree nodes, redistributed
         # over the SEED set — a 1-row aggregate, broadcast not collected
         dang = (
-            ranks.join(outdeg, "node", "left_anti")
+            ranks.filter(F.col("deg").isNull())
             .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("dsum"))
             .select(F.expr(f"dsum DIV {ns}").alias("dms"))
         )
         ranks = (
-            flagged.crossJoin(F.broadcast(dang))
+            ranks.select("node", "is_seed", "deg")
+            .crossJoin(F.broadcast(dang))
             .join(contrib, "node", "left")
             .select(
                 "node",
+                "is_seed",
+                "deg",
                 F.when(
                     F.col("is_seed"),
                     F.lit(tele)
@@ -233,9 +249,10 @@ def random_walks(
 
     Scale shape: edges are indexed ONCE with a per-src row_number (one
     window pass, checkpointed — reused by every step and every later
-    walk generation over the same graph), then each step is ONE equi-join
-    of the frontier on (node, idx) — frontier-sized, never corpus-sized,
-    no per-walk driver state.
+    walk generation over the same graph), then each step resolves the
+    picked index against the 1-row-per-node degree view and hops with an
+    exact (src, idx) equi-join — both joins emit frontier-sized output,
+    never sum-of-outdegree fan-out, and no per-walk driver state.
 
     MEASURED posture (tools/walk_posture_probe.py, sf0.1, 1.17M edges):
     wall-clock is ~flat in the start-set size — 32 starts 3.98 s, 1,000
@@ -274,6 +291,9 @@ def random_walks(
         .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
         .localCheckpoint()
     )
+    # one row per source node (idx 0 always exists) — a filtered scan of
+    # the checkpointed index, no extra shuffle/aggregate
+    degs = indexed.filter(F.col("idx") == 0).select("src", "deg")
     cur = (
         starts.select(F.col(start_col).alias("node"))
         .distinct()
@@ -307,9 +327,26 @@ def random_walks(
                 "src",
                 "left_semi",
             )
+        # Resolve the picked neighbor index against the 1-row-per-node
+        # degree view FIRST, then hop with an exact (src, idx) equi-join:
+        # the old shape joined the frontier onto the FULL adjacency and
+        # filtered idx == pick afterwards, materializing sum-of-outdegree
+        # rows per hop and evaluating the md5 pick expression once per
+        # fanned-out edge row instead of once per walk (guide §3.3 —
+        # don't let a join multiply rows you immediately discard).
+        cand = cur.join(degs, F.col("node") == F.col("src")).select(
+            "walk_id", F.col("node").alias("src"), pick.cast("int").alias("idx")
+        )
+        # shuffled-hash with the frontier as build side: a sort-merge on
+        # (src, idx) would re-sort the edge table every hop (its
+        # checkpointed (src, dst) order IS (src, idx) order, but the
+        # planner cannot know that); hashing the frontier streams the
+        # edges with no sort at all (guide §3.1 — pick the strategy
+        # deliberately). Build side is the in-flight walk frontier —
+        # bounded by the walk count, the documented posture.
         cur = (
-            cur.join(hop_edges, F.col("node") == F.col("src"))
-            .filter(F.col("idx") == pick)
+            cand.hint("shuffle_hash")
+            .join(hop_edges.select("src", "idx", "dst"), ["src", "idx"])
             .select("walk_id", F.lit(k).alias("step"), F.col("dst").alias("node"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -400,7 +437,18 @@ def label_propagation(
             .select(F.col("dst").alias("node"), "lbl")
         )
         votes = nbr.unionByName(labels.select("node", "lbl"))
-        counts = votes.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        # ONE exchange for both aggregates: hash-partitioning by node alone
+        # satisfies the (node, lbl) clustering for the vote count AND the
+        # (node) clustering for the argmax, so the second groupBy reuses
+        # the first's layout with no further shuffle (guide §2.4 — two
+        # operations keyed the same way share one exchange). The hash-by-
+        # (node,lbl) layout it replaces had the same hot-node ceiling: the
+        # argmax always colocated a node's votes anyway.
+        counts = (
+            votes.repartition("node")
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
         picked = counts.groupBy("node").agg(
             F.max(F.struct(F.col("cnt").alias("c"), (-F.col("lbl")).alias("nl"))).alias("m")
         )
@@ -459,10 +507,18 @@ def hits(
     h = nodes.select("node", F.lit(SCALE).cast("long").alias("h"))
     a = None
     for _ in range(int(iterations)):
+        # Checkpoint the RAW aggregate as well as the normalized score:
+        # raw is consumed twice (the quantizer aggregate AND the update
+        # join), so leaving it lazy ran the edge join + groupBy TWICE per
+        # half-round (guide §1.2 — don't compute things twice). The
+        # normalized score is checkpointed too (node-sized, cheap) so the
+        # next half-round's edge join streams a materialized table
+        # instead of re-planning the projection join under it.
         a_raw = (
             e_src.join(h.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("h").alias("raw"))
+            .localCheckpoint()
         )
         qa = a_raw.agg(
             F.greatest(F.expr(f"max(raw) DIV {SCALE}"), F.lit(1).cast("long")).alias("q")
@@ -479,6 +535,7 @@ def hits(
             e_dst.join(a.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("a").alias("raw"))
+            .localCheckpoint()
         )
         qh = h_raw.agg(
             F.greatest(F.expr(f"max(raw) DIV {SCALE}"), F.lit(1).cast("long")).alias("q")
@@ -533,22 +590,27 @@ def harmonic_hyperball(
     discipline); the harmonic sum is ONE fixed-order left-associated
     expression, replayed operand-for-operand by the oracle.
 
-    Scale shape: state is |V|·m register rows (m = 2^p); each round is
-    ONE edge⋈state join on the dst-partitioned edge layout (built once,
-    checkpointed) plus ONE (node, bucket) lattice-merge aggregate — the
-    register rows shuffle, never the text/attributes. The edge join fans
-    out by ≤m register rows per edge, so m is THE cost knob: the p = 4
-    default (m = 16, ~26% relative error — a ranking prior, not a
-    count) measured 4x cheaper per round than p = 6 and sub-linear
-    sf0.1→sf1; raise p when the estimate itself is the product.
-    Production HyperBall packs registers into bitmaps; the exploded-row
-    layout trades memory for Spark-native exact aggregates and is
-    capped by m. Estimates are node-sized frames joined radius+1
-    times."""
-    from chatdata_spark.operators.hll import hll_estimate
+    Scale shape: state is COLUMN-PACKED — one row per node with m
+    register columns (m = 2^p is small by design: the cost knob), NULL =
+    bucket absent; each round is ONE edge⋈state join on the
+    dst-partitioned edge layout (built once, checkpointed) plus ONE
+    node-keyed lattice-merge aggregate of m per-column MINs (map-side
+    combinable; NULL-ignoring MIN is exactly the absent-bucket
+    semantics). The edge join fans out ONE packed row per edge (the
+    earlier exploded-row layout fanned out ≤m rows per edge and needed a
+    groupBy(node) aggregate per radius step just to ESTIMATE — measured
+    2.3x slower end-to-end at sf0.1). The per-step ball estimate is a
+    pure fixed-order projection over the m columns (same integer
+    harmonic-sum, same one float64 division, same opt-in ln small-range
+    branch as operators/hll.py::hll_estimate — bit-identical by exact
+    integer algebra), so estimates cost no shuffle at all; the radius+1
+    estimate frames are co-partitioned projections of the checkpointed
+    states and join exchange-free."""
+    from chatdata_spark.operators.hll import hll_alpha
     from chatdata_spark.operators.sampling import hash_bucket
 
     w = 32 - p
+    m = 1 << p
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).filter(
         F.col(src).isNotNull() & F.col(dst).isNotNull()
     )
@@ -559,27 +621,65 @@ def harmonic_hyperball(
         .distinct()
         .localCheckpoint()
     )
+    tcols = [f"__t{j}" for j in range(m)]
+    # layered select: hash computed once, then packed into m columns
+    # (referencing the raw md5 expr in every branch would re-evaluate it
+    # per column — the expression-inlining gotcha)
     hb = hash_bucket(F.col("node"), salt)
-    state = nodes.select(
+    packed = nodes.select(
         "node",
-        F.shiftright(hb, w).alias("bucket"),
-        hb.bitwiseAND(F.lit((1 << w) - 1)).alias("min_tail"),
+        F.shiftright(hb, w).alias("__b"),
+        hb.bitwiseAND(F.lit((1 << w) - 1)).alias("__t"),
+    )
+    state = packed.select(
+        "node",
+        *[
+            F.when(F.col("__b") == j, F.col("__t")).alias(c)
+            for j, c in enumerate(tcols)
+        ],
     ).localCheckpoint()
 
+    # Per-state ball estimate as a PROJECTION: exact integer harmonic sum
+    # over the m columns (absent bucket → 2^(w+1); tail 0 → 1; else
+    # 2^bit_length(tail) — the same rho algebra as hll_estimate, whose
+    # row-sum it replaces; integer addition is order-free so the value is
+    # bit-identical), then the one float64 division and the textbook
+    # linear-counting branch (linear_correction=True semantics).
+    a_num = hll_alpha(m) * m * m * float(1 << (w + 1))
+    term_sql = " + ".join(
+        f"CASE WHEN {c} IS NULL THEN CAST({1 << (w + 1)} AS BIGINT)"
+        f" WHEN {c} = 0 THEN CAST(1 AS BIGINT)"
+        f" ELSE shiftleft(CAST(1 AS BIGINT), CAST(length(bin({c})) AS INT)) END"
+        for c in tcols
+    )
+    mu_sql = " + ".join(f"CAST(({c} IS NOT NULL) AS BIGINT)" for c in tcols)
+
     def est(state_df, t):
-        return hll_estimate(state_df, ["node"], p=p, linear_correction=True).select(
-            "node", F.col("hll_est").alias(f"__e{t}")
+        sums = state_df.select(
+            "node",
+            F.expr(term_sql).alias("__hs"),
+            F.expr(mu_sql).alias("__mu"),
         )
+        rawed = sums.select(
+            "node",
+            (F.lit(a_num) / F.col("__hs").cast("double")).alias("__raw"),
+            (F.lit(m) - F.col("__mu")).alias("__v"),
+        )
+        est_col = F.when(
+            (F.col("__raw") <= F.lit(2.5 * m)) & (F.col("__v") > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("__v").cast("double")),
+        ).otherwise(F.col("__raw"))
+        return rawed.select("node", est_col.alias(f"__e{t}"))
 
     ests = [est(state, 0)]
     for t in range(1, int(radius) + 1):
         grown = e_dst.join(state.withColumnRenamed("node", "dst"), "dst").select(
-            F.col("src").alias("node"), "bucket", "min_tail"
+            F.col("src").alias("node"), *tcols
         )
         state = (
-            grown.unionByName(state.select("node", "bucket", "min_tail"))
-            .groupBy("node", "bucket")
-            .agg(F.min("min_tail").alias("min_tail"))
+            grown.unionByName(state.select("node", *tcols))
+            .groupBy("node")
+            .agg(*[F.min(c).alias(c) for c in tcols])
             .localCheckpoint()
         )
         ests.append(est(state, t))

@@ -37,10 +37,12 @@ Scale posture (100 TB):
   persisted; every iteration re-scans it with no re-quantization.
 - assignment is a per-batch int64 GEMM against the broadcast (k, d)
   centroid matrix — closure constant, no join, no shuffle.
-- the update is ``posexplode -> groupBy(cluster, dim)`` — map-side
-  combined, so the shuffle carries at most k*d rows PER PARTITION and the
-  driver collects exactly k*d + k scalars per iteration. No per-row data
-  ever reaches the driver.
+- assignment and update are FUSED into one mapInPandas pass per
+  iteration: each task accumulates exact int64 per-cluster dim-sums and
+  counts for its batches and emits ≤ k rows, so an iteration is one scan
+  of the persisted frame with NO shuffle; the driver collects k·(d+1)
+  scalars per task and merges with exact Python integer sums. No per-row
+  data ever reaches the driver.
 - iterations are driver-scheduled jobs over the persisted frame (the same
   constant-depth loop shape as operators/graph.py); n_iter is fixed, not
   convergence-polled, so the job count is known up front.
@@ -145,21 +147,64 @@ def quantize_vectors(df: DataFrame, vec_col: str, out_col: str = "q") -> DataFra
 
 
 def _update_centroids(
-    assigned: DataFrame, cents: np.ndarray, q_col: str = "q"
+    q_df: DataFrame, cents: np.ndarray, q_col: str = "q"
 ) -> np.ndarray:
-    """One Lloyd update: exact int64 per-(cluster, dim) sums + counts
-    collected (k*d scalars), floor-divided on the driver. Empty clusters
-    keep their previous centroid."""
-    rows = (
-        assigned.select("__cluster", F.posexplode(q_col).alias("__dim", "__v"))
-        .groupBy("__cluster", "__dim")
-        .agg(F.sum("__v").alias("__s"), F.count(F.lit(1)).alias("__n"))
-        .collect()
-    )
-    new = cents.copy()
+    """One FUSED Lloyd round: a single mapInPandas pass assigns each batch
+    against the captured centroid matrix AND accumulates per-task partial
+    (cluster, count, dim-sums) — so one scan of the persisted quantized
+    frame with NO shuffle replaces the old assign-UDF → posexplode →
+    groupBy(cluster, dim) shape (which multiplied the frame n·d rows into
+    a corpus-sized exchange every iteration; guide §2.3 — aggregate
+    before you shuffle, here all the way down to k rows per task). The
+    driver collects ≤ k rows per task (k·(d+1) scalars each) and merges
+    with exact Python integer sums — integer addition is order-free, so
+    the centroid trajectory is BIT-IDENTICAL to the old shape and to the
+    numpy replay oracle. Empty clusters keep their previous centroid."""
+    c = cents.copy()  # (k, d) int64 — captured constants only (closure rule)
+    cc = (c * c).sum(axis=1)
+    k, d = c.shape
+
+    def _partials(it):
+        sums = np.zeros((k, d), dtype=np.int64)
+        cnts = np.zeros(k, dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            q = np.vstack(pdf[q_col].to_numpy())  # (b, d) int64
+            a = (
+                (q * q).sum(axis=1, keepdims=True) - 2 * (q @ c.T) + cc[None, :]
+            ).argmin(axis=1)
+            np.add.at(sums, a, q)  # exact int64 accumulation
+            np.add.at(cnts, a, 1)
+        hit = np.flatnonzero(cnts)
+        yield pd.DataFrame(
+            {
+                "__cluster": hit.astype(np.int32),
+                "__n": cnts[hit],
+                # explicit object dtype: an empty partition's [] would
+                # otherwise become float64 and fail the Arrow list cast
+                "__s": pd.Series([row.tolist() for row in sums[hit]], dtype=object),
+            }
+        )
+
+    rows = q_df.select(q_col).mapInPandas(
+        _partials, schema="__cluster int, __n long, __s array<long>"
+    ).collect()
+    tot_s = {}
+    tot_n = {}
     for r in rows:
+        j = r["__cluster"]
+        tot_n[j] = tot_n.get(j, 0) + int(r["__n"])
+        s = r["__s"]
+        if j in tot_s:
+            tot_s[j] = [a + int(b) for a, b in zip(tot_s[j], s)]
+        else:
+            tot_s[j] = [int(b) for b in s]
+    new = cents.copy()
+    for j, s in tot_s.items():
+        n = tot_n[j]
         # Python int floor division — exact, matches the numpy replay oracle
-        new[r["__cluster"], r["__dim"]] = int(r["__s"]) // int(r["__n"])
+        new[j] = np.array([v // n for v in s], dtype=np.int64)
     return new
 
 
@@ -215,8 +260,7 @@ def kmeans_fixed_point(
         cents = np.array([r["q"] for r in seeds], dtype=np.int64)  # (k, d)
 
     for _ in range(n_iter):
-        assigned = q.withColumn("__cluster", _assign_udf(cents, False)(F.col("q")))
-        cents = _update_centroids(assigned, cents)
+        cents = _update_centroids(q, cents)
 
     # Layered select: the struct alias is referenced twice below, which
     # blocks CollapseProject so the UDF evaluates ONCE (CLAUDE.md inlining

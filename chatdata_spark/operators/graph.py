@@ -249,10 +249,9 @@ def random_walks(
 
     Scale shape: edges are indexed ONCE with a per-src row_number (one
     window pass, checkpointed — reused by every step and every later
-    walk generation over the same graph), then each step resolves the
-    picked index against the 1-row-per-node degree view and hops with an
-    exact (src, idx) equi-join — both joins emit frontier-sized output,
-    never sum-of-outdegree fan-out, and no per-walk driver state.
+    walk generation over the same graph), then each step is ONE equi-join
+    of the frontier on (node, idx) — frontier-sized, never corpus-sized,
+    no per-walk driver state.
 
     MEASURED posture (tools/walk_posture_probe.py, sf0.1, 1.17M edges):
     wall-clock is ~flat in the start-set size — 32 starts 3.98 s, 1,000
@@ -291,9 +290,6 @@ def random_walks(
         .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
         .localCheckpoint()
     )
-    # one row per source node (idx 0 always exists) — a filtered scan of
-    # the checkpointed index, no extra shuffle/aggregate
-    degs = indexed.filter(F.col("idx") == 0).select("src", "deg")
     cur = (
         starts.select(F.col(start_col).alias("node"))
         .distinct()
@@ -327,26 +323,15 @@ def random_walks(
                 "src",
                 "left_semi",
             )
-        # Resolve the picked neighbor index against the 1-row-per-node
-        # degree view FIRST, then hop with an exact (src, idx) equi-join:
-        # the old shape joined the frontier onto the FULL adjacency and
-        # filtered idx == pick afterwards, materializing sum-of-outdegree
-        # rows per hop and evaluating the md5 pick expression once per
-        # fanned-out edge row instead of once per walk (guide §3.3 —
-        # don't let a join multiply rows you immediately discard).
-        cand = cur.join(degs, F.col("node") == F.col("src")).select(
-            "walk_id", F.col("node").alias("src"), pick.cast("int").alias("idx")
-        )
-        # shuffled-hash with the frontier as build side: a sort-merge on
-        # (src, idx) would re-sort the edge table every hop (its
-        # checkpointed (src, dst) order IS (src, idx) order, but the
-        # planner cannot know that); hashing the frontier streams the
-        # edges with no sort at all (guide §3.1 — pick the strategy
-        # deliberately). Build side is the in-flight walk frontier —
-        # bounded by the walk count, the documented posture.
+        # NOTE (r11 optimization round, measured-and-rejected): resolving
+        # the picked index against a degree view first and equi-joining on
+        # (src, idx) — either sort-merge or shuffled-hash — measured 1.4-
+        # 1.8x SLOWER than this join-then-filter shape in paired isolated
+        # runs: the two-key join forces a per-hop sort/exchange of the
+        # edge table, which costs more than the fan-out rows it avoids.
         cur = (
-            cand.hint("shuffle_hash")
-            .join(hop_edges.select("src", "idx", "dst"), ["src", "idx"])
+            cur.join(hop_edges, F.col("node") == F.col("src"))
+            .filter(F.col("idx") == pick)
             .select("walk_id", F.lit(k).alias("step"), F.col("dst").alias("node"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -506,19 +491,18 @@ def hits(
     )
     h = nodes.select("node", F.lit(SCALE).cast("long").alias("h"))
     a = None
+    # NOTE (r11 optimization round, measured-and-rejected): checkpointing
+    # the raw half-round aggregates so the edge join runs once per
+    # half-round (instead of twice — the quantizer aggregate and the
+    # update join each evaluate it) measured 1.26-1.33x SLOWER in paired
+    # isolated runs, with or without also checkpointing the normalized
+    # scores: the extra eager materialization jobs cost more than the
+    # duplicated node-sized join they save at this shape.
     for _ in range(int(iterations)):
-        # Checkpoint the RAW aggregate as well as the normalized score:
-        # raw is consumed twice (the quantizer aggregate AND the update
-        # join), so leaving it lazy ran the edge join + groupBy TWICE per
-        # half-round (guide §1.2 — don't compute things twice). The
-        # normalized score is checkpointed too (node-sized, cheap) so the
-        # next half-round's edge join streams a materialized table
-        # instead of re-planning the projection join under it.
         a_raw = (
             e_src.join(h.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("h").alias("raw"))
-            .localCheckpoint()
         )
         qa = a_raw.agg(
             F.greatest(F.expr(f"max(raw) DIV {SCALE}"), F.lit(1).cast("long")).alias("q")
@@ -535,7 +519,6 @@ def hits(
             e_dst.join(a.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("a").alias("raw"))
-            .localCheckpoint()
         )
         qh = h_raw.agg(
             F.greatest(F.expr(f"max(raw) DIV {SCALE}"), F.lit(1).cast("long")).alias("q")

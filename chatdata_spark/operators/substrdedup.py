@@ -154,11 +154,22 @@ def _spans_from_tokens(
     # measured ~1.6x slower at sf0.1. A pathologically hot gram (corpus
     # boilerplate repeated 10^8 times) colocates on one task but only to
     # COUNT — no sort, no pair expansion.
-    w_h = Window.partitionBy("__h")
+    # corpus-wide count via HASH aggregation (collect_list + size +
+    # explode) instead of a count window: the unordered window still
+    # sorts its 18M-row (heldrate probe) input by hash inside every
+    # partition, while ObjectHashAggregate groups with no sort at the
+    # same shuffle volume; survivors and downstream per-doc ordering are
+    # identical (sets, re-sorted by (__id, __pos) later). A pathologically
+    # hot gram builds one long buffer on one task — the same colocation
+    # the window had — and the operator's aggregate falls back to
+    # sort-based aggregation under memory pressure, which IS the old
+    # window's cost.
     hits = (
-        grams.withColumn("__c", F.count(F.lit(1)).over(w_h))
-        .filter(F.col("__c") >= min_count)
-        .select("__id", "__pos")
+        grams.groupBy("__h")
+        .agg(F.collect_list(F.struct("__id", "__pos")).alias("__ps"))
+        .filter(F.size("__ps") >= min_count)
+        .select(F.explode("__ps").alias("__p"))
+        .select(F.col("__p.__id").alias("__id"), F.col("__p.__pos").alias("__pos"))
     )
     if exact:
         # literal verify: the hash pass above yields a SUPERSET of the

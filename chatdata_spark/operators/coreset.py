@@ -16,15 +16,13 @@ cross-engine convention), so every squared distance is an EXACT BIGINT
 argmax has a total order with the vec_id tie-break. No floats anywhere.
 
 Spark-first shape (100 TB posture): the fixed-point frame is persisted
-once; the running min-d²-to-selected is CARRIED as a column, so each of
-the k rounds is ONE Arrow pass comparing against the newest center only
-(a d-vector int64 closure constant) folded into the carried minimum —
-exact integer min, bit-identical to recomputing against the full
-selected set — followed by ONE TakeOrderedAndProject argmax (1 collected
-row of d+2 scalars — the bounded-collect license). The selection loop is
-inherently k-sequential (each center depends on all previous); total
-numpy work is O(k·n·d) (the carried minimum retires the O(k²·n·d/2)
-all-centers recompute), driver traffic k·(d+2) scalars.
+once; each of the k rounds is ONE Arrow pass computing
+min-d²-to-selected against the centers-so-far matrix (a k×d int64
+closure constant — no per-round state frame, no checkpoints to carry)
+followed by ONE TakeOrderedAndProject argmax (1 collected row of d+2
+scalars — the bounded-collect license). The selection loop is inherently
+k-sequential (each center depends on all previous); total numpy work is
+O(k²·n·d/2), driver traffic k·(d+2) scalars.
 """
 
 from __future__ import annotations
@@ -34,33 +32,24 @@ import pandas as pd  # noqa: F401  (module-top import: pandas_udf hint rule)
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_MIND2_UDFS: dict = {}  # newest-center key -> UDF (CLAUDE.md memoization
+_MIND2_UDFS: dict = {}  # centers-matrix key -> UDF (CLAUDE.md memoization
 # rule: identical centers must produce CacheManager-equal plans)
 
-# upper bound for the running min before any center is subtracted: real
-# d² is ≤ (2·10⁴)²·d ≪ 2^63, so Long.MAX never survives a min()
-_D2_INF = (1 << 63) - 1
 
-
-def _mind2_incr_udf(center: tuple):
-    """min(prev_d2, d²(x, newest center)) — the incremental farthest-first
-    update: each round compares against ONE center and folds into the
-    carried running minimum (exact int64, so the sequence of minima is
-    bit-identical to recomputing against the whole selected set, at
-    O(k·n·d) total instead of O(k²·n·d))."""
-    if center not in _MIND2_UDFS:
-        c_vec = np.asarray(center, dtype=np.int64)  # (d,)
+def _mind2_udf(centers: tuple):
+    if centers not in _MIND2_UDFS:
+        c_mat = np.asarray(centers, dtype=np.int64)  # (r, d)
 
         @F.pandas_udf("long")
-        def mind2(col: pd.Series, prev: pd.Series) -> pd.Series:
-            # exact int64 squared distance to the newest center only.
+        def mind2(col: pd.Series) -> pd.Series:
+            # exact int64 squared distances; min over the selected set.
             # Captures only the numpy constant (cloudpickle by-name rule).
             x = np.stack(col.to_numpy())  # (batch, d) int64
-            d2 = ((x - c_vec[None, :]) ** 2).sum(axis=1)
-            return pd.Series(np.minimum(d2, prev.to_numpy()))
+            d2 = ((x[:, None, :] - c_mat[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d2.min(axis=1))
 
-        _MIND2_UDFS[center] = mind2
-    return _MIND2_UDFS[center]
+        _MIND2_UDFS[centers] = mind2
+    return _MIND2_UDFS[centers]
 
 
 def fixed_point_vectors(
@@ -93,40 +82,25 @@ def kcenter_greedy(
     non-increasing coreset radius sequence (rank 1 gets 0)."""
     spark = df.sparkSession
     base = fixed_point_vectors(df, id_col, vec_col).persist()
-    cached = []
     try:
         seed = base.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
         selected = [(1, seed[id_col], 0)]
-        center = tuple(seed["a4"])
-        # running min-d² carried as a column: each round's Arrow pass
-        # compares against the NEWEST center only and mins with the
-        # carried value (exact integer min ≡ recomputing against the
-        # full selected set); each round's frame is cached so the next
-        # round scans it instead of replaying the chain. One job per
-        # round as before — the argmax collect computes-and-caches.
-        cur = base.select(id_col, "a4", F.lit(_D2_INF).alias("__d2"))
+        centers = [tuple(seed["a4"])]
         for r in range(2, int(k) + 1):
-            udf = _mind2_incr_udf(center)
-            cur = cur.select(
-                id_col, "a4", udf(F.col("a4"), F.col("__d2")).alias("__d2")
-            ).persist()
-            cached.append(cur)
+            udf = _mind2_udf(tuple(centers))
             nxt = (
-                cur.orderBy(F.desc("__d2"), F.col(id_col).asc())
+                base.select(id_col, udf(F.col("a4")).alias("d2"), "a4")
+                .orderBy(F.desc("d2"), F.col(id_col).asc())
                 .limit(1)
                 .collect()[0]
             )
-            selected.append((r, nxt[id_col], int(nxt["__d2"])))
-            center = tuple(nxt["a4"])
-            if len(cached) > 1:
-                cached.pop(0).unpersist()
+            selected.append((r, nxt[id_col], int(nxt["d2"])))
+            centers.append(tuple(nxt["a4"]))
         return spark.createDataFrame(
             selected, f"rank int, {id_col} long, d2_prev long"
         )
     finally:
         base.unpersist()
-        for c in cached:
-            c.unpersist()
 
 
 def kcenter_greedy_py(vectors: dict, k: int = 12) -> list:

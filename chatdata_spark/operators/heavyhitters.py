@@ -104,16 +104,10 @@ def heavy_hitters_weighted(
     NULLs up front; route refunds through a separate pass)."""
     k = int(k_counters)
     w = F.col(weight_col)
-    # keep the item in its NATIVE type through the MG pass, the candidate
-    # shuffle and the recount semi-join — a bigint key groups/joins several
-    # times faster than its string form (guide §2.3, narrower types); the
-    # output contract's string cast happens once in the final projection
-    # (a per-value cast, so the rendered value is identical either way)
     toks = items.select(
-        F.col(item_col).alias(item_col),
+        F.col(item_col).cast("string").alias(item_col),
         w.cast("double").alias("__w"),
     ).filter(w.isNotNull() & (w >= 0))
-    item_type = toks.schema[item_col].dataType.simpleString()
 
     def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Closure-only logic (worker-pickling rule): weighted MG over
@@ -136,14 +130,11 @@ def heavy_hitters_weighted(
         counts = compress(counts, k)
         yield pd.DataFrame({item_col: list(counts.keys())})
 
-    cands = toks.mapInPandas(mg_partition, f"{item_col} {item_type}").distinct()
+    cands = toks.mapInPandas(mg_partition, f"{item_col} string").distinct()
     return (
         toks.join(F.broadcast(cands), item_col, "left_semi")
         .groupBy(item_col)
         .agg(F.sum(F.col("__w").cast("decimal(27,6)")).alias("__dw"))
         .filter(F.col("__dw") >= F.lit(float(min_weight)).cast("decimal(27,6)"))
-        .select(
-            F.col(item_col).cast("string").alias(item_col),
-            F.col("__dw").cast("double").alias("total_weight"),
-        )
+        .select(item_col, F.col("__dw").cast("double").alias("total_weight"))
     )

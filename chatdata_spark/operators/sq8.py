@@ -28,8 +28,8 @@ Determinism (the repo's oracle convention):
   (like binary_quant_knn — the quantized ranking IS the answer under
   quantization; recall vs exact is pinned in tests).
 
-Scale shape (100 TB): calibration is ONE map-side-combined aggregate
-(2·d scalars to the driver — a constant, like the IVF centroids); encode
+Scale shape (100 TB): calibration is ONE Arrow pass emitting 2·d scalars
+per task to the driver (a constant, like the IVF centroids); encode
 and distance are scan-stage JVM expressions over the code column only
 (Parquet column pruning: the search never reads the float vectors except
 for the bounded exact rerank of the top k·refine survivors). No UDFs, no
@@ -48,18 +48,41 @@ LEVELS = 255
 
 def sq8_calibrate(df: DataFrame, vec_col: str, dim: int) -> tuple[list[float], list[float]]:
     """(los, steps): per-dimension minimum and grid step from ONE
-    aggregate (2·dim scalars — bounded driver traffic). A constant
-    dimension gets step 0.0 (encodes to code 0)."""
+    mapInPandas pass emitting a single (lo[], hi[]) row per task (2·dim
+    scalars per task to the driver — bounded traffic), min/max-merged in
+    Python. min/max selection is order-free, so the result is
+    bit-identical to the previous 2·dim-expression wide aggregate — which
+    evaluated try_element_at 2·dim times per row and was the dominant
+    cost of the calibrated-build entries (128 aggregate buffers defeat
+    whole-stage codegen; one numpy min/max per Arrow batch does not)."""
+    import numpy as np
+    import pandas as pd
+
     v = F.col(vec_col)
-    aggs = []
-    for d in range(dim):
-        e = F.try_element_at(v, F.lit(d + 1)).cast("double")
-        aggs.append(F.min(e).alias(f"lo{d}"))
-        aggs.append(F.max(e).alias(f"hi{d}"))
-    row = df.filter(v.isNotNull()).agg(*aggs).collect()[0]
+    base = df.filter(v.isNotNull()).select(v.cast("array<double>").alias("__v"))
+
+    def partials(it):
+        lo = hi = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["__v"].to_numpy())
+            b_lo, b_hi = x.min(axis=0), x.max(axis=0)
+            lo = b_lo if lo is None else np.minimum(lo, b_lo)
+            hi = b_hi if hi is None else np.maximum(hi, b_hi)
+        if lo is not None:
+            yield pd.DataFrame(
+                {
+                    "lo": pd.Series([lo.tolist()], dtype=object),
+                    "hi": pd.Series([hi.tolist()], dtype=object),
+                }
+            )
+
+    rows = base.mapInPandas(partials, "lo array<double>, hi array<double>").collect()
     los, steps = [], []
     for d in range(dim):
-        lo, hi = float(row[f"lo{d}"]), float(row[f"hi{d}"])
+        lo = min(float(r["lo"][d]) for r in rows)
+        hi = max(float(r["hi"][d]) for r in rows)
         los.append(lo)
         steps.append((hi - lo) / LEVELS if hi > lo else 0.0)
     return los, steps

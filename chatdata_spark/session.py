@@ -45,6 +45,13 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # NOTE (r11 optimization round, measured-and-rejected):
+        # spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=32m
+        # (AQE runtime SMJ->shuffled-hash, guide §3.1) measured median
+        # 1.03x across a 9-entry join-heavy paired subset — flat to
+        # slightly worse everywhere except range_join_hotkey (0.80x);
+        # at this partition size the hash-table build costs what the
+        # sort saves. Left at the default (off).
         .config("spark.sql.session.timeZone", "UTC")
         # local[32] single-JVM: storage+execution share this heap; 8g made
         # persisted signature tables thrash against 32 concurrent shuffle

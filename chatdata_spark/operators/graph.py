@@ -582,7 +582,8 @@ def harmonic_hyperball(
     semantics). The edge join fans out ONE packed row per edge (the
     earlier exploded-row layout fanned out ≤m rows per edge and needed a
     groupBy(node) aggregate per radius step just to ESTIMATE — measured
-    2.3x slower end-to-end at sf0.1). The per-step ball estimate is a
+    ~4x slower end-to-end at sf0.1, paired isolated runs, r11). The
+    per-step ball estimate is a
     pure fixed-order projection over the m columns (same integer
     harmonic-sum, same one float64 division, same opt-in ln small-range
     branch as operators/hll.py::hll_estimate — bit-identical by exact

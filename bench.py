@@ -540,7 +540,9 @@ def bench_retrieval_funnel_x10(spark, sf_dir):
         [F.desc("score"), F.asc("doc_id")],
     )
     fused = rrf_fuse([bm, kn], "doc_id", k0=60, k=30)
-    cand = fused.join(F.broadcast(d10.select("doc_id", "text")), "doc_id")
+    # broadcast the ≤30-row fused page, not the 10x corpus (r11 opt —
+    # mirrors the registered funnel's guide-§3.1 fix)
+    cand = F.broadcast(fused).join(d10.select("doc_id", "text"), "doc_id")
     page = rerank_topk(cand, "doc_id", "text", FUNNEL_Q, k=20).select(
         "doc_id", "rrf", "rerank_score"
     )

@@ -277,8 +277,12 @@ def retrieval_funnel_docs(spark, sf_dir):
     )
     # 3. hybrid fusion to a bounded page
     fused = rrf_fuse([bm, kn], "doc_id", k0=60, k=30)
-    # 4. rerank the page (cross-encoder seam; stub = overlap scorer)
-    cand = fused.join(F.broadcast(d.select("doc_id", "text")), "doc_id")
+    # 4. rerank the page (cross-encoder seam; stub = overlap scorer).
+    # Broadcast the ≤30-row fused page, NOT the corpus (r11 opt, guide
+    # §3.1): the old hint built a hash relation over every (doc_id, text)
+    # row — harmless at sf0.1 but the wrong side at 100 TB, where the
+    # page is the only broadcastable operand. Same rows, same columns.
+    cand = F.broadcast(fused).join(d.select("doc_id", "text"), "doc_id")
     page = rerank_topk(cand, "doc_id", "text", FUNNEL_Q, k=20).select(
         "doc_id", "rrf", "rerank_score"
     )

@@ -110,9 +110,22 @@ def curation_pipeline_docs(spark, sf_dir):
         .select("doc_id")
         .join(full, "doc_id")
     )
-    ded = exact_dedup(
-        qual.withColumn("__norm", F.lower("text")), ["__norm"], "doc_id", keep="min"
-    ).select("doc_id", "text")
+    from pyspark import StorageLevel
+
+    # ded feeds FOUR consumers (the shingle index, the components input,
+    # the canon join-back, and — through canon — the decontam explode):
+    # without the persist the quality-profile + window-dedup subtree
+    # re-evaluates per consumer (r11 opt: the final plan alone carried it
+    # twice, plans/r11/curation_pipeline_docs_before.txt nodes 1-19 vs
+    # 26-47, plus the pair/components jobs). Same multi-consumer persist
+    # convention as tfidf's tf table (operators/textsearch.py:410).
+    ded = (
+        exact_dedup(
+            qual.withColumn("__norm", F.lower("text")), ["__norm"], "doc_id", keep="min"
+        )
+        .select("doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     pairs = jaccard_similarity_join(ded, "doc_id", "text", k=3, threshold=0.4)
     canon = (
         canonical_assignment(ded.select("doc_id"), "doc_id", pairs)

@@ -62,16 +62,25 @@ def bigram_cross_entropy(
     # _spread: the bigram explode is the corpus-sized stage — a
     # 1-partition local scan would serialize it (CLAUDE.md rule)
     src = _spread(df.select(F.col(id_col), *extra_cols, F.col(text_col)))
+    # Tokenize ONCE: the regex token stream feeds BOTH the vocabulary
+    # aggregate and the bigram explode; without this persist each branch
+    # replans the scan and regexp_extract_all runs twice over the corpus
+    # text (guide §2.3 — shuffle/scan fewer bytes; same multi-consumer
+    # persist convention as tfidf's tf table). The vocab collect below is
+    # the action that populates it, so the bigram job reads the cache.
+    toks = src.select(
+        F.col(id_col), *extra_cols, token_stream(F.col(text_col)).alias("__ws")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bi = (
-        src.select(F.col(id_col), *extra_cols, F.explode(_bigrams(token_stream(F.col(text_col)))).alias("p"))
+        toks.select(F.col(id_col), *extra_cols, F.explode(_bigrams(F.col("__ws"))).alias("p"))
         .select(id_col, *extra_cols, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .persist(StorageLevel.MEMORY_AND_DISK)  # model build AND scoring read it
     )
     cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     ctx = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx"))
-    vocab = src.select(
-        F.explode(token_stream(F.col(text_col))).alias("w")
-    ).agg(F.count_distinct("w").alias("v"))
+    vocab = toks.select(F.explode("__ws").alias("w")).agg(
+        F.count_distinct("w").alias("v")
+    )
     v = vocab.collect()[0]["v"]  # the only driver scalar
 
     logp = F.round(

@@ -31,14 +31,26 @@ def chunk_documents(
 ) -> DataFrame:
     """Split each document into consecutive ``chunk_words``-word chunks:
     ``(id_col, chunk_idx, chunk_text)``, chunk_idx 0-based. The final
-    chunk may be short; empty/blank docs produce one empty chunk."""
-    w = F.split(F.lower(F.col(text_col)), r"\s+")
+    chunk may be short; empty/blank docs produce one empty chunk.
+
+    The word array is MATERIALIZED in its own select (referenced ≥2
+    times — size + per-chunk slice — which blocks CollapseProject), so
+    the split runs once per row instead of once per chunk inside the
+    Generate's per-element lambda (the CLAUDE.md inlining trap; r11
+    plan audit). The raw rows are spread first so the split+explode run
+    post-exchange on all cores (no-op at real scale)."""
+    from chatdata_spark.operators.dedup import _spread
+
+    d = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), r"\s+").alias("__w")
+    )
+    w = F.col("__w")
     n_chunks = F.greatest(F.ceil(F.size(w) / F.lit(chunk_words)).cast("int"), F.lit(1))
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.array_join(F.slice(w, i * chunk_words + 1, chunk_words), " "),
     )
-    return df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+    return d.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
 
 
 def chunk_dedup(
@@ -188,24 +200,43 @@ def semantic_chunks(
     tokens produce no rows. Determinism: float32 embedder output, the
     shared sequential float64 cosine folds, HALF_UP round-6 — replayed
     exactly by the registered query's driver-side oracle."""
-    W = int(window_words)
-    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
-    d = df.select(F.col(id_col).alias("__id"), ws.alias("__ws")).filter(
-        F.size("__ws") >= 1
-    )
     from chatdata_spark.operators.dedup import _spread
 
-    d = _spread(d)
+    W = int(window_words)
+    # Spread the RAW rows before introducing the tokenize/window HOFs:
+    # expressions upstream of the repartition exchange evaluate in the
+    # source's partitioning — a 1-partition local scan would serialize
+    # the whole per-row compute on one core (r11 profile: 2.0 of 2.7 s
+    # single-threaded when the spread sat after the split). No row
+    # filter anywhere: a `size(__ws) >= 1` Filter gets predicate-pushed
+    # BELOW the exchange, re-evaluating the split single-threaded (and
+    # twice); instead empty docs vanish at the Generate via the
+    # empty-array guard in _win_texts_guarded.
+    d = _spread(df.select(F.col(id_col), F.col(text_col)))
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    d = d.select(F.col(id_col).alias("__id"), ws.alias("__ws"))
+    wins = d.select(
+        "__id", F.size("__ws").alias("__n"),
+        F.posexplode(_win_texts_guarded(W)).alias("__wi", "__wtext"),
+    )
+    return _drift_chunk_spans(wins, W, dim, threshold, id_col, "start_word", "n_words")
+
+
+def _win_texts_guarded(W: int):
+    """Window-text array over the materialized ``__ws`` column, empty
+    when the doc has no units: (a) non-outer posexplode of an empty
+    array emits no rows, which IS the `size >= 1` filter without a
+    pushable predicate (see the spread comment above); (b) the guard
+    also keeps `sequence(0, n_win - 1)` from going descending when
+    n_win = 0 (sequence(0,-1) = [0,-1])."""
     n_win = F.ceil(F.size("__ws") / F.lit(W)).cast("int")
     win_texts = F.transform(
         F.sequence(F.lit(0), n_win - 1),
         lambda i: F.array_join(F.slice("__ws", i * W + 1, W), " "),
     )
-    wins = d.select(
-        "__id", F.size("__ws").alias("__n"),
-        F.posexplode(win_texts).alias("__wi", "__wtext"),
+    return F.when(F.size("__ws") >= 1, win_texts).otherwise(
+        F.array().cast("array<string>")
     )
-    return _drift_chunk_spans(wins, W, dim, threshold, id_col, "start_word", "n_words")
 
 
 def _drift_chunk_spans(
@@ -282,24 +313,19 @@ def semantic_sentence_chunks(
     Output: (id_col, chunk_idx, start_sent, n_sents, n_windows) — start
     is 1-based in SENTENCE units. Empty/whitespace-only sentences (e.g.
     trailing punctuation) are dropped before windowing."""
+    from chatdata_spark.operators.dedup import _spread
+
     W = int(window_sents)
+    # Spread before the sentence-split HOFs + Generate-side empty guard,
+    # same reasons as semantic_chunks (see comments there).
+    d = _spread(df.select(F.col(id_col), F.col(text_col)))
     sents = F.filter(
         F.transform(F.split(F.col(text_col), SENTENCE_SPLIT_RE), lambda x: F.trim(x)),
         lambda x: x != "",
     )
-    d = df.select(F.col(id_col).alias("__id"), sents.alias("__ws")).filter(
-        F.size("__ws") >= 1
-    )
-    from chatdata_spark.operators.dedup import _spread
-
-    d = _spread(d)
-    n_win = F.ceil(F.size("__ws") / F.lit(W)).cast("int")
-    win_texts = F.transform(
-        F.sequence(F.lit(0), n_win - 1),
-        lambda i: F.array_join(F.slice("__ws", i * W + 1, W), " "),
-    )
+    d = d.select(F.col(id_col).alias("__id"), sents.alias("__ws"))
     wins = d.select(
         "__id", F.size("__ws").alias("__n"),
-        F.posexplode(win_texts).alias("__wi", "__wtext"),
+        F.posexplode(_win_texts_guarded(W)).alias("__wi", "__wtext"),
     )
     return _drift_chunk_spans(wins, W, dim, threshold, id_col, "start_sent", "n_sents")

@@ -72,8 +72,16 @@ def decontaminate(
     """
     sig = _with_shingle_hashes(corpus, id_col, text_col, n, persist=False)
     bset = benchmark_ngram_set(bench, bench_text_col, n).withColumn("__hit", F.lit(1))
+    # explode_OUTER, deliberately: a plain explode makes the optimizer
+    # infer `size(shh) > 0` above the Generate (InferFiltersFromGenerate)
+    # and predicate-pushdown then drags that filter below the spread
+    # exchange WITH a second copy of the shingle UDF — the whole corpus
+    # ran the Arrow mix twice, once single-threaded (r11 plan audit:
+    # two ArrowEvalPython nodes of the same _sh call). Outer generates
+    # infer nothing; the floor-1 shingle convention (docstring above)
+    # guarantees shh is non-empty, so the emitted rows are identical.
     hits = (
-        sig.select("id", "sz", F.explode("shh").alias("sh"))
+        sig.select("id", "sz", F.explode_outer("shh").alias("sh"))
         .join(F.broadcast(bset), "sh", "left")
         .groupBy("id", "sz")
         .agg(F.count("__hit").alias("n_hits"))

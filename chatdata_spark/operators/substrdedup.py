@@ -37,8 +37,14 @@ from pyspark.sql import functions as F
 def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     from chatdata_spark.operators.dedup import _spread
 
+    # Spread the RAW rows, then tokenize: an expression inside the
+    # spread's select evaluates upstream of the repartition exchange, in
+    # the source's partitioning — on the 1-partition local files that
+    # serialized the whole corpus regex pass on one core (r11 profile).
     words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
-    return _spread(df.select(F.col(id_col).alias("__id"), words.alias("__ws")))
+    return _spread(df.select(F.col(id_col).alias("__id"), F.col(text_col))).select(
+        "__id", words.alias("__ws")
+    )
 
 
 # UDF-object memoization per n (CacheManager plan-equality rule)
@@ -140,9 +146,13 @@ def _spans_from_tokens(
     corpus once, not twice. ``exact`` adds the literal-gram verify pass
     (see :func:`duplicated_ngram_spans`); callers must have persisted
     ``d`` when setting it."""
+    # No `size(__ws) >= n` pre-filter: short docs already yield [] from
+    # gram_hashes_udf and vanish at the posexplode, while the filter
+    # predicate gets PUSHED below _tokenized's exchange, re-evaluating
+    # the corpus regex single-threaded on the 1-partition scan (and a
+    # second time above) — the chunks.py r11 lesson.
     grams = (
-        d.filter(F.size("__ws") >= n)
-        .select("__id", F.transform("__ws", lambda t: F.xxhash64(t)).alias("__wh"))
+        d.select("__id", F.transform("__ws", lambda t: F.xxhash64(t)).alias("__wh"))
         .select("__id", F.posexplode(gram_hashes_udf(n)(F.col("__wh"))).alias("__i", "__h"))
         .select("__id", (F.col("__i") + 1).alias("__pos"), "__h")
     )

@@ -33,9 +33,16 @@ from pyspark.sql import functions as F
 def tokenize(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, term) token stream: lowercase alphanumeric runs — the same
     extraction `regexp_extract_all(lower(text), '[a-z0-9]+')` on the DuckDB
-    oracle side, sidestepping split-boundary semantics differences."""
-    return df.select(
-        F.col(id_col).alias("id"),
+    oracle side, sidestepping split-boundary semantics differences.
+
+    The raw rows are spread BEFORE the regex+explode: both evaluate in
+    the source's partitioning, which on 1-partition local files would
+    serialize the corpus tokenization on one core (r11 scan-stage audit);
+    at real scale the spread is a no-op."""
+    from chatdata_spark.operators.dedup import _spread
+
+    return _spread(df.select(F.col(id_col).alias("id"), F.col(text_col))).select(
+        "id",
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
         ).alias("term"),

@@ -76,7 +76,13 @@ _D_PII_TXT = """
 def pii_redaction(spark, sf_dir):
     """PII scrub pass: per-kind match counts + masked text, all JVM regexp
     expressions in the scan stage (no shuffle, no Python)."""
-    d = _with_pii(spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"))
+    from chatdata_spark.operators.dedup import _spread
+
+    # scan-stage by design (no shuffle at scale); _spread parallelizes
+    # the regex pass on the 1-partition local file and no-ops at scale
+    d = _with_pii(
+        _spread(spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"))
+    )
     counts = pii_counts(F.col("txt"))
     return d.select(
         "doc_id",
@@ -585,13 +591,21 @@ def semantic_chunk_spans(spark, sf_dir):
     return semantic_chunks(d, "doc_id", "text", window_words=16, dim=64, threshold=0.0)
 
 
-def _prose_expr():
+def _prose_expr(words=None):
     """Deterministic punctuation-bearing prose from the fixture corpus
     (which carries none): 7-word sentences terminated by a rotating
-    ./!/? — same construction replayed in Python by the oracle."""
+    ./!/? — same construction replayed in Python by the oracle. Pass a
+    MATERIALIZED word-array column as ``words``: referenced inside the
+    per-sentence lambda, a raw split expression re-executes once per
+    sentence (the CLAUDE.md inlining trap — r11 plan audit caught the
+    collapsed Project running split(text) inside the transform)."""
     from pyspark.sql import functions as F
 
-    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    ws = (
+        words
+        if words is not None
+        else F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    )
     n_s = F.ceil(F.size(ws) / F.lit(7)).cast("int")
     return F.array_join(
         F.transform(
@@ -697,10 +711,20 @@ def semantic_chunk_sentences(spark, sf_dir):
     against a sequential driver-side replay of prose synthesis + the
     full pipeline (the _semantic_chunks_expected conventions)."""
     from chatdata_spark.operators.chunks import semantic_sentence_chunks
+    from chatdata_spark.operators.dedup import _spread
 
+    # Spread the raw scan BEFORE synthesizing prose: the synthesis HOF
+    # evaluates upstream of whatever exchange follows it, so on the
+    # 1-partition local file it would run single-threaded (r11 profile:
+    # 0.8 s of the query). Post-spread, the operator's own spread no-ops.
+    # The word array is materialized in its own select (referenced twice
+    # by the prose transform → blocks CollapseProject) so split(text)
+    # runs once per row, not once per synthesized sentence.
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
     d = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select("doc_id", _prose_expr().alias("prose"))
+        _spread(spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"))
+        .select("doc_id", words.alias("__w0"))
+        .select("doc_id", _prose_expr(F.col("__w0")).alias("prose"))
     )
     return semantic_sentence_chunks(
         d, "doc_id", "prose", window_sents=2, dim=64, threshold=0.0

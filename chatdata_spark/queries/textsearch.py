@@ -331,9 +331,12 @@ def phrase_proximity_docs(spark, sf_dir):
     NEAR/3 proximity ('vector' within 3 words of 'join') — both scan-stage
     JVM expressions (operators/textsearch.py:phrase_match/proximity_match),
     no shuffle, no UDF. Oracle recomputes positions relationally."""
+    from chatdata_spark.operators.dedup import _spread
     from chatdata_spark.operators.textsearch import phrase_match, proximity_match
 
-    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # scan-stage by design; _spread parallelizes the normalization +
+    # position HOFs on the 1-partition local file, no-op at scale
+    d = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"))
     return d.select(
         "doc_id",
         phrase_match(d, "text", "table hash").alias("phrase_hit"),

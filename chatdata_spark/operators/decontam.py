@@ -32,6 +32,11 @@ def benchmark_ngram_set(bench: DataFrame, text_col: str = "text", n: int = 13) -
     """Distinct n-gram hashes of the benchmark set: one column ``sh``.
     Small by construction — safe to broadcast. Same Arrow mix as the corpus
     side (hash values must agree exactly for the overlap join)."""
+    # NO `_spread` of the bench side (r11 optimization round, measured
+    # and REJECTED): benchmark sets are small by construction, so the
+    # added exchange cost more than the 1-partition tokenize it
+    # parallelized — decontam_docs_bloom measured 1.3-1.7x slower at
+    # paired min-of-5 (1.69→2.24, 1.26→2.13 s).
     return (
         bench.select(
             F.transform(

@@ -77,7 +77,17 @@ def heavy_hitters(
 
 def token_stream(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized whitespace tokens of a text column as an item stream
-    (functions/text.py conventions), empty tokens dropped scan-side."""
+    (functions/text.py conventions), empty tokens dropped scan-side.
+
+    NO `_spread` here, deliberately (r11 optimization round, measured
+    and REJECTED): every consumer is a Misra-Gries partial aggregation,
+    whose candidate state is k_counters PER PARTITION — spreading the
+    1-partition local scan to 32 multiplied the MG summaries and the
+    exact-recount set by 32x, measuring 1.15-1.5x SLOWER (paired
+    min-of-5: heavy_hitter_tokens_by_lang 0.83→1.15 s, streaming twin
+    mixed-to-worse) while the explode parallelism it bought was cheap
+    JVM work. At real scale inputs are already multi-partition and the
+    MG cost exists regardless."""
     from chatdata_spark.functions.text import words
 
     return df.select(F.explode(words(text_col)).alias("item")).filter(F.col("item") != "")

@@ -63,6 +63,14 @@ def knn_join(
     ).withColumn("salt", F.pmod(F.xxhash64("b_id"), F.lit(n_salt)).cast("int"))
 
     probes = _probe_clusters_udf(ivf_index.centroids, min(n_probe, ivf_index.n_clusters))
+    # NO `_spread` of the query side (r11 optimization round, measured
+    # and REJECTED): the probe-assignment pass is one small GEMM per
+    # Arrow batch and everything lands in the (cluster, salt) cogroup
+    # exchange right after — adding a repartition ahead of it measured
+    # knn_join_pruned 1.3x SLOWER at paired min-of-5 (0.92→1.21,
+    # 0.80→1.09 s) and bought nothing for the corpus-sized bitext sides
+    # (paired median 1.07); at scale large query sides arrive
+    # multi-partition anyway.
     q = (
         queries_df.select(
             F.col(q_id_col).alias("q_id"),

@@ -190,8 +190,13 @@ def curation_select_v2(spark, sf_dir):
     sel = dsir_resample(
         d, d.filter(F.col("lang") == "en"), "doc_id", "text", k=200, m=256
     ).select("doc_id")
+    from chatdata_spark.operators.dedup import _spread
+
+    # spread before the BPE regexp_count (r11): the token-budget regex
+    # otherwise runs in the 1-partition local scan layout (no-op at scale)
     return (
-        d.select("doc_id", "lang", F.regexp_count("text", F.lit(BPE_PATTERN)).alias("__bpe"))
+        _spread(d.select("doc_id", "lang", "text"))
+        .select("doc_id", "lang", F.regexp_count("text", F.lit(BPE_PATTERN)).alias("__bpe"))
         .join(lmkeep, "doc_id")
         .join(F.broadcast(sel), "doc_id", "left_semi")
         .groupBy("lang")

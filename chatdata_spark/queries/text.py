@@ -978,6 +978,10 @@ def heavy_hitter_tokens_by_lang(spark, sf_dir):
     from chatdata_spark.operators.heavyhitters import heavy_hitters
 
     min_count = 60
+    # NO _spread before the explode (r11, measured and REJECTED): the MG
+    # partial aggregate keeps k_counters candidates PER PARTITION, so
+    # spreading 1→32 partitions multiplied the candidate/recount volume
+    # and measured 1.4x slower at min-of-5 (see heavyhitters.token_stream)
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("lang").isNotNull()
     )

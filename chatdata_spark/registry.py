@@ -84,70 +84,57 @@ def _load_all() -> None:
 # stays pytest-oracled (tests/test_correctness runs the full registry).
 # COVERAGE.md's "driver window" column mirrors this.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- FIRST driver check: semantic_chunk_spans, the r10 tail addition
-    # and the registry's only never-driver-checked name (closes the
-    # ever-checked gap to 258/258) ---
-    "semantic_chunk_spans",
+    # --- FIRST driver check: fuzzy_name_pairs, the r11 past-the-cap tail
+    # addition and the registry's only never-driver-checked name (the
+    # semantic_chunk_spans precedent) ---
+    "fuzzy_name_pairs",
     # --- kept sentinels (multi-green; one per core family) ---
     "knn_topk", "dialect_knn", "dedup_minhash_lsh", "text_profile",
-    # --- second greens for the 8 r10 first-timers (4 r9 tails + 4
-    # windowed r10 additions, all first-checked in r10) ---
-    "dialect_parity_sweep7", "doc_novelty_curve", "user_rfm_features",
-    "knn_batch_queries", "ann_ivf_merge_search",
-    "dedup_substring_exact_spans", "dialect_parity_sweep8",
-    "bitext_margin_pairs",
-    # --- once-green backlog, oldest green first: the 3 r1-greens the
-    # r10 additions displaced, the r2-greens, data_quality_report (r5) ---
-    "window_lag_delta", "window_running_sum",
-    "window_top3_orders_per_cust", "collect_list_sorted",
-    "pack_documents", "sample_hash_20pct", "split_train_val_test",
-    "stratified_quota_by_lang", "text_lang_distribution",
-    "text_quality_by_source", "vector_centroids_by_label",
-    "data_quality_report",
-    # --- slots from the once-green r6 block (alphabetical; the
-    # remaining r6 names + dialect_parity_sweep5 queue for r12). r11
-    # additions displace from the TAIL of this segment one-for-one as
-    # they land (pivot_status_by_priority displaced first by
-    # dedup_minhash_autoband, then bottom-up) ---
-    "ann_ivf_delete_search", "ann_ivf_pruned", "approx_distinct_users",
-    "attribution_time_decay", "bpe_encode_token_stats",
-    "cms_user_frequency", "cohort_retention_daily", "corpus_report_docs",
-    "curation_domain_cap", "decontam_docs_bloom", "dedup_components_star",
-    # --- r11 additions (driver-verified in-round; displaced
-    # pivot_status_by_priority, percentile_stats, nb_quality_classifier,
-    # moving_avg_customer_orders, lm_perplexity_buckets,
-    # histogram_order_totalprice, gopher_quality_filter,
-    # exact_distinct_users, embed_documents_batch,
-    # domain_mixture_sample, dimred_rp_knn, dialect_parity_extended,
-    # dialect_conditional_aggs, dedup_winnow_pairs from the tail) ---
-    "dedup_minhash_autoband", "ann_opq_adc", "semantic_chunk_sentences",
-    "dialect_parity_sweep9", "ann_ivfpq_residual_search",
-    "pack_best_fit_docs", "unigram_vocab_docs", "gopher_repetition_filter",
+    # --- the r11-REWRITTEN cores, ahead of backlog second-greens (r11
+    # verdict item 2): their implementations changed in the optimization
+    # round while they were rotated out — the driver re-verifies them
+    # here. dedup_substring_{spans,removal} also carry this round's
+    # bounded hot-gram count rewrite. ---
+    "graph_pagerank_transactions", "graph_trustrank_suppliers",
+    "kmeans_embedding_clusters", "sq8_rerank_knn",
+    "dedup_substring_spans", "dedup_substring_removal",
+    "lm_perplexity_buckets", "curation_pipeline_docs",
+    "retrieval_funnel_docs",
+    # --- second greens for the 15 r11 first-timers (semantic_chunk_spans
+    # + the 14 windowed r11 additions) ---
+    "semantic_chunk_spans", "dedup_minhash_autoband", "ann_opq_adc",
+    "semantic_chunk_sentences", "dialect_parity_sweep9",
+    "ann_ivfpq_residual_search", "pack_best_fit_docs",
+    "unigram_vocab_docs", "gopher_repetition_filter",
     "unigram_encode_stats", "graph_hits_entities",
     "graph_harmonic_hyperball", "kcenter_coreset_embeddings",
     "dialect_parity_sweep10", "span_corruption_docs",
+    # --- once-green backlog, oldest green first: the 12 r6 names the r11
+    # additions displaced (lm_perplexity_buckets already above) ---
+    "pivot_status_by_priority", "percentile_stats",
+    "nb_quality_classifier", "moving_avg_customer_orders",
+    "histogram_order_totalprice", "gopher_quality_filter",
+    "exact_distinct_users", "embed_documents_batch",
+    "domain_mixture_sample", "dimred_rp_knn", "dialect_parity_extended",
+    "dialect_conditional_aggs",
+    # --- next once-green r6 block, listed order (union_all_counts,
+    # unpivot_part_measures, vector_brute_force_scores,
+    # weighted_sample_by_length + dialect_parity_sweep5 queue for r13) ---
+    "pmi_phrase_mining", "range_join_bounded_recent_clicks",
+    "rollup_distinct_approx", "sliding_window_counts",
+    "store_session_lifecycle", "streaming_cms_user_frequency",
+    "streaming_static_dim_join", "text_fingerprint_rolling",
+    "tfidf_top_terms",
 )
 
-# Rotation plan for round 12: second greens for the 14 r11 in-window
-# additions (incl. semantic_chunk_spans' would-be second), then the
-# once-green backlog oldest-first — the 13 r6 names the r11 additions
-# displaced from this window's tail (pivot_status_by_priority,
-# percentile_stats, nb_quality_classifier, moving_avg_customer_orders,
-# lm_perplexity_buckets, histogram_order_totalprice,
-# gopher_quality_filter, exact_distinct_users, embed_documents_batch,
-# domain_mixture_sample, dimred_rp_knn, dialect_parity_extended,
-# dialect_conditional_aggs), the 13 r6 once-greens that didn't fit
-# (pmi_phrase_mining, range_join_bounded_recent_clicks,
-# rollup_distinct_approx, sliding_window_counts,
-# store_session_lifecycle, streaming_cms_user_frequency,
-# streaming_static_dim_join, text_fingerprint_rolling, tfidf_top_terms,
-# union_all_counts, unpivot_part_measures, vector_brute_force_scores,
-# weighted_sample_by_length), then dialect_parity_sweep5 (r9) and the
-# two-green pool lowest-count-first. The past-the-cap r11 tail addition
-# fuzzy_name_pairs takes a FIRST check with the r11 second greens (the
-# semantic_chunk_spans precedent). COVERAGE.md's green-count column is
-# the mechanical priority order. Steady state: sentinels + newest
-# additions + the lowest-green-count backlog.
+# Rotation plan for round 13: second greens for fuzzy_name_pairs, then
+# the once-green backlog oldest-first — the r6 leftovers
+# (union_all_counts, unpivot_part_measures, vector_brute_force_scores,
+# weighted_sample_by_length), dialect_parity_sweep5 (r9), then the
+# two-green pool lowest-count-first (the r10/r11 second-green blocks
+# rotate out). COVERAGE.md's green-count column is the mechanical
+# priority order. Steady state: sentinels + newest additions + the
+# lowest-green-count backlog.
 
 
 def _ordered() -> dict[str, QueryDef]:

@@ -11,23 +11,23 @@ DRIVER_CAP = 50
 
 MUST_BE_DRIVER_CHECKED = {
     # Flagships that have NOT yet banked two green driver rounds, plus one
-    # kept sentinel per core family. r11 executes the r10 verdict's plan:
-    # semantic_chunk_spans (the only never-driver-checked name) checks
-    # first (closing ever-checked to 258/258), the 8 r10 first-timers bank
-    # second greens, and the remaining slots go to the lowest-green-count
-    # backlog oldest-green-first (rotation policy in
-    # registry.DRIVER_WINDOW's comment); r11 additions are appended here
-    # in the commit that registers them, displacing backlog tail.
+    # kept sentinel per core family. r12 executes the r11 verdict's plan
+    # (item 2): the never-checked tail addition checks first, then the
+    # r11-REWRITTEN cores re-verify ahead of backlog second-greens (their
+    # implementations changed while rotated out of the r11 window), then
+    # second greens for the 15 r11 first-timers.
     # first driver check — the only never-checked name
-    "semantic_chunk_spans",
+    "fuzzy_name_pairs",
     # kept sentinels
     "knn_topk", "dialect_knn", "dedup_minhash_lsh", "text_profile",
-    # second greens for the 8 r10 first-timers
-    "dialect_parity_sweep7", "doc_novelty_curve", "user_rfm_features",
-    "knn_batch_queries", "ann_ivf_merge_search",
-    "dedup_substring_exact_spans", "dialect_parity_sweep8",
-    "bitext_margin_pairs",
-    # r11 additions (driver-verified in-round)
+    # r11-rewritten cores (verdict item 2)
+    "graph_pagerank_transactions", "graph_trustrank_suppliers",
+    "kmeans_embedding_clusters", "sq8_rerank_knn",
+    "dedup_substring_spans", "dedup_substring_removal",
+    "lm_perplexity_buckets", "curation_pipeline_docs",
+    "retrieval_funnel_docs",
+    # second greens for the 15 r11 first-timers
+    "semantic_chunk_spans",
     "dedup_minhash_autoband", "ann_opq_adc", "semantic_chunk_sentences",
     "dialect_parity_sweep9", "ann_ivfpq_residual_search",
     "pack_best_fit_docs", "unigram_vocab_docs", "gopher_repetition_filter",

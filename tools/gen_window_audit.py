@@ -22,7 +22,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CURRENT_ROUND = 11  # bump when rotating the window for a new round
+CURRENT_ROUND = 12  # bump when rotating the window for a new round
 
 
 def green_rounds() -> dict[str, list[int]]:

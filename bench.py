@@ -1118,13 +1118,31 @@ def main() -> None:
         keep = {s.strip() for s in only.split(",")}
         all_names = [n for n in all_names if n in keep]
 
-    # committed artifact read BEFORE any run/overwrite: the e2e guard and
-    # the per-shard ambient-context medians both compare against it
+    # Guard baseline = the COMMITTED artifact (r11 verdict item 8): the
+    # driver's post-close lower-core-count bench run overwrites the
+    # working-tree BENCH_DETAIL.json every round, so reading the file
+    # compared the next run against whatever the last driver run left
+    # behind (8-core numbers in r10/r11). git-show pins the baseline to
+    # the deliberately committed artifact; the working-tree file is the
+    # fallback when git is unavailable (a copied tree).
+    _prev_detail = {}
     try:
-        with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
-            _prev_detail = json.load(f)
-    except (OSError, json.JSONDecodeError):
+        import subprocess
+
+        _git = subprocess.run(
+            ["git", "-C", REPO, "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True, text=True, timeout=10,
+        )
+        if _git.returncode == 0 and _git.stdout.strip():
+            _prev_detail = json.loads(_git.stdout)
+    except (OSError, subprocess.SubprocessError, json.JSONDecodeError):
         _prev_detail = {}
+    if not _prev_detail:
+        try:
+            with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+                _prev_detail = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            _prev_detail = {}
     prev_e2e = _prev_detail.get("e2e", {})
     prev_all = {**_prev_detail.get("queries", {}), **prev_e2e}
 
@@ -1208,6 +1226,9 @@ def main() -> None:
         "reps": reps,
         "e2e_reps": e2e_reps,
         "shard_size": shard_size,
+        # provenance tag (r11 verdict item 8): identifies a stray
+        # lower-core-count driver overwrite at a glance
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
         "queries": per_query,
         "e2e": e2e,
     }

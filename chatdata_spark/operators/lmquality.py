@@ -82,6 +82,13 @@ def bigram_cross_entropy(
         F.count_distinct("w").alias("v")
     )
     v = vocab.collect()[0]["v"]  # the only driver scalar
+    # toks has exactly two consumers — the vocab collect above and bi's
+    # cache fill. Materialize bi now (the returned query reads it via
+    # InMemoryTableScan anyway) and drop toks: holding the full corpus
+    # token arrays for the session would accumulate across invocations
+    # (r11 ADVICE). unpersist() is non-cascading, so bi's cache survives.
+    bi.count()
+    toks.unpersist()
 
     logp = F.round(
         F.log((F.col("cb") + 1.0) / (F.col("ctx") + F.lit(float(v)))), 6

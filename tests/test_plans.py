@@ -162,17 +162,27 @@ def test_stuff_context_single_shuffle_tail(spark):
 
 
 def test_substring_spans_plan_shape(spark):
-    """The substring-dedup scale promises, plan-visible: gram hashing is
-    exactly ONE Arrow eval node (the minhash-template pass — re-appearing
-    twice would mean the count+filter re-evaluates the gram stream, the
-    formulation the hash-window rewrite removed), zero row-at-a-time
-    Python, zero cartesian products, and the text column never rides a
-    shuffle (the post-explode stream is (id, pos, hash8) only)."""
+    """The substring-dedup scale promises, plan-visible: the gram stream
+    is hash-partitioned once and PERSISTED, and both the per-hash count
+    and the survivor probe read the cache (two InMemoryTableScans — the
+    Arrow gram pass executes once; without the persist the optimizer
+    plans the subtree twice, r12 measurement). The occurrence count
+    never builds a positions list (no collect_list — the r11
+    formulation buffered every position of a hot gram in ONE
+    unsplittable aggregation buffer), the survivor probe is a sort-free
+    shuffled-hash LEFT SEMI join, zero row-at-a-time Python, zero
+    cartesian products, and the text column never rides a shuffle (the
+    post-explode stream is (id, pos, hash8) only)."""
     p = _plan(_QS["dedup_substring_spans"](spark, SF_ORACLE))
-    assert p.count("ArrowEvalPython") == 1
+    assert p.count("InMemoryTableScan") >= 2
+    assert "ShuffledHashJoin" in p and "LeftSemi" in p
+    assert "collect_list" not in p
     assert "BatchEvalPython" not in p and "CartesianProduct" not in p
     import re
 
+    # the same cached ArrowEvalPython node reprints under each
+    # InMemoryTableScan — a REAL duplicate (distinct output ids) is
+    # caught by test_no_duplicated_python_udf_eval_nodes below
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
         assert "text" not in m.group(1), f"text column shuffled: {m.group(0)}"
 

@@ -77,7 +77,6 @@ HEADLINE = [
     "binary_quant_knn",         # popcount-xor Hamming ranking (all-integer codegen)
     "rerank_snippet_search",    # rerank + highlight funnel tail
     "hard_negative_mining",     # knn-join anti-join mine
-    "retrieval_funnel_docs",    # FLAGSHIP: routed ANN + BM25 → RRF → rerank → MMR
     "dedup_substring_spans",    # cross-doc duplicated-substring spans (Lee et al. shape)
     "attribution_time_decay",   # bounded range join composed into attribution rollup
     "dsir_resample_docs",       # DSIR hashed-bigram importance resampling
@@ -176,6 +175,15 @@ E2E = [
     "graph_hits_entities",          # 6 double half-rounds, max-quantizer normalization
     "graph_harmonic_hyperball",     # 4 register-lattice rounds + HLL estimates
     "kcenter_coreset_embeddings",   # k sequential Arrow argmax rounds
+    # r12 moves (measurement fix, guide §1.4 — disclosed in
+    # OPTIMIZATION_r12.md): the retrieval funnel's MMR page collect runs
+    # at plan-BUILD time (operators/mmr.py::mmr_select), and the r12
+    # one-pass fix checkpoints the ≤20-row page there too — after it the
+    # steady-state warm/timed split times only the two final page joins.
+    # Whole-invocation is the honest span for this shape; the old
+    # steady-state numbers stay in BENCH_r11.json/BENCH_DETAIL history.
+    "retrieval_funnel_docs",        # build-time page collect + checkpointed page
+    "retrieval_funnel_x10",         # 10x-corpus probe of the same shape (EXTRA fn)
 ]
 
 # The ≤15 per-query entries repeated on stdout (full map goes to
@@ -543,9 +551,11 @@ def bench_retrieval_funnel_x10(spark, sf_dir):
     # broadcast the ≤30-row fused page, not the 10x corpus (r11 opt —
     # mirrors the registered funnel's guide-§3.1 fix)
     cand = F.broadcast(fused).join(d10.select("doc_id", "text"), "doc_id")
+    # checkpoint the ≤20-row page once (r12 — mirrors the registered
+    # funnel's one-pass fix; entry timed whole-invocation in E2E)
     page = rerank_topk(cand, "doc_id", "text", FUNNEL_Q, k=20).select(
         "doc_id", "rrf", "rerank_score"
-    )
+    ).localCheckpoint()
     vecs = e10.select(F.col("vec_id").alias("doc_id"), "embedding").join(
         F.broadcast(page.select("doc_id")), "doc_id"
     )
@@ -1011,7 +1021,7 @@ EXTRA = {
     "hybrid_rrf_x10": bench_hybrid_rrf_x10,
     "dedup_substring_x10": bench_substring_x10,
     "dedup_substring_x10_heldrate": bench_substring_x10_heldrate,
-    "retrieval_funnel_x10": bench_retrieval_funnel_x10,
+    # retrieval_funnel_x10 moved to E2E (r12): see the E2E list note
     "profile_orders_approx": bench_profile_approx,
     "sessionize_hotkey_sliced": bench_sessionize_hotkey,
 }
@@ -1048,7 +1058,9 @@ def _run_shard(
             spark.sparkContext._jvm.System.gc()
     e2e: dict[str, float] = {}
     for name in e2e_names:
-        fn = qs[name]
+        # E2E names are registry queries, except the funnel x10 probe
+        # (EXTRA-only fn moved here in r12 with its registered twin)
+        fn = qs.get(name) or {"retrieval_funnel_x10": bench_retrieval_funnel_x10}[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
         best = float("inf")
         for _ in range(e2e_reps):

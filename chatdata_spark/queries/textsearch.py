@@ -239,14 +239,41 @@ def retrieval_funnel_docs(spark, sf_dir):
     partition-pruned under a real n_probe); everything after runs on a
     bounded results page (≤60 rows), so the funnel's cost IS the screen
     cost. Output: (doc_id, rrf, rerank_score, mmr_rank, mmr_score)."""
-    from chatdata_spark.operators.ivf import build_or_load_ivf
     from chatdata_spark.operators.mmr import mmr_select
+
+    qf = hash_embed(FUNNEL_Q, DIM)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # Materialize the ≤20-row page ONCE (r12, guide §2.4/§5): it has two
+    # downstream consumers (the MMR vector semi-join and the final
+    # re-attach join), and each planned its own copy of the ENTIRE
+    # ANN+BM25+RRF+rerank corpus subtree — 8 parquet scans / 8 top-k in
+    # the final plan (plans/r12/retrieval_funnel_docs_before.txt); the
+    # checkpointed page halves that to one funnel pass at any scale.
+    # (tests/test_plans.py asserts the top-k contract on _funnel_page's
+    # pre-checkpoint plan.)
+    page = _funnel_page(spark, sf_dir).localCheckpoint()
+    # 5. MMR diversify over the page's embeddings
+    vecs = emb.select(F.col("vec_id").alias("doc_id"), "embedding").join(
+        F.broadcast(page.select("doc_id")), "doc_id"
+    )
+    mmr = mmr_select(vecs, "embedding", qf, k=10, id_col="doc_id", fetch_n=20, lam=0.5)
+    return (
+        mmr.join(F.broadcast(page), "doc_id")
+        .select("doc_id", "rrf", "rerank_score", "mmr_rank", "mmr_score")
+        .orderBy("mmr_rank")
+    )
+
+
+def _funnel_page(spark, sf_dir):
+    """Funnel stages 1-4 (routed ANN screen, BM25 screen, RRF fusion,
+    rerank) → the ≤20-row (doc_id, rrf, rerank_score) page — the
+    corpus-touching part of retrieval_funnel_docs, pre-checkpoint."""
+    from chatdata_spark.operators.ivf import build_or_load_ivf
     from chatdata_spark.operators.textsearch import rerank_topk
     from chatdata_spark.plans.router import VectorQueryRouter
     from chatdata_spark.queries.dialect import DIALECT
 
     terms = FUNNEL_Q.split()
-    qf = hash_embed(FUNNEL_Q, DIM)
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -283,18 +310,8 @@ def retrieval_funnel_docs(spark, sf_dir):
     # row — harmless at sf0.1 but the wrong side at 100 TB, where the
     # page is the only broadcastable operand. Same rows, same columns.
     cand = F.broadcast(fused).join(d.select("doc_id", "text"), "doc_id")
-    page = rerank_topk(cand, "doc_id", "text", FUNNEL_Q, k=20).select(
+    return rerank_topk(cand, "doc_id", "text", FUNNEL_Q, k=20).select(
         "doc_id", "rrf", "rerank_score"
-    )
-    # 5. MMR diversify over the page's embeddings
-    vecs = emb.select(F.col("vec_id").alias("doc_id"), "embedding").join(
-        F.broadcast(page.select("doc_id")), "doc_id"
-    )
-    mmr = mmr_select(vecs, "embedding", qf, k=10, id_col="doc_id", fetch_n=20, lam=0.5)
-    return (
-        mmr.join(F.broadcast(page), "doc_id")
-        .select("doc_id", "rrf", "rerank_score", "mmr_rank", "mmr_score")
-        .orderBy("mmr_rank")
     )
 
 

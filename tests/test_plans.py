@@ -131,9 +131,25 @@ def test_retrieval_funnel_plan_shape(spark):
     """The flagship funnel's physical contract: every stage ranks through
     a top-k heap (4 of them: BM25, routed kNN, RRF page, rerank page), no
     cartesian product, no row-at-a-time Python; the only nested-loop join
-    is the deliberate ONE-ROW corpus-stats broadcast."""
+    is the deliberate ONE-ROW corpus-stats broadcast.
+
+    Since r12 the corpus-touching stages live in _funnel_page and the
+    query checkpoints its ≤20-row result once (one funnel pass instead of
+    two — plans/r12/retrieval_funnel_docs_{before,after}.txt), so the
+    top-k contract is asserted on the pre-checkpoint page plan and the
+    final plan must show the checkpoint actually took (the corpus subtree
+    replaced by the ExistingRDD scan — a regression re-inlining it would
+    double the corpus scans back)."""
+    from chatdata_spark.queries.textsearch import _funnel_page
+
+    pg = _plan(_funnel_page(spark, SF_ORACLE))
+    assert pg.count("TakeOrderedAndProject") >= 4
+    assert "CartesianProduct" not in pg
+    assert "BatchEvalPython" not in pg
     p = _plan(_QS["retrieval_funnel_docs"](spark, SF_ORACLE))
-    assert p.count("TakeOrderedAndProject") >= 4
+    assert "Scan ExistingRDD" in p and "Scan parquet" not in p, (
+        "final funnel plan re-inlines the corpus subtree (page checkpoint lost)"
+    )
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
 
